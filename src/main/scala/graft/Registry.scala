@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine query: the Spark-side implementation plus (when the semantics
+  * are ANSI-SQL-expressible) an equivalent DuckDB oracle query over the same
+  * parquet tables. Column names/types and row order are aligned on both
+  * sides so the driver's hash compare is exact.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Registry {
+  lazy val all: Seq[Q] =
+    operators.Relational.queries ++
+      operators.TextOps.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided TPC-H-ish parquet tables (TESTDATA.md).
+  *
+  * The reference engine's only "table" is a directory of text lines
+  * (reference mapreduce/manager/__main__.py:257-259); these typed parquet
+  * tables are the declared relational extension surface. Reads stay fully
+  * declarative so Catalyst pushes filters/column pruning into the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case n        => spark.read.parquet(s"$dir/$n.parquet")
+    }
+
+  /** events.ts is parquet TIMESTAMP(NANOS); Spark has no nanosecond
+    * timestamp type, so we read it as raw nanos (legacy.parquet.nanosAsLong)
+    * and truncate to microseconds. `ts div 1000` keeps the arithmetic in
+    * exact integer space (a double division would lose precision at 1e18).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

@@ -1,0 +1,375 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import Arith._
+
+/** The relational operator surface (SURVEY.md §2.4).
+  *
+  * The reference can only express these through user executables piped
+  * through its fixed map→shuffle→reduce pipeline (reference
+  * mapreduce/worker/__main__.py:94-157); here each one is a declarative
+  * DataFrame plan so Catalyst supplies predicate pushdown, column pruning,
+  * partial aggregation and join-strategy selection. Every query is paired
+  * with a DuckDB oracle with identical column names, types and row order.
+  *
+  * Scale notes (100 TB design point):
+  *  - dimension joins (region/nation/supplier/customer) are explicitly
+  *    `broadcast()` so the fact scan never shuffles for them;
+  *  - fact-fact joins shuffle on their join key only after filters are
+  *    pushed below the join;
+  *  - aggregates use [[Arith.dsum]] which keeps partial aggregation exact
+  *    and order-independent across any executor count.
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- scans / projection / filter -----------------------------------
+    Q("q_scan",
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_shipdate").cast("date").as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
+              CAST(l_shipdate AS DATE) AS ship_date
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    Q("q_filter",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") >= 25 &&
+          col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_shipdate").cast("date").as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+              CAST(l_shipdate AS DATE) AS ship_date
+              FROM lineitem
+              WHERE l_returnflag = 'R' AND l_quantity >= 25
+                AND l_shipdate >= TIMESTAMP '1998-01-01'
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    Q("q_project",
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax")), 4).as("charge"),
+          concat_ws("/", col("l_returnflag"), col("l_linestatus")).as("flag_status"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+              ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS charge,
+              concat_ws('/', l_returnflag, l_linestatus) AS flag_status
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- aggregation ----------------------------------------------------
+    // TPC-H Q1 shape: partial+final hash aggregate, exact decimal sums.
+    Q("q_agg",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              ${sqlSum("l_quantity")} AS sum_qty,
+              ${sqlSum("l_extendedprice")} AS sum_base_price,
+              ${sqlSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+              ${sqlAvg("l_quantity")} AS avg_qty,
+              ${sqlAvg("l_discount")} AS avg_disc,
+              COUNT(*) AS count_order
+              FROM lineitem GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    Q("q_agg_distinct",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+              COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_rows
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- joins -----------------------------------------------------------
+    // Fact-fact-dim: lineitem⋈orders shuffles on orderkey; customer is a
+    // dimension and is broadcast so only one shuffle survives at scale.
+    Q("q_join",
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_mktsegment"),
+      Some(s"""SELECT c_mktsegment,
+              ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+              COUNT(*) AS n_items, COUNT(DISTINCT o_orderkey) AS n_orders
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    Q("q_join_broadcast",
+      (s, d) => t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("total_acctbal"))
+        .orderBy("r_name"),
+      Some(s"""SELECT r_name, COUNT(*) AS n_suppliers,
+              ${sqlSum("s_acctbal")} AS total_acctbal
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name ORDER BY r_name""")),
+
+    Q("q_join_semi",
+      (s, d) => t(s, d, "orders")
+        .join(t(s, d, "lineitem").filter(col("l_quantity") >= 48),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+              WHERE EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+              ORDER BY o_orderkey""")),
+
+    Q("q_join_anti",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              ORDER BY c_custkey""")),
+
+    // ---- window functions ------------------------------------------------
+    Q("q_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("total"))
+          .orderBy("o_custkey", "rk")
+      },
+      Some("""SELECT o_custkey, CAST(rk AS INTEGER) AS rk, o_orderkey,
+              ROUND(o_totalprice, 2) AS total
+              FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                    FROM orders)
+              WHERE rk <= 3 ORDER BY o_custkey, rk""")),
+
+    Q("q_window_running",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("ship_date"), col("l_orderkey"), col("l_linenumber"))
+        t(s, d, "lineitem")
+          .filter(col("l_suppkey") <= 5)
+          .withColumn("ship_date", col("l_shipdate").cast("date"))
+          .withColumn("running_qty",
+            sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("prev_qty", lag(col("l_quantity"), 1, 0.0).over(w))
+          .select(col("l_suppkey"), col("ship_date"), col("l_orderkey"),
+            col("l_linenumber"), col("l_quantity"), col("running_qty"), col("prev_qty"))
+          .orderBy("l_suppkey", "ship_date", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_date,
+              l_orderkey, l_linenumber, l_quantity,
+              SUM(l_quantity) OVER (PARTITION BY l_suppkey
+                  ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+              lag(l_quantity, 1, 0.0) OVER (PARTITION BY l_suppkey
+                  ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber) AS prev_qty
+              FROM lineitem WHERE l_suppkey <= 5
+              ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""")),
+
+    // ---- sort / limit / top-k --------------------------------------------
+    Q("q_topk",
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"),
+          col("o_orderdate").cast("date").as("order_date"), col("o_orderpriority")),
+      Some("""SELECT o_orderkey, ROUND(o_totalprice, 2) AS total,
+              CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+              FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // ---- grouping sets ----------------------------------------------------
+    Q("q_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus"),
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+              COALESCE(l_linestatus, 'ALL') AS linestatus,
+              COUNT(*) AS n_rows, ${sqlSum("l_quantity")} AS sum_qty
+              FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+              ORDER BY returnflag, linestatus""")),
+
+    Q("q_cube",
+      (s, d) => t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("total"))
+        .orderBy("status", "priority"),
+      Some(s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+              COALESCE(o_orderpriority, 'ALL') AS priority,
+              COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS total
+              FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+              ORDER BY status, priority""")),
+
+    // ---- set operations ----------------------------------------------------
+    Q("q_union",
+      (s, d) => t(s, d, "customer")
+        .select(lit("customer").as("src"), col("c_nationkey").as("nationkey"))
+        .unionAll(t(s, d, "supplier")
+          .select(lit("supplier").as("src"), col("s_nationkey").as("nationkey")))
+        .groupBy("src", "nationkey").agg(count(lit(1)).as("n"))
+        .orderBy("src", "nationkey"),
+      Some("""SELECT src, nationkey, COUNT(*) AS n FROM (
+                SELECT 'customer' AS src, c_nationkey AS nationkey FROM customer
+                UNION ALL
+                SELECT 'supplier' AS src, s_nationkey AS nationkey FROM supplier)
+              GROUP BY src, nationkey ORDER BY src, nationkey""")),
+
+    Q("q_intersect",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+              INTERSECT
+              SELECT s_nationkey AS nationkey FROM supplier
+              ORDER BY nationkey""")),
+
+    Q("q_except",
+      (s, d) => t(s, d, "nation").select(col("n_nationkey").as("nationkey"))
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey"),
+      Some("""SELECT n_nationkey AS nationkey FROM nation
+              EXCEPT
+              SELECT s_nationkey AS nationkey FROM supplier
+              ORDER BY nationkey""")),
+
+    // ---- scalar function families -----------------------------------------
+    Q("q_string_fns",
+      (s, d) => t(s, d, "part")
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_up"),
+          lower(col("p_type")).as("type_lo"),
+          substring(col("p_name"), 1, 12).as("name_prefix"),
+          length(col("p_name")).cast("long").as("name_len"),
+          replace(col("p_type"), lit(" "), lit("_")).as("type_slug"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("tag"),
+          col("p_name").contains("a").as("has_a"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_brand) AS brand_up, lower(p_type) AS type_lo,
+              substr(p_name, 1, 12) AS name_prefix, length(p_name) AS name_len,
+              replace(p_type, ' ', '_') AS type_slug,
+              concat_ws('|', p_brand, p_type) AS tag,
+              contains(p_name, 'a') AS has_a
+              FROM part ORDER BY p_partkey""")),
+
+    Q("q_date_fns",
+      (s, d) => t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"),
+          min(col("o_orderdate").cast("date")).as("first_day"),
+          max(datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date"))).as("max_days_since"))
+        .orderBy("y", "m"),
+      Some(s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+              CAST(month(o_orderdate) AS INTEGER) AS m,
+              COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS total,
+              MIN(CAST(o_orderdate AS DATE)) AS first_day,
+              MAX(CAST(date_diff('day', DATE '1995-01-01',
+                  CAST(o_orderdate AS DATE)) AS INTEGER)) AS max_days_since
+              FROM orders GROUP BY 1, 2 ORDER BY y, m""")),
+
+    Q("q_math_fns",
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          round(abs(col("l_tax") - col("l_discount")), 6).as("abs_diff"),
+          ceil(col("l_quantity")).as("qty_ceil"),
+          floor(col("l_quantity")).as("qty_floor"),
+          pmod(col("l_orderkey"), lit(7)).as("key_mod"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+              ROUND(sqrt(l_extendedprice), 6) AS sqrt_price,
+              ROUND(ln(l_extendedprice), 6) AS ln_price,
+              ROUND(abs(l_tax - l_discount), 6) AS abs_diff,
+              CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+              CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+              l_orderkey % 7 AS key_mod
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    Q("q_case_when",
+      (s, d) => t(s, d, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "medium")
+            .when(col("o_totalprice") < 300000, "large")
+            .otherwise("jumbo"))
+        .groupBy("bucket", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_total"),
+          max(col("o_totalprice")).as("max_total"))
+        .orderBy("bucket", "o_orderstatus"),
+      Some("""SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                          WHEN o_totalprice < 150000 THEN 'medium'
+                          WHEN o_totalprice < 300000 THEN 'large'
+                          ELSE 'jumbo' END AS bucket,
+              o_orderstatus, COUNT(*) AS n,
+              MIN(o_totalprice) AS min_total, MAX(o_totalprice) AS max_total
+              FROM orders GROUP BY 1, 2 ORDER BY bucket, o_orderstatus""")),
+
+    // ---- JSON + timestamps over the events stream table --------------------
+    Q("q_json",
+      (s, d) => t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          davg(col("value")).as("avg_value"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .orderBy("event_type"),
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+              ${sqlAvg("value")} AS avg_value,
+              MIN(value) AS min_value, MAX(value) AS max_value
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    Q("q_events_hourly",
+      (s, d) => t(s, d, "events")
+        .withColumn("hour_ts", unix_timestamp(date_trunc("hour", col("ts"))))
+        .groupBy("hour_ts", "event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("hour_ts", "event_type"),
+      Some(s"""SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_ts,
+              event_type, COUNT(*) AS n, ${sqlSum("value")} AS sum_value,
+              COUNT(DISTINCT user_id) AS n_users
+              FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type"""))
+  )
+}
