@@ -7,14 +7,33 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm the session (codegen compiler, parquet footers, shuffle infra)
+    // so the alphabetically-first query doesn't absorb ~10 s of one-time
+    // JVM/session cost in its measurement.
+    Tables(spark, sfDir, "lineitem").groupBy("l_returnflag").count()
+      .write.format("noop").mode("overwrite").save()
+    // noop-format write executes the FULL plan (a count() would let
+    // Catalyst prune projections/sorts and measure a cheaper query).
+    // Two passes, min time: a single pass is dominated by whichever query
+    // absorbs a GC pause / machine-noise spike.
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
     }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (n, f) => n -> once(n, f) }.toMap
+    val results = ordered.map { case (n, f) =>
+      n -> math.min(pass1(n), once(n, f))
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Deduplication operators over `documents`.
+  *
+  * The reference has no dedup surface at all — its closest analog is a
+  * user-supplied reducer over the sorted shuffle stream (reference
+  * mapreduce/worker/__main__.py:138-157), which can express exact dedup
+  * only. These are the first-class, 100 TB-shaped versions:
+  *
+  *  - exact dedup: hash-groupBy on a 256-bit content digest — one shuffle
+  *    carrying the 32-byte digest, never the text;
+  *  - MinHash near-dup: candidates come from an LSH band self-join — the
+  *    shuffled rows are (doc_id, band_signature) pairs, bounded by
+  *    bands × docs, NEVER the all-pairs cross join. Quadratic work happens
+  *    only inside a bucket; exact-Jaccard verification runs only on
+  *    candidate pairs. The oracle brute-forces the same definition in
+  *    DuckDB (viable at sf0.01) — it matches because the engine output is
+  *    (candidates ∩ verified) and band parameters make LSH recall ≈ 1 at
+  *    the threshold (r=2, b=64 ⇒ miss prob (1-s²)⁶⁴ < 1e-8 for s ≥ 0.5);
+  *  - SimHash: 32-bit signature whose bit j is the sign of the token vote
+  *    Σ(±1), the ±1 taken from the j-th hex char of the token's MD5. Pure
+  *    string ops, so Spark and DuckDB compute bit-identical signatures.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  /** (doc_id, sh): distinct 3-token shingles of the document text. */
+  private def shingled(df: DataFrame): DataFrame = df
+    .withColumn("toks", split(col("text"), " "))
+    .filter(size(col("toks")) >= 3)
+    .withColumn("sh", array_distinct(
+      transform(sequence(lit(0), size(col("toks")) - 3),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(3))))))
+    .select(col("doc_id"), col("sh"))
+
+  /** Exact Jaccard similarity of two string-array columns (distinct sets). */
+  private def jaccard(a: Column, b: Column): Column =
+    round(size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)), 6)
+
+  // MinHash: NumHashes hash functions via Kirsch-Mitzenmacher double
+  // hashing (h_i = h1 + i·h2 over two MurmurHash3 seeds). Only candidate
+  // RECALL depends on these hashes (verification is exact Jaccard), so
+  // cross-engine hash parity is not required — the oracle never sees the
+  // signatures. Computed in a typed map: the 128 × |shingles| multiply-adds
+  // per row run as native loops (the HOF equivalent is CodegenFallback and
+  // ~100× slower), and the signature never shuffles — only the ~16-byte
+  // (doc_id, band) rows do.
+  private val NumHashes = 128
+  private val BandRows  = 2 // r=2 → b=64 bands
+
+  /** (doc_id, band) — one row per band; band = (index, mixed minhashes). */
+  private def minhashBands(s: SparkSession, sh: DataFrame): DataFrame = {
+    import s.implicits._
+    val numBands = NumHashes / BandRows
+    sh.select(col("doc_id"), col("sh")).as[(Long, Array[String])]
+      .map { case (id, shingles) =>
+        val mins = Array.fill(NumHashes)(Long.MaxValue)
+        var si = 0
+        while (si < shingles.length) {
+          val h1 = scala.util.hashing.MurmurHash3.stringHash(shingles(si), 0x5f3a)
+          val h2 = scala.util.hashing.MurmurHash3.stringHash(shingles(si), 0x9e37)
+          var i = 0
+          while (i < NumHashes) {
+            val h = h1.toLong + i.toLong * h2.toLong
+            if (h < mins(i)) mins(i) = h
+            i += 1
+          }
+          si += 1
+        }
+        val bands = new Array[Long](numBands)
+        var b = 0
+        while (b < numBands) {
+          // mix the r=2 minhashes; a 64-bit mix collision only adds a
+          // candidate pair, which exact-Jaccard verification discards
+          bands(b) = mins(2 * b) * 0x9e3779b97f4a7c15L + mins(2 * b + 1)
+          b += 1
+        }
+        (id, bands)
+      }
+      .toDF("doc_id", "bands")
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("idx", "sig")))
+      .select(col("doc_id"), struct(col("idx"), col("sig")).as("band"))
+  }
+
+  /** Distinct candidate pairs (a_id < b_id) sharing at least one band. */
+  private def lshCandidates(banded: DataFrame): DataFrame = banded
+    .select(col("doc_id").as("a_id"), col("band"))
+    .join(banded.select(col("doc_id").as("b_id"), col("band")), Seq("band"))
+    .filter(col("a_id") < col("b_id"))
+    .select("a_id", "b_id")
+    .dropDuplicates("a_id", "b_id")
+
+  /** SimHash over exploded (token, hex-position) votes — fully codegen'd,
+    * partial aggregation map-side, two tiny shuffles (docs × 32 rows, then
+    * docs rows). Bit j of the signature is the sign of Σ_tokens (±1), the
+    * ±1 from hex char j of the token's MD5 (high bit set ⇔ char ∈ 8..f);
+    * 2^j stays exact in double up to j=31, so the pow() pack matches
+    * DuckDB's 2**(j-1) arithmetic exactly. */
+  private def simhash32(df: DataFrame): DataFrame = df
+    .select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    .select(col("doc_id"),
+      posexplode(split(md5(col("tok")), "")).as(Seq("j", "c")))
+    .groupBy("doc_id", "j")
+    .agg(sum(when(col("c").isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L)
+      .otherwise(-1L)).as("vote"))
+    .groupBy("doc_id")
+    .agg(sum(when(col("vote") > 0, pow(lit(2.0), col("j").cast("double")))
+      .otherwise(0.0d)).cast("long").as("simhash"))
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- exact dedup ------------------------------------------------------
+    Q("q_dedup_exact",
+      (s, d) => docs(s, d)
+        .groupBy(sha2(col("text"), 256).as("text_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+        .orderBy("keep_id"),
+      Some("""SELECT sha256(text) AS text_hash, COUNT(*) AS n_copies,
+              MIN(doc_id) AS keep_id
+              FROM documents GROUP BY sha256(text) ORDER BY keep_id""")),
+
+    // ---- MinHash + LSH near-dup ------------------------------------------
+    Q("q_dedup_minhash",
+      (s, d) => {
+        val sh = shingled(docs(s, d)).cache()
+        val cand = lshCandidates(minhashBands(s, sh))
+        cand
+          .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+          .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+          .withColumn("jac", jaccard(col("a_sh"), col("b_sh")))
+          .filter(col("jac") >= 0.5)
+          .select(col("a_id"), col("b_id"), col("jac"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH sh AS (
+                SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                         FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+                WHERE len(toks) >= 3)
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                      len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                    len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+              ORDER BY a_id, b_id""")),
+
+    // ---- SimHash signatures ----------------------------------------------
+    // Per-row computation only (no shuffle before the determinism sort);
+    // near-dup grouping over these signatures is a groupBy on bit-bands.
+    Q("q_dedup_simhash",
+      (s, d) => simhash32(docs(s, d)).orderBy("doc_id"),
+      Some("""WITH t AS (
+                SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                FROM documents),
+              v AS (
+                SELECT doc_id,
+                  [list_sum([CASE WHEN substr(md5(tok), j, 1)
+                              IN ('8','9','a','b','c','d','e','f')
+                             THEN 1 ELSE -1 END FOR tok IN toks])
+                   FOR j IN generate_series(1, 32)] AS votes
+                FROM t)
+              SELECT doc_id,
+                CAST(list_sum([CASE WHEN votes[j] > 0 THEN 2**(j-1) ELSE 0 END
+                      FOR j IN generate_series(1, 32)]) AS BIGINT) AS simhash
+              FROM v ORDER BY doc_id""")),
+
+    // ---- n-gram Jaccard similarity ---------------------------------------
+    // The similarity measure itself as an operator: each doc scored against
+    // its doc_id successor — a single equi-join shuffle, no cross join.
+    Q("q_ngram_jaccard",
+      (s, d) => {
+        val sh = shingled(docs(s, d))
+        val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+        val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+        a.join(b, col("b_id") === col("a_id") + 1)
+          .select(col("a_id"), col("b_id"),
+            jaccard(col("a_sh"), col("b_sh")).as("jac"))
+          .orderBy("a_id")
+      },
+      Some("""WITH sh AS (
+                SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                         FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+                WHERE len(toks) >= 3)
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                      len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+              FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+              ORDER BY a_id"""))
+  )
+}

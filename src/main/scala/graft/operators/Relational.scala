@@ -35,10 +35,18 @@ object Relational {
       (s, d) => t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_shipdate").cast("date").as("ship_date"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        // limit after the total-order sort: bounds the result (and the 100 TB
+        // sort becomes a TakeOrderedAndProject — no full range partition).
+        // Sort on ALL output columns: (l_orderkey, l_linenumber) is NOT
+        // unique in the synthetic data, and a partial order would make the
+        // limit boundary engine-dependent.
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "ship_date")
+        .limit(2000),
       Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
               CAST(l_shipdate AS DATE) AS ship_date
-              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+              FROM lineitem
+              ORDER BY l_orderkey, l_linenumber, l_returnflag, ship_date
+              LIMIT 2000""")),
 
     Q("q_filter",
       (s, d) => t(s, d, "lineitem")
@@ -46,25 +54,38 @@ object Relational {
           col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_shipdate").cast("date").as("ship_date"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "ship_date")
+        .limit(2000),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity,
               CAST(l_shipdate AS DATE) AS ship_date
               FROM lineitem
               WHERE l_returnflag = 'R' AND l_quantity >= 25
                 AND l_shipdate >= TIMESTAMP '1998-01-01'
-              ORDER BY l_orderkey, l_linenumber""")),
+              ORDER BY l_orderkey, l_linenumber, l_quantity, ship_date
+              LIMIT 2000""")),
 
+    // charge is computed in DECIMAL: the money columns are exact 2-decimal
+    // values, so the 3-factor product has 6 true decimals — rounding the
+    // DOUBLE product to 4 would sit exactly on ….xxxx50 boundaries where
+    // the engines' rounding modes disagree. Decimal arithmetic is exact.
     Q("q_project",
       (s, d) => t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-            (lit(1) + col("l_tax")), 4).as("charge"),
+          round(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(5,2)")) *
+            (lit(1) + col("l_tax").cast("decimal(5,2)")), 4)
+            .cast("double").as("charge"),
           concat_ws("/", col("l_returnflag"), col("l_linestatus")).as("flag_status"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "charge", "flag_status")
+        .limit(2000),
       Some("""SELECT l_orderkey, l_linenumber,
-              ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS charge,
+              CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   (1 - CAST(l_discount AS DECIMAL(5,2))) *
+                   (1 + CAST(l_tax AS DECIMAL(5,2))), 4) AS DOUBLE) AS charge,
               concat_ws('/', l_returnflag, l_linestatus) AS flag_status
-              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+              FROM lineitem
+              ORDER BY l_orderkey, l_linenumber, charge, flag_status
+              LIMIT 2000""")),
 
     // ---- aggregation ----------------------------------------------------
     // TPC-H Q1 shape: partial+final hash aggregate, exact decimal sums.
@@ -139,20 +160,20 @@ object Relational {
         .join(t(s, d, "lineitem").filter(col("l_quantity") >= 48),
           col("o_orderkey") === col("l_orderkey"), "left_semi")
         .select(col("o_orderkey"), col("o_orderstatus"))
-        .orderBy("o_orderkey"),
+        .orderBy("o_orderkey").limit(2000),
       Some("""SELECT o_orderkey, o_orderstatus FROM orders
               WHERE EXISTS (SELECT 1 FROM lineitem
                             WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
-              ORDER BY o_orderkey""")),
+              ORDER BY o_orderkey LIMIT 2000""")),
 
     Q("q_join_anti",
       (s, d) => t(s, d, "customer")
         .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
-        .orderBy("c_custkey"),
+        .orderBy("c_custkey").limit(2000),
       Some("""SELECT c_custkey, c_name FROM customer
               WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-              ORDER BY c_custkey""")),
+              ORDER BY c_custkey LIMIT 2000""")),
 
     // ---- window functions ------------------------------------------------
     Q("q_window_rank",
@@ -176,27 +197,41 @@ object Relational {
 
     Q("q_window_running",
       (s, d) => {
+        // (l_orderkey, l_linenumber) is not unique, so the frame order
+        // includes the value columns — without them the running sum at
+        // tied keys would depend on the engine's (arbitrary) tie order.
         val w = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("ship_date"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("ship_date"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
         t(s, d, "lineitem")
           .filter(col("l_suppkey") <= 5)
           .withColumn("ship_date", col("l_shipdate").cast("date"))
+          // decimal inside the windowed SUM: DuckDB's segment-tree window
+          // aggregation may associate double adds differently from Spark's
+          // sequential frame scan; DECIMAL(38,6) is order-independent.
           .withColumn("running_qty",
-            sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+            sum(round(col("l_quantity"), 4).cast("decimal(38,6)"))
+              .over(w.rowsBetween(Window.unboundedPreceding, 0))
+              .cast("double"))
           .withColumn("prev_qty", lag(col("l_quantity"), 1, 0.0).over(w))
           .select(col("l_suppkey"), col("ship_date"), col("l_orderkey"),
             col("l_linenumber"), col("l_quantity"), col("running_qty"), col("prev_qty"))
-          .orderBy("l_suppkey", "ship_date", "l_orderkey", "l_linenumber")
+          .orderBy("l_suppkey", "ship_date", "l_orderkey", "l_linenumber",
+            "l_quantity", "running_qty", "prev_qty")
       },
       Some("""SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_date,
               l_orderkey, l_linenumber, l_quantity,
-              SUM(l_quantity) OVER (PARTITION BY l_suppkey
-                  ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+              CAST(SUM(CAST(ROUND(l_quantity, 4) AS DECIMAL(38,6)))
+                  OVER (PARTITION BY l_suppkey
+                  ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber,
+                           l_quantity, l_extendedprice
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
               lag(l_quantity, 1, 0.0) OVER (PARTITION BY l_suppkey
-                  ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber) AS prev_qty
+                  ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber,
+                           l_quantity, l_extendedprice) AS prev_qty
               FROM lineitem WHERE l_suppkey <= 5
-              ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""")),
+              ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber,
+                       l_quantity, running_qty, prev_qty""")),
 
     // ---- sort / limit / top-k --------------------------------------------
     Q("q_topk",
@@ -281,13 +316,13 @@ object Relational {
           replace(col("p_type"), lit(" "), lit("_")).as("type_slug"),
           concat_ws("|", col("p_brand"), col("p_type")).as("tag"),
           col("p_name").contains("a").as("has_a"))
-        .orderBy("p_partkey"),
+        .orderBy("p_partkey").limit(2000),
       Some("""SELECT p_partkey, upper(p_brand) AS brand_up, lower(p_type) AS type_lo,
               substr(p_name, 1, 12) AS name_prefix, length(p_name) AS name_len,
               replace(p_type, ' ', '_') AS type_slug,
               concat_ws('|', p_brand, p_type) AS tag,
               contains(p_name, 'a') AS has_a
-              FROM part ORDER BY p_partkey""")),
+              FROM part ORDER BY p_partkey LIMIT 2000""")),
 
     Q("q_date_fns",
       (s, d) => t(s, d, "orders")
@@ -315,7 +350,8 @@ object Relational {
           ceil(col("l_quantity")).as("qty_ceil"),
           floor(col("l_quantity")).as("qty_floor"),
           pmod(col("l_orderkey"), lit(7)).as("key_mod"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "sqrt_price", "abs_diff")
+        .limit(2000),
       Some("""SELECT l_orderkey, l_linenumber,
               ROUND(sqrt(l_extendedprice), 6) AS sqrt_price,
               ROUND(ln(l_extendedprice), 6) AS ln_price,
@@ -323,7 +359,9 @@ object Relational {
               CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
               CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
               l_orderkey % 7 AS key_mod
-              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+              FROM lineitem
+              ORDER BY l_orderkey, l_linenumber, sqrt_price, abs_diff
+              LIMIT 2000""")),
 
     Q("q_case_when",
       (s, d) => t(s, d, "orders")

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import Arith._
+
+/** Similarity search over `embeddings` (vec_id, embedding ArrayType(Float),
+  * label).
+  *
+  * No analog exists in the reference (strings only); this is the
+  * LLM-pipeline extension surface (SURVEY.md §2.4 last row). All vector
+  * math uses codegen'd higher-order functions (`zip_with`/`aggregate`) in
+  * double precision — no UDFs — and accumulates left-to-right, which is the
+  * same order DuckDB's list functions use, so cosines round-trip exactly
+  * at 6 decimals for the oracle compare.
+  *
+  * Scale shapes (100 TB / billions of vectors):
+  *  - q_cosine_pairs: EXACT similarity join — broadcast one side, stream
+  *    the other, native dot-product kernel. A 0.45 cosine threshold is a
+  *    63° angle, beyond any LSH family's usable recall, so exact is the
+  *    correct engine path; above ~1 M vectors the same kernel runs per
+  *    block pair (distributed blocked GEMM).
+  *  - q_ann_topk: the brute-force baseline — ONE scan of the corpus against
+  *    a broadcast query set, per-partition top-k then global top-k.
+  *  - q_ann_ivf: the indexed path — vectors bucketed by nearest centroid
+  *    (broadcast centroids), queries probe the 2 nearest buckets only.
+  */
+object Similarity {
+
+  private def embs(s: SparkSession, d: String) = Tables(s, d, "embeddings")
+
+  private val Dim = 64
+
+  /** Double-precision dot product of two float-array columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0d), (acc, x) => acc + x))
+
+  private def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** DuckDB-side cosine with the same accumulation order and rounding. */
+  private def sqlCosine(a: String, b: String): String =
+    s"""ROUND(list_sum([$a.v[i] * $b.v[i] FOR i IN generate_series(1, 64)]) /
+       (sqrt(list_sum([x * x FOR x IN $a.v])) *
+        sqrt(list_sum([x * x FOR x IN $b.v]))), 6)"""
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- per-label embedding statistics ----------------------------------
+    Q("q_embed_stats",
+      (s, d) => embs(s, d)
+        .withColumn("nrm", norm(col("embedding")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          davg(col("nrm")).as("avg_norm"),
+          round(min(col("nrm")), 6).as("min_norm"),
+          round(max(col("nrm")), 6).as("max_norm"))
+        .orderBy("label"),
+      Some(s"""SELECT label, COUNT(*) AS n_vecs,
+              ${sqlAvg("sqrt(list_sum([x * x FOR x IN (embedding::DOUBLE[])]))")} AS avg_norm,
+              ROUND(MIN(sqrt(list_sum([x * x FOR x IN (embedding::DOUBLE[])]))), 6) AS min_norm,
+              ROUND(MAX(sqrt(list_sum([x * x FOR x IN (embedding::DOUBLE[])]))), 6) AS max_norm
+              FROM embeddings GROUP BY label ORDER BY label""")),
+
+    // ---- embedding-cosine similarity join (exact) ------------------------
+    // At a 0.45 cosine threshold the angle is 63° — no LSH family reaches
+    // ~100% recall there, so the EXACT similarity join is the right
+    // operator: one side broadcast (vectors are 256 B each — 1 M vectors ≈
+    // 256 MB; beyond that, block the corpus and run the same kernel per
+    // block pair, a distributed blocked GEMM), the other side streamed,
+    // native dot-product loops, emitting only pairs over the threshold.
+    // The approximate scale path for HIGH thresholds is q_ann_ivf below.
+    Q("q_cosine_pairs",
+      (s, d) => {
+        import s.implicits._
+        val e = embs(s, d).select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+        val corpus = s.sparkContext.broadcast(e.collect().sortBy(_._1))
+        val pairs = e.mapPartitions { it =>
+          val c = corpus.value
+          it.flatMap { case (aId, av) =>
+            val aNorm = {
+              var n = 0.0; var k = 0
+              while (k < av.length) { n += av(k).toDouble * av(k); k += 1 }
+              math.sqrt(n)
+            }
+            c.iterator.filter(_._1 > aId).flatMap { case (bId, bv) =>
+              var dot = 0.0; var nb = 0.0; var k = 0
+              while (k < bv.length) {
+                dot += av(k).toDouble * bv(k)
+                nb += bv(k).toDouble * bv(k)
+                k += 1
+              }
+              val cos = dot / (aNorm * math.sqrt(nb))
+              // same rounding as the declarative path / oracle
+              val r = BigDecimal(cos)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (r >= 0.45) Some((aId, bId, r)) else None
+            }
+          }
+        }.toDF("a_id", "b_id", "cos")
+        pairs.orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                ${sqlCosine("a", "b")} AS cos
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE ${sqlCosine("a", "b")} >= 0.45
+              ORDER BY a_id, b_id""")),
+
+    // ---- brute-force cosine top-k (the exact baseline) -------------------
+    // Rank on the ROUNDED cosine with vec_id tiebreak so ranking is
+    // deterministic and engine-independent.
+    Q("q_ann_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = embs(s, d).select(col("vec_id"), col("embedding"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+        val scored = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosine(col("embedding"), col("q_v")))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("q_id"), col("rk"), col("vec_id").as("nn_id"), col("cos"))
+          .orderBy("q_id", "rk")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              scored AS (
+                SELECT q.vec_id AS q_id, b.vec_id AS nn_id,
+                  ${sqlCosine("b", "q")} AS cos
+                FROM e q JOIN e b ON b.vec_id <> q.vec_id
+                WHERE q.vec_id < 10)
+              SELECT q_id, CAST(rk AS INTEGER) AS rk, nn_id, cos FROM (
+                SELECT q_id, nn_id, cos,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, nn_id) AS rk
+                FROM scored)
+              WHERE rk <= 5 ORDER BY q_id, rk""")),
+
+    // ---- IVF-style approximate top-k (the 100 TB path) -------------------
+    // Centroids: first 8 vectors (deterministic stand-in for k-means).
+    // Every vector lands in its nearest-centroid bucket (one broadcast
+    // pass); a query probes its 2 nearest buckets only, so the search
+    // touches ~2/8 of the corpus instead of all of it. Approximate ⇒ no
+    // SQL oracle (driver records the rows-only check).
+    Q("q_ann_ivf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = embs(s, d).select(col("vec_id"), col("embedding"))
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_v"))
+        def nearest(df: DataFrame, vecCol: String, n: Int, out: String) = {
+          val w = Window.partitionBy(col("vec_id"))
+            .orderBy(col("c_cos").desc, col("c_id"))
+          df.crossJoin(broadcast(cents))
+            .withColumn("c_cos", cosine(col(vecCol), col("c_v")))
+            .withColumn("c_rk", row_number().over(w))
+            .filter(col("c_rk") <= n)
+            .drop("c_v", "c_cos", "c_rk")
+            .withColumnRenamed("c_id", out)
+        }
+        val bucketed = nearest(e, "embedding", 1, "bucket")
+        val q = nearest(
+          e.filter(col("vec_id") < 10), "embedding", 2, "bucket")
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_v"),
+            col("bucket"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id"))
+        bucketed.join(q, Seq("bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosine(col("embedding"), col("q_v")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("q_id"), col("rk"), col("vec_id").as("nn_id"), col("cos"))
+          .orderBy("q_id", "rk")
+      },
+      None)
+  )
+}

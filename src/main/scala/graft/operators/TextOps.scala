@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Text-pipeline operators over the `documents` table.
+  *
+  * Covers the reference's two shipped query semantics — word count
+  * (reference tests/testdata/exec/wc_map.sh:12, wc_reduce.sh:14) and grep
+  * (reference tests/testdata/exec/grep_map.py:13-28) — re-expressed as
+  * declarative DataFrame plans, plus the text-analysis operators an
+  * LLM-training-data pipeline needs: language ID, quality scoring, token
+  * counting, and document fingerprinting.
+  *
+  * Scale notes (100 TB design point):
+  *  - every query is a single scan + single shuffle (groupBy on bounded-
+  *    cardinality keys, or a per-row map with no shuffle at all before the
+  *    oracle-determinism sort);
+  *  - tokenization uses codegen'd `split`/`explode` — no UDFs anywhere;
+  *  - word count does partial aggregation map-side automatically
+  *    (HashAggregateExec partial → final), unlike the reference which ships
+  *    every `word\t1` record through its shuffle (no combiner,
+  *    reference tests/testdata/exec/wc_reduce.sh:8-14).
+  */
+object TextOps {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables(s, d, "documents")
+
+  /** English function words used by the language-ID / quality heuristics.
+    * Kept tiny and mirrored verbatim in the oracle SQL. */
+  private val stopRegex = "^(a|the|of|and|to|in)$"
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- word count (the reference's flagship job, Q1-Q4) -----------------
+    Q("q_wordcount",
+      (s, d) => docs(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy("word"),
+      Some("""SELECT word, COUNT(*) AS cnt FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS word
+                FROM documents)
+              WHERE word <> '' GROUP BY word ORDER BY word""")),
+
+    // ---- grep (Q5/Q6: case-insensitive substring filter + project) -------
+    Q("q_grep",
+      (s, d) => docs(s, d)
+        .filter(lower(col("text")).contains("spark"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+              WHERE contains(lower(text), 'spark') ORDER BY doc_id""")),
+
+    // ---- corpus statistics ------------------------------------------------
+    Q("q_text_stats",
+      (s, d) => docs(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang", "source"),
+      Some("""SELECT lang, source, COUNT(*) AS n_docs,
+              SUM(len(string_split(text, ' '))) AS total_tokens,
+              SUM(n_chars) AS total_chars,
+              MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+              FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+
+    // ---- language ID (stopword-ratio heuristic) ---------------------------
+    // A real n-gram language model is a lookup-table join at scale; the
+    // operator shape (tokenize → per-doc feature ratio → threshold CASE)
+    // is identical, so the heuristic stands in for it deterministically.
+    Q("q_lang_id",
+      (s, d) => docs(s, d)
+        .withColumn("toks", split(lower(col("text")), " "))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_stop",
+          size(filter(col("toks"), t => t.rlike(stopRegex))).cast("long"))
+        .withColumn("stop_ratio",
+          round(col("n_stop").cast("double") / col("n_tokens"), 6))
+        .withColumn("pred_lang",
+          when(col("stop_ratio") >= 0.08, "en").otherwise("und"))
+        .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+          col("stop_ratio"), col("pred_lang"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, len(toks) AS n_tokens,
+              len([t FOR t IN toks IF regexp_matches(t, '^(a|the|of|and|to|in)$')]) AS n_stop,
+              ROUND(len([t FOR t IN toks IF regexp_matches(t, '^(a|the|of|and|to|in)$')])::DOUBLE
+                    / len(toks), 6) AS stop_ratio,
+              CASE WHEN ROUND(len([t FOR t IN toks IF regexp_matches(t, '^(a|the|of|and|to|in)$')])::DOUBLE
+                    / len(toks), 6) >= 0.08 THEN 'en' ELSE 'und' END AS pred_lang
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                    FROM documents) ORDER BY doc_id""")),
+
+    // ---- quality scoring --------------------------------------------------
+    // Length + mean-word-length + stopword-ratio composite, the standard
+    // cheap pre-filter in front of expensive model-based quality scoring.
+    Q("q_quality",
+      (s, d) => docs(s, d)
+        .withColumn("toks", split(lower(col("text")), " "))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("mean_word_len",
+          round((col("n_chars") - col("n_tokens") + 1).cast("double") /
+            col("n_tokens"), 6))
+        .withColumn("stop_ratio",
+          round(size(filter(col("toks"), t => t.rlike(stopRegex)))
+            .cast("double") / col("n_tokens"), 6))
+        .withColumn("quality",
+          round(least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.5 +
+            when(col("mean_word_len").between(3.0, 10.0), 0.3).otherwise(0.0) +
+            when(col("stop_ratio") > 0.02, 0.2).otherwise(0.0), 6))
+        .withColumn("keep", col("quality") >= 0.5)
+        .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+          col("stop_ratio"), col("quality"), col("keep"))
+        .orderBy("doc_id"),
+      Some("""WITH f AS (
+                SELECT doc_id, len(string_split(lower(text),' ')) AS n_tokens,
+                  ROUND((n_chars - len(string_split(lower(text),' ')) + 1)::DOUBLE
+                        / len(string_split(lower(text),' ')), 6) AS mean_word_len,
+                  ROUND(len([t FOR t IN string_split(lower(text),' ')
+                             IF regexp_matches(t, '^(a|the|of|and|to|in)$')])::DOUBLE
+                        / len(string_split(lower(text),' ')), 6) AS stop_ratio
+                FROM documents)
+              SELECT doc_id, n_tokens, mean_word_len, stop_ratio,
+                ROUND(least(n_tokens::DOUBLE / 100, 1.0) * 0.5 +
+                  CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END +
+                  CASE WHEN stop_ratio > 0.02 THEN 0.2 ELSE 0.0 END, 6) AS quality,
+                (ROUND(least(n_tokens::DOUBLE / 100, 1.0) * 0.5 +
+                  CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END +
+                  CASE WHEN stop_ratio > 0.02 THEN 0.2 ELSE 0.0 END, 6) >= 0.5) AS keep
+              FROM f ORDER BY doc_id""")),
+
+    // ---- token counting (BPE-ish regex tokenizer) -------------------------
+    // Pre-tokenizer regex in the GPT-2 spirit: words | digit runs | other.
+    // regexp_extract_all is codegen'd; counts aggregate per source.
+    Q("q_token_count",
+      (s, d) => docs(s, d)
+        .withColumn("n_bpe",
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe")).as("total_bpe"),
+          min(col("n_bpe")).as("min_bpe"), max(col("n_bpe")).as("max_bpe"))
+        .orderBy("source"),
+      Some("""SELECT source, COUNT(*) AS n_docs,
+              SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS total_bpe,
+              MIN(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS min_bpe,
+              MAX(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS max_bpe
+              FROM documents GROUP BY source ORDER BY source""")),
+
+    // ---- document fingerprinting -----------------------------------------
+    // Winnowing-style fingerprint: the minimum MD5 over all 5-token
+    // shingles. MD5 hex strings compare identically on both engines; the
+    // whole computation is per-row (no shuffle before the determinism sort).
+    Q("q_fingerprint",
+      (s, d) => docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 5)
+        .withColumn("fp",
+          array_min(transform(sequence(lit(0), size(col("toks")) - 5),
+            i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(5)))))))
+        .select(col("doc_id"), col("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+              list_min([md5(array_to_string(toks[i:i+4], ' '))
+                        FOR i IN generate_series(1, len(toks) - 4)]) AS fp
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+              WHERE len(toks) >= 5 ORDER BY doc_id"""))
+  )
+}
