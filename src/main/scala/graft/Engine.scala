@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{JobSpec, MapReduce}
+
+/** User-facing job surface, mirroring the reference's submit CLI
+  * (reference mapreduce/submit.py:59-98): a [[JobSpec]] in, part files out.
+  * The Manager/Worker control plane (queueing, scheduling, heartbeats,
+  * retry — reference manager/__main__.py) is Spark's driver/executor
+  * machinery and needs no code here (SURVEY.md §2.2).
+  */
+object Engine {
+
+  /** Submit a streaming-executable job (the reference's only job type). */
+  def submit(spark: SparkSession, job: JobSpec): String =
+    MapReduce.run(spark, job)
+
+  /** Native word count — the reference's flagship job
+    * (tests/testdata/exec/wc_map.sh + wc_reduce.sh) with Scala stages on
+    * the same dataflow. Faithful to the executables' edge cases: every
+    * separator emits a token, so consecutive separators and blank lines
+    * produce EMPTY tokens, which are real keys (`awk '{print $1"\t1"}'` on
+    * an empty line prints `\t1`) — and `tr '[ \t]' '\n'` treats the
+    * brackets as LITERAL characters, so `[` and `]` are separators too.
+    */
+  def wordCount(spark: SparkSession, in: String, out: String,
+      numMappers: Int = 2, numReducers: Int = 2): String =
+    MapReduce.runNative(
+      spark,
+      JobSpec(in, out, "<native-wc-map>", "<native-wc-reduce>",
+        numMappers, numReducers),
+      mapper = line => line.toLowerCase.split("[\\[ \t\\]]", -1).map(_ + "\t1"),
+      reducer = countingReducer)
+
+  /** `cut -f1 | uniq -c`-style sorted-stream reducer: counts runs of equal
+    * keys in the (already whole-line-sorted) partition stream. */
+  private def countingReducer(lines: Iterator[String]): Iterator[String] =
+    new Iterator[String] {
+      private val it = lines.buffered
+      def hasNext: Boolean = it.hasNext
+      def next(): String = {
+        val key = keyOf(it.head)
+        var n = 0L
+        while (it.hasNext && keyOf(it.head) == key) { it.next(); n += 1 }
+        s"$key\t$n"
+      }
+      private def keyOf(l: String): String = {
+        val i = l.indexOf('\t')
+        if (i >= 0) l.substring(0, i) else l
+      }
+    }
+
+  /** Native grep — the reference's second shipped job
+    * (tests/testdata/exec/grep_map.py:13-28 + grep_reduce.py:14-27):
+    * case-insensitive substring filter, blank lines skipped, reducer
+    * projects the value and drops lines without exactly one tab.
+    */
+  def grep(spark: SparkSession, in: String, out: String,
+      query: String = "product",
+      numMappers: Int = 2, numReducers: Int = 2): String =
+    MapReduce.runNative(
+      spark,
+      JobSpec(in, out, "<native-grep-map>", "<native-grep-reduce>",
+        numMappers, numReducers),
+      mapper = { line =>
+        val s = line.trim
+        if (s.nonEmpty && s.toLowerCase.contains(query)) Some("1\t" + s)
+        else None
+      },
+      reducer = _.flatMap { l =>
+        val sep = l.trim.split("\t", -1)
+        if (sep.length == 2) Some(sep(1)) else None
+      })
+}
+
+/** `spark-submit`-able entry point replacing the reference's
+  * `mapreduce-submit` CLI; flags and defaults mirror
+  * reference mapreduce/submit.py:25-58. */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    var in = "tests/testdata/input"
+    var out = "output"
+    var mapper = "tests/testdata/exec/wc_map.sh"
+    var reducer = "tests/testdata/exec/wc_reduce.sh"
+    var m = 2
+    var r = 2
+    args.sliding(2, 2).foreach {
+      case Array("--input", v)     => in = v
+      case Array("--output", v)    => out = v
+      case Array("--mapper", v)    => mapper = v
+      case Array("--reducer", v)   => reducer = v
+      case Array("--nmappers", v)  => m = v.toInt
+      case Array("--nreducers", v) => r = v.toInt
+      case other =>
+        sys.error(s"unknown argument: ${other.mkString(" ")}")
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-mapreduce")
+      .getOrCreate()
+    try Engine.submit(spark, JobSpec(in, out, mapper, reducer, m, r))
+    finally spark.stop()
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.Md5LinePartitioner
+
+/** A MapReduce job, mirroring the reference's submit surface field for
+  * field (reference mapreduce/submit.py:70-78, manager/__main__.py:116-124):
+  * directory in, directory out, one executable per stage, task counts.
+  */
+final case class JobSpec(
+    inputDirectory: String,
+    outputDirectory: String,
+    mapperExecutable: String,
+    reducerExecutable: String,
+    numMappers: Int = 2,
+    numReducers: Int = 2)
+
+/** The reference engine's entire execution model as ONE Spark pipeline:
+  *
+  *   directory scan → external-executable map → MD5 hash partition →
+  *   sort → merge → external-executable reduce → part-NNNNN text files
+  *
+  * (reference dataflow: manager/__main__.py:257-270 split,
+  * worker/__main__.py:94-117 map + partition, :130-155 sort + merge,
+  * :138-157 reduce, :141-143 sink.)
+  *
+  * Spark-first mapping — each stage is the native primitive, not an
+  * emulation:
+  *  - D1 scan: `sc.textFile(dir, numMappers)` (one split per file block;
+  *    mappers are stateless line filters, so file→task grouping parity is
+  *    unnecessary for output parity);
+  *  - D3/D7 executables: `RDD.pipe` — the same stdin/stdout line contract,
+  *    one process per partition instead of per file;
+  *  - D4-D6 shuffle: `repartitionAndSortWithinPartitions` with
+  *    [[Md5LinePartitioner]] — Spark's sort-based shuffle IS the
+  *    reference's per-file sort + heapq.merge, with spilling the reference
+  *    lacks (it reads whole files into memory, worker/__main__.py:131);
+  *  - D8 sink: `saveAsTextFile` — one `part-NNNNN` per reduce partition,
+  *    same 5-digit naming (worker/__main__.py:141-143).
+  *
+  * Sort-order parity detail: the reference sorts raw lines WITH their
+  * trailing newline (`readlines(); sort()`), where `\t` (0x09) < `\n`
+  * (0x0a) matters when one line is a strict prefix of another. We shuffle
+  * on `line + "\n"` so the sort and the tab-key extraction both see exactly
+  * what Python saw.
+  *
+  * At 100 TB: every stage is distributed; nothing materializes on the
+  * driver; shuffle volume = mapper output (the reference has no combiner
+  * either — parity preserved; use the native query surface when partial
+  * aggregation is wanted).
+  */
+object MapReduce {
+
+  /** D1 + D3: directory scan piped through the external mapper. */
+  private def mapStage(spark: SparkSession, job: JobSpec): RDD[String] =
+    spark.sparkContext
+      .textFile(job.inputDirectory, math.max(job.numMappers, 1))
+      .pipe(Seq(job.mapperExecutable))
+
+  /** D4-D6: MD5 hash partition + whole-line sort within each partition
+    * (the trailing `\n` is appended for Python sort/hash parity and
+    * stripped after the shuffle). */
+  def shuffle(lines: RDD[String], numReducers: Int): RDD[String] =
+    lines
+      .map(l => (l + "\n", ()))
+      .repartitionAndSortWithinPartitions(new Md5LinePartitioner(numReducers))
+      .keys
+      .map(_.dropRight(1))
+
+  /** Run a streaming-executable job; returns the sink directory. */
+  def run(spark: SparkSession, job: JobSpec): String = {
+    shuffle(mapStage(spark, job), job.numReducers)
+      .pipe(Seq(job.reducerExecutable))
+      .saveAsTextFile(job.outputDirectory)
+    job.outputDirectory
+  }
+
+  /** Run a job with native Scala map/reduce stages under the same dataflow
+    * contract: mapper = one input line → zero or more `key\tvalue` lines;
+    * reducer = the whole-line-sorted partition stream → output lines. */
+  def runNative(
+      spark: SparkSession,
+      job: JobSpec,
+      mapper: String => IterableOnce[String],
+      reducer: Iterator[String] => Iterator[String]): String = {
+    val mapped = spark.sparkContext
+      .textFile(job.inputDirectory, math.max(job.numMappers, 1))
+      .flatMap(mapper)
+    shuffle(mapped, job.numReducers)
+      .mapPartitions(reducer)
+      .saveAsTextFile(job.outputDirectory)
+    job.outputDirectory
+  }
+}

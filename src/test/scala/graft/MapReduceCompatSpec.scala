@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{JobSpec, MapReduce}
+
+/** Golden-output tests against the reference's own fixtures and compare
+  * rules:
+  *  - grep: byte-exact part-00000 vs tests/testdata/correct/grep_correct.txt
+  *    (rule: reference tests/test_integration_01.py:81-85)
+  *  - word count: sorted-line multiset vs word_count_correct.txt
+  *    (rule: reference tests/test_integration_02.py:83-87)
+  *  - multi-reducer: part-file count == num_reducers, merged content
+  *    matches (rule: reference tests/test_integration_03.py:85-98)
+  */
+class MapReduceCompatSpec extends AnyFunSuite {
+
+  private val ref = "/root/reference/tests/testdata"
+  private def spark = TestSpark.spark
+
+  private def tmpOut(): String = {
+    val d = Files.createTempDirectory("graft-mr").resolve("out")
+    d.toString
+  }
+
+  private def readLines(p: Path): Seq[String] =
+    Files.readAllLines(p).asScala.toSeq
+
+  private def partFiles(dir: String): Seq[Path] =
+    Files.list(Paths.get(dir)).iterator.asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .toSeq.sortBy(_.getFileName.toString)
+
+  test("grep job via external executables is byte-identical to the golden") {
+    val out = tmpOut()
+    MapReduce.run(spark, JobSpec(
+      s"$ref/input", out,
+      s"$ref/exec/grep_map.py", s"$ref/exec/grep_reduce.py",
+      numMappers = 2, numReducers = 1))
+    val got = Files.readAllBytes(Paths.get(out, "part-00000"))
+    val want = Files.readAllBytes(Paths.get(s"$ref/correct/grep_correct.txt"))
+    assert(got.sameElements(want))
+  }
+
+  test("word count via external executables matches the golden multiset") {
+    val out = tmpOut()
+    MapReduce.run(spark, JobSpec(
+      s"$ref/input", out,
+      s"$ref/exec/wc_map.sh", s"$ref/exec/wc_reduce.sh",
+      numMappers = 2, numReducers = 1))
+    val got = readLines(Paths.get(out, "part-00000")).sorted
+    val want = readLines(Paths.get(s"$ref/correct/word_count_correct.txt")).sorted
+    assert(got == want)
+  }
+
+  test("multi-reducer word count: file count and merged content") {
+    val out = tmpOut()
+    MapReduce.run(spark, JobSpec(
+      s"$ref/input", out,
+      s"$ref/exec/wc_map.sh", s"$ref/exec/wc_reduce.sh",
+      numMappers = 2, numReducers = 2))
+    val parts = partFiles(out)
+    assert(parts.map(_.getFileName.toString) == Seq("part-00000", "part-00001"))
+    val got = parts.flatMap(readLines).sorted
+    val want = readLines(Paths.get(s"$ref/correct/word_count_correct.txt")).sorted
+    assert(got == want)
+  }
+
+  test("native word count matches the golden multiset") {
+    val out = tmpOut()
+    Engine.wordCount(spark, s"$ref/input", out, numReducers = 1)
+    val got = readLines(Paths.get(out, "part-00000")).sorted
+    val want = readLines(Paths.get(s"$ref/correct/word_count_correct.txt")).sorted
+    assert(got == want)
+  }
+
+  test("native grep is byte-identical to the golden") {
+    val out = tmpOut()
+    Engine.grep(spark, s"$ref/input", out, numReducers = 1)
+    val got = Files.readAllBytes(Paths.get(out, "part-00000"))
+    val want = Files.readAllBytes(Paths.get(s"$ref/correct/grep_correct.txt"))
+    assert(got.sameElements(want))
+  }
+
+  test("native and executable word count agree per part file at r=3") {
+    val outN = tmpOut()
+    val outX = tmpOut()
+    Engine.wordCount(spark, s"$ref/input", outN, numReducers = 3)
+    MapReduce.run(spark, JobSpec(
+      s"$ref/input", outX,
+      s"$ref/exec/wc_map.sh", s"$ref/exec/wc_reduce.sh",
+      numMappers = 2, numReducers = 3))
+    (0 until 3).foreach { i =>
+      val p = f"part-$i%05d"
+      assert(readLines(Paths.get(outN, p)) == readLines(Paths.get(outX, p)),
+        s"partition $p differs")
+    }
+  }
+}
