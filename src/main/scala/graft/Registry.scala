@@ -15,6 +15,9 @@ final case class Q(
 object Registry {
   lazy val all: Seq[Q] =
     operators.Relational.queries ++
+      operators.Joins.queries ++
+      operators.Complex.queries ++
+      operators.Multimodal.queries ++
       operators.TextOps.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+
+/** Array / map / JSON operators and the text-format source+sink round
+  * trips (SURVEY.md §2.4 rows the reference lacks entirely — its only
+  * format is tab-separated text lines).
+  */
+object Complex {
+
+  /** Deterministic scratch dir for the sink round-trip queries. */
+  private def scratch(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-sink/$name"
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- from_json + struct access ---------------------------------------
+    Q("q_from_json",
+      (s, d) => Tables(s, d, "events")
+        .withColumn("p", from_json(col("props"), StructType(Seq(
+          StructField("k", LongType)))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("p.k")).as("sum_k"),
+          min(col("p.k")).as("min_k"),
+          max(col("p.k")).as("max_k"),
+          countDistinct(col("p.k")).as("n_distinct_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+              MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+              MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
+              COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS n_distinct_k
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- map functions ---------------------------------------------------
+    // props parsed as MapType; exercises map_keys/map_values/explode(map).
+    Q("q_map_ops",
+      (s, d) => Tables(s, d, "events")
+        .withColumn("m", from_json(col("props"), MapType(StringType, LongType)))
+        .select(col("event_id"), explode(col("m")).as(Seq("mk", "mv")))
+        .groupBy("mk")
+        .agg(count(lit(1)).as("n"), sum(col("mv")).as("sum_v"))
+        .orderBy("mk"),
+      Some("""SELECT mk, COUNT(*) AS n, CAST(SUM(mv) AS BIGINT) AS sum_v FROM (
+                SELECT event_id, mk,
+                  CAST(json_extract_string(props, '$.' || mk) AS BIGINT) AS mv
+                FROM (SELECT event_id, props,
+                        unnest(json_keys(props)) AS mk FROM events))
+              GROUP BY mk ORDER BY mk""")),
+
+    // ---- array construction + functions ----------------------------------
+    // Per-user sorted distinct event types: collect_set → sort_array,
+    // then array predicates/access. Arrays compare element-wise in the
+    // oracle, so both sides sort deterministically.
+    Q("q_array_ops",
+      (s, d) => Tables(s, d, "events")
+        .groupBy("user_id")
+        .agg(sort_array(collect_set(col("event_type"))).as("types"))
+        .select(col("user_id"), col("types"),
+          size(col("types")).cast("long").as("n_types"),
+          array_contains(col("types"), "click").as("has_click"),
+          element_at(col("types"), 1).as("first_type"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+              len(list(DISTINCT event_type)) AS n_types,
+              list_contains(list(DISTINCT event_type), 'click') AS has_click,
+              list_sort(list(DISTINCT event_type))[1] AS first_type
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- sessionization (the streaming semantics, batch form) ------------
+    // 30-minute-gap sessions per user: the exact computation
+    // streaming.Streams.sessionize runs incrementally with
+    // flatMapGroupsWithState; kept here in batch form so it gets a
+    // correctness row. One shuffle (user_id), two ordered window passes.
+    Q("q_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables(s, d, "events")
+          // microseconds everywhere: exact integers on both engines (a
+          // seconds cast truncates on Spark but not in DuckDB's epoch()).
+          .withColumn("gap_us",
+            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_session",
+            when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_session")).over(
+              w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min(unix_micros(col("ts"))).as("start_us"),
+            max(unix_micros(col("ts"))).as("end_us"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH g AS (
+                SELECT user_id, event_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS eus,
+                  epoch_us(CAST(ts AS TIMESTAMP)) -
+                    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+                FROM events),
+              sid AS (
+                SELECT user_id, event_id, eus,
+                  CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY eus, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+                FROM g)
+              SELECT user_id, session_id, COUNT(*) AS n_events,
+                MIN(eus) AS start_us, MAX(eus) AS end_us
+              FROM sid GROUP BY user_id, session_id
+              ORDER BY user_id, session_id""")),
+
+    // ---- csv sink + source round trip ------------------------------------
+    // D8/D1 for typed formats: write the nation dim to csv with an explicit
+    // schema, read it back, aggregate. The oracle reads the ORIGINAL
+    // parquet — a mismatch anywhere in the write/read path fails the row.
+    Q("q_csv_roundtrip",
+      (s, d) => {
+        val out = scratch("nation_csv")
+        Tables(s, d, "nation").write.mode("overwrite")
+          .option("header", "true").csv(out)
+        s.read.option("header", "true")
+          .schema("n_nationkey LONG, n_name STRING, n_regionkey LONG")
+          .csv(out)
+          .groupBy("n_regionkey")
+          .agg(count(lit(1)).as("n_nations"),
+            sort_array(collect_set(col("n_name"))).as("names"))
+          .orderBy("n_regionkey")
+      },
+      Some("""SELECT n_regionkey, COUNT(*) AS n_nations,
+              list_sort(list(n_name)) AS names
+              FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // ---- json-lines sink + source round trip ------------------------------
+    Q("q_json_roundtrip",
+      (s, d) => {
+        val out = scratch("supplier_json")
+        Tables(s, d, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+          .write.mode("overwrite").json(out)
+        s.read
+          .schema("s_suppkey LONG, s_name STRING, s_nationkey LONG, s_acctbal DOUBLE")
+          .json(out)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_suppliers"),
+            Arith.dsum(col("s_acctbal")).as("total_acctbal"))
+          .orderBy("s_nationkey")
+      },
+      Some(s"""SELECT s_nationkey, COUNT(*) AS n_suppliers,
+              ${Arith.sqlSum("s_acctbal")} AS total_acctbal
+              FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
+  )
+}

@@ -62,13 +62,27 @@ object Dedup {
     sh.select(col("doc_id"), col("sh")).as[(Long, Array[String])]
       .map { case (id, shingles) =>
         val mins = Array.fill(NumHashes)(Long.MaxValue)
+        val md = java.security.MessageDigest.getInstance("MD5")
         var si = 0
         while (si < shingles.length) {
-          val h1 = scala.util.hashing.MurmurHash3.stringHash(shingles(si), 0x5f3a)
-          val h2 = scala.util.hashing.MurmurHash3.stringHash(shingles(si), 0x9e37)
+          // two independent 64-bit lanes from the shingle's MD5: full-
+          // entropy base hashes keep the Kirsch-Mitzenmacher family
+          // h_i = h1 + i·h2 close to min-wise independent (32-bit bases
+          // demonstrably lose recall at the 0.5 threshold).
+          md.reset()
+          val dg = md.digest(
+            shingles(si).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var h1 = 0L
+          var h2 = 0L
+          var bi = 0
+          while (bi < 8) {
+            h1 = (h1 << 8) | (dg(bi) & 0xffL)
+            h2 = (h2 << 8) | (dg(bi + 8) & 0xffL)
+            bi += 1
+          }
           var i = 0
           while (i < NumHashes) {
-            val h = h1.toLong + i.toLong * h2.toLong
+            val h = h1 + i.toLong * h2
             if (h < mins(i)) mins(i) = h
             i += 1
           }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Non-equi join operators: theta/range joins and as-of joins.
+  *
+  * The reference cannot join at all (single-input jobs,
+  * reference mapreduce/submit.py:30-33); these complete the §2.4 join row.
+  *
+  * Scale notes:
+  *  - range join: the tier side is tiny and broadcast, so the theta
+  *    condition evaluates as BroadcastNestedLoopJoin — a single pass over
+  *    the fact table, no shuffle;
+  *  - as-of join: implemented with the union + window trick (tag both
+  *    inputs, one shuffle on the key, one ordered pass filling the latest
+  *    right-side row forward) — NEVER the naive key-join-then-max, whose
+  *    intermediate is |left| × |right| per key.
+  */
+object Joins {
+
+  /** Generic as-of join: for each left row, the single latest right row
+    * with the same key and right time ≤ (or <) left time.
+    *
+    * Both sides are tagged and unioned; a window ordered by (time, side)
+    * carries the most recent right-side payload forward. One shuffle on
+    * `key`, one sort — the canonical distributed as-of.
+    *
+    * @param strict   if true, right time must be strictly earlier; ties on
+    *                 time are broken by `tiebreak` so strictness is total.
+    */
+  def asof(
+      left: DataFrame, right: DataFrame,
+      key: String, time: String, tiebreak: String,
+      rightPayload: Seq[String],
+      strict: Boolean): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast("string"))
+    val payload = to_json(struct(rightPayload.map(col): _*))
+    val r = right.select(col(key), col(time), col(tiebreak))
+      .withColumn("__side", lit(0))
+      .withColumn("__payload", payload.cast("string"))
+    val all = l.unionByName(r, allowMissingColumns = true)
+    // At equal (time, tiebreak): strict ⇒ the left row must NOT see a
+    // right row with identical coordinates, so the left copy sorts FIRST
+    // (its ≤ -1 frame then excludes that right twin); non-strict ⇒ the
+    // right copy sorts first and is visible.
+    val sideOrder: Column = if (strict) -col("__side") else col("__side")
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col(tiebreak), sideOrder)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    all
+      .withColumn("__match", last(
+        when(col("__side") === 0, col("__payload")), ignoreNulls = true)
+        .over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__payload")
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- range (theta) join ----------------------------------------------
+    // Price-tier classification via a broadcast interval dimension.
+    Q("q_join_range",
+      (s, d) => {
+        val tiers = s.createDataFrame(Seq(
+          ("small", 0.0, 50000.0),
+          ("medium", 50000.0, 150000.0),
+          ("large", 150000.0, 300000.0),
+          ("jumbo", 300000.0, 1e18)))
+          .toDF("tier", "lo", "hi")
+        Tables(s, d, "orders")
+          .join(broadcast(tiers),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n_orders"),
+            Arith.dsum(col("o_totalprice")).as("total"))
+          .orderBy("tier")
+      },
+      Some(s"""SELECT tier, COUNT(*) AS n_orders,
+              ${Arith.sqlSum("o_totalprice")} AS total
+              FROM orders
+              JOIN (VALUES ('small',  0.0,      50000.0),
+                           ('medium', 50000.0,  150000.0),
+                           ('large',  150000.0, 300000.0),
+                           ('jumbo',  300000.0, 1e18)) AS tiers(tier, lo, hi)
+                ON o_totalprice >= lo AND o_totalprice < hi
+              GROUP BY tier ORDER BY tier""")),
+
+    // ---- as-of join ------------------------------------------------------
+    // For each event: the user's most recent STRICTLY earlier event.
+    // Self-as-of makes the oracle expressible as a plain lag() window,
+    // while the engine path exercises the generic two-input asof operator.
+    Q("q_join_asof",
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+        val joined = asof(
+          left = e, right = e,
+          key = "user_id", time = "ts", tiebreak = "event_id",
+          rightPayload = Seq("event_id"),
+          strict = true)
+        joined
+          .withColumn("prev_event_id",
+            get_json_object(col("__match"), "$.event_id").cast("long"))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("prev_event_id"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, event_type,
+              lag(event_id) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_event_id
+              FROM events ORDER BY user_id, event_id"""))
+  )
+}

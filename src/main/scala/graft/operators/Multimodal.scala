@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Multimodal columns: image/audio/video as opaque `binary` with typed
+  * metadata, plus decode / feature-extract / frame-sample operators.
+  *
+  * No media libraries exist in this environment, so the DECODE KERNEL is a
+  * clearly-marked deterministic stub — but the Spark-side plumbing is the
+  * real thing and is what matters at 100 TB:
+  *  - binary payloads stay columnar (never stringified);
+  *  - decoding runs per-partition via `mapPartitions` (the Scala analog of
+  *    `mapInPandas`: one iterator per batch, library handles amortized per
+  *    partition, not per row);
+  *  - metadata extraction is declarative so Catalyst prunes the blob column
+  *    away entirely when only metadata is selected;
+  *  - frame sampling is an explode shape — rows out ∝ frames, no driver
+  *    materialization.
+  *
+  * Blobs are derived deterministically from `documents.text` bytes so the
+  * whole path is oracle-checkable.
+  */
+object Multimodal {
+
+  /** The media table: documents re-typed as (doc_id, media_type, blob,
+    * n_bytes). This is the schema a real pipeline would read from parquet;
+    * here it is derived so the testdata stays driver-provided. */
+  def media(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(col("doc_id"),
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        col("text").cast("binary").as("blob"),
+        col("n_chars").as("n_bytes"))
+
+  case class Decoded(doc_id: Long, media_type: String, width: Int,
+      height: Int, n_px: Long, checksum: Long)
+
+  /** Per-partition decode: the `mapPartitions` shape a real image decoder
+    * uses (decoder initialized once per partition, streamed over rows).
+    * The pixel decode itself is STUBBED with a deterministic stand-in —
+    * in production replace `fakeDecode` with the real library call.
+    */
+  def decode(s: SparkSession, df: DataFrame): DataFrame = {
+    import s.implicits._
+    df.select(col("doc_id"), col("media_type"), col("blob"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // real decoder init would happen HERE, once per partition
+        it.map { case (id, mt, blob) => fakeDecode(id, mt, blob) }
+      }
+      .toDF()
+  }
+
+  /** STUB: deterministic stand-in for a media decoder. Width/height derive
+    * from the payload length, checksum from the bytes — stable across
+    * engines and runs. */
+  private def fakeDecode(id: Long, mediaType: String,
+      blob: Array[Byte]): Decoded = {
+    val w = (blob.length % 64) + 16
+    val h = (blob.length % 48) + 9
+    var sum = 0L
+    var i = 0
+    while (i < blob.length) { sum += blob(i) & 0xff; i += 1 }
+    Decoded(id, mediaType, w, h, w.toLong * h, sum)
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- metadata over binary payloads (declarative; blob prunable) ------
+    Q("q_multimodal_meta",
+      (s, d) => media(s, d)
+        .groupBy("media_type")
+        .agg(count(lit(1)).as("n_assets"),
+          sum(length(col("blob")).cast("long")).as("total_bytes"),
+          min(col("n_bytes")).as("min_bytes"),
+          max(col("n_bytes")).as("max_bytes"),
+          countDistinct(md5(col("blob"))).as("n_distinct"))
+        .orderBy("media_type"),
+      Some("""SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                          WHEN doc_id % 3 = 1 THEN 'audio'
+                          ELSE 'video' END AS media_type,
+              COUNT(*) AS n_assets,
+              CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+              MIN(n_chars) AS min_bytes, MAX(n_chars) AS max_bytes,
+              COUNT(DISTINCT md5(text)) AS n_distinct
+              FROM documents GROUP BY 1 ORDER BY media_type""")),
+
+    // ---- mapPartitions decode (stubbed kernel, real plumbing) ------------
+    Q("q_multimodal_decode",
+      (s, d) => decode(s, media(s, d))
+        .groupBy("media_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_px")).as("total_px"),
+          sum(col("checksum")).as("sum_checksum"))
+        .orderBy("media_type"),
+      Some("""WITH dec AS (
+                SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                            WHEN doc_id % 3 = 1 THEN 'audio'
+                            ELSE 'video' END AS media_type,
+                  ((strlen(text) % 64) + 16) * ((strlen(text) % 48) + 9) AS n_px,
+                  list_sum([ord(x) FOR x IN string_split_regex(text, '')
+                            IF x <> '']) AS checksum
+                FROM documents)
+              SELECT media_type, COUNT(*) AS n,
+                CAST(SUM(n_px) AS BIGINT) AS total_px,
+                CAST(SUM(checksum) AS BIGINT) AS sum_checksum
+              FROM dec GROUP BY media_type ORDER BY media_type""")),
+
+    // ---- frame sampling (explode shape) ----------------------------------
+    // Every asset yields ceil(n_bytes / 100) "frames" of ≤ 100 bytes; the
+    // per-frame fingerprint is md5 of the slice. Rows out ∝ total frames.
+    Q("q_multimodal_frames",
+      (s, d) => media(s, d)
+        .withColumn("frame",
+          explode(transform(
+            sequence(lit(0), ceil(col("n_bytes") / 100).cast("int") - 1),
+            i => struct(i.as("frame_no"),
+              md5(substring(col("blob").cast("string"),
+                (i * 100 + 1).cast("int"), lit(100))).as("fp")))))
+        .groupBy("media_type")
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("frame.fp")).as("n_distinct_frames"))
+        .orderBy("media_type"),
+      Some("""WITH f AS (
+                SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                            WHEN doc_id % 3 = 1 THEN 'audio'
+                            ELSE 'video' END AS media_type,
+                  md5(substr(text, fno * 100 + 1, 100)) AS fp
+                FROM documents,
+                  (SELECT unnest(generate_series(0, 9)) AS fno)
+                WHERE fno <= CAST(ceil(n_chars / 100.0) AS INTEGER) - 1)
+              SELECT media_type, COUNT(*) AS n_frames,
+                COUNT(DISTINCT fp) AS n_distinct_frames
+              FROM f GROUP BY media_type ORDER BY media_type"""))
+  )
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Ev, Session}
+
+/** Streaming semantics vs their batch twins over real testdata
+  * (/root/testdata/sf0.001/events.parquet, 1000 rows, 150 users).
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming hourlyCounts == batch hourly aggregation") {
+    val s = spark
+    import s.implicits._
+    val batch = Tables(s, sfDir, "events")
+      .select($"ts", $"event_type", $"value")
+    val input = MemoryStream[(Long, String, Double)](s)
+    input.addData(batch.as[(java.sql.Timestamp, String, Double)].collect()
+      .map(r => (r._1.getTime * 1000, r._2, r._3)).toSeq: _*)
+    val streamDf = input.toDF()
+      .select(timestamp_micros($"_1").as("ts"), $"_2".as("event_type"),
+        $"_3".as("value"))
+    val q = Streams.hourlyCounts(streamDf).writeStream
+      .format("memory").queryName("hourly").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = s.table("hourly")
+      .select($"hour_ts", $"event_type", $"n",
+        round($"sum_value", 4).as("sv"))
+      .collect().map(_.toSeq).toSet
+    val want = batch
+      .groupBy(unix_timestamp(date_trunc("hour", $"ts")).as("hour_ts"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sv"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
+  test("stateful sessionize == batch q_sessionize (closed sessions)") {
+    val s = spark
+    import s.implicits._
+    val evs = Tables(s, sfDir, "events")
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id")
+      .as[Ev].collect().toSeq
+
+    // Sentinel event per user, far in the future: forces the open session
+    // to close so the streaming output covers every REAL session.
+    val maxUs = evs.map(_.ts_us).max
+    val sentinels = evs.map(_.user_id).distinct
+      .map(u => Ev(u, maxUs + 10 * Streams.GapUs, Long.MaxValue))
+
+    val input = MemoryStream[Ev](s)
+    input.addData(evs: _*)
+    input.addData(sentinels: _*)
+    val q = Streams.sessionize(input.toDS()).writeStream
+      .format("memory").queryName("sessions").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = s.table("sessions").as[Session].collect()
+      .map(x => (x.user_id, x.n_events, x.start_us, x.end_us)).toSet
+
+    val want = SparkEntry.queries("q_sessionize")(s, sfDir)
+      .select($"user_id", $"n_events", $"start_us", $"end_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want)
+  }
+}
