@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for cosine similarity over
+  * `ArrayType(FloatType)` columns — the operator the built-in function
+  * library lacks (SURVEY.md §2.4 LLM-pipeline row).
+  *
+  * Why an Expression and not a UDF: `doGenCode` emits a primitive loop
+  * directly into whole-stage codegen — no boxing of 64-float arrays into
+  * `WrappedArray`, no SerDe per row, and the expression stays inside the
+  * WholeStageCodegen span instead of breaking it. Accumulation is
+  * left-to-right in double precision, matching both the higher-order-
+  * function formulation and DuckDB's list functions, so oracle comparisons
+  * stay exact at 6 decimals.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires array<float> inputs, " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv
+      na += xv * xv
+      nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |double ${ev.value}_dot = 0.0, ${ev.value}_na = 0.0, ${ev.value}_nb = 0.0;
+         |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int i = 0; i < ${ev.value}_n; i++) {
+         |  double xv = (double) $a.getFloat(i);
+         |  double yv = (double) $b.getFloat(i);
+         |  ${ev.value}_dot += xv * yv;
+         |  ${ev.value}_na += xv * xv;
+         |  ${ev.value}_nb += yv * yv;
+         |}
+         |${ev.value} = ${ev.value}_dot /
+         |  (java.lang.Math.sqrt(${ev.value}_na) * java.lang.Math.sqrt(${ev.value}_nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  val registration: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+    (children: Seq[Expression]) => CosineSim(children(0), children(1)))
+
+  /** Idempotently register `cosine_sim` in a session's function registry
+    * (for sessions not built with [[graft.GraftExtensions]]). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val (id, info, builder) = registration
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+  }
+
+  /** Column API: `cosineSim(a, b)`. */
+  def apply(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    call_function("cosine_sim", a, b)
+  }
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
+import graft.functions.{CosineSim, VecCentroid}
 import Arith._
 
 /** Similarity search over `embeddings` (vec_id, embedding ArrayType(Float),
@@ -33,17 +34,15 @@ object Similarity {
 
   private val Dim = 64
 
-  /** Double-precision dot product of two float-array columns. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, x) => acc + x)
-
   private def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0d), (acc, x) => acc + x))
 
-  private def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6)
+  /** Codegen'd native cosine (graft.functions.CosineSim) — same
+    * left-to-right double accumulation as the HOF formulation and DuckDB's
+    * list functions, so oracle values match exactly at 6 decimals. */
+  private def cosine(s: SparkSession, a: Column, b: Column): Column =
+    round(CosineSim(s, a, b), 6)
 
   /** DuckDB-side cosine with the same accumulation order and rounding. */
   private def sqlCosine(a: String, b: String): String =
@@ -68,6 +67,29 @@ object Similarity {
               ROUND(MIN(sqrt(list_sum([x * x FOR x IN (embedding::DOUBLE[])]))), 6) AS min_norm,
               ROUND(MAX(sqrt(list_sum([x * x FOR x IN (embedding::DOUBLE[])]))), 6) AS max_norm
               FROM embeddings GROUP BY label ORDER BY label""")),
+
+    // ---- per-label centroid via typed Aggregator (UDAF) ------------------
+    // graft.functions.VecCentroid: partial aggregation ships one
+    // (64-double, count) buffer per group per partition — vectors never
+    // cross the shuffle.
+    Q("q_embed_centroid",
+      (s, d) => {
+        val centroid = udaf(VecCentroid)
+        embs(s, d)
+          .groupBy("label")
+          .agg(centroid(col("embedding")).as("centroid"),
+            count(lit(1)).as("n_vecs"))
+          .orderBy("label")
+      },
+      Some("""WITH u AS (
+                SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+                FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+                GROUP BY label, i),
+              c AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
+              SELECT u.label, list(ROUND(u.m, 6) ORDER BY u.i) AS centroid,
+                MIN(c.n_vecs) AS n_vecs
+              FROM u JOIN c ON u.label = c.label
+              GROUP BY u.label ORDER BY u.label""")),
 
     // ---- embedding-cosine similarity join (exact) ------------------------
     // At a 0.45 cosine threshold the angle is 63° — no LSH family reaches
@@ -126,7 +148,7 @@ object Similarity {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
         val scored = e.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("cos", cosine(col("embedding"), col("q_v")))
+          .withColumn("cos", cosine(s, col("embedding"), col("q_v")))
         val w = Window.partitionBy("q_id")
           .orderBy(col("cos").desc, col("vec_id"))
         scored.withColumn("rk", row_number().over(w))
@@ -163,7 +185,7 @@ object Similarity {
           val w = Window.partitionBy(col("vec_id"))
             .orderBy(col("c_cos").desc, col("c_id"))
           df.crossJoin(broadcast(cents))
-            .withColumn("c_cos", cosine(col(vecCol), col("c_v")))
+            .withColumn("c_cos", cosine(s, col(vecCol), col("c_v")))
             .withColumn("c_rk", row_number().over(w))
             .filter(col("c_rk") <= n)
             .drop("c_v", "c_cos", "c_rk")
@@ -178,7 +200,7 @@ object Similarity {
           .orderBy(col("cos").desc, col("vec_id"))
         bucketed.join(q, Seq("bucket"))
           .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("cos", cosine(col("embedding"), col("q_v")))
+          .withColumn("cos", cosine(s, col("embedding"), col("q_v")))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
           .select(col("q_id"), col("rk"), col("vec_id").as("nn_id"), col("cos"))
