@@ -53,11 +53,37 @@ final case class JobSpec(
   */
 object MapReduce {
 
-  /** D1 + D3: directory scan piped through the external mapper. */
-  private def mapStage(spark: SparkSession, job: JobSpec): RDD[String] =
+  /** D1: enumerate the input directory — flat listing, sorted by name,
+    * exactly the reference's `sorted(Path(dir).glob("*"))`
+    * (manager/__main__.py:257-259). */
+  def listInputs(spark: SparkSession, dir: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(path).filter(_.isFile).map(_.getPath.toString)
+      .sortBy(_.split('/').last).toSeq
+  }
+
+  /** D2: round-robin file→task grouping — task i gets files i, i+m, i+2m…
+    * (manager/__main__.py:260-270; grouping asserted by reference
+    * tests/test_manager_02.py:139-159). Output parity never depends on
+    * this grouping (partitions re-merge in the shuffle), but the task
+    * shape is part of the engine surface. */
+  def splitRoundRobin(files: Seq[String], numMappers: Int): Seq[Seq[String]] = {
+    val m = math.max(numMappers, 1)
+    (0 until m).map { i =>
+      files.indices.collect { case j if j % m == i => files(j) }
+    }.filter(_.nonEmpty)
+  }
+
+  /** D1 + D3: directory scan (one RDD per round-robin task group) piped
+    * through the external mapper. */
+  private def mapStage(spark: SparkSession, job: JobSpec): RDD[String] = {
+    val groups = splitRoundRobin(
+      listInputs(spark, job.inputDirectory), job.numMappers)
     spark.sparkContext
-      .textFile(job.inputDirectory, math.max(job.numMappers, 1))
+      .union(groups.map(g => spark.sparkContext.textFile(g.mkString(","))))
       .pipe(Seq(job.mapperExecutable))
+  }
 
   /** D4-D6: MD5 hash partition + whole-line sort within each partition
     * (the trailing `\n` is appended for Python sort/hash parity and

@@ -85,6 +85,19 @@ class MapReduceCompatSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("round-robin split matches the reference grouping at m=2") {
+    // reference tests/test_manager_02.py:139-159: task 0 gets files
+    // 01,03,05,07 and task 1 gets 02,04,06,08
+    val files = MapReduce.listInputs(spark, s"$ref/input")
+    assert(files.map(_.split('/').last) ==
+      (1 to 8).map(i => f"file$i%02d"))
+    val groups = MapReduce.splitRoundRobin(files, 2)
+      .map(_.map(_.split('/').last))
+    assert(groups == Seq(
+      Seq("file01", "file03", "file05", "file07"),
+      Seq("file02", "file04", "file06", "file08")))
+  }
+
   test("native and executable word count agree per part file at r=3") {
     val outN = tmpOut()
     val outX = tmpOut()

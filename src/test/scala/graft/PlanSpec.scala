@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the properties that make queries survive a 100×
+  * scale-up, pinned so a refactor can't silently regress them.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q_filter pushes predicates into the parquet scan and prunes columns") {
+    val p = plan("q_filter")
+    assert(p.contains("PushedFilters: [IsNotNull"), "predicates not pushed")
+    assert(p.contains("EqualTo(l_returnflag,R)"), "literal filter not pushed")
+    // pruned read schema: no l_tax/l_comment columns in the scan
+    assert(!p.contains("l_tax"), "column pruning failed")
+  }
+
+  test("sorted-limit queries use TakeOrderedAndProject, not a global sort") {
+    for (q <- Seq("q_scan", "q_filter", "q_topk", "q_project")) {
+      assert(plan(q).contains("TakeOrderedAndProject"),
+        s"$q does a full range-partition sort")
+    }
+  }
+
+  test("q_join broadcasts the dimension side") {
+    assert(plan("q_join").contains("BroadcastHashJoin"))
+  }
+
+  test("aggregations do map-side partial aggregation") {
+    for (q <- Seq("q_agg", "q_wordcount")) {
+      assert(plan(q).contains("partial_"), s"$q has no partial aggregate")
+    }
+  }
+
+  test("cosine_sim participates in whole-stage codegen over a scan") {
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    val p = Tables(s, sfDir, "embeddings")
+      .select(graft.functions.CosineSim(s, col("embedding"), col("embedding"))
+        .as("c"))
+      .queryExecution.executedPlan.toString
+    val projLine = p.linesIterator.find(_.contains("cosine_sim(")).get
+    // a CodegenFallback expression would force the Project out of the
+    // WholeStageCodegen span (no "*(n)" prefix)
+    assert(projLine.contains("*("), s"cosine_sim outside codegen: $projLine")
+  }
+
+  test("q_cosine_pairs never plans a cartesian product") {
+    assert(!plan("q_cosine_pairs").contains("CartesianProduct"))
+  }
+}
