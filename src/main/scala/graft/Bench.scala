@@ -1,6 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // Apples-to-apples vs BASELINE.md: the reference's only quantified task
+  // is the word-count map over tests/testdata/input_large (3.74 MB,
+  // budget < 10 s single worker ⇒ ~0.37 MB/s floor). Same executables,
+  // same input, full map+shuffle+reduce job.
+  def mrBaseline(spark: SparkSession): Map[String, Double] = {
+    val ref = "/root/reference/tests/testdata"
+    val in = s"$ref/input_large"
+    if (!new java.io.File(in).isDirectory) Map.empty
+    else {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bench-mr").resolve("out").toString
+      val t0 = System.nanoTime()
+      try {
+        operators.MapReduce.run(spark, operators.JobSpec(
+          in, out, s"$ref/exec/wc_map.sh", s"$ref/exec/wc_reduce.sh",
+          numMappers = 2, numReducers = 1))
+        Map("mr_wordcount_3.7MB" -> (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] mr_wordcount failed: ${e.getMessage}")
+        Map.empty
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -33,7 +57,7 @@ object Bench {
     val pass1 = ordered.map { case (n, f) => n -> once(n, f) }.toMap
     val results = ordered.map { case (n, f) =>
       n -> math.min(pass1(n), once(n, f))
-    }.toMap
+    }.toMap ++ mrBaseline(spark)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
