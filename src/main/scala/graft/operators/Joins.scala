@@ -40,17 +40,21 @@ object Joins {
     val l = left.withColumn("__side", lit(1))
       .withColumn("__payload", lit(null).cast("string"))
     val payload = to_json(struct(rightPayload.map(col): _*))
-    val r = right.select(col(key), col(time), col(tiebreak))
+    val r = right
       .withColumn("__side", lit(0))
       .withColumn("__payload", payload.cast("string"))
+      .select(col(key), col(time), col(tiebreak), col("__side"),
+        col("__payload"))
     val all = l.unionByName(r, allowMissingColumns = true)
-    // At equal (time, tiebreak): strict ⇒ the left row must NOT see a
-    // right row with identical coordinates, so the left copy sorts FIRST
-    // (its ≤ -1 frame then excludes that right twin); non-strict ⇒ the
-    // right copy sorts first and is visible.
+    // Side priority sorts immediately after time (BEFORE the tiebreak, so
+    // cross-side tiebreak values can't interleave): strict ⇒ left rows at
+    // time t sort before right rows at t (the ≤ -1 frame then excludes
+    // same-time right rows); non-strict ⇒ right rows at t sort first and
+    // are visible. Tiebreak orders rows within (time, side) so the "last"
+    // right row at a tied time is deterministic.
     val sideOrder: Column = if (strict) -col("__side") else col("__side")
     val w = Window.partitionBy(col(key))
-      .orderBy(col(time), col(tiebreak), sideOrder)
+      .orderBy(col(time), sideOrder, col(tiebreak))
       .rowsBetween(Window.unboundedPreceding, -1)
     all
       .withColumn("__match", last(

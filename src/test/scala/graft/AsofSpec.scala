@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Joins
+
+/** Unit tests for the generic as-of join (Joins.asof): strict vs
+  * non-strict time matching, key isolation, and no-match nulls.
+  */
+class AsofSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  private def run(strict: Boolean): Map[(Long, Long), Option[Long]] = {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), // key 1, t=10
+      (1L, 20L, 101L),
+      (2L, 10L, 102L), // key 2: right side has only t=10 and t=30
+      (3L, 5L, 103L)   // key 3: no right rows at or before t=5
+    ).toDF("k", "t", "lid")
+    // tiebreak column ("lid") must exist on both sides — on the right it
+    // orders right rows at equal times (here: the rid doubles as it)
+    val right = Seq(
+      (1L, 10L, 200L, 200L),
+      (1L, 15L, 201L, 201L),
+      (2L, 10L, 202L, 202L),
+      (2L, 30L, 203L, 203L),
+      (3L, 50L, 204L, 204L)
+    ).toDF("k", "t", "rid", "lid")
+    Joins.asof(left, right, key = "k", time = "t", tiebreak = "lid",
+      rightPayload = Seq("rid"), strict = strict)
+      .withColumn("rid", get_json_object(col("__match"), "$.rid").cast("long"))
+      .select("k", "lid", "rid")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+  }
+
+  test("non-strict: right row at the exact left time matches") {
+    val m = run(strict = false)
+    assert(m((1L, 100L)) == Some(200L)) // t=10 matches right t=10
+    assert(m((1L, 101L)) == Some(201L)) // t=20 → latest right t=15
+    assert(m((2L, 102L)) == Some(202L)) // t=10 matches right t=10, not t=30
+    assert(m((3L, 103L)) == None)       // nothing at or before t=5
+  }
+
+  test("strict: right row at the exact left time is excluded") {
+    val m = run(strict = true)
+    assert(m((1L, 100L)) == None)       // right t=10 excluded, nothing earlier
+    assert(m((1L, 101L)) == Some(201L)) // t=15 < 20 still matches
+    assert(m((2L, 102L)) == None)
+    assert(m((3L, 103L)) == None)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral tests for the dedup queries over a corpus with PLANTED
+  * duplicates (the driver testdata's duplicates are incidental; here the
+  * ground truth is constructed).
+  */
+class DedupSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  /** Write a documents.parquet with known exact and near duplicates and
+    * return the directory (the query surface reads `$dir/documents.parquet`).
+    */
+  private lazy val dir: String = {
+    val s = spark
+    import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      // exact duplicate pair (0, 1); 2 is a near-dup of 0 (one word changed)
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src0", base.length.toLong),
+      (2L, base.replace("sigma", "SIGMA2"), "en", "src1",
+        base.length.toLong),
+      // unrelated documents
+      (3L, "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen fifteen", "en", "src1", 80L),
+      (4L, "completely different content with nothing shared at all " +
+        "whatsoever in any shingle of three", "en", "src2", 90L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = Files.createTempDirectory("graft-dedup").toString
+    docs.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("exact dedup groups identical texts under one survivor") {
+    val rows = SparkEntry.queries("q_dedup_exact")(spark, dir).collect()
+    assert(rows.length == 4) // 5 docs, one exact-dup pair
+    val dupGroup = rows.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupGroup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("minhash LSH finds the planted exact and near pairs, nothing else") {
+    val rows = SparkEntry.queries("q_dedup_minhash")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("jac")))
+    val pairs = rows.map(p => (p._1, p._2)).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    // exact pair has jaccard 1.0; near pair strictly between 0.5 and 1
+    assert(rows.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0)
+    val near = rows.find(p => (p._1, p._2) == (0L, 2L)).get._3
+    assert(near >= 0.5 && near < 1.0)
+  }
+
+  test("simhash: identical texts get identical signatures, near-dups close") {
+    val rows = SparkEntry.queries("q_dedup_simhash")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+      .toMap
+    assert(rows(0L) == rows(1L))
+    def popcount(x: Long): Int = java.lang.Long.bitCount(x)
+    val dNear = popcount(rows(0L) ^ rows(2L))
+    val dFar = popcount(rows(0L) ^ rows(4L))
+    assert(dNear < dFar,
+      s"near-dup hamming $dNear not below unrelated $dFar")
+  }
+}
