@@ -85,6 +85,28 @@ class MapReduceCompatSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("blank lines produce empty-key records that group correctly") {
+    // reference tests/test_worker_04.py:109-115: blank input lines map to
+    // "\t1" records; the empty string is a real key and groups like any
+    // other (MD5 of "" decides its partition)
+    val inDir = Files.createTempDirectory("graft-mr-blank")
+    Files.writeString(inDir.resolve("f1"), "a b\n\na\n\n\nb\n")
+    val out = tmpOut()
+    Engine.wordCount(spark, inDir.toString, out, numReducers = 2)
+    val lines = partFiles(out).flatMap(readLines)
+    val counts = lines.map { l =>
+      val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1).toLong)
+    }.toMap
+    assert(counts == Map("a" -> 2L, "b" -> 2L, "" -> 3L))
+    // the empty key lands on the partition md5("") % 2 selects — all of
+    // its records together (grouping totality)
+    val emptyKeyPart = graft.plans.Md5.mod("", 2)
+    val partWithEmpty = partFiles(out).zipWithIndex.collect {
+      case (p, i) if readLines(p).exists(_.startsWith("\t")) => i
+    }
+    assert(partWithEmpty == Seq(emptyKeyPart))
+  }
+
   test("round-robin split matches the reference grouping at m=2") {
     // reference tests/test_manager_02.py:139-159: task 0 gets files
     // 01,03,05,07 and task 1 gets 02,04,06,08
