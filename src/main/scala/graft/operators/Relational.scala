@@ -110,6 +110,37 @@ object Relational {
               FROM lineitem GROUP BY l_returnflag, l_linestatus
               ORDER BY l_returnflag, l_linestatus""")),
 
+    // Skew path: same aggregate as a slice of q_agg, but via salted
+    // two-phase aggregation (graft.plans.Salt) — 3 hot groups spread over
+    // 16 salt buckets in the heavy phase. Decimal partials make the
+    // two-phase result bit-identical to the single-phase oracle.
+    Q("q_agg_salted",
+      (s, d) => graft.plans.Salt.saltedSumCount(
+        t(s, d, "lineitem"),
+        key = Seq("l_returnflag"),
+        saltFrom = col("l_orderkey"),
+        buckets = 16,
+        sums = Seq(
+          "sum_qty" -> col("l_quantity"),
+          "sum_disc_price" ->
+            (col("l_extendedprice") * (lit(1) - col("l_discount")))))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+              ${sqlSum("l_quantity")} AS sum_qty,
+              ${sqlSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Sketch path: HyperLogLog distinct counts — the 100 TB answer when
+    // exact distinct (q_agg_distinct's expand+two-phase) is too expensive.
+    // Approximate ⇒ no cross-engine oracle (driver records rows-only).
+    Q("q_approx_distinct",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_suppkey")).as("approx_supp"),
+          approx_count_distinct(col("l_partkey")).as("approx_part"))
+        .orderBy("l_returnflag"),
+      None),
+
     Q("q_agg_distinct",
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")

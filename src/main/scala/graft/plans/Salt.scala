@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-safe two-phase aggregation.
+  *
+  * A `groupBy(hotKey)` with few distinct values (e.g. 3 return flags over
+  * 100 TB of lineitem) funnels each key through ONE reducer task after the
+  * map-side combine. Salting splits every group into `buckets` sub-groups
+  * for the first (heavy) aggregation, then combines the partials in a
+  * second, tiny aggregation — both shuffles stay balanced at any skew.
+  *
+  * The salt must be deterministic data (not `rand()`) for reproducible
+  * results; any high-cardinality column works.
+  */
+object Salt {
+
+  /** Decimal partial sum matching [[graft.operators.Arith.dsum]]'s
+    * discipline; kept in DECIMAL between the phases so the two-phase
+    * composition is bit-exact with the single-phase sum. */
+  def partialSum(c: Column): Column = sum(round(c, 6).cast("decimal(38,6)"))
+
+  /** `df.groupBy(key).agg(sums, counts)` computed as salted two-phase.
+    *
+    * @param sums  name → row-level expression to decimal-sum
+    * @return columns: key, each sum name (double), `n_rows` (long)
+    */
+  def saltedSumCount(
+      df: DataFrame, key: Seq[String], saltFrom: Column, buckets: Int,
+      sums: Seq[(String, Column)]): DataFrame = {
+    val keyCols = key.map(col)
+    val partials = count(lit(1)).as("__n") +:
+      sums.zipWithIndex.map { case ((_, c), i) => partialSum(c).as(s"__s$i") }
+    val phase1 = df
+      .withColumn("__salt", pmod(saltFrom, lit(buckets)))
+      .groupBy(keyCols :+ col("__salt"): _*)
+      .agg(partials.head, partials.tail: _*)
+    val finals = sum(col("__n")).as("n_rows") +:
+      sums.zipWithIndex.map { case ((n, _), i) =>
+        sum(col(s"__s$i")).cast("double").as(n)
+      }
+    phase1
+      .groupBy(keyCols: _*)
+      .agg(finals.head, finals.tail: _*)
+  }
+}
