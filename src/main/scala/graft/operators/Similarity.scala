@@ -12,8 +12,8 @@ import Arith._
   *
   * No analog exists in the reference (strings only); this is the
   * LLM-pipeline extension surface (SURVEY.md §2.4 last row). All vector
-  * math uses codegen'd higher-order functions (`zip_with`/`aggregate`) in
-  * double precision — no UDFs — and accumulates left-to-right, which is the
+  * math runs in native kernels (the CosineSim codegen expression, typed
+  * mapPartitions loops) in double precision, accumulating left-to-right — the
   * same order DuckDB's list functions use, so cosines round-trip exactly
   * at 6 decimals for the oracle compare.
   *
@@ -32,7 +32,6 @@ object Similarity {
 
   private def embs(s: SparkSession, d: String) = Tables(s, d, "embeddings")
 
-  private val Dim = 64
 
   private def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
