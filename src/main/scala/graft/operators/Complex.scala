@@ -117,6 +117,26 @@ object Complex {
               FROM sid GROUP BY user_id, session_id
               ORDER BY user_id, session_id""")),
 
+    // ---- pivot -----------------------------------------------------------
+    // Event counts per user pivoted into one column per event type. Spark
+    // plans pivot as a single groupBy with conditional aggregates — the
+    // oracle spells that formulation out.
+    Q("q_pivot",
+      (s, d) => Tables(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+              COUNT(*) FILTER (event_type = 'click') AS click,
+              COUNT(*) FILTER (event_type = 'view') AS view,
+              COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+              COUNT(*) FILTER (event_type = 'signup') AS signup,
+              COUNT(*) FILTER (event_type = 'error') AS error
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // ---- csv sink + source round trip ------------------------------------
     // D8/D1 for typed formats: write the nation dim to csv with an explicit
     // schema, read it back, aggregate. The oracle reads the ORIGINAL

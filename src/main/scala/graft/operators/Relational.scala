@@ -130,6 +130,24 @@ object Relational {
               ${sqlSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Exact percentiles (sort-based; both engines interpolate linearly on
+    // the exact sorted values). At 100 TB prefer approx_percentile — this
+    // is the exactness reference point for it.
+    Q("q_percentile",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"),
+          round(min(col("l_extendedprice")), 4).as("p0"),
+          round(max(col("l_extendedprice")), 4).as("p100"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+              ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+              ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+              ROUND(MIN(l_extendedprice), 4) AS p0,
+              ROUND(MAX(l_extendedprice), 4) AS p100
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Sketch path: HyperLogLog distinct counts — the 100 TB answer when
     // exact distinct (q_agg_distinct's expand+two-phase) is too expensive.
     // Approximate ⇒ no cross-engine oracle (driver records rows-only).

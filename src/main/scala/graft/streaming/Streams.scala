@@ -27,6 +27,16 @@ object Streams {
     .select(unix_timestamp(col("window.start")).as("hour_ts"),
       col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-static enrichment: join a stream against a batch dimension.
+    * The static side broadcasts (re-read per micro-batch for parquet
+    * sources, so slowly-changing dims stay fresh); the stream never
+    * shuffles for the join. */
+  def enrich(events: DataFrame, customers: DataFrame): DataFrame = events
+    .join(broadcast(customers),
+      events("user_id") === customers("c_custkey"), "left")
+    .select(events("event_id"), events("user_id"), events("event_type"),
+      events("value"), customers("c_mktsegment").as("segment"))
+
   case class Ev(user_id: Long, ts_us: Long, event_id: Long)
   case class SessionState(startUs: Long, endUs: Long, n: Long)
   case class Session(user_id: Long, n_events: Long, start_us: Long,

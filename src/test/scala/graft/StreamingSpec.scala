@@ -42,6 +42,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stream-static enrich joins the broadcast dimension per event") {
+    val s = spark
+    import s.implicits._
+    val events = Tables(s, sfDir, "events")
+    val customers = Tables(s, sfDir, "customer")
+    val input = MemoryStream[(Long, Long, String, Double)](s)
+    input.addData(events
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .as[(Long, Long, String, Double)].collect().toSeq: _*)
+    val streamDf = input.toDF()
+      .toDF("event_id", "user_id", "event_type", "value")
+    val q = Streams.enrich(streamDf, customers).writeStream
+      .format("memory").queryName("enriched").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = s.table("enriched")
+      .select($"event_id", $"segment").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    val want = events.join(customers,
+      events("user_id") === customers("c_custkey"), "left")
+      .select($"event_id", $"c_mktsegment").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(got == want)
+    assert(got.values.exists(_ != null), "no event matched a customer")
+  }
+
   test("stateful sessionize == batch q_sessionize (closed sessions)") {
     val s = spark
     import s.implicits._
