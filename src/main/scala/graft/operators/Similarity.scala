@@ -49,6 +49,51 @@ object Similarity {
        (sqrt(list_sum([x * x FOR x IN $a.v])) *
         sqrt(list_sum([x * x FOR x IN $b.v]))), 6)"""
 
+  /** Exact cosine similarity join for corpora too large to broadcast: a
+    * distributed blocked GEMM. Vectors hash into `blocks` buckets; every
+    * block PAIR (b_a ≤ b_b) becomes one task via an RDD cartesian of the
+    * bucketed sides, and the native kernel scans the pair. Total work is
+    * identical to the broadcast path (n²/2 dot products); the difference is
+    * that no single task or executor ever needs the whole corpus —
+    * memory per task is 2·(n/blocks) vectors, tasks = blocks·(blocks+1)/2.
+    */
+  def blockedCosineJoin(
+      s: SparkSession, df: DataFrame, threshold: Double,
+      blocks: Int): DataFrame = {
+    import s.implicits._
+    val bucketed = df
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .rdd
+      .map { case (id, v) => ((id % blocks).toInt, (id, v)) }
+      .groupByKey(blocks)
+      .mapValues(_.toArray.sortBy(_._1))
+    val pairsRdd = bucketed.cartesian(bucketed)
+      .filter { case ((ba, _), (bb, _)) => ba <= bb }
+      .flatMap { case ((ba, as), (bb, bs)) =>
+        for {
+          (aId, av) <- as.iterator
+          (bId, bv) <- bs.iterator
+          // same block: each unordered pair appears twice — keep aId < bId;
+          // cross block: exactly once, any id order — keep all
+          if ba < bb || aId < bId
+          r = {
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+            while (k < av.length) {
+              dot += av(k).toDouble * bv(k)
+              na += av(k).toDouble * av(k)
+              nb += bv(k).toDouble * bv(k)
+              k += 1
+            }
+            BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+          if r >= threshold
+        } yield (math.min(aId, bId), math.max(aId, bId), r)
+      }
+    pairsRdd.toDF("a_id", "b_id", "cos")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- per-label embedding statistics ----------------------------------
