@@ -42,6 +42,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("driver smoke: SparkEntry.entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("file-source streaming: hourlyCounts over an arriving parquet dir") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    val batch = Tables(s, sfDir, "events").select($"ts", $"event_type", $"value")
+    // first file arrives before the query starts, second while it runs
+    batch.filter($"event_type" === "click").write
+      .parquet(dir.resolve("b1.parquet").toString)
+    val stream = s.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString + "/*.parquet")
+    val q = Streams.hourlyCounts(stream).writeStream
+      .format("memory").queryName("file_hourly").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      batch.filter($"event_type" === "view").write
+        .parquet(dir.resolve("b2.parquet").toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s.table("file_hourly")
+      .groupBy($"event_type").agg(sum($"n").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = batch.filter($"event_type".isin("click", "view"))
+      .groupBy($"event_type").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("stream-static enrich joins the broadcast dimension per event") {
     val s = spark
     import s.implicits._
