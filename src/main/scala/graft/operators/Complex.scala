@@ -15,7 +15,7 @@ object Complex {
 
   /** Deterministic scratch dir for the sink round-trip queries. */
   private def scratch(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-sink/$name"
+    s"${System.getProperty("java.io.tmpdir")}/graft-sink-${ProcessHandle.current.pid}/$name"
 
   val queries: Seq[Q] = Seq(
 

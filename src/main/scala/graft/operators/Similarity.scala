@@ -225,21 +225,29 @@ object Similarity {
         val e = embs(s, d).select(col("vec_id"), col("embedding"))
         val cents = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("c_id"), col("embedding").as("c_v"))
-        def nearest(df: DataFrame, vecCol: String, n: Int, out: String) = {
-          val w = Window.partitionBy(col("vec_id"))
-            .orderBy(col("c_cos").desc, col("c_id"))
-          df.crossJoin(broadcast(cents))
-            .withColumn("c_cos", cosine(s, col(vecCol), col("c_v")))
-            .withColumn("c_rk", row_number().over(w))
-            .filter(col("c_rk") <= n)
-            .drop("c_v", "c_cos", "c_rk")
-            .withColumnRenamed("c_id", out)
-        }
-        val bucketed = nearest(e, "embedding", 1, "bucket")
-        val q = nearest(
-          e.filter(col("vec_id") < 10), "embedding", 2, "bucket")
+        // Bucket assignment via aggregate argmax (max_by over a totally-
+        // ordered struct), NOT a window: the per-vector groupBy partial-
+        // aggregates map-side, so only (vec_id, best-so-far) rows shuffle —
+        // a window over vec_id would shuffle corpus × centroids rows.
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("c_cos", cosine(s, col("embedding"), col("c_v")))
+          .groupBy("vec_id")
+          .agg(
+            max_by(col("c_id"), struct(col("c_cos"), -col("c_id")))
+              .as("bucket"),
+            first(col("embedding")).as("embedding"))
+        val bucketed = assigned
+          .select(col("vec_id"), col("embedding"), col("bucket"))
+        // queries probe their 2 nearest buckets (tiny set: rank per query)
+        val qw = Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_cos").desc, col("c_id"))
+        val q = e.filter(col("vec_id") < 10)
+          .crossJoin(broadcast(cents))
+          .withColumn("c_cos", cosine(s, col("embedding"), col("c_v")))
+          .withColumn("c_rk", row_number().over(qw))
+          .filter(col("c_rk") <= 2)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_v"),
-            col("bucket"))
+            col("c_id").as("bucket"))
         val w = Window.partitionBy("q_id")
           .orderBy(col("cos").desc, col("vec_id"))
         bucketed.join(q, Seq("bucket"))
