@@ -129,6 +129,38 @@ object Dedup {
     .agg(sum(when(col("vote") > 0, pow(lit(2.0), col("j").cast("double")))
       .otherwise(0.0d)).cast("long").as("simhash"))
 
+  /** Connected components by iterative min-label propagation: each node
+    * adopts the smallest id reachable over the near-dup edges; O(diameter)
+    * rounds, each one shuffle over the EDGE list (never all-pairs). Near-
+    * dup graphs have tiny components, so this converges in 2-3 rounds; for
+    * adversarial long chains swap in large-star/small-star (same join
+    * shape, O(log n) rounds).
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val next = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "dst_label"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_label")).as("nbr_min"))
+        .join(labels, "id")
+        .withColumn("new_label", least(col("label"), col("nbr_min")))
+        .cache()
+      changed = next.filter(col("new_label") < col("label")).count()
+      labels = next.select(col("id"), col("new_label").as("label"))
+      rounds += 1
+    }
+    labels
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- exact dedup ------------------------------------------------------
@@ -166,6 +198,49 @@ object Dedup {
               WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
                     len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
               ORDER BY a_id, b_id""")),
+
+    // ---- near-dup clustering (pairs → keep/drop decisions) ---------------
+    // The step after pair detection in a real dedup pipeline: connected
+    // components over the near-dup graph; the cluster minimum becomes the
+    // canonical survivor. Oracle recomputes components with a recursive CTE
+    // over the brute-forced pair list.
+    Q("q_dedup_clusters",
+      (s, d) => {
+        val sh = shingled(docs(s, d)).cache()
+        val pairs = lshCandidates(minhashBands(s, sh))
+          .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+          .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+          .withColumn("jac", jaccard(col("a_sh"), col("b_sh")))
+          .filter(col("jac") >= 0.5)
+          .select("a_id", "b_id")
+        connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+            (col("id") === col("label")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+              sh AS (
+                SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                         FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+                WHERE len(toks) >= 3),
+              pairs AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                      len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
+              edges AS (
+                SELECT a_id AS src, b_id AS dst FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+              reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+                WHERE r.src <> e.dst)
+              SELECT src AS doc_id,
+                CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id,
+                (src = LEAST(src, MIN(dst))) AS keep
+              FROM reach GROUP BY src ORDER BY doc_id""")),
 
     // ---- SimHash signatures ----------------------------------------------
     // Per-row computation only (no shuffle before the determinism sort);

@@ -154,6 +154,26 @@ object TextOps {
               MAX(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS max_bpe
               FROM documents GROUP BY source ORDER BY source""")),
 
+    // ---- text normalization / scrubbing ----------------------------------
+    // The cheap cleaning pass in front of dedup/training: lowercase, mask
+    // digit runs, collapse whitespace, trim. All regexp_replace — codegen'd,
+    // per-row, no shuffle before the determinism sort. (Spark replaces all
+    // matches by default; DuckDB needs the 'g' flag.)
+    Q("q_text_clean",
+      (s, d) => docs(s, d)
+        .withColumn("clean", trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[0-9]+", "<num>"), " +", " ")))
+        .select(col("doc_id"),
+          length(col("clean")).cast("long").as("clean_len"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+              length(trim(regexp_replace(regexp_replace(
+                lower(text), '[0-9]+', '<num>', 'g'), ' +', ' ', 'g'))) AS clean_len,
+              md5(trim(regexp_replace(regexp_replace(
+                lower(text), '[0-9]+', '<num>', 'g'), ' +', ' ', 'g'))) AS clean_md5
+              FROM documents ORDER BY doc_id""")),
+
     // ---- document fingerprinting -----------------------------------------
     // Winnowing-style fingerprint: the minimum MD5 over all 5-token
     // shingles. MD5 hex strings compare identically on both engines; the
