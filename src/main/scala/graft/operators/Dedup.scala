@@ -137,12 +137,15 @@ object Dedup {
     * shape, O(log n) rounds).
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    // undirected edge list, both directions
+    // undirected edge list, both directions; localCheckpoint materializes
+    // once and truncates lineage so each round re-reads a tiny in-memory
+    // table instead of replaying the whole LSH pipeline
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -153,7 +156,7 @@ object Dedup {
         .agg(min(col("dst_label")).as("nbr_min"))
         .join(labels, "id")
         .withColumn("new_label", least(col("label"), col("nbr_min")))
-        .cache()
+        .localCheckpoint()
       changed = next.filter(col("new_label") < col("label")).count()
       labels = next.select(col("id"), col("new_label").as("label"))
       rounds += 1
