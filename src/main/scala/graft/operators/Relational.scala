@@ -204,6 +204,58 @@ object Relational {
               JOIN region ON n_regionkey = r_regionkey
               GROUP BY r_name ORDER BY r_name""")),
 
+    // TPC-H Q5 shape: 5-way join — the two fact tables shuffle on their
+    // join keys once each; customer/supplier/nation/region are dimensions
+    // and broadcast, so no other exchange touches the fact rows.
+    Q("q_join_deep",
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name"),
+      Some(s"""SELECT r_name, n_name,
+              ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+              COUNT(*) AS n_items
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+              GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // TPC-H Q10 shape: returned-items revenue per customer, top 20.
+    Q("q_join_topcust",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20),
+      Some(s"""SELECT c_custkey, c_name, n_name,
+              ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+              COUNT(*) AS n_items
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              WHERE l_returnflag = 'R'
+              GROUP BY c_custkey, c_name, n_name
+              ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
     Q("q_join_semi",
       (s, d) => t(s, d, "orders")
         .join(t(s, d, "lineitem").filter(col("l_quantity") >= 48),
