@@ -154,6 +154,51 @@ object TextOps {
               MAX(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS max_bpe
               FROM documents GROUP BY source ORDER BY source""")),
 
+    // ---- TF-IDF ----------------------------------------------------------
+    // Classic two-pass weighting: term frequency per (doc, word), document
+    // frequency per word (small — vocabulary-sized — and re-joined), then
+    // the top-scoring term per document. Every stage is a linear shuffle:
+    // explode → partial-aggregated counts → broadcast-sized df join →
+    // per-doc window on (doc_id).
+    Q("q_tfidf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val n = docs(s, d).count()
+        val tf = docs(s, d)
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("word")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("word"))
+        tf.join(broadcast(df), "word")
+          .withColumn("score",
+            round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("doc_id"), col("word").as("top_term"),
+            col("tf"), col("df"), col("score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tf AS (
+                SELECT doc_id, word, COUNT(*) AS tf FROM (
+                  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                  FROM documents)
+                WHERE word <> '' GROUP BY doc_id, word),
+              dfc AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+              n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+              scored AS (
+                SELECT tf.doc_id, tf.word, tf.tf, dfc.df,
+                  ROUND(tf.tf * ln(n.n / dfc.df), 6) AS score
+                FROM tf, dfc, n WHERE tf.word = dfc.word)
+              SELECT doc_id, word AS top_term, tf, df, score FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, word) AS rk
+                FROM scored)
+              WHERE rk = 1 ORDER BY doc_id""")),
+
     // ---- text normalization / scrubbing ----------------------------------
     // The cheap cleaning pass in front of dedup/training: lowercase, mask
     // digit runs, collapse whitespace, trim. All regexp_replace — codegen'd,
