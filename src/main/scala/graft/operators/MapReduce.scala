@@ -76,11 +76,14 @@ object MapReduce {
   }
 
   /** D1 + D3: directory scan (one RDD per round-robin task group) piped
-    * through the external mapper. */
+    * through the external mapper. An empty input directory still runs the
+    * job — the reference dispatches zero map tasks and the reducers write
+    * empty part files. */
   private def mapStage(spark: SparkSession, job: JobSpec): RDD[String] = {
     val groups = splitRoundRobin(
       listInputs(spark, job.inputDirectory), job.numMappers)
-    spark.sparkContext
+    if (groups.isEmpty) spark.sparkContext.emptyRDD[String]
+    else spark.sparkContext
       .union(groups.map(g => spark.sparkContext.textFile(g.mkString(","))))
       .pipe(Seq(job.mapperExecutable))
   }

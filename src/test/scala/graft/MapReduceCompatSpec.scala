@@ -85,6 +85,18 @@ class MapReduceCompatSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("empty input directory still writes num_reducers empty part files") {
+    val inDir = Files.createTempDirectory("graft-mr-empty")
+    val out = tmpOut()
+    MapReduce.run(spark, JobSpec(
+      inDir.toString, out,
+      s"$ref/exec/wc_map.sh", s"$ref/exec/wc_reduce.sh",
+      numMappers = 2, numReducers = 2))
+    val parts = partFiles(out)
+    assert(parts.map(_.getFileName.toString) == Seq("part-00000", "part-00001"))
+    assert(parts.forall(p => Files.size(p) == 0))
+  }
+
   test("blank lines produce empty-key records that group correctly") {
     // reference tests/test_worker_04.py:109-115: blank input lines map to
     // "\t1" records; the empty string is a real key and groups like any
