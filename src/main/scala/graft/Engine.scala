@@ -30,8 +30,14 @@ object Engine {
       spark,
       JobSpec(in, out, "<native-wc-map>", "<native-wc-reduce>",
         numMappers, numReducers),
-      mapper = line => line.toLowerCase.split("[\\[ \t\\]]", -1).map(_ + "\t1"),
+      mapper = line => asciiLower(line).split("[\\[ \t\\]]", -1).map(_ + "\t1"),
       reducer = countingReducer)
+
+  /** `tr '[:upper:]' '[:lower:]'` in the C locale maps ONLY A-Z; JVM
+    * toLowerCase is locale- and Unicode-sensitive (Turkish dotless-i,
+    * É→é) and would diverge from the executable on such input. */
+  private def asciiLower(s: String): String =
+    s.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
 
   /** `cut -f1 | uniq -c`-style sorted-stream reducer: counts runs of equal
     * keys in the (already whole-line-sorted) partition stream. */
@@ -65,7 +71,10 @@ object Engine {
         numMappers, numReducers),
       mapper = { line =>
         val s = line.trim
-        if (s.nonEmpty && s.toLowerCase.contains(query)) Some("1\t" + s)
+        // Python str.lower() semantics ≈ Locale.ROOT (never the default
+        // locale, which breaks on e.g. Turkish dotted-I JVMs)
+        if (s.nonEmpty &&
+          s.toLowerCase(java.util.Locale.ROOT).contains(query)) Some("1\t" + s)
         else None
       },
       reducer = _.flatMap { l =>

@@ -10,24 +10,33 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * Partial aggregation is native: `reduce` runs map-side per partition,
   * `merge` combines the (sum, count) buffers at the exchange — so the
-  * shuffle carries one 64-double buffer per group per partition, never the
+  * shuffle carries one 64-long buffer per group per partition, never the
   * vectors.
+  *
+  * Elements accumulate as FIXED-POINT MICROS (`floor(x·1e6 + 0.5)`): long
+  * addition is exact and order-independent, so the centroid is identical
+  * across any partitioning — a double accumulator would carry the
+  * partition-order-dependent ulps that the Arith decimal discipline exists
+  * to avoid, and could flip a 6-decimal rounding boundary vs the oracle.
   */
 object VecCentroid
-    extends Aggregator[Array[Float], (Array[Double], Long), Array[Double]] {
+    extends Aggregator[Array[Float], (Array[Long], Long), Array[Double]] {
 
-  override def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
+  override def zero: (Array[Long], Long) = (Array.emptyLongArray, 0L)
 
-  override def reduce(b: (Array[Double], Long),
-      a: Array[Float]): (Array[Double], Long) = {
-    val acc = if (b._1.isEmpty) new Array[Double](a.length) else b._1
+  override def reduce(b: (Array[Long], Long),
+      a: Array[Float]): (Array[Long], Long) = {
+    val acc = if (b._1.isEmpty) new Array[Long](a.length) else b._1
     var i = 0
-    while (i < a.length) { acc(i) += a(i).toDouble; i += 1 }
+    while (i < a.length) {
+      acc(i) += math.floor(a(i).toDouble * 1e6 + 0.5).toLong
+      i += 1
+    }
     (acc, b._2 + 1)
   }
 
-  override def merge(x: (Array[Double], Long),
-      y: (Array[Double], Long)): (Array[Double], Long) = {
+  override def merge(x: (Array[Long], Long),
+      y: (Array[Long], Long)): (Array[Long], Long) = {
     if (x._1.isEmpty) y
     else if (y._1.isEmpty) x
     else {
@@ -37,12 +46,14 @@ object VecCentroid
     }
   }
 
-  override def finish(b: (Array[Double], Long)): Array[Double] =
-    b._1.map(s => BigDecimal(s / b._2)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  override def finish(b: (Array[Long], Long)): Array[Double] =
+    b._1.map { micros =>
+      BigDecimal(micros.toDouble / (b._2.toDouble * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
 
-  override def bufferEncoder: Encoder[(Array[Double], Long)] =
-    ExpressionEncoder[(Array[Double], Long)]()
+  override def bufferEncoder: Encoder[(Array[Long], Long)] =
+    ExpressionEncoder[(Array[Long], Long)]()
   override def outputEncoder: Encoder[Array[Double]] =
     ExpressionEncoder[Array[Double]]()
 }

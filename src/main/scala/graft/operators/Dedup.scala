@@ -45,7 +45,7 @@ object Dedup {
       size(array_union(a, b)), 6)
 
   // MinHash: NumHashes hash functions via Kirsch-Mitzenmacher double
-  // hashing (h_i = h1 + i·h2 over two MurmurHash3 seeds). Only candidate
+  // hashing (h_i = h1 + i·h2 over two 64-bit MD5 lanes). Only candidate
   // RECALL depends on these hashes (verification is exact Jaccard), so
   // cross-engine hash parity is not required — the oracle never sees the
   // signatures. Computed in a typed map: the 128 × |shingles| multiply-adds
@@ -179,7 +179,7 @@ object Dedup {
     // ---- MinHash + LSH near-dup ------------------------------------------
     Q("q_dedup_minhash",
       (s, d) => {
-        val sh = shingled(docs(s, d)).cache()
+        val sh = shingled(docs(s, d))
         val cand = lshCandidates(minhashBands(s, sh))
         cand
           .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
@@ -209,7 +209,7 @@ object Dedup {
     // over the brute-forced pair list.
     Q("q_dedup_clusters",
       (s, d) => {
-        val sh = shingled(docs(s, d)).cache()
+        val sh = shingled(docs(s, d))
         val pairs = lshCandidates(minhashBands(s, sh))
           .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
           .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")

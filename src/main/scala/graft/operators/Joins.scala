@@ -115,9 +115,16 @@ object Joins {
             col("prev_event_id"))
           .orderBy("user_id", "event_id")
       },
+      // STRICT semantics, robust to same-timestamp ties: the RANGE frame
+      // admits only strictly-earlier timestamps (a lag() would admit
+      // same-ts rows with smaller event_id, diverging from the engine).
       Some("""SELECT user_id, event_id, event_type,
-              lag(event_id) OVER (PARTITION BY user_id
-                  ORDER BY ts, event_id) AS prev_event_id
+              arg_max(event_id,
+                  epoch_us(CAST(ts AS TIMESTAMP))::HUGEINT * 1000000 + event_id)
+                OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS prev_event_id
               FROM events ORDER BY user_id, event_id"""))
   )
 }

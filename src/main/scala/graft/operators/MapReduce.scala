@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 
-import graft.plans.Md5LinePartitioner
+import graft.plans.{Md5BytesPartitioner, UnsignedBytesOrdering}
 
 /** A MapReduce job, mirroring the reference's submit surface field for
   * field (reference mapreduce/submit.py:70-78, manager/__main__.py:116-124):
@@ -88,15 +88,19 @@ object MapReduce {
       .pipe(Seq(job.mapperExecutable))
   }
 
-  /** D4-D6: MD5 hash partition + whole-line sort within each partition
-    * (the trailing `\n` is appended for Python sort/hash parity and
-    * stripped after the shuffle). */
-  def shuffle(lines: RDD[String], numReducers: Int): RDD[String] =
+  /** D4-D6: MD5 hash partition + whole-line sort within each partition.
+    * The shuffle key is the line's UTF-8 BYTES with a trailing `\n`: the
+    * newline reproduces Python's `readlines()` comparison at line-prefix
+    * boundaries, and unsigned byte order equals code-point order — Java
+    * String ordering (UTF-16 units) would rank supplementary-plane
+    * characters differently than the reference's sort. */
+  def shuffle(lines: RDD[String], numReducers: Int): RDD[String] = {
+    implicit val ord: Ordering[Array[Byte]] = UnsignedBytesOrdering
     lines
-      .map(l => (l + "\n", ()))
-      .repartitionAndSortWithinPartitions(new Md5LinePartitioner(numReducers))
-      .keys
-      .map(_.dropRight(1))
+      .map(l => ((l + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8), l))
+      .repartitionAndSortWithinPartitions(new Md5BytesPartitioner(numReducers))
+      .values
+  }
 
   /** Run a streaming-executable job; returns the sink directory. */
   def run(spark: SparkSession, job: JobSpec): String = {

@@ -115,6 +115,9 @@ object Multimodal {
     // per-frame fingerprint is md5 of the slice. Rows out ∝ total frames.
     Q("q_multimodal_frames",
       (s, d) => media(s, d)
+        // n_bytes = 0 would make sequence(0, -1) count DOWNWARD ([0, -1]);
+        // empty payloads yield zero frames on both engines.
+        .filter(col("n_bytes") > 0)
         .withColumn("frame",
           explode(transform(
             sequence(lit(0), ceil(col("n_bytes") / 100).cast("int") - 1),
@@ -131,8 +134,9 @@ object Multimodal {
                             ELSE 'video' END AS media_type,
                   md5(substr(text, fno * 100 + 1, 100)) AS fp
                 FROM documents,
-                  (SELECT unnest(generate_series(0, 9)) AS fno)
-                WHERE fno <= CAST(ceil(n_chars / 100.0) AS INTEGER) - 1)
+                  LATERAL unnest(generate_series(0,
+                    CAST(ceil(n_chars / 100.0) AS INTEGER) - 1)) AS t(fno)
+                WHERE n_chars > 0)
               SELECT media_type, COUNT(*) AS n_frames,
                 COUNT(DISTINCT fp) AS n_distinct_frames
               FROM f GROUP BY media_type ORDER BY media_type"""))

@@ -451,7 +451,11 @@ object Relational {
           ceil(col("l_quantity")).as("qty_ceil"),
           floor(col("l_quantity")).as("qty_floor"),
           pmod(col("l_orderkey"), lit(7)).as("key_mod"))
-        .orderBy("l_orderkey", "l_linenumber", "sqrt_price", "abs_diff")
+        // ALL output columns in the sort: duplicate (l_orderkey,
+        // l_linenumber) rows can tie on a prefix yet differ in qty_* —
+        // a partial order makes the limit boundary engine-dependent.
+        .orderBy("l_orderkey", "l_linenumber", "sqrt_price", "ln_price",
+          "abs_diff", "qty_ceil", "qty_floor", "key_mod")
         .limit(2000),
       Some("""SELECT l_orderkey, l_linenumber,
               ROUND(sqrt(l_extendedprice), 6) AS sqrt_price,
@@ -461,7 +465,8 @@ object Relational {
               CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
               l_orderkey % 7 AS key_mod
               FROM lineitem
-              ORDER BY l_orderkey, l_linenumber, sqrt_price, abs_diff
+              ORDER BY l_orderkey, l_linenumber, sqrt_price, ln_price,
+                       abs_diff, qty_ceil, qty_floor, key_mod
               LIMIT 2000""")),
 
     Q("q_case_when",

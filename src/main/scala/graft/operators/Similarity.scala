@@ -125,12 +125,19 @@ object Similarity {
             count(lit(1)).as("n_vecs"))
           .orderBy("label")
       },
+      // fixed-point micros sum, mirroring VecCentroid exactly: long sums
+      // are order-independent, so both engines compute identical doubles
       Some("""WITH u AS (
-                SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+                SELECT label, i,
+                  SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                      AS BIGINT)) AS micros,
+                  COUNT(*) AS cnt
                 FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
                 GROUP BY label, i),
               c AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
-              SELECT u.label, list(ROUND(u.m, 6) ORDER BY u.i) AS centroid,
+              SELECT u.label,
+                list(ROUND(u.micros::DOUBLE / (u.cnt * 1000000.0), 6)
+                     ORDER BY u.i) AS centroid,
                 MIN(c.n_vecs) AS n_vecs
               FROM u JOIN c ON u.label = c.label
               GROUP BY u.label ORDER BY u.label""")),

@@ -16,13 +16,38 @@ import org.apache.spark.Partitioner
   * keys, reference tests/test_worker_04.py:109-115).
   */
 object Md5 {
+  // getPartition is the shuffle write's per-record hot path: reuse the
+  // digest per thread and fold the modulus with Horner's rule instead of
+  // allocating a MessageDigest + BigInts per record.
+  private val digests = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
   /** Non-negative MD5(key) mod n, bit-identical to Python's
     * `int(hexdigest, 16) % n`. */
-  def mod(key: String, n: Int): Int = {
-    val md = MessageDigest.getInstance("MD5")
-    val digest = md.digest(key.getBytes(StandardCharsets.UTF_8))
-    // BigInt(1, bytes) treats the digest as unsigned, matching int(hex, 16)
-    (BigInt(1, digest) mod BigInt(n)).toInt
+  def mod(key: String, n: Int): Int =
+    mod(key.getBytes(StandardCharsets.UTF_8), n)
+
+  def mod(key: Array[Byte], n: Int): Int = {
+    val md = digests.get()
+    md.reset()
+    val digest = md.digest(key)
+    var r = 0L
+    var i = 0
+    while (i < digest.length) {
+      r = ((r << 8) | (digest(i) & 0xffL)) % n
+      i += 1
+    }
+    r.toInt
+  }
+
+  /** Key bytes of a raw `key\tvalue` line: everything before the first tab
+    * (0x09), or the whole line when absent. */
+  def lineKeyBytes(line: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < line.length && line(i) != '\t') i += 1
+    if (i == line.length) line else java.util.Arrays.copyOfRange(line, 0, i)
   }
 
   /** The record key of a raw `key\tvalue` line: everything before the first
@@ -51,4 +76,35 @@ final class Md5LinePartitioner(n: Int) extends Partitioner {
     case _                     => false
   }
   override def hashCode: Int = n
+}
+
+/** Same assignment over UTF-8 line BYTES (the shuffle key used by
+  * [[graft.operators.MapReduce.shuffle]] for Python sort-order parity). */
+final class Md5BytesPartitioner(n: Int) extends Partitioner {
+  require(n > 0, s"numPartitions must be positive: $n")
+  override def numPartitions: Int = n
+  override def getPartition(key: Any): Int =
+    Md5.mod(Md5.lineKeyBytes(key.asInstanceOf[Array[Byte]]), n)
+  override def equals(other: Any): Boolean = other match {
+    case o: Md5BytesPartitioner => o.numPartitions == n
+    case _                      => false
+  }
+  override def hashCode: Int = n
+}
+
+/** Unsigned lexicographic byte order. Over UTF-8 this equals Unicode
+  * code-point order — i.e. Python's string sort — whereas Java String
+  * ordering compares UTF-16 code units and ranks supplementary-plane
+  * characters (surrogates, 0xD800-) below some BMP characters. */
+object UnsignedBytesOrdering extends Ordering[Array[Byte]] {
+  override def compare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
 }
