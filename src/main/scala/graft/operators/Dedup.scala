@@ -179,7 +179,7 @@ object Dedup {
     // ---- MinHash + LSH near-dup ------------------------------------------
     Q("q_dedup_minhash",
       (s, d) => {
-        val sh = shingled(docs(s, d))
+        val sh = shingled(docs(s, d)).localCheckpoint()
         val cand = lshCandidates(minhashBands(s, sh))
         cand
           .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
@@ -209,7 +209,7 @@ object Dedup {
     // over the brute-forced pair list.
     Q("q_dedup_clusters",
       (s, d) => {
-        val sh = shingled(docs(s, d))
+        val sh = shingled(docs(s, d)).localCheckpoint()
         val pairs = lshCandidates(minhashBands(s, sh))
           .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
           .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
@@ -270,7 +270,7 @@ object Dedup {
     // its doc_id successor — a single equi-join shuffle, no cross join.
     Q("q_ngram_jaccard",
       (s, d) => {
-        val sh = shingled(docs(s, d))
+        val sh = shingled(docs(s, d)).localCheckpoint()
         val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
         val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
         a.join(b, col("b_id") === col("a_id") + 1)
