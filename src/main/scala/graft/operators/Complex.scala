@@ -56,18 +56,21 @@ object Complex {
 
     // ---- array construction + functions ----------------------------------
     // Per-user sorted distinct event types: collect_set → sort_array,
-    // then array predicates/access. Arrays compare element-wise in the
-    // oracle, so both sides sort deterministically.
+    // then array predicates/access. The list itself is emitted as a
+    // canonical comma-joined STRING on both sides: the driver's pandas
+    // compare cannot sort/hash list-typed columns.
     Q("q_array_ops",
       (s, d) => Tables(s, d, "events")
         .groupBy("user_id")
-        .agg(sort_array(collect_set(col("event_type"))).as("types"))
-        .select(col("user_id"), col("types"),
-          size(col("types")).cast("long").as("n_types"),
-          array_contains(col("types"), "click").as("has_click"),
-          element_at(col("types"), 1).as("first_type"))
+        .agg(sort_array(collect_set(col("event_type"))).as("types_arr"))
+        .select(col("user_id"),
+          array_join(col("types_arr"), ",").as("types"),
+          size(col("types_arr")).cast("long").as("n_types"),
+          array_contains(col("types_arr"), "click").as("has_click"),
+          element_at(col("types_arr"), 1).as("first_type"))
         .orderBy("user_id"),
-      Some("""SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+      Some("""SELECT user_id,
+              array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
               len(list(DISTINCT event_type)) AS n_types,
               list_contains(list(DISTINCT event_type), 'click') AS has_click,
               list_sort(list(DISTINCT event_type))[1] AS first_type
@@ -147,15 +150,16 @@ object Complex {
         Tables(s, d, "nation").write.mode("overwrite")
           .option("header", "true").csv(out)
         s.read.option("header", "true")
-          .schema("n_nationkey LONG, n_name STRING, n_regionkey LONG")
+          .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
           .csv(out)
           .groupBy("n_regionkey")
           .agg(count(lit(1)).as("n_nations"),
-            sort_array(collect_set(col("n_name"))).as("names"))
+            // comma-joined string, not a list: driver compare can't hash lists
+            array_join(sort_array(collect_set(col("n_name"))), ",").as("names"))
           .orderBy("n_regionkey")
       },
       Some("""SELECT n_regionkey, COUNT(*) AS n_nations,
-              list_sort(list(n_name)) AS names
+              array_to_string(list_sort(list(n_name)), ',') AS names
               FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
 
     // ---- json-lines sink + source round trip ------------------------------
@@ -166,7 +170,8 @@ object Complex {
           .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
           .write.mode("overwrite").json(out)
         s.read
-          .schema("s_suppkey LONG, s_name STRING, s_nationkey LONG, s_acctbal DOUBLE")
+          // types mirror the original parquet (suppkey int64, nationkey int32)
+          .schema("s_suppkey LONG, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
           .json(out)
           .groupBy("s_nationkey")
           .agg(count(lit(1)).as("n_suppliers"),

@@ -119,14 +119,24 @@ object Similarity {
     Q("q_embed_centroid",
       (s, d) => {
         val centroid = udaf(VecCentroid)
+        // The centroid ships as a comma-joined string of micro-fixed-point
+        // INTEGERS (round6(x)·1e6 is exact), not an array column: the
+        // driver's pandas compare cannot sort/hash list columns, and an
+        // integer string is immune to double-formatting divergence.
         embs(s, d)
           .groupBy("label")
-          .agg(centroid(col("embedding")).as("centroid"),
+          .agg(centroid(col("embedding")).as("c"),
             count(lit(1)).as("n_vecs"))
+          .select(col("label"),
+            array_join(transform(col("c"),
+              x => round(x * 1e6).cast("long").cast("string")), ",")
+              .as("centroid_micros"),
+            col("n_vecs"))
           .orderBy("label")
       },
       // fixed-point micros sum, mirroring VecCentroid exactly: long sums
       // are order-independent, so both engines compute identical doubles
+      // in the same IEEE ops (micros/(cnt·1e6), round6, ·1e6, round0).
       Some("""WITH u AS (
                 SELECT label, i,
                   SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
@@ -136,8 +146,10 @@ object Similarity {
                 GROUP BY label, i),
               c AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
               SELECT u.label,
-                list(ROUND(u.micros::DOUBLE / (u.cnt * 1000000.0), 6)
-                     ORDER BY u.i) AS centroid,
+                string_agg(
+                  CAST(CAST(ROUND(ROUND(u.micros::DOUBLE / (u.cnt * 1000000.0), 6)
+                       * 1000000.0, 0) AS BIGINT) AS VARCHAR),
+                  ',' ORDER BY u.i) AS centroid_micros,
                 MIN(c.n_vecs) AS n_vecs
               FROM u JOIN c ON u.label = c.label
               GROUP BY u.label ORDER BY u.label""")),

@@ -66,9 +66,12 @@ object TextOps {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
         .orderBy("lang", "source"),
+      // CAST the SUMs: DuckDB SUM(BIGINT) widens to a decimal128 in Arrow,
+      // which value-compares equal to Spark's int64 but hash-compares
+      // different in the driver's typed compare.
       Some("""SELECT lang, source, COUNT(*) AS n_docs,
-              SUM(len(string_split(text, ' '))) AS total_tokens,
-              SUM(n_chars) AS total_chars,
+              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
               FROM documents GROUP BY lang, source ORDER BY lang, source""")),
 
@@ -149,7 +152,7 @@ object TextOps {
           min(col("n_bpe")).as("min_bpe"), max(col("n_bpe")).as("max_bpe"))
         .orderBy("source"),
       Some("""SELECT source, COUNT(*) AS n_docs,
-              SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS total_bpe,
+              CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_bpe,
               MIN(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS min_bpe,
               MAX(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS max_bpe
               FROM documents GROUP BY source ORDER BY source""")),

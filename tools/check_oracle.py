@@ -52,6 +52,24 @@ def main(sf_dir, out_dir, only=None):
             print(f"FAIL {name}: cols oracle={ocols} spark={scols}")
             n_bad += 1
             continue
+        # The driver's compare is TYPE-sensitive (a DuckDB decimal128 sum
+        # vs Spark int64 hash-mismatches even when values are equal) and
+        # cannot sort/hash list columns at all. Mirror both here so local
+        # green predicts driver green.
+        otypes = {c: str(odf.schema.field(c).type) for c in ocols}
+        stypes = {c: str(sdf.schema.field(c).type) for c in scols}
+        if otypes != stypes:
+            diff = {c: (otypes[c], stypes[c]) for c in ocols
+                    if otypes[c] != stypes[c]}
+            print(f"FAIL {name}: column types differ (oracle, spark): {diff}")
+            n_bad += 1
+            continue
+        lists = [c for c in ocols if otypes[c].startswith(("list", "large_list"))]
+        if lists:
+            print(f"FAIL {name}: list-typed columns {lists} — the driver's "
+                  "pandas compare cannot hash these; emit a joined string")
+            n_bad += 1
+            continue
         if odf.num_rows != sdf.num_rows:
             print(f"FAIL {name}: rows oracle={odf.num_rows} spark={sdf.num_rows}")
             n_bad += 1
