@@ -43,11 +43,16 @@ object Similarity {
   private def cosine(s: SparkSession, a: Column, b: Column): Column =
     round(CosineSim(s, a, b), 6)
 
-  /** DuckDB-side cosine with the same accumulation order and rounding. */
+  /** DuckDB-side cosine over two list-column expressions, same accumulation
+    * order and rounding as [[cosine]]. */
+  private def sqlCosineCols(a: String, b: String): String =
+    s"""ROUND(list_sum([$a[i] * $b[i] FOR i IN generate_series(1, 64)]) /
+       (sqrt(list_sum([x * x FOR x IN $a])) *
+        sqrt(list_sum([x * x FOR x IN $b]))), 6)"""
+
+  /** DuckDB-side cosine between `<alias>.v` columns. */
   private def sqlCosine(a: String, b: String): String =
-    s"""ROUND(list_sum([$a.v[i] * $b.v[i] FOR i IN generate_series(1, 64)]) /
-       (sqrt(list_sum([x * x FOR x IN $a.v])) *
-        sqrt(list_sum([x * x FOR x IN $b.v]))), 6)"""
+    sqlCosineCols(s"$a.v", s"$b.v")
 
   /** Exact cosine similarity join for corpora too large to broadcast: a
     * distributed blocked GEMM. Vectors hash into `blocks` buckets; every
@@ -92,6 +97,40 @@ object Similarity {
         } yield (math.min(aId, bId), math.max(aId, bId), r)
       }
     pairsRdd.toDF("a_id", "b_id", "cos")
+  }
+
+  /** Corpora whose Catalyst size estimate is under this broadcast whole;
+    * above it the blocked GEMM runs. 64 MB ≈ 250k 64-dim float vectors —
+    * comfortably inside executor broadcast budgets. */
+  val MaxBroadcastBytes: Long = 64L << 20
+
+  /** Per-block target for [[blockedCosineJoin]] auto-sizing: each task
+    * holds two blocks ⇒ ~128 MB peak per task. */
+  val TargetBlockBytes: Long = 64L << 20
+
+  /** Exact cosine similarity join with NO driver-side collect: dispatches
+    * on Catalyst's own size estimate (plan statistics — no job runs).
+    * Small corpora go through a BroadcastNestedLoopJoin with the codegen
+    * CosineSim kernel (Spark manages the broadcast); larger ones run the
+    * distributed blocked GEMM. Both paths round to 6 decimals BEFORE the
+    * threshold filter, so results are bit-identical (SimilaritySpec).
+    */
+  def cosinePairs(s: SparkSession, e: DataFrame, threshold: Double,
+      maxBroadcastBytes: Long = MaxBroadcastBytes): DataFrame = {
+    val bytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
+    val pairs =
+      if (bytes <= maxBroadcastBytes) {
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+        a.join(broadcast(b), col("a_id") < col("b_id"))
+          .withColumn("cos", cosine(s, col("a_v"), col("b_v")))
+          .filter(col("cos") >= threshold)
+          .select("a_id", "b_id", "cos")
+      } else {
+        val blocks = math.max(2, ((bytes - 1) / TargetBlockBytes + 1).toInt)
+        blockedCosineJoin(s, e, threshold, blocks)
+      }
+    pairs.orderBy("a_id", "b_id")
   }
 
   val queries: Seq[Q] = Seq(
@@ -157,42 +196,13 @@ object Similarity {
     // ---- embedding-cosine similarity join (exact) ------------------------
     // At a 0.45 cosine threshold the angle is 63° — no LSH family reaches
     // ~100% recall there, so the EXACT similarity join is the right
-    // operator: one side broadcast (vectors are 256 B each — 1 M vectors ≈
-    // 256 MB; beyond that, block the corpus and run the same kernel per
-    // block pair, a distributed blocked GEMM), the other side streamed,
-    // native dot-product loops, emitting only pairs over the threshold.
-    // The approximate scale path for HIGH thresholds is q_ann_ivf below.
+    // operator. cosinePairs dispatches on Catalyst's size estimate:
+    // broadcast nested-loop with the codegen kernel under 64 MB, the
+    // distributed blocked GEMM above — no driver-side collect on either
+    // path. The approximate scale path for HIGH thresholds is q_ann_ivf.
     Q("q_cosine_pairs",
-      (s, d) => {
-        import s.implicits._
-        val e = embs(s, d).select(col("vec_id"), col("embedding"))
-          .as[(Long, Array[Float])]
-        val corpus = s.sparkContext.broadcast(e.collect().sortBy(_._1))
-        val pairs = e.mapPartitions { it =>
-          val c = corpus.value
-          it.flatMap { case (aId, av) =>
-            val aNorm = {
-              var n = 0.0; var k = 0
-              while (k < av.length) { n += av(k).toDouble * av(k); k += 1 }
-              math.sqrt(n)
-            }
-            c.iterator.filter(_._1 > aId).flatMap { case (bId, bv) =>
-              var dot = 0.0; var nb = 0.0; var k = 0
-              while (k < bv.length) {
-                dot += av(k).toDouble * bv(k)
-                nb += bv(k).toDouble * bv(k)
-                k += 1
-              }
-              val cos = dot / (aNorm * math.sqrt(nb))
-              // same rounding as the declarative path / oracle
-              val r = BigDecimal(cos)
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-              if (r >= 0.45) Some((aId, bId, r)) else None
-            }
-          }
-        }.toDF("a_id", "b_id", "cos")
-        pairs.orderBy("a_id", "b_id")
-      },
+      (s, d) => cosinePairs(s,
+        embs(s, d).select(col("vec_id"), col("embedding")), 0.45),
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
               SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                 ${sqlCosine("a", "b")} AS cos
@@ -236,8 +246,10 @@ object Similarity {
     // Centroids: first 8 vectors (deterministic stand-in for k-means).
     // Every vector lands in its nearest-centroid bucket (one broadcast
     // pass); a query probes its 2 nearest buckets only, so the search
-    // touches ~2/8 of the corpus instead of all of it. Approximate ⇒ no
-    // SQL oracle (driver records the rows-only check).
+    // touches ~2/8 of the corpus instead of all of it. "Approximate" means
+    // approximate RECALL vs exhaustive search — the computation itself
+    // (fixed centroids, rounded exact cosines, total-order tie-breaks) is
+    // fully deterministic, so it has an exact SQL oracle.
     Q("q_ann_ivf",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -277,6 +289,34 @@ object Similarity {
           .select(col("q_id"), col("rk"), col("vec_id").as("nn_id"), col("cos"))
           .orderBy("q_id", "rk")
       },
-      None)
+      // Same argmax/rank formulation as the Spark plan: bucket = argmax
+      // centroid-cosine (ties → lower c_id), queries probe top-2 buckets,
+      // rank candidates by (cos DESC, nn_id).
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              cents AS (SELECT vec_id AS c_id, v AS c_v FROM e WHERE vec_id < 8),
+              ac AS (
+                SELECT e.vec_id, e.v, c.c_id,
+                  ${sqlCosineCols("e.v", "c.c_v")} AS c_cos
+                FROM e, cents c),
+              assigned AS (
+                SELECT vec_id, v, c_id AS bucket FROM ac
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                  ORDER BY c_cos DESC, c_id) = 1),
+              qprobe AS (
+                SELECT vec_id AS q_id, v AS q_v, c_id AS bucket FROM ac
+                WHERE vec_id < 10
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                  ORDER BY c_cos DESC, c_id) <= 2),
+              cand AS (
+                SELECT q.q_id, a.vec_id AS nn_id,
+                  ${sqlCosineCols("a.v", "q.q_v")} AS cos
+                FROM qprobe q JOIN assigned a ON a.bucket = q.bucket
+                WHERE a.vec_id <> q.q_id)
+              SELECT q_id, CAST(rk AS INTEGER) AS rk, nn_id, cos FROM (
+                SELECT q_id, nn_id, cos,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, nn_id) AS rk
+                FROM cand)
+              WHERE rk <= 3 ORDER BY q_id, rk"""))
   )
 }

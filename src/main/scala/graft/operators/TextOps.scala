@@ -159,14 +159,18 @@ object TextOps {
 
     // ---- TF-IDF ----------------------------------------------------------
     // Classic two-pass weighting: term frequency per (doc, word), document
-    // frequency per word (small — vocabulary-sized — and re-joined), then
-    // the top-scoring term per document. Every stage is a linear shuffle:
-    // explode → partial-aggregated counts → broadcast-sized df join →
-    // per-doc window on (doc_id).
+    // frequency per word, then the top-scoring term per document. Fully
+    // in-plan: the corpus size is a 1-row broadcast aggregate (NO
+    // plan-build-time count() action), and the df table joins by SHUFFLE —
+    // a web-scale corpus has 10⁸+ distinct tokens, far past any broadcast
+    // budget, and tf is already hash-partitioned so the extra exchange is
+    // df-sized only. Every stage is a linear shuffle: explode →
+    // partial-aggregated counts → shuffle df join → per-doc window.
     Q("q_tfidf",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val n = docs(s, d).count()
+        val n = docs(s, d)
+          .agg(count(lit(1)).cast("double").as("corpus_n"))
         val tf = docs(s, d)
           .select(col("doc_id"),
             explode(split(lower(col("text")), " ")).as("word"))
@@ -176,9 +180,10 @@ object TextOps {
           .agg(countDistinct(col("doc_id")).as("df"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("word"))
-        tf.join(broadcast(df), "word")
+        tf.join(df, "word")
+          .crossJoin(broadcast(n))
           .withColumn("score",
-            round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+            round(col("tf") * log(col("corpus_n") / col("df")), 6))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") === 1)
           .select(col("doc_id"), col("word").as("top_term"),

@@ -55,4 +55,23 @@ class PlanSpec extends AnyFunSuite {
   test("q_cosine_pairs never plans a cartesian product") {
     assert(!plan("q_cosine_pairs").contains("CartesianProduct"))
   }
+
+  test("cosinePairs is collect-free and size-dispatched") {
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    val e = Tables(s, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // under the threshold: Spark-managed broadcast nested-loop join
+    val small = operators.Similarity.cosinePairs(s, e, 0.45)
+      .queryExecution.executedPlan.toString
+    assert(small.contains("BroadcastNestedLoopJoin"),
+      "small corpus should broadcast via BNLJ")
+    // over the threshold: the blocked GEMM (an RDD scan, no broadcast)
+    val big = operators.Similarity
+      .cosinePairs(s, e, 0.45, maxBroadcastBytes = 0)
+      .queryExecution.executedPlan.toString
+    assert(!big.contains("BroadcastNestedLoopJoin") &&
+      big.contains("SerializeFromObject"),
+      "oversized corpus should dispatch to blockedCosineJoin")
+  }
 }
