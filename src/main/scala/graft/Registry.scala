@@ -20,7 +20,8 @@ object Registry {
       operators.Multimodal.queries ++
       operators.TextOps.queries ++
       operators.Dedup.queries ++
-      operators.Similarity.queries
+      operators.Similarity.queries ++
+      streaming.Streams.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

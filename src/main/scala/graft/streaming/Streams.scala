@@ -2,7 +2,11 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, Trigger}
+
+import graft.Q
+import graft.operators.Arith
 
 /** Structured Streaming surface over the `events` stream shape
   * (event_id, ts, user_id, event_type, value).
@@ -23,7 +27,9 @@ object Streams {
   def hourlyCounts(events: DataFrame): DataFrame = events
     .withWatermark("ts", "1 hour")
     .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-    .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    // dsum: exact decimal accumulation — identical across micro-batch
+    // orders AND engines, so the streaming result is oracle-comparable
+    .agg(count(lit(1)).as("n"), Arith.dsum(col("value")).as("sum_value"))
     .select(unix_timestamp(col("window.start")).as("hour_ts"),
       col("event_type"), col("n"), col("sum_value"))
 
@@ -49,34 +55,97 @@ object Streams {
     * (the open session) per user; a gap > 30 min closes and emits the
     * previous session. Batch-equivalent: q_sessionize (operators.Complex).
     *
+    * State is BOUNDED: an event-time timeout fires once the watermark
+    * passes (session end + gap), emitting the idle session and reclaiming
+    * the user's state — without it, the last open session per user would
+    * never emit and churned users would leak state forever.
+    *
     * Within a micro-batch the group iterator is not time-ordered, so events
     * sort by (ts_us, event_id) first — correct as long as a single user's
-    * events do not straddle micro-batches out of order (enforce upstream
-    * with a watermark + dropLate policy in production).
+    * events do not straddle micro-batches out of order (the 30-minute
+    * watermark enforces exactly that horizon).
     */
   def sessionize(events: Dataset[Ev]): Dataset[Session] = {
-    import events.sparkSession.implicits._
-    events
+    val sp = events.sparkSession
+    import sp.implicits._
+    val isStreaming = events.isStreaming // timeouts only exist on streams
+    events.toDF()
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", "30 minutes")
+      .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
-          val closed = Seq.newBuilder[Session]
-          var open = state.getOption
-          sorted.foreach { e =>
-            open match {
-              case Some(s) if e.ts_us - s.endUs <= GapUs =>
-                open = Some(SessionState(s.startUs, e.ts_us, s.n + 1))
-              case Some(s) =>
-                closed += Session(userId, s.n, s.startUs, s.endUs)
-                open = Some(SessionState(e.ts_us, e.ts_us, 1))
-              case None =>
-                open = Some(SessionState(e.ts_us, e.ts_us, 1))
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: the session can no longer grow
+            val out = state.getOption
+              .map(s => Session(userId, s.n, s.startUs, s.endUs))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val closed = Seq.newBuilder[Session]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ts_us - s.endUs <= GapUs =>
+                  open = Some(SessionState(s.startUs, e.ts_us, s.n + 1))
+                case Some(s) =>
+                  closed += Session(userId, s.n, s.startUs, s.endUs)
+                  open = Some(SessionState(e.ts_us, e.ts_us, 1))
+                case None =>
+                  open = Some(SessionState(e.ts_us, e.ts_us, 1))
+              }
             }
+            open.foreach { s =>
+              state.update(s)
+              // clamp: a backlog replay can put end+gap at/under the
+              // watermark, which setTimeoutTimestamp rejects — the session
+              // then times out on the very next no-data batch instead
+              if (isStreaming)
+                state.setTimeoutTimestamp(math.max(
+                  s.endUs / 1000 + GapUs / 1000,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
           }
-          open.foreach(state.update)
-          closed.result().iterator
       }
   }
+
+  /** Driver-checkable streaming row: a real file-source STREAM over the
+    * events parquet, drained with Trigger.AvailableNow through
+    * [[hourlyCounts]] into a named memory sink, returned as the sink
+    * table. The memory/complete sink is the harness choice — its size is
+    * the AGGREGATE output (hours × event types), not the input; a
+    * production deployment sinks append-mode parquet/Kafka with watermark
+    * eviction instead. The oracle is the same SQL as the batch twin
+    * q_events_hourly (minus countDistinct, which streaming aggregation
+    * doesn't support exactly — that is what approx_count_distinct is for).
+    */
+  val queries: Seq[Q] = Seq(
+    Q("q_stream_hourly",
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$d/events.parquet").schema // footer only
+        val stream = s.readStream.schema(schema)
+          // glob, not the bare file path: for a non-glob path the file
+          // stream source force-sets basePath to the path itself, which
+          // then fails the "basePath must be a directory" check
+          .option("basePath", d)
+          .parquet(s"$d/events*.parquet")
+          // same nanos→micros truncation as the batch Tables.events reader
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val sink = "q_stream_hourly_sink"
+        val q = hourlyCounts(stream).writeStream
+          .format("memory").queryName(sink)
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink).orderBy("hour_ts", "event_type")
+      },
+      Some(s"""SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_ts,
+              event_type, COUNT(*) AS n, ${Arith.sqlSum("value")} AS sum_value
+              FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""")))
 }

@@ -30,14 +30,14 @@ class StreamingSpec extends AnyFunSuite {
       .format("memory").queryName("hourly").outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()
 
+    // dsum is exact-decimal on both sides, so compare EXACTLY — no rounding
     val got = s.table("hourly")
-      .select($"hour_ts", $"event_type", $"n",
-        round($"sum_value", 4).as("sv"))
+      .select($"hour_ts", $"event_type", $"n", $"sum_value")
       .collect().map(_.toSeq).toSet
     val want = batch
       .groupBy(unix_timestamp(date_trunc("hour", $"ts")).as("hour_ts"),
         $"event_type")
-      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sv"))
+      .agg(count(lit(1)).as("n"), operators.Arith.dsum($"value").as("sum_value"))
       .collect().map(_.toSeq).toSet
     assert(got == want)
   }
@@ -131,5 +131,42 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSet
     assert(got == want)
+  }
+
+  test("sessionize emits idle sessions via event-time timeout (bounded state)") {
+    val s = spark
+    import s.implicits._
+    // user 1: two events 5 min apart (one session); user 2: one event.
+    // Then a single far-future event for user 99 advances the watermark
+    // past (end + gap) for users 1 and 2 — their open sessions must be
+    // EMITTED BY TIMEOUT and their state reclaimed, with no further events.
+    val m = 60L * 1000000
+    val input = MemoryStream[Ev](s)
+    // start at 10m, not 0: a row AT the initial watermark would be dropped
+    input.addData(Ev(1, 10 * m, 10), Ev(1, 15 * m, 11), Ev(2, 12 * m, 20))
+    val q = Streams.sessionize(input.toDS()).writeStream
+      .format("memory").queryName("idle_sessions").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      input.addData(Ev(99, 2000 * m, 990))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s.table("idle_sessions").as[Session].collect()
+      .map(x => (x.user_id, x.n_events, x.start_us, x.end_us)).toSet
+    assert(got == Set((1L, 2L, 10 * m, 15 * m), (2L, 1L, 12 * m, 12 * m)),
+      s"expected both idle sessions closed by timeout, got $got")
+  }
+
+  test("q_stream_hourly (registered file-source stream) matches its batch twin") {
+    val s = spark
+    import s.implicits._
+    val got = SparkEntry.queries("q_stream_hourly")(s, sfDir)
+      .collect().map(_.toSeq).toSet
+    val want = Tables(s, sfDir, "events")
+      .groupBy(unix_timestamp(date_trunc("hour", $"ts")).as("hour_ts"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), operators.Arith.dsum($"value").as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
   }
 }
