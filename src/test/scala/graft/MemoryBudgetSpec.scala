@@ -1,0 +1,78 @@
+package graft
+
+import java.io.{File, PrintWriter}
+import java.nio.file.Files
+
+import scala.io.Source
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Memory-discipline budget for the MapReduce pipe path, mirroring the
+  * reference's streaming-execution test (reference tests/test_worker_11.py:
+  * 121 asserts < 1 MB RSS growth while mapping a 3.7 MB input): a 64 MB
+  * input must flow through the FULL map → shuffle-sort → reduce pipeline
+  * inside a 256 MB JVM. A pipeline that materialized an input partition
+  * (the reference's own reducer DOES read whole files into memory,
+  * worker/__main__.py:131) would blow the heap: 32 MB of lines as Java
+  * strings is ~2.5× that, twice concurrently, before mapper output —
+  * while the streaming path holds only sorter buffers that spill.
+  */
+class MemoryBudgetSpec extends AnyFunSuite {
+
+  private val jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  test("64 MB wordcount streams through a 256 MB JVM (map+shuffle+reduce)") {
+    val dir = Files.createTempDirectory("graft-membudget")
+    val in = dir.resolve("in"); Files.createDirectory(in)
+    // 2 input files × 32 MB of known lines → deterministic word counts
+    val line = "alpha beta gamma delta epsilon"
+    val linesPerFile = (32 << 20) / (line.length + 1)
+    for (f <- Seq("file01", "file02")) {
+      val w = new PrintWriter(in.resolve(f).toFile)
+      try (1 to linesPerFile).foreach(_ => w.println(line)) finally w.close()
+    }
+    val out = dir.resolve("out").toString
+
+    // sbt's test JVM uses a layered classloader, so java.class.path is not
+    // the app classpath — assemble it from the known locations instead
+    val cp = (Seq("target/scala-2.13/classes", "target/scala-2.13/test-classes")
+      .map(new File(_).getAbsolutePath) ++
+      new File("/opt/spark/jars").listFiles.map(_.getAbsolutePath))
+      .mkString(File.pathSeparator)
+    val java = System.getProperty("java.home") + "/bin/java"
+    val cmd = Seq(java, "-Xmx256m", "-cp", cp) ++ jdk17AddOpens ++
+      Seq("graft.MemBudgetMain", in.toString, out)
+    val proc = new ProcessBuilder(cmd: _*).inheritIO().start()
+    assert(proc.waitFor() == 0, "forked 256 MB JVM failed — pipeline " +
+      "materialized data it should stream (or OOMed in the shuffle)")
+
+    // every word count must equal the total line count, summed across the
+    // reduce partitions each word hashed to
+    val total = 2L * linesPerFile
+    val counts = new File(out).listFiles.filter(_.getName.startsWith("part-"))
+      .flatMap { f =>
+        val src = Source.fromFile(f)
+        try src.getLines().map { l =>
+          val Array(w, n) = l.split('\t'); (w, n.toLong)
+        }.toList
+        finally src.close()
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+    assert(counts == Map("alpha" -> total, "beta" -> total,
+      "gamma" -> total, "delta" -> total, "epsilon" -> total))
+
+    // cleanup (64 MB of scratch)
+    def rm(f: File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    rm(dir.toFile)
+  }
+}
