@@ -3,14 +3,20 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 
 import graft.functions.CosineSim
+import graft.plans.{CosineJoinStrategy, RewriteCosineSelfJoin}
 
 /** Session extension wiring: `--conf spark.sql.extensions=graft.GraftExtensions`
   * (or `.withExtensions(new GraftExtensions)`) makes the engine's native
-  * functions available to plain SQL, e.g.
-  * `SELECT cosine_sim(a.embedding, b.embedding)`.
+  * functions available to plain SQL (e.g.
+  * `SELECT cosine_sim(a.embedding, b.embedding)`) and installs the
+  * cosine-self-join optimizer rule + planner strategy, so oversized
+  * declarative similarity joins auto-dispatch to the blocked-GEMM physical
+  * operator (see graft.plans.CosineJoin).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(CosineSim.registration)
+    ext.injectOptimizerRule(_ => RewriteCosineSelfJoin)
+    ext.injectPlannerStrategy(_ => CosineJoinStrategy)
   }
 }

@@ -66,14 +66,22 @@ object Similarity {
       s: SparkSession, df: DataFrame, threshold: Double,
       blocks: Int): DataFrame = {
     import s.implicits._
-    val bucketed = df
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .rdd
+    val vecs = df.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].rdd
+    blockedPairs(vecs, threshold, blocks).toDF("a_id", "b_id", "cos")
+  }
+
+  /** Core of [[blockedCosineJoin]] on a raw vector RDD — shared with the
+    * custom physical operator (graft.plans.BlockedCosineJoinExec). */
+  def blockedPairs(
+      vecs: org.apache.spark.rdd.RDD[(Long, Array[Float])],
+      threshold: Double,
+      blocks: Int): org.apache.spark.rdd.RDD[(Long, Long, Double)] = {
+    val bucketed = vecs
       .map { case (id, v) => ((id % blocks).toInt, (id, v)) }
       .groupByKey(blocks)
       .mapValues(_.toArray.sortBy(_._1))
-    val pairsRdd = bucketed.cartesian(bucketed)
+    bucketed.cartesian(bucketed)
       .filter { case ((ba, _), (bb, _)) => ba <= bb }
       .flatMap { case ((ba, as), (bb, bs)) =>
         for {
@@ -96,7 +104,6 @@ object Similarity {
           if r >= threshold
         } yield (math.min(aId, bId), math.max(aId, bId), r)
       }
-    pairsRdd.toDF("a_id", "b_id", "cos")
   }
 
   /** Corpora whose Catalyst size estimate is under this broadcast whole;

@@ -1,0 +1,175 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
+  AttributeReference, AttributeSet, Expression, GreaterThanOrEqual, IsNotNull,
+  LessThan, LessThanOrEqual, Literal, Round, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan,
+  Project, UnaryNode}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.CosineSim
+import graft.operators.Similarity
+
+/** Whole-operator custom plan for the exact cosine similarity self-join
+  * (SURVEY.md §7.2 "custom" column — the (c) extension path: LogicalPlan +
+  * Rule[LogicalPlan] + SparkStrategy + SparkPlan, wired through
+  * [[graft.GraftExtensions]]).
+  *
+  * A declarative cosine self-join
+  * {{{
+  *   a.join(b, $"a_id" < $"b_id")
+  *    .withColumn("cos", round(cosine_sim($"a_v", $"b_v"), 6))
+  *    .filter($"cos" >= t).select("a_id", "b_id", "cos")
+  * }}}
+  * plans as a BroadcastNestedLoopJoin — perfect up to the broadcast budget,
+  * a guaranteed OOM past it. [[RewriteCosineSelfJoin]] recognizes the shape
+  * in the optimizer and, when Catalyst's size estimate exceeds
+  * `spark.graft.cosine.maxBroadcastBytes`, swaps the whole subtree for
+  * [[CosineSelfJoin]], which [[CosineJoinStrategy]] plans into
+  * [[BlockedCosineJoinExec]] — the distributed blocked GEMM whose per-task
+  * memory is 2·(corpus/blocks) regardless of corpus size. SQL users get the
+  * same dispatch as the `Similarity.cosinePairs` API, from the plain
+  * declarative formulation.
+  */
+case class CosineSelfJoin(
+    child: LogicalPlan,
+    threshold: Double,
+    blocks: Int,
+    override val output: Seq[Attribute]) extends UnaryNode {
+
+  // b_id and cos are minted here (the right join side was absorbed)
+  override def producedAttributes: AttributeSet =
+    AttributeSet(output.filterNot(child.outputSet.contains))
+
+  // we consume BOTH child columns even though no expression says so —
+  // keeps ColumnPruning from projecting the child away
+  override def references: AttributeSet = child.outputSet
+
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): CosineSelfJoin = copy(child = newChild)
+}
+
+/** Optimizer rule: declarative cosine self-join → [[CosineSelfJoin]] when
+  * the corpus outgrows the broadcast budget. Matches both the fused shape
+  * (predicates merged into the join condition) and the pre-pushdown
+  * Filter-over-Join shape; refuses to fire if ANY conjunct other than the
+  * `a_id < b_id` pair ordering, the rounded-cosine threshold, or an
+  * inferred IsNotNull is present (dropping one would change semantics),
+  * or if the two sides are not scans of the same corpus.
+  */
+object RewriteCosineSelfJoin extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.cosine.maxBroadcastBytes"
+
+  private def maxBytes: Long =
+    conf.getConfString(ConfKey, Similarity.MaxBroadcastBytes.toString).toLong
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConj(l) ++ splitConj(r)
+    case x         => Seq(x)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, Join(_, _, Inner, Some(_), _)) =>
+      tryRewrite(p).getOrElse(p)
+    case p @ Project(_, Filter(_, Join(_, _, Inner, _, _))) =>
+      tryRewrite(p).getOrElse(p)
+  }
+
+  private def tryRewrite(p: Project): Option[LogicalPlan] = {
+    val (projList, l, r, conjuncts) = p match {
+      case Project(pl, Join(jl, jr, Inner, Some(c), _)) =>
+        (pl, jl, jr, splitConj(c))
+      case Project(pl, Filter(fc, Join(jl, jr, Inner, jc, _))) =>
+        (pl, jl, jr, splitConj(fc) ++ jc.toSeq.flatMap(splitConj))
+      case _ => return None
+    }
+    projList match {
+      case Seq(aId: AttributeReference, bId: AttributeReference,
+          al @ Alias(Round(CosineSim(av: AttributeReference,
+            bv: AttributeReference), Literal(6, _), _), _)) =>
+        val sidesOk = l.outputSet.contains(aId) && r.outputSet.contains(bId) &&
+          ((l.outputSet.contains(av) && r.outputSet.contains(bv)) ||
+            (l.outputSet.contains(bv) && r.outputSet.contains(av)))
+        // every conjunct must be accounted for — else no rewrite
+        var pairOrder = false
+        val thresholds = Seq.newBuilder[Double]
+        val allKnown = conjuncts.forall {
+          case LessThan(x: AttributeReference, y: AttributeReference)
+              if x.semanticEquals(aId) && y.semanticEquals(bId) =>
+            pairOrder = true; true
+          case GreaterThanOrEqual(Round(CosineSim(_, _), Literal(6, _), _),
+              Literal(t: Double, DoubleType)) =>
+            thresholds += t; true
+          case LessThanOrEqual(Literal(t: Double, DoubleType),
+              Round(CosineSim(_, _), Literal(6, _), _)) =>
+            thresholds += t; true
+          case IsNotNull(_) => true
+          case _            => false
+        }
+        val thrs = thresholds.result()
+        val selfJoin = l.canonicalized == r.canonicalized
+        val size = l.stats.sizeInBytes
+        if (sidesOk && pairOrder && thrs.nonEmpty && allKnown && selfJoin &&
+          size > BigInt(maxBytes)) {
+          val vecAttr = if (l.outputSet.contains(av)) av else bv
+          val blocks = math.max(2,
+            ((size.min(BigInt(Long.MaxValue)).toLong - 1) /
+              Similarity.TargetBlockBytes + 1).toInt)
+          Some(CosineSelfJoin(
+            Project(Seq(aId, vecAttr), l), // pin (id, vec) ordinals for exec
+            thrs.max, blocks, Seq(aId, bId, al.toAttribute)))
+        } else None
+      case _ => None
+    }
+  }
+}
+
+/** Plans [[CosineSelfJoin]] into [[BlockedCosineJoinExec]]. */
+object CosineJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case CosineSelfJoin(child, threshold, blocks, output) =>
+      BlockedCosineJoinExec(planLater(child), threshold, blocks, output) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical blocked-GEMM cosine join: child rows are (id: long,
+  * vec: array<float>); output rows are (a_id, b_id, cos) for every pair
+  * with rounded cosine ≥ threshold. Delegates to the same
+  * [[Similarity.blockedPairs]] kernel the DataFrame API uses, so both
+  * entries are bit-identical by construction.
+  */
+case class BlockedCosineJoinExec(
+    child: SparkPlan,
+    threshold: Double,
+    blocks: Int,
+    override val output: Seq[Attribute]) extends UnaryExecNode {
+
+  // b_id and cos exist only above this operator (QueryPlan counts output
+  // attrs as references, so without this the plan flags missing input)
+  override def producedAttributes: AttributeSet =
+    AttributeSet(output.filterNot(child.outputSet.contains))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val vecs = child.execute().mapPartitions { it =>
+      it.flatMap { row =>
+        if (row.isNullAt(0) || row.isNullAt(1)) Iterator.empty
+        else Iterator.single((row.getLong(0), row.getArray(1).toFloatArray))
+      }
+    }
+    val types = output.map(_.dataType).toArray
+    Similarity.blockedPairs(vecs, threshold, blocks).mapPartitions { it =>
+      val proj = UnsafeProjection.create(types)
+      it.map { case (a, b, c) => proj(InternalRow(a, b, c)) }
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: SparkPlan): BlockedCosineJoinExec = copy(child = newChild)
+}

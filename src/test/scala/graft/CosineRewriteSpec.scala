@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.CosineSim
+import graft.plans.{CosineJoinStrategy, RewriteCosineSelfJoin}
+
+/** The custom LogicalPlan + Rule + Strategy + SparkPlan path: a plain
+  * declarative cosine self-join must auto-dispatch to the blocked-GEMM
+  * physical operator once the corpus exceeds the configured broadcast
+  * budget — with bit-identical results.
+  */
+class CosineRewriteSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** The canonical declarative formulation the rule recognizes. */
+  private def declarativeJoin(s: SparkSession): DataFrame = {
+    val e = Tables(s, sfDir, "embeddings")
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", round(CosineSim(s, col("a_v"), col("b_v")), 6))
+      .filter(col("cos") >= 0.45)
+      .select("a_id", "b_id", "cos")
+  }
+
+  private def rows(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("cosine self-join rewrites to BlockedCosineJoinExec past the size gate") {
+    val s = spark
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ RewriteCosineSelfJoin
+    s.experimental.extraStrategies =
+      s.experimental.extraStrategies :+ CosineJoinStrategy
+    try {
+      // default 64 MB gate: the sf0.001 corpus stays on the BNLJ plan
+      val base = declarativeJoin(s)
+      assert(!base.queryExecution.executedPlan.toString
+        .contains("BlockedCosineJoin"))
+      val want = rows(base)
+      assert(want.nonEmpty)
+
+      // gate at 0 bytes: the SAME DataFrame code must plan the custom exec
+      // (plan strings strip the "Exec" suffix; "!" would flag missing input)
+      s.conf.set(RewriteCosineSelfJoin.ConfKey, "0")
+      val rewritten = declarativeJoin(s)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("BlockedCosineJoin") &&
+        !plan.contains("!BlockedCosineJoin"), plan)
+      assert(rows(rewritten) == want)
+    } finally {
+      s.conf.unset(RewriteCosineSelfJoin.ConfKey)
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations.filterNot(_ == RewriteCosineSelfJoin)
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies.filterNot(_ == CosineJoinStrategy)
+    }
+  }
+
+  test("rule refuses joins whose semantics it cannot absorb") {
+    val s = spark
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ RewriteCosineSelfJoin
+    s.experimental.extraStrategies =
+      s.experimental.extraStrategies :+ CosineJoinStrategy
+    s.conf.set(RewriteCosineSelfJoin.ConfKey, "0")
+    try {
+      // extra predicate on a_id: dropping it would change results — the
+      // rule must leave the plan alone
+      val e = Tables(s, sfDir, "embeddings")
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val guarded = a.join(b, col("a_id") < col("b_id") && col("a_id") < 100)
+        .withColumn("cos", round(CosineSim(s, col("a_v"), col("b_v")), 6))
+        .filter(col("cos") >= 0.45)
+        .select("a_id", "b_id", "cos")
+      assert(!guarded.queryExecution.executedPlan.toString
+        .contains("BlockedCosineJoin"))
+      // non-self join (different corpora): must not rewrite
+      val half = e.filter(col("vec_id") < 250)
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val mixed = a.join(half, col("a_id") < col("b_id"))
+        .withColumn("cos", round(CosineSim(s, col("a_v"), col("b_v")), 6))
+        .filter(col("cos") >= 0.45)
+        .select("a_id", "b_id", "cos")
+      assert(!mixed.queryExecution.executedPlan.toString
+        .contains("BlockedCosineJoin"))
+    } finally {
+      s.conf.unset(RewriteCosineSelfJoin.ConfKey)
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations.filterNot(_ == RewriteCosineSelfJoin)
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies.filterNot(_ == CosineJoinStrategy)
+    }
+  }
+}
