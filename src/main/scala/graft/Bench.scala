@@ -25,6 +25,26 @@ object Bench {
     }
   }
 
+  /** Per-query seconds from the newest BENCH_r{N}.json in cwd (the driver
+    * runs Bench from the repo root), so each round's output carries its
+    * deltas vs the previous round. Any parse trouble → no deltas. */
+  def prevQueries(): Map[String, Double] = try {
+    val fs = new java.io.File(".")
+      .listFiles((_, n) => n.matches("BENCH_r\\d+\\.json"))
+    if (fs == null || fs.isEmpty) return Map.empty
+    val latest = fs.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tail = Option(om.readTree(latest).get("tail"))
+      .map(_.asText).getOrElse("")
+    val start = tail.lastIndexOf("{\"metric\"")
+    if (start < 0) return Map.empty
+    val node = om.readTree(tail.substring(start).takeWhile(_ != '\n'))
+    val qs = node.get("queries")
+    if (qs == null) return Map.empty
+    import scala.jdk.CollectionConverters._
+    qs.fields().asScala.map(e => e.getKey -> e.getValue.asDouble).toMap
+  } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -61,7 +81,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // cur/prev ratio per query (<1 = faster than last round), so
+    // regressions are visible straight from the round's JSON line
+    val prev = prevQueries()
+    val vs = results.flatMap { case (k, v) =>
+      prev.get(k).filter(_ > 0).map(p =>
+        s"\"" + k + "\":" + math.rint(v / p * 100) / 100)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"vs_prev":$vs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.CosineSim
+import graft.functions.{CosineSim, DotProduct}
 import graft.plans.{CosineJoinStrategy, RewriteCosineSelfJoin}
 
 /** Session extension wiring: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -16,6 +16,7 @@ import graft.plans.{CosineJoinStrategy, RewriteCosineSelfJoin}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(CosineSim.registration)
+    ext.injectFunction(DotProduct.registration)
     ext.injectOptimizerRule(_ => RewriteCosineSelfJoin)
     ext.injectPlannerStrategy(_ => CosineJoinStrategy)
   }

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Codegen'd dot product over `ArrayType(FloatType)` columns — the
+  * similarity-join hot-path kernel. [[CosineSim]] recomputes both vector
+  * norms per PAIR; in an n² join the norms are loop-invariant per row, so
+  * the fast formulation precomputes `sqrt(dot(v,v))` once per row and pays
+  * only this single fused multiply-add loop per pair:
+  * `cos = dot(a,b) / (a_norm * b_norm)` — bit-identical to CosineSim
+  * because the accumulation order and the `sqrt(na)*sqrt(nb)` product are
+  * the same IEEE operations.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires array<float> inputs, " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |double ${ev.value}_dot = 0.0;
+         |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int i = 0; i < ${ev.value}_n; i++) {
+         |  ${ev.value}_dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |}
+         |${ev.value} = ${ev.value}_dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  val registration: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+    (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+
+  /** Idempotently register `dot_product` in a session's function registry. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val (id, info, builder) = registration
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+  }
+
+  /** Column API: `dotProduct(a, b)`. */
+  def apply(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    call_function("dot_product", a, b)
+  }
+}

@@ -162,6 +162,25 @@ object Complex {
               array_to_string(list_sort(list(n_name)), ',') AS names
               FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
 
+    // ---- orc sink + source round trip -------------------------------------
+    // The columnar alternative to parquet (Spark-native ORC reader/writer):
+    // write the part dim to ORC, read it back, aggregate. The oracle reads
+    // the ORIGINAL parquet, so any type/value drift in the ORC path fails.
+    Q("q_orc_roundtrip",
+      (s, d) => {
+        val out = scratch("part_orc")
+        Tables(s, d, "part").write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_parts"),
+            max(col("p_size")).as("max_size"),
+            Arith.dsum(col("p_retailprice")).as("total_price"))
+          .orderBy("p_brand")
+      },
+      Some(s"""SELECT p_brand, COUNT(*) AS n_parts, MAX(p_size) AS max_size,
+              ${Arith.sqlSum("p_retailprice")} AS total_price
+              FROM part GROUP BY p_brand ORDER BY p_brand""")),
+
     // ---- json-lines sink + source round trip ------------------------------
     Q("q_json_roundtrip",
       (s, d) => {

@@ -146,9 +146,10 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    val maxRounds = 50
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (changed > 0 && rounds < maxRounds) {
       val next = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "dst_label"), "dst")
@@ -161,6 +162,14 @@ object Dedup {
       labels = next.select(col("id"), col("new_label").as("label"))
       rounds += 1
     }
+    // a silent cap would return WRONG cluster ids for a >50-diameter chain;
+    // near-dup graphs never get close, so treat hitting it as a bug signal
+    // (the large-star/small-star variant is the fix if one ever appears)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          s"($changed labels still changing) — component diameter too " +
+          "large for min-label propagation")
     labels
   }
 

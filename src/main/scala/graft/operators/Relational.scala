@@ -148,6 +148,31 @@ object Relational {
               ROUND(MAX(l_extendedprice), 4) AS p100
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Sketch path for percentiles: percentile_approx (Greenwald-Khanna).
+    // At an accuracy ≥ the group row count the sketch degenerates to the
+    // exact discrete order statistic, which IS DuckDB's quantile_disc — so
+    // this row pins the approx operator against an exact oracle while
+    // showing the exact/approx pairing a 100 TB user would flip between
+    // (drop the accuracy to the default 10000 at scale and the memory is
+    // O(accuracy), not O(rows)).
+    Q("q_approx_percentile",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_quantity"), lit(0.5), lit(1000000))
+            .as("p50_disc"),
+          percentile_approx(col("l_quantity"), lit(0.95), lit(1000000))
+            .as("p95_disc"),
+          round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50_cont"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+              quantile_disc(l_quantity, 0.5) AS p50_disc,
+              quantile_disc(l_quantity, 0.95) AS p95_disc,
+              ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_cont,
+              COUNT(*) AS n_rows
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Sketch path: HyperLogLog distinct counts — the 100 TB answer when
     // exact distinct (q_agg_distinct's expand+two-phase) is too expensive.
     // Approximate ⇒ no cross-engine oracle (driver records rows-only).
