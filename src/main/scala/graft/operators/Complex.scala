@@ -181,6 +181,29 @@ object Complex {
               ${Arith.sqlSum("p_retailprice")} AS total_price
               FROM part GROUP BY p_brand ORDER BY p_brand""")),
 
+    // ---- custom DataSource V2: the reference's text-dir table -------------
+    // Write documents as text lines, read them back through the
+    // graft.sources.TextDirSource DSv2 connector (one partition per file,
+    // sorted D1 listing, column pruning), aggregate. The oracle recomputes
+    // the same lines from the ORIGINAL parquet.
+    Q("q_textdir_scan",
+      (s, d) => {
+        val out = scratch("docs_textdir")
+        Tables(s, d, "documents")
+          .select(concat_ws("\t", col("doc_id"), md5(col("text"))).as("value"))
+          .repartition(3)
+          .write.mode("overwrite").text(out)
+        s.read.format(graft.sources.TextDirSource.Name).load(out)
+          .agg(count(lit(1)).as("n_lines"),
+            countDistinct(col("file")).as("n_files"),
+            min(col("line")).as("min_line"),
+            max(col("line")).as("max_line"))
+      },
+      Some("""SELECT COUNT(*) AS n_lines, CAST(3 AS BIGINT) AS n_files,
+              MIN(CAST(doc_id AS VARCHAR) || chr(9) || md5(text)) AS min_line,
+              MAX(CAST(doc_id AS VARCHAR) || chr(9) || md5(text)) AS max_line
+              FROM documents""")),
+
     // ---- json-lines sink + source round trip ------------------------------
     Q("q_json_roundtrip",
       (s, d) => {

@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** DataSource V2 connector for the reference engine's native "table": a
+  * directory of text files, one record per line, with file provenance
+  * (reference manager/__main__.py:257-259 — `sorted(Path(dir).glob("*"))`
+  * feeding line-oriented mappers).
+  *
+  * ```scala
+  * spark.read.format("graft.sources.TextDirSource").load(dir)
+  *   // => (file: string, line: string)
+  * ```
+  *
+  * Spark-first shape:
+  *  - one InputPartition PER FILE, listed in sorted order (D1 semantics;
+  *    hidden/`_SUCCESS`-style entries skipped per Hadoop convention) —
+  *    at scale each file reads independently on its executor, nothing
+  *    touches the driver except the listing;
+  *  - SupportsPushDownRequiredColumns: `select(count(line))`-style plans
+  *    prune `file` (or read NO columns for a bare count) — the reader
+  *    consults the pruned schema instead of always materializing both;
+  *  - readers stream line-by-line through a BufferedReader — the memory
+  *    profile is one line, matching the reference's streaming budget.
+  */
+class TextDirSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TextDirSource.Schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new TextDirTable(Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft.sources.TextDirSource requires .load(path)")))
+}
+
+object TextDirSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("line", StringType, nullable = false)))
+
+  /** Format name for `spark.read.format(...)`. */
+  val Name: String = classOf[TextDirSource].getName
+}
+
+private[sources] class TextDirTable(path: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"textdir($path)"
+  override def schema(): StructType = TextDirSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new TextDirScanBuilder(path)
+}
+
+private[sources] class TextDirScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = TextDirSource.Schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new TextDirScan(path, required)
+}
+
+private[sources] class TextDirScan(path: String, required: StructType)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"textdir($path) columns=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // D1: flat listing, sorted by name; skip Hadoop markers/hidden files
+    fs.listStatus(p).filter(_.isFile)
+      .map(_.getPath)
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .sortBy(_.getName)
+      .map(f => TextDirInputPartition(f.toString): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    new TextDirReaderFactory(required,
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+  }
+}
+
+private[sources] case class TextDirInputPartition(file: String)
+    extends InputPartition
+
+private[sources] class TextDirReaderFactory(
+    required: StructType,
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[TextDirInputPartition].file
+    new PartitionReader[InternalRow] {
+      private val path = new Path(file)
+      private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        path.getFileSystem(conf.value).open(path),
+        java.nio.charset.StandardCharsets.UTF_8))
+      private val fileUtf8 = UTF8String.fromString(file)
+      // ordinal plan per pruned column: 0 = file, 1 = line
+      private val cols = required.fieldNames.map {
+        case "file" => 0
+        case "line" => 1
+      }
+      private var current: String = _
+
+      override def next(): Boolean = {
+        current = in.readLine()
+        current != null
+      }
+
+      override def get(): InternalRow = InternalRow.fromSeq(
+        cols.toSeq.map {
+          case 0 => fileUtf8
+          case 1 => UTF8String.fromString(current)
+        })
+
+      override def close(): Unit = in.close()
+    }
+  }
+}
