@@ -296,6 +296,47 @@ object Dedup {
                 ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
                       len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
               FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
-              ORDER BY a_id"""))
+              ORDER BY a_id""")),
+
+    // ---- embedding-cosine near-dup ---------------------------------------
+    // Semantic dedup: vectors whose cosine ≥ 0.45 are duplicates; clusters
+    // are connected components over those edges, and the kept
+    // representative is the minimum vec_id. Edges come from the
+    // size-dispatched exact similarity join (broadcast kernel / blocked
+    // GEMM — see Similarity.cosinePairs); EVERY vector gets a row, with
+    // singletons their own cluster. The oracle recomputes edges with the
+    // same rounded cosine and takes a recursive transitive closure.
+    Q("q_dedup_embed",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val edges = Similarity.cosinePairs(s, e, 0.45)
+          .select(col("a_id"), col("b_id"))
+        val labels = connectedComponents(edges)
+          .withColumnRenamed("id", "vec_id")
+        e.select(col("vec_id")).join(labels, Seq("vec_id"), "left")
+          .withColumn("cluster_id", coalesce(col("label"), col("vec_id")))
+          .withColumn("keep", col("vec_id") === col("cluster_id"))
+          .select("vec_id", "cluster_id", "keep")
+          .orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE
+              e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              p AS (
+                SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+                WHERE ROUND(list_sum([a.v[i] * b.v[i] FOR i IN generate_series(1, 64)]) /
+                  (sqrt(list_sum([x * x FOR x IN a.v])) *
+                   sqrt(list_sum([x * x FOR x IN b.v]))), 6) >= 0.45),
+              edges AS (
+                SELECT a_id AS a, b_id AS b FROM p
+                UNION SELECT b_id, a_id FROM p),
+              r(id, n) AS (
+                SELECT vec_id, vec_id FROM e
+                UNION
+                SELECT r.id, edges.b FROM r JOIN edges ON r.n = edges.a)
+              SELECT id AS vec_id, MIN(n) AS cluster_id,
+                (MIN(n) = id) AS keep
+              FROM r GROUP BY id ORDER BY vec_id"""))
   )
 }

@@ -539,6 +539,58 @@ object Relational {
       Some(s"""SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_ts,
               event_type, COUNT(*) AS n, ${sqlSum("value")} AS sum_value,
               COUNT(DISTINCT user_id) AS n_users
-              FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type"""))
+              FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""")),
+
+    // Sliding event-time windows (1 h length, 30 min slide): every event
+    // lands in exactly length/slide = 2 windows. Spark's window() generator
+    // expands rows before the aggregation — partial aggregation still
+    // applies. The oracle expands the two window starts explicitly.
+    Q("q_events_sliding",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type"),
+      Some(s"""WITH x AS (
+                SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 1800) * 1800
+                       AS BIGINT) AS w0, event_type, value
+                FROM events),
+              u AS (
+                SELECT w0 AS win_start, event_type, value FROM x
+                UNION ALL
+                SELECT w0 - 1800, event_type, value FROM x)
+              SELECT win_start, event_type, COUNT(*) AS n,
+                ${sqlSum("value")} AS sum_value
+              FROM u GROUP BY 1, 2 ORDER BY win_start, event_type""")),
+
+    // GROUPING SETS (the general form rollup/cube specialize): per-status,
+    // per-priority, and grand-total aggregates in ONE pass (Spark plans an
+    // Expand + single aggregation). GROUPING() markers disambiguate the
+    // placeholder nulls; sorts pin NULLS FIRST because the engines'
+    // defaults differ.
+    Q("q_grouping_sets",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+                CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS total
+                FROM orders_gs
+                GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                ORDER BY o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+              CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+              CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS total
+              FROM orders
+              GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              ORDER BY o_orderstatus ASC NULLS FIRST,
+                o_orderpriority ASC NULLS FIRST"""))
   )
 }
