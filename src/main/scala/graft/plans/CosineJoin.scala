@@ -89,10 +89,22 @@ object RewriteCosineSelfJoin extends Rule[LogicalPlan] {
         (pl, jl, jr, splitConj(fc) ++ jc.toSeq.flatMap(splitConj))
       case _ => return None
     }
+    // id columns surface either as bare attributes (DataFrame API renames
+    // them on the join inputs) or as Alias(attr) in the top projection
+    // (SQL renames them there) — accept both, tracking the OUTPUT attr
+    def idOf(e: Expression): Option[(AttributeReference, Attribute)] =
+      e match {
+        case a: AttributeReference                 => Some((a, a))
+        case al @ Alias(a: AttributeReference, _)  => Some((a, al.toAttribute))
+        case _                                     => None
+      }
     projList match {
-      case Seq(aId: AttributeReference, bId: AttributeReference,
+      case Seq(e1, e2,
           al @ Alias(Round(CosineSim(av: AttributeReference,
-            bv: AttributeReference), Literal(6, _), _), _)) =>
+            bv: AttributeReference), Literal(6, _), _), _))
+          if idOf(e1).isDefined && idOf(e2).isDefined =>
+        val (aId, outA) = idOf(e1).get
+        val (bId, outB) = idOf(e2).get
         val sidesOk = l.outputSet.contains(aId) && r.outputSet.contains(bId) &&
           ((l.outputSet.contains(av) && r.outputSet.contains(bv)) ||
             (l.outputSet.contains(bv) && r.outputSet.contains(av)))
@@ -123,7 +135,7 @@ object RewriteCosineSelfJoin extends Rule[LogicalPlan] {
               Similarity.TargetBlockBytes + 1).toInt)
           Some(CosineSelfJoin(
             Project(Seq(aId, vecAttr), l), // pin (id, vec) ordinals for exec
-            thrs.max, blocks, Seq(aId, bId, al.toAttribute)))
+            thrs.max, blocks, Seq(outA, outB, al.toAttribute)))
         } else None
       case _ => None
     }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSim
+import graft.plans.RewriteCosineSelfJoin
+
+/** Forked-JVM entry for ExtensionsSpec: builds a FRESH session with
+  * `.withExtensions(new GraftExtensions)` (impossible on the shared test
+  * session — extensions only apply at session construction) and proves the
+  * whole wiring: SQL functions resolve by name, and the cosine-self-join
+  * rewrite fires from plain SQL once the size gate is lowered.
+  * Exit 0 = all checks passed.
+  */
+object ExtensionsMain {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir) = args
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    Tables(spark, sfDir, "embeddings").createOrReplaceTempView("emb")
+
+    // 1. injected SQL functions resolve without manual registration
+    val one = spark.sql(
+      "SELECT round(cosine_sim(embedding, embedding), 6) c FROM emb LIMIT 1")
+      .collect()(0).getDouble(0)
+    require(one == 1.0, s"cosine_sim(v, v) = $one, expected 1.0")
+    val dp = spark.sql(
+      "SELECT dot_product(embedding, embedding) >= 0 FROM emb LIMIT 1")
+      .collect()(0).getBoolean(0)
+    require(dp, "dot_product(v, v) must be non-negative")
+
+    // 2. the optimizer rule + strategy fire from PLAIN SQL
+    spark.conf.set(RewriteCosineSelfJoin.ConfKey, "0")
+    val df = spark.sql(
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         round(cosine_sim(a.embedding, b.embedding), 6) AS cos
+         FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+         WHERE round(cosine_sim(a.embedding, b.embedding), 6) >= 0.45""")
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("BlockedCosineJoin") &&
+      !plan.contains("!BlockedCosineJoin"),
+      s"SQL cosine self-join did not rewrite:\n$plan")
+
+    // 3. and computes the same pairs as the library API
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = graft.operators.Similarity.cosinePairs(spark,
+      Tables(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding")),
+      0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    require(got == want && got.nonEmpty,
+      s"SQL path != API path: ${got.size} vs ${want.size} pairs")
+
+    spark.stop()
+  }
+}
