@@ -274,6 +274,67 @@ object Dedup {
                       FOR j IN generate_series(1, 32)]) AS BIGINT) AS simhash
               FROM v ORDER BY doc_id""")),
 
+    // ---- SimHash banded near-dup (LSH over Hamming space) ----------------
+    // The grouping the signature exists for: 4 bands × 8 bits — any pair
+    // within Hamming distance 3 collides on at least one band (pigeonhole:
+    // 3 flipped bits can ruin at most 3 of the 4 bands), so candidates come
+    // from band-equality self-joins (shuffle = 4 × docs rows, never
+    // all-pairs) and only candidates pay the exact Hamming verification.
+    // The verify threshold here is ≤ 1 (well inside the ≤ 3 recall
+    // guarantee): this synthetic corpus shares one small vocabulary, so a
+    // 32-bit simhash is weakly discriminative and looser thresholds call
+    // everything a near-dup.
+    Q("q_dedup_simhash_bands",
+      (s, d) => {
+        val sim = simhash32(docs(s, d)).localCheckpoint()
+        val bands = sim
+          .select(col("doc_id"), col("simhash"),
+            explode(sequence(lit(0), lit(3))).as("band"))
+          .withColumn("band_val",
+            expr("shiftright(simhash, CAST(band * 8 AS INT)) & 255"))
+        val a = bands.select(col("band"), col("band_val"),
+          col("doc_id").as("a_id"), col("simhash").as("a_sim"))
+        val b = bands.select(col("band"), col("band_val"),
+          col("doc_id").as("b_id"), col("simhash").as("b_sim"))
+        a.join(b, Seq("band", "band_val"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id", "a_sim", "b_sim").distinct()
+          .withColumn("hamming",
+            bit_count(col("a_sim").bitwiseXOR(col("b_sim"))))
+          .filter(col("hamming") <= 1)
+          .select(col("a_id"), col("b_id"), col("hamming"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                FROM documents),
+              v AS (
+                SELECT doc_id,
+                  [list_sum([CASE WHEN substr(md5(tok), j, 1)
+                              IN ('8','9','a','b','c','d','e','f')
+                             THEN 1 ELSE -1 END FOR tok IN toks])
+                   FOR j IN generate_series(1, 32)] AS votes
+                FROM t),
+              s AS (
+                SELECT doc_id,
+                  CAST(list_sum([CASE WHEN votes[j] > 0 THEN 2**(j-1) ELSE 0 END
+                        FOR j IN generate_series(1, 32)]) AS BIGINT) AS simhash
+                FROM v),
+              bands AS (
+                SELECT doc_id, simhash, j AS band,
+                  (simhash >> (8 * j)) & 255 AS band_val
+                FROM s, (SELECT unnest(generate_series(0, 3)) AS j)),
+              cand AS (
+                SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                  a.simhash AS a_sim, b.simhash AS b_sim
+                FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_val = b.band_val
+                  AND a.doc_id < b.doc_id)
+              SELECT a_id, b_id,
+                CAST(bit_count(xor(a_sim, b_sim)) AS INT) AS hamming
+              FROM cand WHERE bit_count(xor(a_sim, b_sim)) <= 1
+              ORDER BY a_id, b_id""")),
+
     // ---- n-gram Jaccard similarity ---------------------------------------
     // The similarity measure itself as an operator: each doc scored against
     // its doc_id successor — a single equi-join shuffle, no cross join.
