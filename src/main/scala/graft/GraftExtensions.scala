@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{CosineSim, DotProduct}
+import graft.functions.{CosineSim, DotProduct, SimHash32}
 import graft.plans.{CosineJoinStrategy, RewriteCosineSelfJoin}
 
 /** Session extension wiring: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(CosineSim.registration)
     ext.injectFunction(DotProduct.registration)
+    ext.injectFunction(SimHash32.registration)
     ext.injectOptimizerRule(_ => RewriteCosineSelfJoin)
     ext.injectPlannerStrategy(_ => CosineJoinStrategy)
   }

@@ -118,16 +118,13 @@ object Dedup {
     * 2^j stays exact in double up to j=31, so the pow() pack matches
     * DuckDB's 2**(j-1) arithmetic exactly. */
   private def simhash32(df: DataFrame): DataFrame = df
+    // graft.functions.SimHash32: one native per-document loop, ZERO
+    // shuffles — replaces the explode(tokens)×32-hex-char double
+    // aggregation formulation, which shuffled docs×tokens×32 rows twice.
+    // The DuckDB oracles still spell out the declarative definition, so
+    // the compare pins the native kernel against it.
     .select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("tok"))
-    .select(col("doc_id"),
-      posexplode(split(md5(col("tok")), "")).as(Seq("j", "c")))
-    .groupBy("doc_id", "j")
-    .agg(sum(when(col("c").isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L)
-      .otherwise(-1L)).as("vote"))
-    .groupBy("doc_id")
-    .agg(sum(when(col("vote") > 0, pow(lit(2.0), col("j").cast("double")))
-      .otherwise(0.0d)).cast("long").as("simhash"))
+      graft.functions.SimHash32(df.sparkSession, col("text")).as("simhash"))
 
   /** Connected components by iterative min-label propagation: each node
     * adopts the smallest id reachable over the near-dup edges; O(diameter)
@@ -275,35 +272,48 @@ object Dedup {
               FROM v ORDER BY doc_id""")),
 
     // ---- SimHash banded near-dup (LSH over Hamming space) ----------------
-    // The grouping the signature exists for: 4 bands × 8 bits — any pair
-    // within Hamming distance 3 collides on at least one band (pigeonhole:
-    // 3 flipped bits can ruin at most 3 of the 4 bands), so candidates come
-    // from band-equality self-joins (shuffle = 4 × docs rows, never
-    // all-pairs) and only candidates pay the exact Hamming verification.
-    // The verify threshold here is ≤ 1 (well inside the ≤ 3 recall
-    // guarantee): this synthetic corpus shares one small vocabulary, so a
-    // 32-bit simhash is weakly discriminative and looser thresholds call
-    // everything a near-dup.
+    // The grouping the signature exists for — with the two shapes a 100 TB
+    // run needs:
+    //  1. COLLAPSE EXACT-SIGNATURE DUPLICATES FIRST (this corpus: 5000
+    //     docs → 2255 distinct signatures, one sharing 542 docs). Banding
+    //     raw docs would self-join those 542 into 147k pairs per bucket;
+    //     banding distinct signatures keeps every bucket small and counts
+    //     intra-group pairs combinatorially (cnt·(cnt−1)/2).
+    //  2. LSH banding over the distinct signatures: 4 bands × 8 bits —
+    //     any pair within Hamming distance 3 collides on ≥ 1 band
+    //     (pigeonhole), so cross-signature candidates come from
+    //     band-equality self-joins, never all-pairs; only candidates pay
+    //     the exact bit_count(xor) verification (threshold 1 here — this
+    //     synthetic corpus shares one vocabulary, so looser thresholds
+    //     call everything a near-dup).
+    // Output is the per-distance pair histogram — pair LISTS feed
+    // clustering or stats downstream, never a sink.
     Q("q_dedup_simhash_bands",
       (s, d) => {
-        val sim = simhash32(docs(s, d)).localCheckpoint()
-        val bands = sim
-          .select(col("doc_id"), col("simhash"),
+        val groups = simhash32(docs(s, d))
+          .groupBy("simhash").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val bands = groups
+          .select(col("simhash"), col("cnt"),
             explode(sequence(lit(0), lit(3))).as("band"))
           .withColumn("band_val",
             expr("shiftright(simhash, CAST(band * 8 AS INT)) & 255"))
         val a = bands.select(col("band"), col("band_val"),
-          col("doc_id").as("a_id"), col("simhash").as("a_sim"))
+          col("simhash").as("a_sim"), col("cnt").as("a_cnt"))
         val b = bands.select(col("band"), col("band_val"),
-          col("doc_id").as("b_id"), col("simhash").as("b_sim"))
-        a.join(b, Seq("band", "band_val"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id", "a_sim", "b_sim").distinct()
-          .withColumn("hamming",
-            bit_count(col("a_sim").bitwiseXOR(col("b_sim"))))
-          .filter(col("hamming") <= 1)
-          .select(col("a_id"), col("b_id"), col("hamming"))
-          .orderBy("a_id", "b_id")
+          col("simhash").as("b_sim"), col("cnt").as("b_cnt"))
+        val cross = a.join(b, Seq("band", "band_val"))
+          .filter(col("a_sim") < col("b_sim"))
+          .select("a_sim", "b_sim", "a_cnt", "b_cnt").distinct()
+          .filter(bit_count(col("a_sim").bitwiseXOR(col("b_sim"))) === 1)
+          .agg(sum(col("a_cnt") * col("b_cnt")).as("n_pairs"))
+          .select(lit(1).as("hamming"), col("n_pairs"))
+        val intra = groups
+          .agg(sum(expr("cnt * (cnt - 1) DIV 2")).as("n_pairs"))
+          .select(lit(0).as("hamming"), col("n_pairs"))
+        intra.union(cross)
+          .filter(col("n_pairs").isNotNull && col("n_pairs") > 0)
+          .orderBy("hamming")
       },
       Some("""WITH t AS (
                 SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
@@ -320,20 +330,28 @@ object Dedup {
                   CAST(list_sum([CASE WHEN votes[j] > 0 THEN 2**(j-1) ELSE 0 END
                         FOR j IN generate_series(1, 32)]) AS BIGINT) AS simhash
                 FROM v),
+              g AS (SELECT simhash, COUNT(*) AS cnt FROM s GROUP BY simhash),
               bands AS (
-                SELECT doc_id, simhash, j AS band,
+                SELECT simhash, cnt, j AS band,
                   (simhash >> (8 * j)) & 255 AS band_val
-                FROM s, (SELECT unnest(generate_series(0, 3)) AS j)),
+                FROM g, (SELECT unnest(generate_series(0, 3)) AS j)),
               cand AS (
-                SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-                  a.simhash AS a_sim, b.simhash AS b_sim
+                SELECT DISTINCT a.simhash AS a_sim, b.simhash AS b_sim,
+                  a.cnt AS a_cnt, b.cnt AS b_cnt
                 FROM bands a JOIN bands b
                 ON a.band = b.band AND a.band_val = b.band_val
-                  AND a.doc_id < b.doc_id)
-              SELECT a_id, b_id,
-                CAST(bit_count(xor(a_sim, b_sim)) AS INT) AS hamming
-              FROM cand WHERE bit_count(xor(a_sim, b_sim)) <= 1
-              ORDER BY a_id, b_id""")),
+                  AND a.simhash < b.simhash),
+              cx AS (
+                SELECT 1 AS hamming, CAST(SUM(a_cnt * b_cnt) AS BIGINT) AS n_pairs
+                FROM cand WHERE bit_count(xor(a_sim, b_sim)) = 1),
+              intra AS (
+                SELECT 0 AS hamming,
+                  CAST(SUM(cnt * (cnt - 1) // 2) AS BIGINT) AS n_pairs
+                FROM g)
+              SELECT hamming, n_pairs FROM (
+                SELECT * FROM intra UNION ALL SELECT * FROM cx)
+              WHERE n_pairs IS NOT NULL AND n_pairs > 0
+              ORDER BY hamming""")),
 
     // ---- n-gram Jaccard similarity ---------------------------------------
     // The similarity measure itself as an operator: each doc scored against
