@@ -80,19 +80,13 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object CosineSim {
-  val registration: (FunctionIdentifier, ExpressionInfo,
-      Seq[Expression] => Expression) = (
-    FunctionIdentifier("cosine_sim"),
-    new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-    (children: Seq[Expression]) => CosineSim(children(0), children(1)))
+  val registration: FnReg.Registration = FnReg.make(
+    "cosine_sim", classOf[CosineSim], arity = 2,
+    c => CosineSim(c(0), c(1)))
 
-  /** Idempotently register `cosine_sim` in a session's function registry
-    * (for sessions not built with [[graft.GraftExtensions]]). */
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val (id, info, builder) = registration
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
-  }
+  /** Idempotently register `cosine_sim` in a session's function registry. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    FnReg.ensure(spark, registration)
 
   /** Column API: `cosineSim(a, b)`. */
   def apply(spark: SparkSession, a: Column, b: Column): Column = {

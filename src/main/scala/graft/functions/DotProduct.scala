@@ -66,22 +66,13 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
-  val registration: (FunctionIdentifier, ExpressionInfo,
-      Seq[Expression] => Expression) = (
-    FunctionIdentifier("dot_product"),
-    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-    (children: Seq[Expression]) => DotProduct(children(0), children(1)))
-
-  /** Idempotently register `dot_product` in a session's function registry. */
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val (id, info, builder) = registration
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
-  }
+  val registration: FnReg.Registration = FnReg.make(
+    "dot_product", classOf[DotProduct], arity = 2,
+    c => DotProduct(c(0), c(1)))
 
   /** Column API: `dotProduct(a, b)`. */
   def apply(spark: SparkSession, a: Column, b: Column): Column = {
-    ensureRegistered(spark)
+    FnReg.ensure(spark, registration)
     call_function("dot_product", a, b)
   }
 }

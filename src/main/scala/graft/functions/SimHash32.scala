@@ -75,22 +75,13 @@ case class SimHash32(child: Expression)
 }
 
 object SimHash32 {
-  val registration: (FunctionIdentifier, ExpressionInfo,
-      Seq[Expression] => Expression) = (
-    FunctionIdentifier("simhash32"),
-    new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
-    (children: Seq[Expression]) => SimHash32(children.head))
-
-  /** Idempotently register `simhash32` in a session's function registry. */
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val (id, info, builder) = registration
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
-  }
+  val registration: FnReg.Registration = FnReg.make(
+    "simhash32", classOf[SimHash32], arity = 1,
+    c => SimHash32(c.head))
 
   /** Column API: `simHash32(text)`. */
   def apply(spark: SparkSession, text: Column): Column = {
-    ensureRegistered(spark)
+    FnReg.ensure(spark, registration)
     call_function("simhash32", text)
   }
 }

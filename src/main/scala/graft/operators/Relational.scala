@@ -573,21 +573,23 @@ object Relational {
     Q("q_grouping_sets",
       (s, d) => {
         t(s, d, "orders").createOrReplaceTempView("orders_gs")
-        s.sql("""SELECT o_orderstatus, o_orderpriority,
+        // Arith.sqlSum text is valid in BOTH dialects — one definition of
+        // the decimal discipline, interpolated on both sides
+        s.sql(s"""SELECT o_orderstatus, o_orderpriority,
                 CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
                 CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
                 COUNT(*) AS n,
-                CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS total
+                ${sqlSum("o_totalprice")} AS total
                 FROM orders_gs
                 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
                 ORDER BY o_orderstatus ASC NULLS FIRST,
                   o_orderpriority ASC NULLS FIRST""")
       },
-      Some("""SELECT o_orderstatus, o_orderpriority,
+      Some(s"""SELECT o_orderstatus, o_orderpriority,
               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
               COUNT(*) AS n,
-              CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS total
+              ${sqlSum("o_totalprice")} AS total
               FROM orders
               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
               ORDER BY o_orderstatus ASC NULLS FIRST,

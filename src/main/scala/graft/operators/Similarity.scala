@@ -98,7 +98,10 @@ object Similarity {
               nb += bv(k).toDouble * bv(k)
               k += 1
             }
-            BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+            // zero-norm vector ⇒ no defined cosine: drop the pair (the
+            // broadcast arm filters such rows out; BigDecimal(NaN) throws)
+            if (na == 0.0 || nb == 0.0) Double.NegativeInfinity
+            else BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
           }
           if r >= threshold
@@ -130,10 +133,15 @@ object Similarity {
         // norms are loop-invariant per row: precompute sqrt(dot(v,v)) once
         // per row so each of the n²/2 pairs pays ONE dot loop, not three.
         // Bit-identical to round(cosine_sim(a,b), 6): same accumulation
-        // order, same sqrt(na)*sqrt(nb) product.
+        // order, same sqrt(na)*sqrt(nb) product. Zero-norm vectors have
+        // no defined cosine and are dropped HERE — otherwise 0/0 → NaN,
+        // which Spark's NaN-is-largest comparison would PASS through the
+        // threshold while the oracle's NULL is excluded (and the blocked
+        // path guards the same case).
         def side(idName: String, vName: String, nName: String) = e.select(
           col("vec_id").as(idName), col("embedding").as(vName),
           sqrt(DotProduct(s, col("embedding"), col("embedding"))).as(nName))
+          .filter(col(nName) > 0.0)
         // a small corpus arrives as ONE file split; the n²/2 pair loop is
         // the cost, so spread the probe side across every core — at scale
         // the probe side is many splits and this exchange disappears
@@ -150,7 +158,9 @@ object Similarity {
         val blocks = math.max(2, ((bytes - 1) / TargetBlockBytes + 1).toInt)
         blockedCosineJoin(s, e, threshold, blocks)
       }
-    pairs.orderBy("a_id", "b_id")
+    // unordered: pair sets feed clustering/stats; callers needing a
+    // deterministic order (the oracle row) sort at the call site
+    pairs
   }
 
   val queries: Seq[Q] = Seq(
@@ -222,7 +232,8 @@ object Similarity {
     // path. The approximate scale path for HIGH thresholds is q_ann_ivf.
     Q("q_cosine_pairs",
       (s, d) => cosinePairs(s,
-        embs(s, d).select(col("vec_id"), col("embedding")), 0.45),
+        embs(s, d).select(col("vec_id"), col("embedding")), 0.45)
+        .orderBy("a_id", "b_id"),
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
               SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                 ${sqlCosine("a", "b")} AS cos

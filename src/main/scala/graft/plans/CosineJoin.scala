@@ -108,21 +108,31 @@ object RewriteCosineSelfJoin extends Rule[LogicalPlan] {
         val sidesOk = l.outputSet.contains(aId) && r.outputSet.contains(bId) &&
           ((l.outputSet.contains(av) && r.outputSet.contains(bv)) ||
             (l.outputSet.contains(bv) && r.outputSet.contains(av)))
-        // every conjunct must be accounted for — else no rewrite
+        // every conjunct must be accounted for — else no rewrite. The
+        // threshold must compare THE PAIR cosine (same operand attrs as
+        // the projected one, either order); an IsNotNull is absorbable
+        // only over a column whose nulls the blocked exec drops anyway.
+        def isPairCosine(x: Expression, y: Expression): Boolean =
+          (x.semanticEquals(av) && y.semanticEquals(bv)) ||
+            (x.semanticEquals(bv) && y.semanticEquals(av))
+        val known = Seq[Attribute](aId, bId, av, bv)
         var pairOrder = false
         val thresholds = Seq.newBuilder[Double]
         val allKnown = conjuncts.forall {
           case LessThan(x: AttributeReference, y: AttributeReference)
               if x.semanticEquals(aId) && y.semanticEquals(bId) =>
             pairOrder = true; true
-          case GreaterThanOrEqual(Round(CosineSim(_, _), Literal(6, _), _),
-              Literal(t: Double, DoubleType)) =>
+          case GreaterThanOrEqual(
+              Round(CosineSim(x, y), Literal(6, _), _),
+              Literal(t: Double, DoubleType)) if isPairCosine(x, y) =>
             thresholds += t; true
           case LessThanOrEqual(Literal(t: Double, DoubleType),
-              Round(CosineSim(_, _), Literal(6, _), _)) =>
+              Round(CosineSim(x, y), Literal(6, _), _))
+              if isPairCosine(x, y) =>
             thresholds += t; true
-          case IsNotNull(_) => true
-          case _            => false
+          case IsNotNull(c: AttributeReference)
+              if known.exists(c.semanticEquals) => true
+          case _ => false
         }
         val thrs = thresholds.result()
         val selfJoin = l.canonicalized == r.canonicalized

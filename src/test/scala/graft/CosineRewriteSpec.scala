@@ -90,6 +90,14 @@ class CosineRewriteSpec extends AnyFunSuite {
         .select("a_id", "b_id", "cos")
       assert(!mixed.queryExecution.executedPlan.toString
         .contains("BlockedCosineJoin"))
+      // a threshold over a DIFFERENT cosine (self-similarity sanity check,
+      // not the pair cosine) must not be absorbed as the pair threshold
+      val selfCos = a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cos", round(CosineSim(s, col("a_v"), col("b_v")), 6))
+        .filter(round(CosineSim(s, col("a_v"), col("a_v")), 6) >= 0.99)
+        .select("a_id", "b_id", "cos")
+      assert(!selfCos.queryExecution.executedPlan.toString
+        .contains("BlockedCosineJoin"))
     } finally {
       s.conf.unset(RewriteCosineSelfJoin.ConfKey)
       s.experimental.extraOptimizations =

@@ -19,16 +19,6 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class MemoryBudgetSpec extends AnyFunSuite {
 
-  private val jdk17AddOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar",
-  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-
   test("64 MB wordcount streams through a 256 MB JVM (map+shuffle+reduce)") {
     val dir = Files.createTempDirectory("graft-membudget")
     val in = dir.resolve("in"); Files.createDirectory(in)
@@ -41,18 +31,10 @@ class MemoryBudgetSpec extends AnyFunSuite {
     }
     val out = dir.resolve("out").toString
 
-    // sbt's test JVM uses a layered classloader, so java.class.path is not
-    // the app classpath — assemble it from the known locations instead
-    val cp = (Seq("target/scala-2.13/classes", "target/scala-2.13/test-classes")
-      .map(new File(_).getAbsolutePath) ++
-      new File("/opt/spark/jars").listFiles.map(_.getAbsolutePath))
-      .mkString(File.pathSeparator)
-    val java = System.getProperty("java.home") + "/bin/java"
-    val cmd = Seq(java, "-Xmx256m", "-cp", cp) ++ jdk17AddOpens ++
-      Seq("graft.MemBudgetMain", in.toString, out)
-    val proc = new ProcessBuilder(cmd: _*).inheritIO().start()
-    assert(proc.waitFor() == 0, "forked 256 MB JVM failed — pipeline " +
-      "materialized data it should stream (or OOMed in the shuffle)")
+    assert(ForkedJvm.run("graft.MemBudgetMain", "256m",
+      Seq(in.toString, out)) == 0,
+      "forked 256 MB JVM failed — pipeline materialized data it should " +
+        "stream (or OOMed in the shuffle)")
 
     // every word count must equal the total line count, summed across the
     // reduce partitions each word hashed to

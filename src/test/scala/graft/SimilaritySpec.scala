@@ -13,6 +13,23 @@ class SimilaritySpec extends AnyFunSuite {
   private def spark = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("zero-norm vectors are dropped identically on both dispatch arms") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, Array(0f, 0f)), // zero norm: no defined cosine, must vanish
+      (1L, Array(1f, 0f)),
+      (2L, Array(2f, 0f)),
+      (3L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    def rows(maxBytes: Long) =
+      Similarity.cosinePairs(s, df, 0.45, maxBroadcastBytes = maxBytes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val want = Set((1L, 2L, 1.0))
+    assert(rows(Long.MaxValue) == want, "broadcast arm")     // BNLJ path
+    assert(rows(0L) == want, "blocked arm")                  // GEMM path
+  }
+
   test("blockedCosineJoin == broadcast q_cosine_pairs at several block counts") {
     val s = spark
     val want = SparkEntry.queries("q_cosine_pairs")(s, sfDir)

@@ -45,8 +45,15 @@ def main(sf_dir, out_dir, only=None):
             print(f"FAIL {name}: oracle error: {e}")
             n_bad += 1
             continue
-        sdf = con.execute(
-            f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_arrow_table()
+        try:
+            sdf = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
+            ).fetch_arrow_table()
+        except Exception as e:
+            # e.g. Verify ran with a name filter that excluded this query
+            print(f"FAIL {name}: no spark result ({e})")
+            n_bad += 1
+            continue
         ocols, scols = sorted(odf.column_names), sorted(sdf.column_names)
         if ocols != scols:
             print(f"FAIL {name}: cols oracle={ocols} spark={scols}")
