@@ -54,6 +54,23 @@ class PlanSpec extends AnyFunSuite {
 
   test("q_cosine_pairs never plans a cartesian product") {
     assert(!plan("q_cosine_pairs").contains("CartesianProduct"))
+    assert(!plan("q_dedup_embed").contains("CartesianProduct"))
+  }
+
+  test("q_tfidf does not FORCE a broadcast of the document-frequency table") {
+    // at tiny sf Catalyst's size estimate legitimately broadcasts the df
+    // side; what must NOT exist is a broadcast() hint that would still
+    // force it at web-scale vocabulary sizes. With auto-broadcast off,
+    // the word join must degrade to a shuffle join (only the 1-row
+    // corpus-count crossJoin may stay a BroadcastNestedLoopJoin).
+    val s = spark
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q_tfidf")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("BroadcastHashJoin"), p)
+    } finally
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
   test("cosinePairs is collect-free and size-dispatched") {
