@@ -541,6 +541,77 @@ object Relational {
               COUNT(DISTINCT user_id) AS n_users
               FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""")),
 
+    // Left outer join with null-side aggregation: customers keep a row
+    // even with zero orders (count(col) skips the nulls; the coalesced
+    // total stays in the exact-decimal discipline).
+    Q("q_join_outer",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(c("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+              ${sqlSum("COALESCE(o_totalprice, 0)")} AS total
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // Correlated scalar subqueries (Catalyst rewrites them into aggregated
+    // joins): customers above their nation's average balance. The compare
+    // is kept EXACT across engines by avoiding a floating AVG — balance ×
+    // group count vs the exact-decimal group sum, all integers-in-double.
+    Q("q_scalar_subquery",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("cust_sq")
+        s.sql(s"""SELECT c.c_custkey, c.c_acctbal FROM cust_sq c
+                WHERE c.c_acctbal * (SELECT COUNT(*) FROM cust_sq c2
+                    WHERE c2.c_nationkey = c.c_nationkey)
+                  > (SELECT ${sqlSum("c3.c_acctbal")} FROM cust_sq c3
+                    WHERE c3.c_nationkey = c.c_nationkey)
+                ORDER BY c.c_custkey""")
+      },
+      Some(s"""SELECT c.c_custkey, c.c_acctbal FROM customer c
+              WHERE c.c_acctbal * (SELECT COUNT(*) FROM customer c2
+                  WHERE c2.c_nationkey = c.c_nationkey)
+                > (SELECT ${sqlSum("c3.c_acctbal")} FROM customer c3
+                  WHERE c3.c_nationkey = c.c_nationkey)
+              ORDER BY c.c_custkey""")),
+
+    // RANGE window frame (value-based, vs q_window_running's ROWS frame):
+    // trailing-7-day quantity per supplier. Ties on the order column share
+    // one frame, so the windowed value is per-row deterministic; the
+    // decimal sum keeps it engine-exact.
+    Q("q_window_range",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_suppkey").orderBy("d")
+          .rangeBetween(-6, 0)
+        t(s, d, "lineitem")
+          .filter(col("l_suppkey") <= 3)
+          .withColumn("d", datediff(col("l_shipdate").cast("date"),
+            lit("1992-01-01").cast("date")))
+          .withColumn("qty7",
+            sum(round(col("l_quantity"), 4).cast("decimal(38,6)"))
+              .over(w).cast("double"))
+          .select(col("l_suppkey"), col("d"), col("l_orderkey"),
+            col("l_linenumber"), col("l_quantity"), col("qty7"))
+          .orderBy("l_suppkey", "d", "l_orderkey", "l_linenumber",
+            "l_quantity", "qty7")
+      },
+      Some("""SELECT l_suppkey, d, l_orderkey, l_linenumber, l_quantity,
+              CAST(SUM(CAST(ROUND(l_quantity, 4) AS DECIMAL(38,6)))
+                OVER (PARTITION BY l_suppkey ORDER BY d
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS qty7
+              FROM (SELECT *, CAST(datediff('day', DATE '1992-01-01',
+                      CAST(l_shipdate AS DATE)) AS INT) AS d
+                    FROM lineitem WHERE l_suppkey <= 3)
+              ORDER BY l_suppkey, d, l_orderkey, l_linenumber,
+                l_quantity, qty7""")),
+
     // Sliding event-time windows (1 h length, 30 min slide): every event
     // lands in exactly length/slide = 2 windows. Spark's window() generator
     // expands rows before the aggregation — partial aggregation still
