@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.CosineSim
+import graft.functions.{CosineSim, SimHash32}
 
 /** Native function surface: the codegen'd CosineSim expression and its SQL
   * registration path.
@@ -32,6 +32,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(0) == 1.0 && got(1) == 0.0)
     // 32/(sqrt(14)*sqrt(77)) = 0.974631...
     assert(got(2) == 0.974632)
+  }
+
+  test("SimHash32 matches the declarative formulation on adversarial strings") {
+    val s = spark
+    import s.implicits._
+    // empty text, lone/repeated spaces (empty tokens), unicode, long and
+    // duplicate tokens — every split/md5 edge the native loop must mirror
+    val texts = Seq(
+      "", " ", "  ", "a", "a b", "a  b", "a a a", "héllo wörld",
+      "日本語 トークン 空白", "x " * 50 + "x", "tab\tstays one-token",
+      (1 to 40).map(i => s"tok$i").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val native = df
+      .select($"doc_id", SimHash32(s, $"text").as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    // the exact pipeline the expression replaced (operators/Dedup r2 form)
+    val declarative = df
+      .select($"doc_id",
+        explode(array_distinct(split($"text", " "))).as("tok"))
+      .select($"doc_id", posexplode(split(md5($"tok"), "")).as(Seq("j", "c")))
+      .groupBy("doc_id", "j")
+      .agg(sum(when($"c".isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L)
+        .otherwise(-1L)).as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(when($"vote" > 0, pow(lit(2.0), $"j".cast("double")))
+        .otherwise(0.0d)).cast("long").as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == declarative)
   }
 
   test("cosine_sim is callable from plain SQL after registration") {
