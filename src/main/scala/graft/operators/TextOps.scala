@@ -227,6 +227,41 @@ object TextOps {
                 lower(text), '[0-9]+', '<num>', 'g'), ' +', ' ', 'g'))) AS clean_md5
               FROM documents ORDER BY doc_id""")),
 
+    // ---- PII scrubbing ----------------------------------------------------
+    // Email/URL masking, the compliance pass before training. The corpus
+    // has no natural PII, so deterministic address/URL suffixes are
+    // APPENDED first — the regexes must then actually fire, and the md5
+    // pins Java-regex vs RE2 replacement parity ('g' flag on the DuckDB
+    // side: Spark replaces all matches by default).
+    Q("q_pii_scrub",
+      (s, d) => docs(s, d)
+        .withColumn("raw", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or "),
+          lit("https://ex.com/u/"), col("doc_id"), lit(" now")))
+        .withColumn("scrubbed", regexp_replace(regexp_replace(col("raw"),
+          "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<email>"),
+          "https?://[^ ]+", "<url>"))
+        .select(col("doc_id"),
+          (length(col("raw")) - length(col("scrubbed"))).cast("long")
+            .as("delta_len"),
+          md5(col("scrubbed")).as("scrub_md5"))
+        .orderBy("doc_id"),
+      Some("""WITH r AS (
+                SELECT doc_id,
+                  text || ' contact user' || doc_id || '@example.com or ' ||
+                  'https://ex.com/u/' || doc_id || ' now' AS raw
+                FROM documents),
+              sc AS (
+                SELECT doc_id, raw,
+                  regexp_replace(regexp_replace(raw,
+                    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<email>', 'g'),
+                    'https?://[^ ]+', '<url>', 'g') AS scrubbed
+                FROM r)
+              SELECT doc_id,
+                CAST(length(raw) - length(scrubbed) AS BIGINT) AS delta_len,
+                md5(scrubbed) AS scrub_md5
+              FROM sc ORDER BY doc_id""")),
+
     // ---- document fingerprinting -----------------------------------------
     // Winnowing-style fingerprint: the minimum MD5 over all 5-token
     // shingles. MD5 hex strings compare identically on both engines; the

@@ -43,6 +43,27 @@ object Streams {
     .select(events("event_id"), events("user_id"), events("event_type"),
       events("value"), customers("c_mktsegment").as("segment"))
 
+  /** Stream-stream inner join with watermarks: each click pairs with the
+    * purchases the same user makes within the next 30 minutes. BOTH sides
+    * carry a watermark and the join condition bounds the event-time range,
+    * so each side's buffered state is reclaimable once the watermark
+    * passes the range — the canonical bounded-state stream-stream join.
+    * Works identically on batch inputs (the StreamingSpec twin).
+    */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    c.join(p, col("c_user") === col("p_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("click_ts"), col("purchase_ts"))
+  }
+
   case class Ev(user_id: Long, ts_us: Long, event_id: Long)
   case class SessionState(startUs: Long, endUs: Long, n: Long)
   case class Session(user_id: Long, n_events: Long, start_us: Long,

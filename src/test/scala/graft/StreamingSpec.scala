@@ -157,6 +157,32 @@ class StreamingSpec extends AnyFunSuite {
       s"expected both idle sessions closed by timeout, got $got")
   }
 
+  test("stream-stream join (clicks x purchases) matches its batch twin") {
+    val s = spark
+    import s.implicits._
+    def side(kind: String) = Tables(s, sfDir, "events")
+      .filter($"event_type" === kind)
+      .select($"user_id", $"ts", $"event_id")
+    def feed(kind: String) = {
+      val input = MemoryStream[(Long, Long, Long)](s)
+      input.addData(side(kind)
+        .select($"user_id", unix_micros($"ts").as("us"), $"event_id")
+        .as[(Long, Long, Long)].collect().toSeq: _*)
+      (input, input.toDF().select($"_1".as("user_id"),
+        timestamp_micros($"_2").as("ts"), $"_3".as("event_id")))
+    }
+    val (_, clicks) = feed("click")
+    val (_, purchases) = feed("purchase")
+    val q = Streams.clickToPurchase(clicks, purchases).writeStream
+      .format("memory").queryName("c2p").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = s.table("c2p")
+      .select($"click_id", $"purchase_id").as[(Long, Long)].collect().toSet
+    val want = Streams.clickToPurchase(side("click"), side("purchase"))
+      .select($"click_id", $"purchase_id").as[(Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("q_stream_hourly (registered file-source stream) matches its batch twin") {
     val s = spark
     import s.implicits._
