@@ -168,5 +168,55 @@ object Streams {
       },
       Some(s"""SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_ts,
               event_type, COUNT(*) AS n, ${Arith.sqlSum("value")} AS sum_value
-              FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""")))
+              FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""")),
+
+    // Stream-stream join as a driver row: two file-source streams over the
+    // same events data (clicks / purchases), joined with watermarks and an
+    // event-time range, drained via AvailableNow. The oracle is the plain
+    // batch join over MICROSECOND epochs on both sides (the parquet is
+    // nanos; both engines compare after the same truncation).
+    Q("q_stream_join",
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        def src = s.readStream.schema(schema)
+          .option("basePath", d)
+          .parquet(s"$d/events*.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        val sink = "q_stream_join_sink"
+        val joined = clickToPurchase(
+          src.filter(col("event_type") === "click"),
+          src.filter(col("event_type") === "purchase"))
+        // state-store instances should track KEY cardinality (150 users),
+        // not core count: every stateful partition pays per-batch commit
+        // I/O, and 32 stores for 150 keys is 4× slower than 8. The value
+        // is captured at query start, so restoring it after is safe.
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try joined.writeStream
+            .format("memory").queryName(sink)
+            .outputMode(OutputMode.Append)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        q.awaitTermination()
+        s.table(sink)
+          .select(col("user_id"), col("click_id"), col("purchase_id"),
+            unix_micros(col("click_ts")).as("click_us"),
+            unix_micros(col("purchase_ts")).as("purchase_us"))
+          .orderBy("user_id", "click_id", "purchase_id")
+      },
+      Some("""WITH e AS (
+                SELECT user_id, event_id, event_type,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                FROM events)
+              SELECT c.user_id, c.event_id AS click_id,
+                p.event_id AS purchase_id,
+                c.us AS click_us, p.us AS purchase_us
+              FROM e c JOIN e p ON c.user_id = p.user_id
+                AND c.event_type = 'click' AND p.event_type = 'purchase'
+                AND p.us >= c.us AND p.us <= c.us + 1800000000
+              ORDER BY c.user_id, click_id, purchase_id""")))
 }
