@@ -586,7 +586,6 @@ object Relational {
     // decimal sum keeps it engine-exact.
     Q("q_window_range",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("l_suppkey").orderBy("d")
           .rangeBetween(-6, 0)
         t(s, d, "lineitem")

@@ -144,19 +144,33 @@ object Streams {
     * q_events_hourly (minus countDistinct, which streaming aggregation
     * doesn't support exactly — that is what approx_count_distinct is for).
     */
+  /** The file-source stream over the events parquet — the shared recipe
+    * for every registered streaming row. Subtleties, in one place:
+    *  - glob, not the bare file path: for a non-glob path the file stream
+    *    source force-sets basePath to the path itself, which then fails
+    *    the "basePath must be a directory" check;
+    *  - footer-only batch read supplies the schema;
+    *  - maxFilesPerTrigger is pinned HIGH so AvailableNow drains the whole
+    *    input as ONE micro-batch: split batches would advance the
+    *    watermark between them and drop "late" rows that the batch-twin
+    *    oracles keep — correctness here must not depend on file layout;
+    *  - same nanos→micros truncation as the batch Tables.events reader.
+    */
+  private def eventsStream(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema // footer only
+    s.readStream.schema(schema)
+      .option("basePath", d)
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(s"$d/events*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_stream_hourly",
       (s, d) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = s.read.parquet(s"$d/events.parquet").schema // footer only
-        val stream = s.readStream.schema(schema)
-          // glob, not the bare file path: for a non-glob path the file
-          // stream source force-sets basePath to the path itself, which
-          // then fails the "basePath must be a directory" check
-          .option("basePath", d)
-          .parquet(s"$d/events*.parquet")
-          // same nanos→micros truncation as the batch Tables.events reader
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val stream = eventsStream(s, d)
         val sink = "q_stream_hourly_sink"
         val q = hourlyCounts(stream).writeStream
           .format("memory").queryName(sink)
@@ -177,12 +191,7 @@ object Streams {
     // nanos; both engines compare after the same truncation).
     Q("q_stream_join",
       (s, d) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = s.read.parquet(s"$d/events.parquet").schema
-        def src = s.readStream.schema(schema)
-          .option("basePath", d)
-          .parquet(s"$d/events*.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        def src = eventsStream(s, d)
           .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
         val sink = "q_stream_join_sink"
         val joined = clickToPurchase(

@@ -13,6 +13,7 @@ class BucketingSpec extends AnyFunSuite {
 
   test("join of two tables bucketed on the key plans without a shuffle") {
     val s = spark
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
 
     Tables(s, "/root/testdata/sf0.001", "lineitem")
@@ -46,7 +47,7 @@ class BucketingSpec extends AnyFunSuite {
     } finally {
       s.sql("DROP TABLE IF EXISTS li_bucketed")
       s.sql("DROP TABLE IF EXISTS ord_bucketed")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
 

@@ -64,13 +64,14 @@ class PlanSpec extends AnyFunSuite {
     // the word join must degrade to a shuffle join (only the 1-row
     // corpus-count crossJoin may stay a BroadcastNestedLoopJoin).
     val s = spark
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val p = plan("q_tfidf")
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
       assert(!p.contains("BroadcastHashJoin"), p)
     } finally
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("cosinePairs is collect-free and size-dispatched") {
