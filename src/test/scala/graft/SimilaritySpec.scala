@@ -13,6 +13,43 @@ class SimilaritySpec extends AnyFunSuite {
   private def spark = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("all cosine-join paths match a brute-force reference on random vectors") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42) // seeded: deterministic test
+    // sparse, non-contiguous ids; negative components; varied magnitudes
+    val vecs = (0 until 60).map { i =>
+      (i.toLong * 7 + 3, Array.fill(16)((rnd.nextFloat() - 0.5f) * 4f))
+    }
+    val want = (for {
+      (aId, av) <- vecs; (bId, bv) <- vecs if aId < bId
+      r = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+        while (k < av.length) {
+          dot += av(k).toDouble * bv(k)
+          na += av(k).toDouble * av(k)
+          nb += bv(k).toDouble * bv(k)
+          k += 1
+        }
+        BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      if r >= 0.2
+    } yield (aId, bId, r)).toSet
+    assert(want.nonEmpty)
+    val df = vecs.toDF("vec_id", "embedding")
+    def got(maxBytes: Long) =
+      Similarity.cosinePairs(s, df, 0.2, maxBroadcastBytes = maxBytes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    assert(got(Long.MaxValue) == want, "broadcast arm")
+    assert(got(0L) == want, "blocked arm (auto blocks)")
+    for (blocks <- Seq(1, 5, 7))
+      assert(Similarity.blockedCosineJoin(s, df, 0.2, blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet == want, s"blocked at blocks=$blocks")
+  }
+
   test("zero-norm vectors are dropped identically on both dispatch arms") {
     val s = spark
     import s.implicits._
