@@ -27,7 +27,9 @@ object Bench {
 
   /** Per-query seconds from the newest BENCH_r{N}.json in cwd (the driver
     * runs Bench from the repo root), so each round's output carries its
-    * deltas vs the previous round. Any parse trouble → no deltas. */
+    * deltas vs the previous round. Scans EVERY metric-line candidate in the
+    * tail and keeps the one with a `queries` map (the tail also contains a
+    * short total-only summary line). Any parse trouble → no deltas. */
   def prevQueries(): Map[String, Double] = try {
     val fs = new java.io.File(".")
       .listFiles((_, n) => n.matches("BENCH_r\\d+\\.json"))
@@ -36,13 +38,18 @@ object Bench {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val tail = Option(om.readTree(latest).get("tail"))
       .map(_.asText).getOrElse("")
-    val start = tail.lastIndexOf("{\"metric\"")
-    if (start < 0) return Map.empty
-    val node = om.readTree(tail.substring(start).takeWhile(_ != '\n'))
-    val qs = node.get("queries")
-    if (qs == null) return Map.empty
     import scala.jdk.CollectionConverters._
-    qs.fields().asScala.map(e => e.getKey -> e.getValue.asDouble).toMap
+    Iterator.iterate(tail.indexOf("{\"metric\""))(i =>
+        tail.indexOf("{\"metric\"", i + 1))
+      .takeWhile(_ >= 0)
+      .flatMap { i =>
+        try {
+          val node = om.readTree(tail.substring(i).takeWhile(_ != '\n'))
+          Option(node.get("queries")).map(qs =>
+            qs.fields().asScala.map(e => e.getKey -> e.getValue.asDouble).toMap)
+        } catch { case _: Throwable => None }
+      }
+      .foldLeft(Map.empty[String, Double])((_, m) => m) // last parseable wins
   } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
@@ -73,12 +80,21 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val pass1 = ordered.map { case (n, f) => n -> once(n, f) }.toMap
-    val results = ordered.map { case (n, f) =>
-      n -> math.min(pass1(n), once(n, f))
-    }.toMap ++ mrBaseline(spark)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Streaming rows run in their OWN phase after every batch row: a
+    // streaming query leaves memory-sink tables and state-store maintenance
+    // threads in the JVM, which contaminated batch pass-2 timings (r03's
+    // q_join_asof "9.7x regression" was exactly this — standalone fresh-JVM
+    // min at sf0.1 is 1.24 s, matching r02).
+    val streamNames = streaming.Streams.queries.map(_.name).toSet
+    val (streamQ, batchQ) = SparkEntry.queries.toSeq.sortBy(_._1)
+      .partition { case (n, _) => streamNames(n) }
+    def minOf2(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) = {
+      val pass1 = qs.map { case (n, f) => n -> once(n, f) }.toMap
+      qs.map { case (n, f) => n -> math.min(pass1(n), once(n, f)) }.toMap
+    }
+    val results = minOf2(batchQ) ++ minOf2(streamQ) ++ mrBaseline(spark)
+    def r3(v: Double) = math.rint(v * 1000) / 1000 // keep the line short
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // cur/prev ratio per query (<1 = faster than last round), so
@@ -88,7 +104,10 @@ object Bench {
       prev.get(k).filter(_ > 0).map(p =>
         s"\"" + k + "\":" + math.rint(v / p * 100) / 100)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"vs_prev":$vs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"vs_prev":$vs,"sf":"$sfDir"}""")
+    // Short summary LAST: if the driver's tail capture truncates the long
+    // line above (it lost r03's total), this one still survives verbatim.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

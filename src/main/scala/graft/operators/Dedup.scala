@@ -416,6 +416,59 @@ object Dedup {
                 SELECT r.id, edges.b FROM r JOIN edges ON r.n = edges.a)
               SELECT id AS vec_id, MIN(n) AS cluster_id,
                 (MIN(n) = id) AS keep
+              FROM r GROUP BY id ORDER BY vec_id""")),
+
+    // ---- bucketed embedding near-dup (the 100 TB semantic-dedup path) ----
+    // SemDeDup shape: q_dedup_embed's exact all-pairs join is O(n²) in TASK
+    // COUNT at scale (corpus/64MB blocks ⇒ blocks²/2 tasks); here candidate
+    // edges are generated WITHIN nearest-centroid buckets only (the shared
+    // Similarity.ivfAssign pass), so pair work is Σ bucket² ≈ n²/k instead
+    // of n² — and with real k-means centroids k grows with the corpus,
+    // keeping bucket size (and the per-bucket self-join) constant. Recall
+    // is approximate BY DEFINITION (cross-bucket near-dups are missed; the
+    // refinement property — every bucketed cluster is a subset of an exact
+    // cluster — is pinned in DedupSpec); the computation itself is
+    // deterministic, so it has an exact SQL oracle. The exact row
+    // (q_dedup_embed) stays registered as the small-corpus reference.
+    Q("q_dedup_embed_ivf",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val assigned = Similarity.ivfAssign(s, e, 8)
+        // per-bucket self-join: shuffles on `bucket` co-locate each bucket,
+        // then the pair loop runs bucket-locally — never across buckets
+        val a = assigned.select(col("bucket"), col("vec_id").as("a_id"),
+          col("embedding").as("a_v"))
+        val b = assigned.select(col("bucket"), col("vec_id").as("b_id"),
+          col("embedding").as("b_v"))
+        val edges = a.join(b, Seq("bucket"))
+          .filter(col("a_id") < col("b_id"))
+          .filter(Similarity.cosine(s, col("a_v"), col("b_v")) >= 0.45)
+          .select("a_id", "b_id")
+        val labels = connectedComponents(edges)
+          .withColumnRenamed("id", "vec_id")
+        e.select(col("vec_id")).join(labels, Seq("vec_id"), "left")
+          .withColumn("cluster_id", coalesce(col("label"), col("vec_id")))
+          .withColumn("keep", col("vec_id") === col("cluster_id"))
+          .select("vec_id", "cluster_id", "keep")
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE
+              ${Similarity.sqlIvfAssign(8)},
+              p AS (
+                SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM assigned a JOIN assigned b
+                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                WHERE ${Similarity.sqlCosineCols("a.v", "b.v")} >= 0.45),
+              edges AS (
+                SELECT a_id AS a, b_id AS b FROM p
+                UNION SELECT b_id, a_id FROM p),
+              r(id, n) AS (
+                SELECT vec_id, vec_id FROM e
+                UNION
+                SELECT r.id, edges.b FROM r JOIN edges ON r.n = edges.a)
+              SELECT id AS vec_id, MIN(n) AS cluster_id,
+                (MIN(n) = id) AS keep
               FROM r GROUP BY id ORDER BY vec_id"""))
   )
 }

@@ -37,12 +37,15 @@ object Joins {
       key: String, time: String, tiebreak: String,
       rightPayload: Seq[String],
       strict: Boolean): DataFrame = {
+    // Typed struct payload: carried through the window as-is, fields read
+    // back with `__match.<field>` — zero serde per row (an earlier JSON
+    // string carry paid to_json + get_json_object on every row).
+    val payloadType = right.select(rightPayload.map(col): _*).schema
     val l = left.withColumn("__side", lit(1))
-      .withColumn("__payload", lit(null).cast("string"))
-    val payload = to_json(struct(rightPayload.map(col): _*))
+      .withColumn("__payload", lit(null).cast(payloadType))
     val r = right
       .withColumn("__side", lit(0))
-      .withColumn("__payload", payload.cast("string"))
+      .withColumn("__payload", struct(rightPayload.map(col): _*))
       .select(col(key), col(time), col(tiebreak), col("__side"),
         col("__payload"))
     val all = l.unionByName(r, allowMissingColumns = true)
@@ -110,7 +113,7 @@ object Joins {
           strict = true)
         joined
           .withColumn("prev_event_id",
-            get_json_object(col("__match"), "$.event_id").cast("long"))
+            col("__match.event_id").cast("long"))
           .select(col("user_id"), col("event_id"), col("event_type"),
             col("prev_event_id"))
           .orderBy("user_id", "event_id")

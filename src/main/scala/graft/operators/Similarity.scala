@@ -40,12 +40,12 @@ object Similarity {
   /** Codegen'd native cosine (graft.functions.CosineSim) — same
     * left-to-right double accumulation as the HOF formulation and DuckDB's
     * list functions, so oracle values match exactly at 6 decimals. */
-  private def cosine(s: SparkSession, a: Column, b: Column): Column =
+  private[operators] def cosine(s: SparkSession, a: Column, b: Column): Column =
     round(CosineSim(s, a, b), 6)
 
   /** DuckDB-side cosine over two list-column expressions, same accumulation
     * order and rounding as [[cosine]]. */
-  private def sqlCosineCols(a: String, b: String): String =
+  private[operators] def sqlCosineCols(a: String, b: String): String =
     s"""ROUND(list_sum([$a[i] * $b[i] FOR i IN generate_series(1, 64)]) /
        (sqrt(list_sum([x * x FOR x IN $a])) *
         sqrt(list_sum([x * x FOR x IN $b]))), 6)"""
@@ -162,6 +162,44 @@ object Similarity {
     // deterministic order (the oracle row) sort at the call site
     pairs
   }
+
+  /** IVF bucket assignment: every vector lands in its nearest-centroid
+    * bucket (centroids = the first `nCentroids` vectors — deterministic
+    * stand-in for k-means, so the definition has an exact SQL oracle).
+    * One broadcast pass; the per-vector groupBy argmax partial-aggregates
+    * map-side, so only (vec_id, best-so-far) rows shuffle. Shared by
+    * q_ann_ivf (probe search) and q_dedup_embed_ivf (bucketed semantic
+    * dedup — the SemDeDup shape).
+    *
+    * @return (vec_id, embedding, bucket)
+    */
+  def ivfAssign(s: SparkSession, e: DataFrame, nCentroids: Int): DataFrame = {
+    val cents = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_v"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("c_cos", cosine(s, col("embedding"), col("c_v")))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("c_id"), struct(col("c_cos"), -col("c_id")))
+          .as("bucket"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+  }
+
+  /** DuckDB twin of [[ivfAssign]] as CTE text: defines `e` (typed vectors),
+    * `cents`, `ac` (all vector×centroid cosines) and `assigned`
+    * (vec_id, v, bucket) for oracle queries to build on. */
+  private[operators] def sqlIvfAssign(nCentroids: Int): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (SELECT vec_id AS c_id, v AS c_v FROM e WHERE vec_id < $nCentroids),
+        ac AS (
+          SELECT e.vec_id, e.v, c.c_id,
+            ${sqlCosineCols("e.v", "c.c_v")} AS c_cos
+          FROM e, cents c),
+        assigned AS (
+          SELECT vec_id, v, c_id AS bucket FROM ac
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+            ORDER BY c_cos DESC, c_id) = 1)"""
 
   val queries: Seq[Q] = Seq(
 
@@ -288,18 +326,8 @@ object Similarity {
         val cents = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("c_id"), col("embedding").as("c_v"))
         // Bucket assignment via aggregate argmax (max_by over a totally-
-        // ordered struct), NOT a window: the per-vector groupBy partial-
-        // aggregates map-side, so only (vec_id, best-so-far) rows shuffle —
-        // a window over vec_id would shuffle corpus × centroids rows.
-        val assigned = e.crossJoin(broadcast(cents))
-          .withColumn("c_cos", cosine(s, col("embedding"), col("c_v")))
-          .groupBy("vec_id")
-          .agg(
-            max_by(col("c_id"), struct(col("c_cos"), -col("c_id")))
-              .as("bucket"),
-            first(col("embedding")).as("embedding"))
-        val bucketed = assigned
-          .select(col("vec_id"), col("embedding"), col("bucket"))
+        // ordered struct), NOT a window: see ivfAssign (the shared helper).
+        val bucketed = ivfAssign(s, e, 8)
         // queries probe their 2 nearest buckets (tiny set: rank per query)
         val qw = Window.partitionBy(col("vec_id"))
           .orderBy(col("c_cos").desc, col("c_id"))
@@ -323,16 +351,7 @@ object Similarity {
       // Same argmax/rank formulation as the Spark plan: bucket = argmax
       // centroid-cosine (ties → lower c_id), queries probe top-2 buckets,
       // rank candidates by (cos DESC, nn_id).
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              cents AS (SELECT vec_id AS c_id, v AS c_v FROM e WHERE vec_id < 8),
-              ac AS (
-                SELECT e.vec_id, e.v, c.c_id,
-                  ${sqlCosineCols("e.v", "c.c_v")} AS c_cos
-                FROM e, cents c),
-              assigned AS (
-                SELECT vec_id, v, c_id AS bucket FROM ac
-                QUALIFY row_number() OVER (PARTITION BY vec_id
-                  ORDER BY c_cos DESC, c_id) = 1),
+      Some(s"""WITH ${sqlIvfAssign(8)},
               qprobe AS (
                 SELECT vec_id AS q_id, v AS q_v, c_id AS bucket FROM ac
                 WHERE vec_id < 10

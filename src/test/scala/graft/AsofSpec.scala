@@ -32,7 +32,7 @@ class AsofSpec extends AnyFunSuite {
     ).toDF("k", "t", "rid", "lid")
     Joins.asof(left, right, key = "k", time = "t", tiebreak = "lid",
       rightPayload = Seq("rid"), strict = strict)
-      .withColumn("rid", get_json_object(col("__match"), "$.rid").cast("long"))
+      .withColumn("rid", col("__match.rid").cast("long"))
       .select("k", "lid", "rid")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->

@@ -69,4 +69,29 @@ class DedupSpec extends AnyFunSuite {
     assert(dNear < dFar,
       s"near-dup hamming $dNear not below unrelated $dFar")
   }
+
+  test("bucketed embed dedup refines the exact clustering at sf0.01") {
+    // IVF edges require same-bucket AND the same rounded cosine threshold,
+    // so they are a subset of the exact edges — every bucketed cluster must
+    // therefore sit inside one exact cluster (refinement). This pins the
+    // recall direction: the bucketed path may split clusters (missed
+    // cross-bucket edges) but must never merge vectors the exact path
+    // keeps apart.
+    val sf = "/root/testdata/sf0.01"
+    def clusters(q: String): Map[Long, Long] =
+      SparkEntry.queries(q)(spark, sf).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id"))
+        .toMap
+    val exact = clusters("q_dedup_embed")
+    val ivf = clusters("q_dedup_embed_ivf")
+    assert(ivf.keySet == exact.keySet) // every vector gets a row in both
+    ivf.groupBy(_._2).foreach { case (ivfCluster, members) =>
+      val exactClusters = members.keys.map(exact).toSet
+      assert(exactClusters.size == 1,
+        s"ivf cluster $ivfCluster spans exact clusters $exactClusters")
+    }
+    // and the bucketing actually finds duplicates (not all-singletons)
+    assert(ivf.exists { case (v, c) => v != c },
+      "bucketed dedup found no non-singleton cluster")
+  }
 }
