@@ -30,8 +30,17 @@ object Engine {
       spark,
       JobSpec(in, out, "<native-wc-map>", "<native-wc-reduce>",
         numMappers, numReducers),
-      mapper = line => asciiLower(line).split("[\\[ \t\\]]", -1).map(_ + "\t1"),
-      reducer = countingReducer)
+      mapper = wcMapLine,
+      reducer = wcReduce)
+
+  /** The wordcount map stage alone — package-visible so fault-injection
+    * tests can wrap it (RetryMain) without duplicating its edge cases. */
+  private[graft] def wcMapLine(line: String): Seq[String] =
+    asciiLower(line).split("[\\[ \t\\]]", -1).toSeq.map(_ + "\t1")
+
+  /** The wordcount reduce stage alone (see [[wcMapLine]]). */
+  private[graft] def wcReduce: Iterator[String] => Iterator[String] =
+    countingReducer
 
   /** `tr '[:upper:]' '[:lower:]'` in the C locale maps ONLY A-Z; JVM
     * toLowerCase is locale- and Unicode-sensitive (Turkish dotless-i,

@@ -9,7 +9,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownRequiredColumns}
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, In, IsNotNull,
+  Not, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -57,6 +59,33 @@ object TextDirSource {
 
   /** Format name for `spark.read.format(...)`. */
   val Name: String = classOf[TextDirSource].getName
+
+  /** Evaluate a pushed-down filter against a candidate FILE PATH. `file` is
+    * constant per partition, so a file-column predicate decides a whole
+    * file at PLANNING time — the DSv2 analog of partition pruning (a
+    * `file LIKE '%.txt'` scan never even opens the other files). Returns
+    * None when the filter references anything this source cannot decide
+    * per-file (e.g. the `line` column) — such filters stay post-scan. */
+  private[sources] def evalOnFile(f: Filter, path: String): Option[Boolean] =
+    f match {
+      case EqualTo("file", v: String)      => Some(path == v)
+      case In("file", vs)                  => Some(vs.contains(path))
+      case StringStartsWith("file", v)     => Some(path.startsWith(v))
+      case StringEndsWith("file", v)       => Some(path.endsWith(v))
+      case StringContains("file", v)       => Some(path.contains(v))
+      case IsNotNull("file")               => Some(true) // never null
+      case And(l, r) =>
+        for (a <- evalOnFile(l, path); b <- evalOnFile(r, path)) yield a && b
+      case Or(l, r) =>
+        for (a <- evalOnFile(l, path); b <- evalOnFile(r, path)) yield a || b
+      case Not(c) => evalOnFile(c, path).map(!_)
+      case _ => None
+    }
+
+  /** A filter is pushable iff [[evalOnFile]] can decide it for any path
+    * (structural check — the probe value is irrelevant). */
+  private[sources] def pushable(f: Filter): Boolean =
+    evalOnFile(f, "").isDefined
 }
 
 private[sources] class TextDirTable(path: String)
@@ -73,34 +102,53 @@ private[sources] class TextDirTable(path: String)
 }
 
 private[sources] class TextDirScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
 
   private var required: StructType = TextDirSource.Schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new TextDirScan(path, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, rest) = filters.partition(TextDirSource.pushable)
+    pushed = sup
+    // file-column predicates are decided EXACTLY at planning (the column
+    // is constant per file), so only the undecidable rest stays post-scan
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new TextDirScan(path, required, pushed)
 }
 
-private[sources] class TextDirScan(path: String, required: StructType)
+private[sources] class TextDirScan(
+    path: String, required: StructType, pushed: Array[Filter])
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"textdir($path) columns=${required.fieldNames.mkString(",")}"
+    s"textdir($path) columns=${required.fieldNames.mkString(",")}" +
+      (if (pushed.isEmpty) ""
+       else s" pushed=[${pushed.mkString(", ")}]")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // D1: flat listing, sorted by name; skip Hadoop markers/hidden files
+    // D1: flat listing, sorted by name; skip Hadoop markers/hidden files,
+    // then prune whole files against the pushed file-column predicates
     fs.listStatus(p).filter(_.isFile)
       .map(_.getPath)
       .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
       .sortBy(_.getName)
-      .map(f => TextDirInputPartition(f.toString): InputPartition)
+      .map(_.toString)
+      .filter(f => pushed.forall(
+        TextDirSource.evalOnFile(_, f).getOrElse(true)))
+      .map(f => TextDirInputPartition(f): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

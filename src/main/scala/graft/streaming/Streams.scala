@@ -184,6 +184,50 @@ object Streams {
               event_type, COUNT(*) AS n, ${Arith.sqlSum("value")} AS sum_value
               FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""")),
 
+    // Append-mode parquet sink — the PRODUCTION sink shape (q_stream_hourly's
+    // memory/Complete sink is the harness-bounded variant): each window row
+    // is written exactly once, when the watermark passes the window end and
+    // the aggregate can no longer change; state for the window is reclaimed
+    // at the same moment. AvailableNow drains the data in one micro-batch,
+    // then the no-data batch advances the watermark to (max event time − 1h)
+    // and flushes every closed window to the files. Windows the watermark
+    // has not passed (the trailing hour of the data) remain open and
+    // UNWRITTEN — the oracle is the batch twin restricted to exactly those
+    // closed windows.
+    Q("q_stream_hourly_append",
+      (s, d) => {
+        val stream = eventsStream(s, d)
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft-stream-append").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-stream-append-ckpt").toString
+        val q = hourlyCounts(stream).writeStream
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(outDir).orderBy("hour_ts", "event_type")
+      },
+      // closed window ⇔ window end ≤ watermark = max(ts) − 1h, all in
+      // microsecond epochs (both engines truncate the nanos parquet the
+      // same way)
+      Some(s"""WITH wm AS (
+                SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) - 3600000000
+                  AS wm_us FROM events),
+              g AS (
+                SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+                    AS hour_ts,
+                  event_type, COUNT(*) AS n,
+                  ${Arith.sqlSum("value")} AS sum_value
+                FROM events GROUP BY 1, 2)
+              SELECT g.hour_ts, g.event_type, g.n, g.sum_value
+              FROM g, wm
+              WHERE (g.hour_ts + 3600) * 1000000 <= wm.wm_us
+              ORDER BY hour_ts, event_type""")),
+
     // Stream-stream join as a driver row: two file-source streams over the
     // same events data (clicks / purchases), joined with watermarks and an
     // event-time range, drained via AvailableNow. The oracle is the plain

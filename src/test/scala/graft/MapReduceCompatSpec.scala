@@ -132,6 +132,77 @@ class MapReduceCompatSpec extends AnyFunSuite {
       Seq("file02", "file04", "file06", "file08")))
   }
 
+  test("task retry: first-attempt map failures still yield the exact golden") {
+    // Reference behavior: a dead worker's task is reassigned and the output
+    // is still correct (manager/__main__.py:304-333, asserted by reference
+    // tests/test_manager_05.py:168-235). Spark analog: task retry. Forked
+    // JVM because retry needs local[2,2] (maxFailures=2) — in the shared
+    // plain-local session any task failure is fatal.
+    val out = tmpOut()
+    assert(ForkedJvm.run("graft.RetryMain", "2g",
+      Seq(s"$ref/input", out, "map")) == 0)
+    val parts = partFiles(out)
+    assert(parts.map(_.getFileName.toString) == Seq("part-00000", "part-00001"))
+    val got = parts.flatMap(readLines).sorted
+    val want = readLines(Paths.get(s"$ref/correct/word_count_correct.txt")).sorted
+    assert(got == want)
+  }
+
+  test("task retry: first-attempt reduce failures write no partial output") {
+    // the retried reduce attempt must re-read the complete sorted shuffle
+    // partition, and the committer must discard the failed attempt's file —
+    // exactly num_reducers part files, content equal to the golden multiset
+    val out = tmpOut()
+    assert(ForkedJvm.run("graft.RetryMain", "2g",
+      Seq(s"$ref/input", out, "reduce")) == 0)
+    val parts = partFiles(out)
+    assert(parts.map(_.getFileName.toString) == Seq("part-00000", "part-00001"))
+    val got = parts.flatMap(readLines).sorted
+    val want = readLines(Paths.get(s"$ref/correct/word_count_correct.txt")).sorted
+    assert(got == want)
+  }
+
+  test("two jobs submitted back-to-back serialize correctly (C3 queue)") {
+    // reference manager queues jobs FIFO and runs one at a time
+    // (manager/__main__.py:125-139,175-189); the Spark analog is the
+    // driver's job queue — two sequential submits through the same session
+    // must each produce their own correct, isolated output
+    val out1 = tmpOut()
+    val out2 = tmpOut()
+    Engine.submit(spark, JobSpec(s"$ref/input", out1,
+      s"$ref/exec/wc_map.sh", s"$ref/exec/wc_reduce.sh", 2, 1))
+    Engine.submit(spark, JobSpec(s"$ref/input", out2,
+      s"$ref/exec/grep_map.py", s"$ref/exec/grep_reduce.py", 2, 1))
+    val wantWc = readLines(Paths.get(s"$ref/correct/word_count_correct.txt")).sorted
+    assert(readLines(Paths.get(out1, "part-00000")).sorted == wantWc)
+    val gotGrep = Files.readAllBytes(Paths.get(out2, "part-00000"))
+    val wantGrep = Files.readAllBytes(Paths.get(s"$ref/correct/grep_correct.txt"))
+    assert(gotGrep.sameElements(wantGrep))
+  }
+
+  test("two jobs submitted concurrently stay isolated (C3 admission)") {
+    // the reference admits concurrent submissions into its queue without
+    // cross-corruption; Spark's scheduler interleaves the two jobs' stages
+    // but each job's scratch (_temporary attempt dirs under its own output
+    // directory) and sink are per-job — both outputs must be exact
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val out1 = tmpOut()
+    val out2 = tmpOut()
+    val f1 = Future(Engine.submit(spark, JobSpec(s"$ref/input", out1,
+      s"$ref/exec/wc_map.sh", s"$ref/exec/wc_reduce.sh", 2, 1)))
+    val f2 = Future(Engine.submit(spark, JobSpec(s"$ref/input", out2,
+      s"$ref/exec/grep_map.py", s"$ref/exec/grep_reduce.py", 2, 1)))
+    Await.result(f1, 120.seconds)
+    Await.result(f2, 120.seconds)
+    val wantWc = readLines(Paths.get(s"$ref/correct/word_count_correct.txt")).sorted
+    assert(readLines(Paths.get(out1, "part-00000")).sorted == wantWc)
+    val gotGrep = Files.readAllBytes(Paths.get(out2, "part-00000"))
+    val wantGrep = Files.readAllBytes(Paths.get(s"$ref/correct/grep_correct.txt"))
+    assert(gotGrep.sameElements(wantGrep))
+  }
+
   test("native and executable word count agree per part file at r=3") {
     val outN = tmpOut()
     val outX = tmpOut()

@@ -40,4 +40,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("columns=line"), plan)
     assert(onlyLine.collect().map(_.getString(0)).toSeq == Seq("x"))
   }
+
+  test("textdir source prunes whole files on pushed file predicates") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-textdir-pushdown")
+    java.nio.file.Files.writeString(dir.resolve("a.txt"), "a1\n")
+    java.nio.file.Files.writeString(dir.resolve("b.txt"), "b1\nb2\n")
+    java.nio.file.Files.writeString(dir.resolve("c.log"), "c1\n")
+
+    def scan = s.read.format(TextDirSource.Name).load(dir.toString)
+    assert(scan.rdd.getNumPartitions == 3) // baseline: one per file
+
+    // suffix predicate prunes c.log at PLANNING — 2 partitions, not a
+    // 3-partition scan with a post-filter
+    val txt = scan.filter(col("file").endsWith(".txt"))
+    assert(txt.rdd.getNumPartitions == 2, "file filter did not prune listing")
+    assert(txt.queryExecution.executedPlan.toString.contains("pushed=["))
+    assert(txt.select("line").as[String].collect().sorted.toSeq ==
+      Seq("a1", "b1", "b2"))
+
+    // equality on the full path prunes to exactly one file
+    val one = scan.filter(col("file") === s"file:$dir/b.txt")
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.select("line").as[String].collect().sorted.toSeq ==
+      Seq("b1", "b2"))
+
+    // a line predicate is NOT pushable: partitions stay at 3 and the
+    // filter evaluates post-scan (results still correct)
+    val lineF = scan.filter(col("line").startsWith("b"))
+    assert(lineF.rdd.getNumPartitions == 3)
+    assert(lineF.select("line").as[String].collect().sorted.toSeq ==
+      Seq("b1", "b2"))
+  }
 }

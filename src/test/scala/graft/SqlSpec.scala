@@ -37,4 +37,32 @@ class SqlSpec extends AnyFunSuite {
     assert(rows.length == 5)
     rows.foreach(r => assert(r.getDouble(1) == 1.0))
   }
+
+  test("approx_count_distinct stays within the configured rsd of exact") {
+    // q_approx_distinct has no cross-engine oracle by design (HLL sketches
+    // are implementation-defined); this BOUNDS it instead: at sf0.01 every
+    // per-group estimate must sit within 4× the default relative standard
+    // deviation (rsd = 0.05) of q_agg_distinct's exact counts. The sketch
+    // is deterministic for fixed input, so this is a stable gate, and 4σ
+    // leaves room without ever accepting a broken sketch (a wrong merge or
+    // register width lands orders of magnitude off, not 20%).
+    val s = spark
+    val sf = "/root/testdata/sf0.01"
+    def byFlag(q: String, cols: (String, String)): Map[String, (Long, Long)] =
+      SparkEntry.queries(q)(s, sf).collect().map { r =>
+        r.getAs[String]("l_returnflag") ->
+          (r.getAs[Long](cols._1), r.getAs[Long](cols._2))
+      }.toMap
+    val exact = byFlag("q_agg_distinct", ("n_supp", "n_part"))
+    val approx = byFlag("q_approx_distinct", ("approx_supp", "approx_part"))
+    assert(approx.keySet == exact.keySet)
+    val tol = 4 * 0.05
+    exact.foreach { case (flag, (eSupp, ePart)) =>
+      val (aSupp, aPart) = approx(flag)
+      assert(math.abs(aSupp - eSupp) <= tol * eSupp,
+        s"$flag suppkey estimate $aSupp vs exact $eSupp beyond ${tol * 100}%")
+      assert(math.abs(aPart - ePart) <= tol * ePart,
+        s"$flag partkey estimate $aPart vs exact $ePart beyond ${tol * 100}%")
+    }
+  }
 }
