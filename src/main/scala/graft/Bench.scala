@@ -1,6 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** The one bench session recipe — shared with BenchOne so standalone
+    * forensics timings are measured under the exact sweep configuration
+    * (a drifted conf would make fresh-JVM numbers incomparable). */
+  def benchSession(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Warm the session (codegen compiler, parquet footers, shuffle infra)
+    * so the first measured query doesn't absorb ~10 s of one-time
+    * JVM/session cost. */
+  def warmUp(spark: SparkSession, sfDir: String): Unit =
+    Tables(spark, sfDir, "lineitem").groupBy("l_returnflag").count()
+      .write.format("noop").mode("overwrite").save()
+
   // Apples-to-apples vs BASELINE.md: the reference's only quantified task
   // is the word-count map over tests/testdata/input_large (3.74 MB,
   // budget < 10 s single worker ⇒ ~0.37 MB/s floor). Same executables,
@@ -55,19 +78,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (codegen compiler, parquet footers, shuffle infra)
-    // so the alphabetically-first query doesn't absorb ~10 s of one-time
-    // JVM/session cost in its measurement.
-    Tables(spark, sfDir, "lineitem").groupBy("l_returnflag").count()
-      .write.format("noop").mode("overwrite").save()
+    val spark = benchSession(cpus)
+    warmUp(spark, sfDir)
     // noop-format write executes the FULL plan (a count() would let
     // Catalyst prune projections/sorts and measure a cheaper query).
     // Two passes, min time: a single pass is dominated by whichever query

@@ -18,19 +18,11 @@ object BenchOne {
     val iters = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // same session recipe + warm-up as the sweep, so timings are comparable
+    val spark = Bench.benchSession(cpus)
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
-    // Same warm-up as Bench so timings are comparable to the sweep's.
-    Tables(spark, sfDir, "lineitem").groupBy("l_returnflag").count()
-      .write.format("noop").mode("overwrite").save()
+    Bench.warmUp(spark, sfDir)
     val times = (1 to iters).map { i =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

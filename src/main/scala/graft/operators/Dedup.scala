@@ -434,7 +434,13 @@ object Dedup {
       (s, d) => {
         val e = Tables(s, d, "embeddings")
           .select(col("vec_id"), col("embedding"))
-        val assigned = Similarity.ivfAssign(s, e, 8)
+        // zero-norm vectors have no defined cosine: NaN would BOTH corrupt
+        // bucketing (NaN c_cos wins every max_by) and pass the edge
+        // threshold Spark-side while the oracle's NULL fails it — exclude
+        // them up front; the left join below still emits them as
+        // singletons, exactly like the exact path
+        val assigned = Similarity.ivfAssign(
+          s, Similarity.dropZeroNorm(s, e), 8)
         // per-bucket self-join: shuffles on `bucket` co-locate each bucket,
         // then the pair loop runs bucket-locally — never across buckets
         val a = assigned.select(col("bucket"), col("vec_id").as("a_id"),

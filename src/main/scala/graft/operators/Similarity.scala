@@ -163,6 +163,14 @@ object Similarity {
     pairs
   }
 
+  /** Drop zero-norm vectors: they have no defined cosine — CosineSim
+    * returns NaN, and Spark's NaN-is-largest comparison would pass NaN
+    * through any threshold the SQL oracle's NULL fails. Every cosine
+    * consumer (cosinePairs, ivfAssign-based paths) must exclude them
+    * before the kernel. */
+  def dropZeroNorm(s: SparkSession, e: DataFrame): DataFrame =
+    e.filter(DotProduct(s, col("embedding"), col("embedding")) > 0.0)
+
   /** IVF bucket assignment: every vector lands in its nearest-centroid
     * bucket (centroids = the first `nCentroids` vectors — deterministic
     * stand-in for k-means, so the definition has an exact SQL oracle).

@@ -60,32 +60,58 @@ object TextDirSource {
   /** Format name for `spark.read.format(...)`. */
   val Name: String = classOf[TextDirSource].getName
 
-  /** Evaluate a pushed-down filter against a candidate FILE PATH. `file` is
-    * constant per partition, so a file-column predicate decides a whole
-    * file at PLANNING time — the DSv2 analog of partition pruning (a
-    * `file LIKE '%.txt'` scan never even opens the other files). Returns
-    * None when the filter references anything this source cannot decide
-    * per-file (e.g. the `line` column) — such filters stay post-scan. */
+  /** Structural check: can [[evalOnFile]] decide this filter per file?
+    * Only filters that reference nothing but the `file` column qualify —
+    * anything touching `line` (or an unknown filter class) stays
+    * post-scan. */
+  private[sources] def pushable(f: Filter): Boolean = f match {
+    case EqualTo("file", _)          => true
+    case In("file", _)               => true
+    case StringStartsWith("file", _) => true
+    case StringEndsWith("file", _)   => true
+    case StringContains("file", _)   => true
+    case IsNotNull("file")           => true
+    case And(l, r)                   => pushable(l) && pushable(r)
+    case Or(l, r)                    => pushable(l) && pushable(r)
+    case Not(c)                      => pushable(c)
+    case _                           => false
+  }
+
+  /** Evaluate a pushed-down filter against a candidate FILE PATH with SQL
+    * THREE-VALUED logic (None = NULL/unknown). `file` is constant per
+    * partition, so a file-column predicate decides a whole file at
+    * PLANNING time — the DSv2 analog of partition pruning (a
+    * `file LIKE '%.txt'` scan never even opens the other files). The NULL
+    * cases matter: `NOT IN (..., NULL)` must evaluate to NULL (row
+    * dropped), not to the two-valued complement — a WHERE clause keeps a
+    * row only when the predicate is definitely true. */
   private[sources] def evalOnFile(f: Filter, path: String): Option[Boolean] =
     f match {
-      case EqualTo("file", v: String)      => Some(path == v)
-      case In("file", vs)                  => Some(vs.contains(path))
-      case StringStartsWith("file", v)     => Some(path.startsWith(v))
-      case StringEndsWith("file", v)       => Some(path.endsWith(v))
-      case StringContains("file", v)       => Some(path.contains(v))
-      case IsNotNull("file")               => Some(true) // never null
+      case EqualTo("file", v: String) => Some(path == v)
+      case EqualTo("file", _)         => None // = NULL is never true
+      case In("file", vs) =>
+        if (vs.exists(v => v != null && v == path)) Some(true)
+        else if (vs.contains(null)) None // x IN (..., NULL) miss ⇒ NULL
+        else Some(false)
+      case StringStartsWith("file", v) => Some(path.startsWith(v))
+      case StringEndsWith("file", v)   => Some(path.endsWith(v))
+      case StringContains("file", v)   => Some(path.contains(v))
+      case IsNotNull("file")           => Some(true) // never null
       case And(l, r) =>
-        for (a <- evalOnFile(l, path); b <- evalOnFile(r, path)) yield a && b
+        (evalOnFile(l, path), evalOnFile(r, path)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true))            => Some(true)
+          case _                                   => None
+        }
       case Or(l, r) =>
-        for (a <- evalOnFile(l, path); b <- evalOnFile(r, path)) yield a || b
+        (evalOnFile(l, path), evalOnFile(r, path)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false))        => Some(false)
+          case _                                 => None
+        }
       case Not(c) => evalOnFile(c, path).map(!_)
-      case _ => None
+      case _      => None
     }
-
-  /** A filter is pushable iff [[evalOnFile]] can decide it for any path
-    * (structural check — the probe value is irrelevant). */
-  private[sources] def pushable(f: Filter): Boolean =
-    evalOnFile(f, "").isDefined
 }
 
 private[sources] class TextDirTable(path: String)
@@ -146,8 +172,10 @@ private[sources] class TextDirScan(
       .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
       .sortBy(_.getName)
       .map(_.toString)
+      // keep a file only when EVERY pushed predicate is definitely true —
+      // NULL/unknown (None) drops the row, per SQL WHERE semantics
       .filter(f => pushed.forall(
-        TextDirSource.evalOnFile(_, f).getOrElse(true)))
+        TextDirSource.evalOnFile(_, f).contains(true)))
       .map(f => TextDirInputPartition(f): InputPartition)
   }
 

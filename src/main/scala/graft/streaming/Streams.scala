@@ -167,6 +167,22 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Per-JVM scratch root for streaming sink/checkpoint dirs, removed by a
+    * shutdown hook: each q_stream_hourly_append invocation needs fresh
+    * dirs (the bench runs every query twice), and without a bounded root
+    * they would accumulate across rounds in /tmp. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case _: Throwable => () } // best-effort cleanup
+    }))
+    root
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_stream_hourly",
       (s, d) => {
@@ -198,9 +214,9 @@ object Streams {
       (s, d) => {
         val stream = eventsStream(s, d)
         val outDir = java.nio.file.Files
-          .createTempDirectory("graft-stream-append").toString
+          .createTempDirectory(scratchRoot, "append-out").toString
         val ckpt = java.nio.file.Files
-          .createTempDirectory("graft-stream-append-ckpt").toString
+          .createTempDirectory(scratchRoot, "append-ckpt").toString
         val q = hourlyCounts(stream).writeStream
           .format("parquet")
           .option("path", outDir)
@@ -211,12 +227,14 @@ object Streams {
         q.awaitTermination()
         s.read.parquet(outDir).orderBy("hour_ts", "event_type")
       },
-      // closed window ⇔ window end ≤ watermark = max(ts) − 1h, all in
-      // microsecond epochs (both engines truncate the nanos parquet the
-      // same way)
+      // closed window ⇔ window end ≤ watermark = max(ts) − 1h. Spark's
+      // event-time stats FLOOR the max to milliseconds before the delay is
+      // subtracted (EventTimeWatermarkExec tracks ms), so the oracle floors
+      // the same way — an exact-microsecond watermark would disagree for
+      // data whose max lands within 1 ms above a window boundary + delay
       Some(s"""WITH wm AS (
-                SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) - 3600000000
-                  AS wm_us FROM events),
+                SELECT (MAX(epoch_us(CAST(ts AS TIMESTAMP))) // 1000) * 1000
+                  - 3600000000 AS wm_us FROM events),
               g AS (
                 SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
                     AS hour_ts,

@@ -72,5 +72,12 @@ class SourcesSpec extends AnyFunSuite {
     assert(lineF.rdd.getNumPartitions == 3)
     assert(lineF.select("line").as[String].collect().sorted.toSeq ==
       Seq("b1", "b2"))
+
+    // three-valued logic: NOT IN over a list containing NULL is never
+    // true in SQL — the pushed filter must return ZERO files, not the
+    // two-valued complement (all non-matching files)
+    val notIn = scan.filter(
+      !col("file").isin(s"file:$dir/b.txt", lit(null)))
+    assert(notIn.count() == 0, "NOT IN (.., NULL) must yield no rows")
   }
 }
