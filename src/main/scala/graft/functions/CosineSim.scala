@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for cosine similarity over
-  * `ArrayType(FloatType)` columns — the operator the built-in function
-  * library lacks (SURVEY.md §2.4 LLM-pipeline row).
+  * `ArrayType(FloatType)` / `ArrayType(DoubleType)` columns (each side
+  * independently — float embeddings score against exact double centroids
+  * without a lossy cast) — the operator the built-in function library
+  * lacks (SURVEY.md §2.4 LLM-pipeline row).
   *
   * Why an Expression and not a UDF: `doGenCode` emits a primitive loop
   * directly into whole-stage codegen — no boxing of 64-float arrays into
@@ -27,28 +29,37 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _                                                  => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _                       => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
+    if (Seq(left, right).forall(e => elemOk(e.dataType)))
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim requires array<float> inputs, " +
+      s"cosine_sim requires array<float> or array<double> inputs, " +
         s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  private def isFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xf = isFloat(left.dataType)
+    val yf = isFloat(right.dataType)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv
       na += xv * xv
       nb += yv * yv
@@ -59,12 +70,14 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      def get(arr: String, dt: DataType) =
+        if (isFloat(dt)) s"(double) $arr.getFloat(i)" else s"$arr.getDouble(i)"
       s"""
          |double ${ev.value}_dot = 0.0, ${ev.value}_na = 0.0, ${ev.value}_nb = 0.0;
          |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
          |for (int i = 0; i < ${ev.value}_n; i++) {
-         |  double xv = (double) $a.getFloat(i);
-         |  double yv = (double) $b.getFloat(i);
+         |  double xv = ${get(a, left.dataType)};
+         |  double yv = ${get(b, right.dataType)};
          |  ${ev.value}_dot += xv * yv;
          |  ${ev.value}_na += xv * xv;
          |  ${ev.value}_nb += yv * yv;

@@ -161,13 +161,83 @@ object Dedup {
     }
     // a silent cap would return WRONG cluster ids for a >50-diameter chain;
     // near-dup graphs never get close, so treat hitting it as a bug signal
-    // (the large-star/small-star variant is the fix if one ever appears)
+    // (connectedComponentsStar is the O(log n) fix when one appears)
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds " +
           s"($changed labels still changing) — component diameter too " +
           "large for min-label propagation")
     labels
+  }
+
+  /** Connected components by alternating large-star/small-star rounds —
+    * O(log n) rounds regardless of component DIAMETER (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14), where
+    * [[connectedComponents]]' min-label propagation is O(diameter). Same
+    * output contract: (id, label) with label = component minimum.
+    *
+    * Each round is two groupBy-min + join passes over the edge list —
+    * no collect_list (a high-degree node never materializes its
+    * neighborhood), so a 10⁹-edge graph runs in bounded task memory:
+    *  - large-star: every neighbor v > u re-attaches to m(u) =
+    *    min(Γ(u) ∪ u) — long chains collapse exponentially;
+    *  - small-star: every neighbor v ≤ u (and u itself) attaches to m(u),
+    *    canonicalizing each component toward a star rooted at its minimum.
+    * Fixpoint when the edge set stops changing; the star edges then ARE
+    * the (id, label) map.
+    */
+  def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    def canon(df: DataFrame): DataFrame = df
+      .select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+    // undirected edge list as canonical (hi, lo) pairs
+    var edges = canon(pairs.select(col("a_id").as("a"), col("b_id").as("b")))
+      .localCheckpoint()
+    val ids = edges.select(explode(array(col("hi"), col("lo"))).as("id"))
+      .distinct().localCheckpoint()
+    val maxRounds = 50
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      // large-star: Γ as both directions; m(u) = min(Γ(u) ∪ u); emit
+      // (v, m(u)) for v > u
+      val nbrs = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mn = nbrs.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = canon(nbrs.join(mn, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")))
+      // small-star over the large-star output: emit (v, m(u)) for v ≤ u
+      // plus (u, m(u)) — reuse of mn would be stale, recompute on `large`
+      val nbrs2 = large.select(col("hi").as("u"), col("lo").as("v"))
+        .union(large.select(col("lo").as("u"), col("hi").as("v")))
+      val mn2 = nbrs2.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val small = canon(
+        nbrs2.join(mn2, "u").filter(col("v") <= col("u"))
+          .select(col("v").as("a"), col("m").as("b"))
+          .union(mn2.select(col("u").as("a"), col("m").as("b"))))
+        .localCheckpoint()
+      // fixpoint test: same canonical edge set (cheap: anti-join both ways
+      // over the checkpointed sets)
+      stable = small.count() == edges.count() &&
+        small.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
+      edges = small
+      rounds += 1
+    }
+    if (!stable)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxRounds rounds")
+    // converged: every component is a star rooted at its minimum — each
+    // node's single neighbor IS its label; roots label themselves
+    val labels = edges.select(col("hi").as("id"), col("lo").as("label"))
+    ids.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
   val queries: Seq[Q] = Seq(
@@ -223,6 +293,50 @@ object Dedup {
           .filter(col("jac") >= 0.5)
           .select("a_id", "b_id")
         connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+            (col("id") === col("label")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+              sh AS (
+                SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                         FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+                WHERE len(toks) >= 3),
+              pairs AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                      len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
+              edges AS (
+                SELECT a_id AS src, b_id AS dst FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+              reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+                WHERE r.src <> e.dst)
+              SELECT src AS doc_id,
+                CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id,
+                (src = LEAST(src, MIN(dst))) AS keep
+              FROM reach GROUP BY src ORDER BY doc_id""")),
+
+    // ---- near-dup clustering via large-star/small-star -------------------
+    // Same pair detection and output contract as q_dedup_clusters, but
+    // components come from the O(log n)-round star algorithm instead of
+    // O(diameter) min-label propagation — the variant a 100 TB graph with
+    // long chains needs. Labels are identical by definition (component
+    // minimum), so the oracle is the same recursive CTE.
+    Q("q_dedup_clusters_star",
+      (s, d) => {
+        val sh = shingled(docs(s, d)).localCheckpoint()
+        val pairs = lshCandidates(minhashBands(s, sh))
+          .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+          .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+          .withColumn("jac", jaccard(col("a_sh"), col("b_sh")))
+          .filter(col("jac") >= 0.5)
+          .select("a_id", "b_id")
+        connectedComponentsStar(pairs)
           .select(col("id").as("doc_id"), col("label").as("cluster_id"),
             (col("id") === col("label")).as("keep"))
           .orderBy("doc_id")

@@ -196,9 +196,13 @@ object Similarity {
 
   /** DuckDB twin of [[ivfAssign]] as CTE text: defines `e` (typed vectors),
     * `cents`, `ac` (all vector×centroid cosines) and `assigned`
-    * (vec_id, v, bucket) for oracle queries to build on. */
-  private[operators] def sqlIvfAssign(nCentroids: Int): String =
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    * (vec_id, v, bucket) for oracle queries to build on.
+    * @param eWhere  optional predicate on `e` (e.g. the zero-norm filter,
+    *                mirroring [[dropZeroNorm]]) */
+  private[operators] def sqlIvfAssign(
+      nCentroids: Int, eWhere: String = ""): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              ${if (eWhere.isEmpty) "" else s"WHERE $eWhere"}),
         cents AS (SELECT vec_id AS c_id, v AS c_v FROM e WHERE vec_id < $nCentroids),
         ac AS (
           SELECT e.vec_id, e.v, c.c_id,
@@ -208,6 +212,37 @@ object Similarity {
           SELECT vec_id, v, c_id AS bucket FROM ac
           QUALIFY row_number() OVER (PARTITION BY vec_id
             ORDER BY c_cos DESC, c_id) = 1)"""
+
+  /** One Lloyd (k-means) refinement round over the IVF buckets: recompute
+    * each bucket's centroid as the exact fixed-point mean of its members
+    * (VecCentroid — long micro sums are order-independent, so the centroid
+    * is bit-identical across any partitioning), then reassign every vector
+    * to its nearest refined centroid. This turns the "first k vectors"
+    * seeding stand-in into a real clustering step while keeping the whole
+    * computation deterministic enough for an exact SQL oracle.
+    *
+    * Scale shape per round: one broadcast of k centroids, one map-side
+    * partial-aggregated groupBy for the (64-long, count) centroid buffers,
+    * one more broadcast for reassignment — the corpus is scanned twice and
+    * never shuffled. Production k-means iterates this to a tolerance;
+    * the operator is the round.
+    *
+    * @return (vec_id, embedding, bucket) after refinement
+    */
+  def kmeansRefine(s: SparkSession, e: DataFrame, k: Int): DataFrame = {
+    val assigned0 = ivfAssign(s, e, k)
+    val centroid = udaf(VecCentroid)
+    val cents1 = assigned0.groupBy(col("bucket").as("c_id"))
+      .agg(centroid(col("embedding")).as("c_v"))
+    assigned0.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents1))
+      .withColumn("c_cos", cosine(s, col("embedding"), col("c_v")))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("bucket"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+  }
 
   val queries: Seq[Q] = Seq(
 
@@ -375,6 +410,44 @@ object Similarity {
                   row_number() OVER (PARTITION BY q_id
                     ORDER BY cos DESC, nn_id) AS rk
                 FROM cand)
-              WHERE rk <= 3 ORDER BY q_id, rk"""))
+              WHERE rk <= 3 ORDER BY q_id, rk""")),
+
+    // ---- k-means refinement round (real clustering for the IVF index) ----
+    // One Lloyd iteration over the IVF buckets: exact fixed-point centroid
+    // recompute + cosine reassignment (kmeansRefine). Deterministic end to
+    // end — seeding is the fixed first-8 rule, centroid means are order-
+    // independent long sums, ties break on bucket id — so the refined
+    // bucket HISTOGRAM has an exact SQL oracle. Zero-norm vectors are
+    // excluded on both sides (no defined cosine).
+    Q("q_ann_kmeans",
+      (s, d) => {
+        val e = Similarity.dropZeroNorm(s,
+          embs(s, d).select(col("vec_id"), col("embedding")))
+        kmeansRefine(s, e, 8)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH ${sqlIvfAssign(8,
+                "list_sum([x * x FOR x IN (embedding::DOUBLE[])]) > 0")},
+              u AS (
+                SELECT bucket, i,
+                  ROUND(SUM(CAST(FLOOR(v[i] * 1000000 + 0.5) AS BIGINT))::DOUBLE
+                    / (COUNT(*) * 1000000.0), 6) AS c
+                FROM assigned, (SELECT unnest(generate_series(1, 64)) AS i)
+                GROUP BY bucket, i),
+              cents1 AS (
+                SELECT bucket AS c_id, array_agg(c ORDER BY i) AS c_v
+                FROM u GROUP BY bucket),
+              re AS (
+                SELECT a.vec_id, c.c_id,
+                  ${sqlCosineCols("a.v", "c.c_v")} AS c_cos
+                FROM assigned a, cents1 c),
+              re2 AS (
+                SELECT vec_id, c_id AS bucket FROM re
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                  ORDER BY c_cos DESC, c_id) = 1)
+              SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
+              FROM re2 GROUP BY bucket ORDER BY bucket"""))
   )
 }

@@ -279,6 +279,49 @@ object TextOps {
               list_min([md5(array_to_string(toks[i:i+4], ' '))
                         FOR i IN generate_series(1, len(toks) - 4)]) AS fp
               FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-              WHERE len(toks) >= 5 ORDER BY doc_id"""))
+              WHERE len(toks) >= 5 ORDER BY doc_id""")),
+
+    // ---- deterministic hash sampling -------------------------------------
+    // The sampling a training-data pipeline actually ships: hash-bucketed,
+    // not RNG'd — the sample is REPRODUCIBLE (same rows on every run, any
+    // cluster size, any partitioning), membership is decidable per row
+    // with no coordination, and downstream joins against the sample stay
+    // consistent. Spark's rand(seed)/TABLESAMPLE give none of those (seed
+    // ⇒ partition-order dependent, engine-specific). Rate = hex-prefix
+    // range: first 2 MD5 chars < '1a' ⇒ 26/256 ≈ 10.2%.
+    Q("q_sample_hash",
+      (s, d) => docs(s, d)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "1a")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+              WHERE substr(md5(doc_id::VARCHAR), 1, 2) < '1a'
+              ORDER BY doc_id""")),
+
+    // ---- train/val/test split --------------------------------------------
+    // Same hash discipline as q_sample_hash, partitioning the corpus into
+    // held-out splits: ~5% test, ~5% val, 90% train, stable under corpus
+    // growth (a document's split never changes when other documents are
+    // added — a modulo over a row number would reshuffle everything).
+    Q("q_sample_split",
+      (s, d) => {
+        val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+        docs(s, d)
+          .withColumn("split",
+            when(h < "0d", "test").when(h < "1a", "val").otherwise("train"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+          .orderBy("split", "lang")
+      },
+      Some("""SELECT split, lang, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars
+              FROM (
+                SELECT lang, n_chars,
+                  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '0d' THEN 'test'
+                       WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '1a' THEN 'val'
+                       ELSE 'train' END AS split
+                FROM documents)
+              GROUP BY split, lang ORDER BY split, lang"""))
   )
 }

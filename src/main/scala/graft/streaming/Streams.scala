@@ -246,6 +246,39 @@ object Streams {
               WHERE (g.hour_ts + 3600) * 1000000 <= wm.wm_us
               ORDER BY hour_ts, event_type""")),
 
+    // Streaming exact dedup: the LLM-pipeline dedup surface on a stream.
+    // dropDuplicates keeps ONE state row per distinct key and emits each
+    // key's first arrival — state is bounded by key CARDINALITY (here
+    // users × event types), the same bound as any exact dedup; a
+    // content-hash variant carries a 32-byte digest per distinct document.
+    // (For time-bounded retention Spark offers
+    // dropDuplicatesWithinWatermark — different semantics: re-admits a key
+    // once the watermark passes it, so its batch twin is windowed DISTINCT,
+    // not global DISTINCT.) Emitted rows are exactly the distinct keys, so
+    // the oracle is plain SELECT DISTINCT.
+    Q("q_stream_dedup",
+      (s, d) => {
+        val stream = eventsStream(s, d)
+        val sink = "q_stream_dedup_sink"
+        // state-store count tracks key cardinality, not core count (the
+        // q_stream_join rationale); restored after query start
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try stream.select(col("user_id"), col("event_type"))
+            .dropDuplicates("user_id", "event_type")
+            .writeStream
+            .format("memory").queryName(sink)
+            .outputMode(OutputMode.Append)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        q.awaitTermination()
+        s.table(sink).orderBy("user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+              ORDER BY user_id, event_type""")),
+
     // Stream-stream join as a driver row: two file-source streams over the
     // same events data (clicks / purchases), joined with watermarks and an
     // event-time range, drained via AvailableNow. The oracle is the plain

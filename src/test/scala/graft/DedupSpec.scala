@@ -5,6 +5,8 @@ import java.nio.file.Files
 import org.apache.spark.sql.SaveMode
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.operators.Dedup
+
 /** Behavioral tests for the dedup queries over a corpus with PLANTED
   * duplicates (the driver testdata's duplicates are incidental; here the
   * ground truth is constructed).
@@ -68,6 +70,38 @@ class DedupSpec extends AnyFunSuite {
     val dFar = popcount(rows(0L) ^ rows(4L))
     assert(dNear < dFar,
       s"near-dup hamming $dNear not below unrelated $dFar")
+  }
+
+  test("star connected components agree with min-label propagation") {
+    val s = spark
+    import s.implicits._
+    // random-ish sparse graph: several components of varying shape
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // path
+      (10L, 11L), (11L, 12L), (12L, 10L), // triangle
+      (20L, 21L), // edge
+      (30L, 31L), (30L, 32L), (30L, 33L), (33L, 34L) // star + tail
+    ).toDF("a_id", "b_id")
+    def labelsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val minLabel = labelsOf(Dedup.connectedComponents(pairs))
+    val star = labelsOf(Dedup.connectedComponentsStar(pairs))
+    assert(star == minLabel)
+  }
+
+  test("star components converge on a chain longer than the round cap") {
+    val s = spark
+    import s.implicits._
+    // a 150-node path needs ~150 min-label rounds (the propagation throws
+    // past 50); the star algorithm collapses it in O(log n) rounds — this
+    // is exactly the adversarial diameter case it exists for
+    val chain = (0L until 149L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponentsStar(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 150)
+    assert(labels.values.forall(_ == 0L))
+    assertThrows[IllegalStateException](
+      Dedup.connectedComponents(chain).collect())
   }
 
   test("bucketed embed dedup refines the exact clustering at sf0.01") {
