@@ -240,6 +240,53 @@ object Dedup {
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
+  /** Verified near-dup pairs (a_id, b_id): LSH candidates filtered by exact
+    * Jaccard ≥ 0.5 — the shared front half of both clustering rows. */
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(docs(s, d)).localCheckpoint()
+    lshCandidates(minhashBands(s, sh))
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("jac", jaccard(col("a_sh"), col("b_sh")))
+      .filter(col("jac") >= 0.5)
+      .select("a_id", "b_id")
+  }
+
+  /** Shared oracle for both clustering rows — brute-forced pairs + a
+    * recursive transitive closure; the component minimum is the label, so
+    * min-label propagation and large-star/small-star both match it. */
+  private val ClustersOracleSql: String =
+    """WITH RECURSIVE
+       sh AS (
+         SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                  FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         WHERE len(toks) >= 3),
+       pairs AS (
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+               len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
+       edges AS (
+         SELECT a_id AS src, b_id AS dst FROM pairs
+         UNION SELECT b_id, a_id FROM pairs),
+       reach(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         WHERE r.src <> e.dst)
+       SELECT src AS doc_id,
+         CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id,
+         (src = LEAST(src, MIN(dst))) AS keep
+       FROM reach GROUP BY src ORDER BY doc_id"""
+
+  /** The clustering rows' shared back half: components → (doc_id,
+    * cluster_id, keep) with the cluster minimum as the survivor. */
+  private def clusterOutput(labels: DataFrame): DataFrame = labels
+    .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+      (col("id") === col("label")).as("keep"))
+    .orderBy("doc_id")
+
   val queries: Seq[Q] = Seq(
 
     // ---- exact dedup ------------------------------------------------------
@@ -284,42 +331,8 @@ object Dedup {
     // canonical survivor. Oracle recomputes components with a recursive CTE
     // over the brute-forced pair list.
     Q("q_dedup_clusters",
-      (s, d) => {
-        val sh = shingled(docs(s, d)).localCheckpoint()
-        val pairs = lshCandidates(minhashBands(s, sh))
-          .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-          .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
-          .withColumn("jac", jaccard(col("a_sh"), col("b_sh")))
-          .filter(col("jac") >= 0.5)
-          .select("a_id", "b_id")
-        connectedComponents(pairs)
-          .select(col("id").as("doc_id"), col("label").as("cluster_id"),
-            (col("id") === col("label")).as("keep"))
-          .orderBy("doc_id")
-      },
-      Some("""WITH RECURSIVE
-              sh AS (
-                SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
-                         FOR i IN generate_series(1, len(toks) - 2)]) AS sh
-                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-                WHERE len(toks) >= 3),
-              pairs AS (
-                SELECT a.doc_id AS a_id, b.doc_id AS b_id
-                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
-                      len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
-              edges AS (
-                SELECT a_id AS src, b_id AS dst FROM pairs
-                UNION SELECT b_id, a_id FROM pairs),
-              reach(src, dst) AS (
-                SELECT src, dst FROM edges
-                UNION
-                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-                WHERE r.src <> e.dst)
-              SELECT src AS doc_id,
-                CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id,
-                (src = LEAST(src, MIN(dst))) AS keep
-              FROM reach GROUP BY src ORDER BY doc_id""")),
+      (s, d) => clusterOutput(connectedComponents(nearDupPairs(s, d))),
+      Some(ClustersOracleSql)),
 
     // ---- near-dup clustering via large-star/small-star -------------------
     // Same pair detection and output contract as q_dedup_clusters, but
@@ -328,42 +341,8 @@ object Dedup {
     // long chains needs. Labels are identical by definition (component
     // minimum), so the oracle is the same recursive CTE.
     Q("q_dedup_clusters_star",
-      (s, d) => {
-        val sh = shingled(docs(s, d)).localCheckpoint()
-        val pairs = lshCandidates(minhashBands(s, sh))
-          .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-          .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
-          .withColumn("jac", jaccard(col("a_sh"), col("b_sh")))
-          .filter(col("jac") >= 0.5)
-          .select("a_id", "b_id")
-        connectedComponentsStar(pairs)
-          .select(col("id").as("doc_id"), col("label").as("cluster_id"),
-            (col("id") === col("label")).as("keep"))
-          .orderBy("doc_id")
-      },
-      Some("""WITH RECURSIVE
-              sh AS (
-                SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
-                         FOR i IN generate_series(1, len(toks) - 2)]) AS sh
-                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-                WHERE len(toks) >= 3),
-              pairs AS (
-                SELECT a.doc_id AS a_id, b.doc_id AS b_id
-                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
-                      len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
-              edges AS (
-                SELECT a_id AS src, b_id AS dst FROM pairs
-                UNION SELECT b_id, a_id FROM pairs),
-              reach(src, dst) AS (
-                SELECT src, dst FROM edges
-                UNION
-                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-                WHERE r.src <> e.dst)
-              SELECT src AS doc_id,
-                CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id,
-                (src = LEAST(src, MIN(dst))) AS keep
-              FROM reach GROUP BY src ORDER BY doc_id""")),
+      (s, d) => clusterOutput(connectedComponentsStar(nearDupPairs(s, d))),
+      Some(ClustersOracleSql)),
 
     // ---- SimHash signatures ----------------------------------------------
     // Per-row computation only (no shuffle before the determinism sort);

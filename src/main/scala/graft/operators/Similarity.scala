@@ -234,7 +234,16 @@ object Similarity {
     val centroid = udaf(VecCentroid)
     val cents1 = assigned0.groupBy(col("bucket").as("c_id"))
       .agg(centroid(col("embedding")).as("c_v"))
-    assigned0.select(col("vec_id"), col("embedding"))
+      // a bucket of opposing embeddings can average to the zero vector,
+      // whose cosine is NaN — and Spark's NaN-is-largest max_by would then
+      // capture EVERY vector while the oracle's NULL sorts last. Same
+      // guard as dropZeroNorm, on the centroid side.
+      .filter(aggregate(col("c_v"), lit(0.0d),
+        (acc, x) => acc + x * x) > 0.0)
+    // reassignment side is the plain corpus (ivfAssign preserves one row
+    // per vector, so reusing `e` avoids recomputing the seeding pass in a
+    // second DAG branch)
+    e.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents1))
       .withColumn("c_cos", cosine(s, col("embedding"), col("c_v")))
       .groupBy("vec_id")
@@ -438,7 +447,8 @@ object Similarity {
                 GROUP BY bucket, i),
               cents1 AS (
                 SELECT bucket AS c_id, array_agg(c ORDER BY i) AS c_v
-                FROM u GROUP BY bucket),
+                FROM u GROUP BY bucket
+                HAVING list_sum([c * c FOR c IN array_agg(c)]) > 0),
               re AS (
                 SELECT a.vec_id, c.c_id,
                   ${sqlCosineCols("a.v", "c.c_v")} AS c_cos

@@ -105,7 +105,16 @@ object RewriteCosineSelfJoin extends Rule[LogicalPlan] {
           if idOf(e1).isDefined && idOf(e2).isDefined =>
         val (aId, outA) = idOf(e1).get
         val (bId, outB) = idOf(e2).get
+        // the exec's kernel reads raw FLOAT arrays (toFloatArray) — an
+        // array<double> CosineSim (legal since the expression widened)
+        // must NOT rewrite, or 8-byte elements get reinterpreted as floats
+        def floatVec(a: Attribute): Boolean = a.dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, _) => true
+          case _ => false
+        }
         val sidesOk = l.outputSet.contains(aId) && r.outputSet.contains(bId) &&
+          floatVec(av) && floatVec(bv) &&
           ((l.outputSet.contains(av) && r.outputSet.contains(bv)) ||
             (l.outputSet.contains(bv) && r.outputSet.contains(av)))
         // every conjunct must be accounted for — else no rewrite. The

@@ -98,6 +98,21 @@ class CosineRewriteSpec extends AnyFunSuite {
         .select("a_id", "b_id", "cos")
       assert(!selfCos.queryExecution.executedPlan.toString
         .contains("BlockedCosineJoin"))
+      // array<double> embeddings (legal since CosineSim widened): the exec
+      // kernel reads raw float arrays, so the rule must NOT fire — a
+      // rewrite would reinterpret 8-byte elements as floats
+      val ed = Tables(s, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val ad = ed.select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      val bd = ed.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val doubles = ad.join(bd, col("a_id") < col("b_id"))
+        .withColumn("cos", round(CosineSim(s, col("a_v"), col("b_v")), 6))
+        .filter(col("cos") >= 0.45)
+        .select("a_id", "b_id", "cos")
+      val dPlan = doubles.queryExecution.executedPlan.toString
+      assert(!dPlan.contains("BlockedCosineJoin"), dPlan)
+      // and the un-rewritten double path still computes correct cosines
+      assert(rows(doubles) == rows(declarativeJoin(s)))
     } finally {
       s.conf.unset(RewriteCosineSelfJoin.ConfKey)
       s.experimental.extraOptimizations =

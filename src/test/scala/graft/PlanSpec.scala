@@ -74,6 +74,31 @@ class PlanSpec extends AnyFunSuite {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_dedup_embed_ivf joins within buckets, never a cartesian") {
+    val p = plan("q_dedup_embed_ivf")
+    assert(!p.contains("CartesianProduct"), "bucketed dedup went all-pairs")
+    // candidate edges come from an equi-join on `bucket`
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_ann_kmeans broadcasts centroids and partial-aggregates buffers") {
+    val p = plan("q_ann_kmeans")
+    // both the seeding pass and the reassignment pass broadcast the tiny
+    // centroid set; the corpus itself is never shuffled whole
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    // VecCentroid buffers partial-aggregate map-side before the exchange
+    assert(p.contains("partial_"), "centroid agg has no partial phase")
+  }
+
+  test("q_sample_hash scans only the projected columns") {
+    val p = plan("q_sample_hash")
+    // the md5 filter is compute-on-read (not parquet-pushable), but the
+    // scan must not read text/source for a (doc_id, lang, n_chars) output
+    assert(!p.contains("text"), "sample scan reads the text column")
+  }
+
   test("cosinePairs is collect-free and size-dispatched") {
     val s = spark
     import org.apache.spark.sql.functions.col
