@@ -204,6 +204,35 @@ object Complex {
               MAX(CAST(doc_id AS VARCHAR) || chr(9) || md5(text)) AS max_line
               FROM documents""")),
 
+    // ---- hive-partitioned parquet sink + partition-pruned read-back -------
+    // The 100 TB layout pattern: write events partitioned BY COLUMN
+    // (`partitionBy` → one directory per event_type), read back with a
+    // partition filter — the scan must touch ONLY the matching directory
+    // (PartitionFilters in the plan, pinned in PlanSpec; at scale this is
+    // the difference between reading 1/5 of the lake and all of it).
+    // The oracle reads the ORIGINAL parquet with the same predicate, so
+    // any value drift through the partitioned write/read fails the row.
+    Q("q_partitioned_roundtrip",
+      (s, d) => {
+        val out = scratch("events_by_type")
+        Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+        s.read.parquet(out)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("user_id")).cast("long").as("sum_users"),
+            Arith.dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(user_id) AS BIGINT) AS sum_users,
+              ${Arith.sqlSum("value")} AS sum_value
+              FROM events WHERE event_type IN ('click', 'purchase')
+              GROUP BY event_type ORDER BY event_type""")),
+
     // ---- json-lines sink + source round trip ------------------------------
     Q("q_json_roundtrip",
       (s, d) => {

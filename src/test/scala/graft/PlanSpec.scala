@@ -99,6 +99,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("text"), "sample scan reads the text column")
   }
 
+  test("q_partitioned_roundtrip prunes partitions at the scan") {
+    val p = plan("q_partitioned_roundtrip")
+    // the event_type predicate must land in PartitionFilters (directory
+    // pruning), not as a post-scan data filter
+    assert(p.contains("PartitionFilters: ["), p)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters: ")).get
+    assert(pf.contains("event_type"), s"partition filter not pruned: $pf")
+  }
+
   test("cosinePairs is collect-free and size-dispatched") {
     val s = spark
     import org.apache.spark.sql.functions.col
