@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{CosineSim, DotProduct, SimHash32}
+import graft.functions.{BloomFns, CosineSim, DotProduct, SimHash32}
 import graft.plans.{CosineJoinStrategy, RewriteCosineSelfJoin}
 
 /** Session extension wiring: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(CosineSim.registration)
     ext.injectFunction(DotProduct.registration)
     ext.injectFunction(SimHash32.registration)
+    ext.injectFunction(BloomFns.aggRegistration)
+    ext.injectFunction(BloomFns.containsRegistration)
     ext.injectOptimizerRule(_ => RewriteCosineSelfJoin)
     ext.injectPlannerStrategy(_ => CosineJoinStrategy)
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
+import graft.plans.Salt
 
 /** Non-equi join operators: theta/range joins and as-of joins.
   *
@@ -128,6 +129,66 @@ object Joins {
                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                 AS prev_event_id
-              FROM events ORDER BY user_id, event_id"""))
+              FROM events ORDER BY user_id, event_id""")),
+
+    // ---- bloom-filter runtime pre-filter join ----------------------------
+    // The runtime-filter shape a 100 TB semi-join wants: build a Bloom
+    // filter over the (filtered, small) build side, broadcast the sketch —
+    // a few KB, not the key set — and pre-filter the probe scan with
+    // might_contain BEFORE the shuffle/join. The exact semi-join then
+    // removes bloom false positives, so output is EXACT (no false
+    // negatives by construction) and the oracle is the plain IN-subquery.
+    // At scale the bloom eliminates ~all non-matching probe rows at the
+    // scan, shrinking the shuffle by the selectivity of the build side.
+    Q("q_join_bloom",
+      (s, d) => {
+        // Catalyst requires the sketch operand of might_contain to be a
+        // constant or scalar subquery — so this row runs as plain SQL over
+        // temp views, which also exercises the graft_bloom_* registrations
+        // through the SQL surface (the sketch subquery plans as a
+        // ReusedSubquery broadcast, evaluated once)
+        graft.functions.BloomFns.ensureRegistered(s)
+        Tables(s, d, "orders").createOrReplaceTempView("bloom_orders")
+        Tables(s, d, "customer").createOrReplaceTempView("bloom_customer")
+        s.sql("""
+          SELECT o_orderpriority, COUNT(*) AS n_orders,
+            CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(38,6))) AS DOUBLE)
+              AS total
+          FROM bloom_orders
+          WHERE graft_bloom_contains(
+              (SELECT graft_bloom_agg(CAST(c_custkey AS LONG),
+                                      100000L, 800000L)
+               FROM bloom_customer WHERE c_mktsegment = 'BUILDING'),
+              CAST(o_custkey AS LONG))
+            AND o_custkey IN (SELECT c_custkey FROM bloom_customer
+                              WHERE c_mktsegment = 'BUILDING')
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+              ${Arith.sqlSum("o_totalprice")} AS total
+              FROM orders WHERE o_custkey IN
+                (SELECT c_custkey FROM customer
+                 WHERE c_mktsegment = 'BUILDING')
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- salted skew join ------------------------------------------------
+    // plans/Salt.saltedJoin: the big side salts its join key, the small
+    // side replicates per salt — a hot key spreads over `buckets` tasks
+    // instead of one. Output is exactly the plain join's; the oracle IS
+    // the plain join.
+    Q("q_join_salted",
+      (s, d) => Salt.saltedJoin(
+          big = Tables(s, d, "lineitem"),
+          small = Tables(s, d, "supplier"),
+          bigKey = "l_suppkey", smallKey = "s_suppkey",
+          saltFrom = hash(col("l_orderkey")), buckets = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          Arith.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("s_nationkey"),
+      Some(s"""SELECT s_nationkey, COUNT(*) AS n_items,
+              ${Arith.sqlSum("l_quantity")} AS sum_qty
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY s_nationkey ORDER BY s_nationkey"""))
   )
 }

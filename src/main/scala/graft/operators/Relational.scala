@@ -359,6 +359,24 @@ object Relational {
               ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber,
                        l_quantity, running_qty, prev_qty""")),
 
+    // ---- NTILE quantile bucketing ----------------------------------------
+    // The windowed bucketer a feature pipeline uses for per-group quantile
+    // bins; tie-broken on the unique key so bucket boundaries are
+    // engine-independent.
+    Q("q_window_ntile",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            ntile(4).over(Window.partitionBy(col("c_mktsegment"))
+              .orderBy(col("c_acctbal"), col("c_custkey"))).as("quartile"))
+          .orderBy("c_mktsegment", "c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+              CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+              FROM customer ORDER BY c_mktsegment, c_custkey""")),
+
     // ---- sort / limit / top-k --------------------------------------------
     Q("q_topk",
       (s, d) => t(s, d, "orders")

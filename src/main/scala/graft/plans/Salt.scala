@@ -21,6 +21,30 @@ object Salt {
     * composition is bit-exact with the single-phase sum. */
   def partialSum(c: Column): Column = sum(round(c, 6).cast("decimal(38,6)"))
 
+  /** Skew-safe equi-join: the big (skewed) side salts its key into
+    * `buckets` sub-keys; the small side replicates each row `buckets`
+    * times, once per salt value. The join then shuffles on
+    * (key, salt) — a hot key's rows spread over `buckets` tasks instead
+    * of funneling into one. Results are EXACTLY the plain join's (every
+    * (bigRow, smallRow) key match meets in exactly one salt bucket).
+    *
+    * Shuffle cost: big side unchanged; small side × buckets — the standard
+    * trade, sized so (small × buckets) stays far below the big side.
+    * `saltFrom` must be deterministic data on the big side (not rand()) so
+    * reruns and retries produce identical partitioning.
+    */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
+      saltFrom: Column, buckets: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt", pmod(saltFrom, lit(buckets)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedBig.join(replicated,
+        saltedBig(bigKey) === replicated(smallKey) &&
+          saltedBig("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+
   /** `df.groupBy(key).agg(sums, counts)` computed as salted two-phase.
     *
     * @param sums  name → row-level expression to decimal-sum
