@@ -36,6 +36,22 @@ object ExtensionsMain {
       .collect()(0).getBoolean(0)
     require(dp, "dot_product(v, v) must be non-negative")
 
+    // 1b. the bloom sketch pair resolves and round-trips: every build-side
+    // key must hit (no false negatives), and a disjoint probe range must
+    // be mostly rejected (false-positive rate bounded far below 1)
+    val bloomHits = spark.sql(
+      """SELECT COUNT(*) FROM emb WHERE graft_bloom_contains(
+           (SELECT graft_bloom_agg(CAST(vec_id AS LONG), 1000L, 8000L)
+            FROM emb WHERE vec_id < 100),
+           CAST(vec_id AS LONG)) AND vec_id < 100""").collect()(0).getLong(0)
+    require(bloomHits == 100, s"bloom dropped build keys: $bloomHits/100")
+    val bloomFp = spark.sql(
+      """SELECT COUNT(*) FROM emb WHERE graft_bloom_contains(
+           (SELECT graft_bloom_agg(CAST(vec_id AS LONG), 1000L, 8000L)
+            FROM emb WHERE vec_id < 100),
+           CAST(vec_id AS LONG)) AND vec_id >= 100""").collect()(0).getLong(0)
+    require(bloomFp < 50, s"bloom false-positive count implausible: $bloomFp")
+
     // 2. the optimizer rule + strategy fire from PLAIN SQL
     spark.conf.set(RewriteCosineSelfJoin.ConfKey, "0")
     val df = spark.sql(
