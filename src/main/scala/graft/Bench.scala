@@ -48,31 +48,53 @@ object Bench {
     }
   }
 
-  /** Per-query seconds from the newest BENCH_r{N}.json in cwd (the driver
-    * runs Bench from the repo root), so each round's output carries its
-    * deltas vs the previous round. Scans EVERY metric-line candidate in the
-    * tail and keeps the one with a `queries` map (the tail also contains a
-    * short total-only summary line). Any parse trouble → no deltas. */
-  def prevQueries(): Map[String, Double] = try {
-    val fs = new java.io.File(".")
-      .listFiles((_, n) => n.matches("BENCH_r\\d+\\.json"))
-    if (fs == null || fs.isEmpty) return Map.empty
-    val latest = fs.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+  /** Where the full metric line persists between rounds: the driver's
+    * BENCH_r{N}.json keeps only a 2000-char stdout tail, which truncates
+    * the ~3.5 KB per-query map — so Bench also writes the line here
+    * (cwd = repo root under the driver) and reads it back next round. */
+  val LastRunFile = "bench_last.json"
+
+  private def parseQueries(
+      line: String, sfDir: Option[String]): Option[Map[String, Double]] = try {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val tail = Option(om.readTree(latest).get("tail"))
-      .map(_.asText).getOrElse("")
     import scala.jdk.CollectionConverters._
-    Iterator.iterate(tail.indexOf("{\"metric\""))(i =>
-        tail.indexOf("{\"metric\"", i + 1))
-      .takeWhile(_ >= 0)
-      .flatMap { i =>
-        try {
-          val node = om.readTree(tail.substring(i).takeWhile(_ != '\n'))
-          Option(node.get("queries")).map(qs =>
-            qs.fields().asScala.map(e => e.getKey -> e.getValue.asDouble).toMap)
-        } catch { case _: Throwable => None }
-      }
-      .foldLeft(Map.empty[String, Double])((_, m) => m) // last parseable wins
+    val node = om.readTree(line)
+    // seconds only compare within one scale factor: a stale line from a
+    // different sf would produce nonsense ratios — treat it as absent
+    val sfOk = sfDir.forall(want =>
+      Option(node.get("sf")).map(_.asText).contains(want))
+    if (!sfOk) None
+    else Option(node.get("queries")).map(qs =>
+      qs.fields().asScala.map(e => e.getKey -> e.getValue.asDouble).toMap)
+  } catch { case _: Throwable => None }
+
+  /** Per-query seconds from the previous round at the SAME scale factor,
+    * for the `vs_prev` deltas: [[LastRunFile]] if present (complete), else
+    * every metric-line candidate in the newest BENCH_r{N}.json 2000-char
+    * tail (the head of the long line may be cut; the short summary line
+    * has no queries map). Any parse trouble → no deltas. */
+  def prevQueries(sfDir: String): Map[String, Double] = try {
+    val last = new java.io.File(LastRunFile)
+    val fromFile =
+      if (!last.isFile) None
+      else parseQueries(new String(
+        java.nio.file.Files.readAllBytes(last.toPath),
+        java.nio.charset.StandardCharsets.UTF_8), Some(sfDir))
+    fromFile.getOrElse {
+      val fs = new java.io.File(".")
+        .listFiles((_, n) => n.matches("BENCH_r\\d+\\.json"))
+      if (fs == null || fs.isEmpty) return Map.empty
+      val latest = fs.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val tail = Option(om.readTree(latest).get("tail"))
+        .map(_.asText).getOrElse("")
+      Iterator.iterate(tail.indexOf("{\"metric\""))(i =>
+          tail.indexOf("{\"metric\"", i + 1))
+        .takeWhile(_ >= 0)
+        .flatMap(i => parseQueries(
+          tail.substring(i).takeWhile(_ != '\n'), Some(sfDir)))
+        .foldLeft(Map.empty[String, Double])((_, m) => m) // last wins
+    }
   } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
@@ -111,14 +133,21 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // cur/prev ratio per query (<1 = faster than last round), so
     // regressions are visible straight from the round's JSON line
-    val prev = prevQueries()
+    val prev = prevQueries(sfDir)
     val vs = results.flatMap { case (k, v) =>
       prev.get(k).filter(_ > 0).map(p =>
         s"\"" + k + "\":" + math.rint(v / p * 100) / 100)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"vs_prev":$vs,"sf":"$sfDir"}""")
-    // Short summary LAST: if the driver's tail capture truncates the long
-    // line above (it lost r03's total), this one still survives verbatim.
+    val fullLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"vs_prev":$vs,"sf":"$sfDir"}"""
+    println(fullLine)
+    // persist the complete line for next round's vs_prev (the driver's
+    // 2000-char stdout tail truncates it)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(LastRunFile),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    // Short summary LAST: it always fits the driver's tail capture intact.
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** `graft_cms_estimate(sketch BINARY, value LONG) -> LONG`: query a
+  * count-min sketch built by Spark's public `count_min_sketch(...)`
+  * aggregate — which ships WITHOUT any function to read its estimates
+  * back, leaving the sketch unusable from SQL. Completes the sketch
+  * family: HLL (distinct counts), Bloom (membership), CMS (frequency).
+  *
+  * CMS error is ONE-SIDED: estimate ≥ true count always, and overshoot
+  * is ≤ eps·N with the configured confidence — the property the bounding
+  * spec pins (no exact cross-engine oracle exists for sketch contents).
+  *
+  * CodegenFallback is fine here: the sketch operand is a scalar-subquery
+  * constant and the probe side is a handful of heavy-hitter rows, not a
+  * per-corpus-row hot path; the deserialized sketch is cached per
+  * (expression instance, byte array) so repeated rows don't re-parse.
+  */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cms_estimate"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_cms_estimate requires (binary, bigint), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  // cache keyed on the byte-array reference: the sketch is a broadcast
+  // scalar, so every row of a partition sees the same instance
+  @transient private var cachedBytes: Array[Byte] = _
+  @transient private var cachedSketch: CountMinSketch = _
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val bytes = a.asInstanceOf[Array[Byte]]
+    if (cachedSketch == null || (cachedBytes ne bytes)) {
+      cachedSketch = CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      cachedBytes = bytes
+    }
+    cachedSketch.estimateCount(b.asInstanceOf[Long])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CmsEstimate {
+  val registration: FnReg.Registration = FnReg.make(
+    "graft_cms_estimate", classOf[CmsEstimate], arity = 2,
+    c => CmsEstimate(c(0), c(1)))
+
+  def ensureRegistered(spark: SparkSession): Unit =
+    FnReg.ensure(spark, registration)
+
+  def apply(spark: SparkSession, sketch: Column, value: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_cms_estimate", sketch, value)
+  }
+}

@@ -184,6 +184,33 @@ object Relational {
         .orderBy("l_returnflag"),
       None),
 
+    // Sketch path #2: count-min frequency estimates for the heaviest keys
+    // — the 100 TB answer when exact per-key counts are needed only for
+    // heavy hitters (frequent-token detection, hot-key diagnosis). Built
+    // by Spark's public count_min_sketch aggregate, read back through the
+    // graft_cms_estimate expression (Spark ships no reader). One-sided
+    // error (estimate ≥ truth, overshoot ≤ eps·N at the configured
+    // confidence) is pinned in SqlSpec; sketch internals have no
+    // cross-engine oracle, so the driver records rows-only (like the HLL
+    // row, and bounded the same way).
+    Q("q_heavy_hitters",
+      (s, d) => {
+        graft.functions.CmsEstimate.ensureRegistered(s)
+        t(s, d, "lineitem").createOrReplaceTempView("cms_lineitem")
+        s.sql("""
+          WITH exact AS (
+            SELECT l_suppkey, COUNT(*) AS exact_n FROM cms_lineitem
+            GROUP BY l_suppkey ORDER BY exact_n DESC, l_suppkey LIMIT 10)
+          SELECT l_suppkey, exact_n,
+            graft_cms_estimate(
+              (SELECT count_min_sketch(CAST(l_suppkey AS LONG),
+                                       0.001d, 0.99d, 42)
+               FROM cms_lineitem),
+              CAST(l_suppkey AS LONG)) AS est_n
+          FROM exact ORDER BY exact_n DESC, l_suppkey""")
+      },
+      None),
+
     Q("q_agg_distinct",
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")

@@ -38,6 +38,25 @@ class SqlSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(1) == 1.0))
   }
 
+  test("count-min estimates are one-sided and within eps*N of exact") {
+    // CMS guarantees estimate >= truth ALWAYS (hash collisions only add),
+    // and overshoot <= eps*N with the configured confidence — at sf0.01's
+    // ~60k lineitem rows and eps=0.001 that is a 61-count allowance
+    val s = spark
+    val sf = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_heavy_hitters")(s, sf).collect()
+    assert(rows.length == 10)
+    val n = Tables(s, sf, "lineitem").count()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_n")
+      val est = r.getAs[Long]("est_n")
+      assert(est >= exact,
+        s"CMS undercounted suppkey ${r.get(0)}: $est < $exact")
+      assert(est <= exact + (0.001 * n).ceil.toLong,
+        s"CMS overshoot beyond eps*N for suppkey ${r.get(0)}: $est vs $exact")
+    }
+  }
+
   test("approx_count_distinct stays within the configured rsd of exact") {
     // q_approx_distinct has no cross-engine oracle by design (HLL sketches
     // are implementation-defined); this BOUNDS it instead: at sf0.01 every
