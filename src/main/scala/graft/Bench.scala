@@ -81,19 +81,24 @@ object Bench {
         java.nio.file.Files.readAllBytes(last.toPath),
         java.nio.charset.StandardCharsets.UTF_8), Some(sfDir))
     fromFile.getOrElse {
+      // NOTE: expression form, no early `return` — a `return` inside this
+      // by-name block would throw NonLocalReturnControl straight into the
+      // enclosing catch
       val fs = new java.io.File(".")
         .listFiles((_, n) => n.matches("BENCH_r\\d+\\.json"))
-      if (fs == null || fs.isEmpty) return Map.empty
-      val latest = fs.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val tail = Option(om.readTree(latest).get("tail"))
-        .map(_.asText).getOrElse("")
-      Iterator.iterate(tail.indexOf("{\"metric\""))(i =>
-          tail.indexOf("{\"metric\"", i + 1))
-        .takeWhile(_ >= 0)
-        .flatMap(i => parseQueries(
-          tail.substring(i).takeWhile(_ != '\n'), Some(sfDir)))
-        .foldLeft(Map.empty[String, Double])((_, m) => m) // last wins
+      if (fs == null || fs.isEmpty) Map.empty
+      else {
+        val latest = fs.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val tail = Option(om.readTree(latest).get("tail"))
+          .map(_.asText).getOrElse("")
+        Iterator.iterate(tail.indexOf("{\"metric\""))(i =>
+            tail.indexOf("{\"metric\"", i + 1))
+          .takeWhile(_ >= 0)
+          .flatMap(i => parseQueries(
+            tail.substring(i).takeWhile(_ != '\n'), Some(sfDir)))
+          .foldLeft(Map.empty[String, Double])((_, m) => m) // last wins
+      }
     }
   } catch { case _: Throwable => Map.empty }
 

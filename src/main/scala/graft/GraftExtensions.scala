@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{BloomFns, CosineSim, DotProduct, SimHash32}
+import graft.functions.{BloomFns, CmsEstimate, CosineSim, DotProduct,
+  SimHash32}
 import graft.plans.{CosineJoinStrategy, RewriteCosineSelfJoin}
 
 /** Session extension wiring: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -20,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SimHash32.registration)
     ext.injectFunction(BloomFns.aggRegistration)
     ext.injectFunction(BloomFns.containsRegistration)
+    ext.injectFunction(CmsEstimate.registration)
     ext.injectOptimizerRule(_ => RewriteCosineSelfJoin)
     ext.injectPlannerStrategy(_ => CosineJoinStrategy)
   }

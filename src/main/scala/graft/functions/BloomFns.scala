@@ -1,9 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import org.apache.spark.sql.functions.call_function
 
 /** SQL registration for Spark's built-in Bloom-filter sketch expressions.
   *
@@ -30,22 +29,11 @@ object BloomFns {
     "graft_bloom_contains", classOf[BloomFilterMightContain], arity = 2,
     c => BloomFilterMightContain(c(0), c(1)))
 
+  // the sketch pair is consumed via SQL only (might_contain requires its
+  // sketch operand to be a scalar subquery, which the Column API cannot
+  // express) — so no Column wrappers here, just the registrations
   def ensureRegistered(spark: SparkSession): Unit = {
     FnReg.ensure(spark, aggRegistration)
     FnReg.ensure(spark, containsRegistration)
-  }
-
-  /** Column API: build the sketch (aggregate). */
-  def bloomAgg(spark: SparkSession, value: Column, estimatedItems: Column,
-      numBits: Column): Column = {
-    ensureRegistered(spark)
-    call_function("graft_bloom_agg", value, estimatedItems, numBits)
-  }
-
-  /** Column API: probe the sketch. */
-  def bloomContains(spark: SparkSession, sketch: Column,
-      value: Column): Column = {
-    ensureRegistered(spark)
-    call_function("graft_bloom_contains", sketch, value)
   }
 }

@@ -1,10 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 import org.apache.spark.util.sketch.CountMinSketch
 
@@ -62,11 +61,8 @@ object CmsEstimate {
     "graft_cms_estimate", classOf[CmsEstimate], arity = 2,
     c => CmsEstimate(c(0), c(1)))
 
+  // consumed via SQL only (the sketch operand comes from a scalar
+  // subquery) — registration is the whole public surface
   def ensureRegistered(spark: SparkSession): Unit =
     FnReg.ensure(spark, registration)
-
-  def apply(spark: SparkSession, sketch: Column, value: Column): Column = {
-    ensureRegistered(spark)
-    call_function("graft_cms_estimate", sketch, value)
-  }
 }

@@ -36,7 +36,15 @@ object Salt {
   def saltedJoin(
       big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
       saltFrom: Column, buckets: Int): DataFrame = {
-    val saltedBig = big.withColumn("__salt", pmod(saltFrom, lit(buckets)))
+    // a colliding input column would be silently overwritten pre-join and
+    // dropped post-join — fail loudly instead
+    require(!(big.columns ++ small.columns).contains("__salt"),
+      "saltedJoin inputs must not already contain a __salt column")
+    // a NULL saltFrom row would never satisfy __salt = __salt and silently
+    // vanish from the inner join — park NULLs in bucket 0 instead (their
+    // key match behavior must be exactly the plain join's)
+    val saltedBig = big.withColumn("__salt",
+      coalesce(pmod(saltFrom, lit(buckets)), lit(0)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedBig.join(replicated,

@@ -36,21 +36,28 @@ object ExtensionsMain {
       .collect()(0).getBoolean(0)
     require(dp, "dot_product(v, v) must be non-negative")
 
-    // 1b. the bloom sketch pair resolves and round-trips: every build-side
-    // key must hit (no false negatives), and a disjoint probe range must
-    // be mostly rejected (false-positive rate bounded far below 1)
-    val bloomHits = spark.sql(
-      """SELECT COUNT(*) FROM emb WHERE graft_bloom_contains(
+    // 1b. the bloom sketch pair resolves and round-trips, in ONE pass:
+    // every build-side key must hit (no false negatives) and a disjoint
+    // probe range must be mostly rejected (false-positive rate << 1)
+    val bloomRow = spark.sql(
+      """SELECT COUNT(IF(vec_id < 100, 1, NULL)) AS hits,
+                COUNT(IF(vec_id >= 100, 1, NULL)) AS fps
+         FROM emb WHERE graft_bloom_contains(
            (SELECT graft_bloom_agg(CAST(vec_id AS LONG), 1000L, 8000L)
             FROM emb WHERE vec_id < 100),
-           CAST(vec_id AS LONG)) AND vec_id < 100""").collect()(0).getLong(0)
-    require(bloomHits == 100, s"bloom dropped build keys: $bloomHits/100")
-    val bloomFp = spark.sql(
-      """SELECT COUNT(*) FROM emb WHERE graft_bloom_contains(
-           (SELECT graft_bloom_agg(CAST(vec_id AS LONG), 1000L, 8000L)
-            FROM emb WHERE vec_id < 100),
-           CAST(vec_id AS LONG)) AND vec_id >= 100""").collect()(0).getLong(0)
-    require(bloomFp < 50, s"bloom false-positive count implausible: $bloomFp")
+           CAST(vec_id AS LONG))""").collect()(0)
+    require(bloomRow.getLong(0) == 100,
+      s"bloom dropped build keys: ${bloomRow.getLong(0)}/100")
+    require(bloomRow.getLong(1) < 50,
+      s"bloom false-positive count implausible: ${bloomRow.getLong(1)}")
+
+    // 1c. the CMS estimate expression resolves through the extensions
+    val cms = spark.sql(
+      """SELECT graft_cms_estimate(
+           (SELECT count_min_sketch(CAST(vec_id AS LONG), 0.01d, 0.99d, 7)
+            FROM emb),
+           CAST(1 AS LONG))""").collect()(0).getLong(0)
+    require(cms >= 1, s"cms estimate for a present key must be >= 1: $cms")
 
     // 2. the optimizer rule + strategy fire from PLAIN SQL
     spark.conf.set(RewriteCosineSelfJoin.ConfKey, "0")
