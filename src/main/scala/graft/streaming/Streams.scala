@@ -246,6 +246,38 @@ object Streams {
               WHERE (g.hour_ts + 3600) * 1000000 <= wm.wm_us
               ORDER BY hour_ts, event_type""")),
 
+    // Stream-static enrichment as a driver row: the events STREAM joins
+    // the customer dimension (broadcast per micro-batch — the static side
+    // re-reads, so slowly-changing dims stay fresh; the stream never
+    // shuffles for the join), then aggregates per segment. The oracle is
+    // the identical batch join. Left join: events whose user_id has no
+    // customer row land in a NULL segment bucket, which the oracle keeps.
+    Q("q_stream_enrich",
+      (s, d) => {
+        val stream = eventsStream(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        val customers = s.read
+          .parquet(s"$d/customer.parquet")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val sink = "q_stream_enrich_sink"
+        val q = enrich(stream, customers)
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n"), Arith.dsum(col("value")).as("sum_value"))
+          .writeStream
+          .format("memory").queryName(sink)
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink).orderBy(col("segment").asc_nulls_first)
+      },
+      Some(s"""SELECT c_mktsegment AS segment, COUNT(*) AS n,
+              ${Arith.sqlSum("value")} AS sum_value
+              FROM events LEFT JOIN customer ON user_id = c_custkey
+              GROUP BY c_mktsegment
+              ORDER BY segment NULLS FIRST""")),
+
     // Streaming exact dedup: the LLM-pipeline dedup surface on a stream.
     // dropDuplicates keeps ONE state row per distinct key and emits each
     // key's first arrival — state is bounded by key CARDINALITY (here
