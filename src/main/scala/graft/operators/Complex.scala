@@ -233,6 +233,36 @@ object Complex {
               FROM events WHERE event_type IN ('click', 'purchase')
               GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- schema evolution across parquet generations ----------------------
+    // The "pipeline added a column" lake scenario: generation v=1 wrote
+    // events WITHOUT `value`, v=2 added it. A mergeSchema read must union
+    // the schemas (old files surface NULL for the new column) and compute
+    // correct aggregates across generations. The oracle recomputes from
+    // the ORIGINAL table with the same generation rule, so any loss or
+    // misalignment in the merged read fails the row.
+    Q("q_schema_evolution",
+      (s, d) => {
+        val out = scratch("events_evolving")
+        val e = Tables(s, d, "events")
+        e.filter(col("event_id") % 2 === 0)
+          .select("event_id", "user_id", "event_type")
+          .write.mode("overwrite").parquet(s"$out/v=1")
+        e.filter(col("event_id") % 2 === 1)
+          .select("event_id", "user_id", "event_type", "value")
+          .write.mode("overwrite").parquet(s"$out/v=2")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            count(col("value")).as("n_with_value"),
+            Arith.dsum(coalesce(col("value"), lit(0.0))).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+              COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_with_value,
+              ${Arith.sqlSum("CASE WHEN event_id % 2 = 1 THEN value ELSE 0 END")}
+                AS sum_value
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ---- json-lines sink + source round trip ------------------------------
     Q("q_json_roundtrip",
       (s, d) => {
