@@ -75,6 +75,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("append sink emits exactly the watermark-closed windows (boundary ≤)") {
+    // Constructed timestamps pin the eviction predicate: max event time =
+    // 02:00:00 ⇒ watermark = 01:00:00; window [00:00,01:00) has end == wm
+    // and MUST emit (≤, not <); [01:00,02:00) and [02:00,03:00) stay open.
+    val s = spark
+    import s.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-append-src")
+    val out = java.nio.file.Files.createTempDirectory("graft-append-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-append-ckpt")
+    Seq(
+      ("2024-01-01 00:10:00", "click", 1.0),
+      ("2024-01-01 00:50:00", "click", 2.0),
+      ("2024-01-01 01:10:00", "click", 4.0), // open: end 02:00 > wm
+      ("2024-01-01 02:00:00", "view", 8.0)   // max ts; its window open
+    ).toDF("ts_s", "event_type", "value")
+      .select(to_timestamp($"ts_s").as("ts"), $"event_type", $"value")
+      .write.parquet(src.resolve("b1.parquet").toString)
+    val stream = s.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(src.toString + "/*.parquet")
+    val q = Streams.hourlyCounts(stream).writeStream
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = s.read.parquet(out.toString)
+      .select($"hour_ts", $"event_type", $"n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // only the boundary window emitted: hour 00:00 UTC epoch 1704067200
+    assert(rows.toSeq == Seq((1704067200L, "click", 2L)),
+      s"expected exactly the closed boundary window, got ${rows.toSeq}")
+  }
+
   test("stream-static enrich joins the broadcast dimension per event") {
     val s = spark
     import s.implicits._
