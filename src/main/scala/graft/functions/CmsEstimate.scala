@@ -37,18 +37,23 @@ case class CmsEstimate(left: Expression, right: Expression)
     }
 
   // cache keyed on the byte-array reference: the sketch is a broadcast
-  // scalar, so every row of a partition sees the same instance
-  @transient private var cachedBytes: Array[Byte] = _
-  @transient private var cachedSketch: CountMinSketch = _
+  // scalar, so every row of a partition sees the same instance. A single
+  // volatile field holding an immutable (bytesRef, sketch) pair keeps the
+  // memoization safe even if one instance is ever evaluated from multiple
+  // threads — a reader can never observe bytes from one write paired with
+  // a sketch from another.
+  @transient @volatile
+  private var cached: (Array[Byte], CountMinSketch) = _
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val bytes = a.asInstanceOf[Array[Byte]]
-    if (cachedSketch == null || (cachedBytes ne bytes)) {
-      cachedSketch = CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(bytes))
-      cachedBytes = bytes
+    var c = cached
+    if (c == null || (c._1 ne bytes)) {
+      c = (bytes, CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes)))
+      cached = c
     }
-    cachedSketch.estimateCount(b.asInstanceOf[Long])
+    c._2.estimateCount(b.asInstanceOf[Long])
   }
 
   override protected def withNewChildrenInternal(

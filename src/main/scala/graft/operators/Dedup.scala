@@ -234,7 +234,19 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge in $maxRounds rounds")
     // converged: every component is a star rooted at its minimum — each
-    // node's single neighbor IS its label; roots label themselves
+    // node's single neighbor IS its label; roots label themselves. The
+    // label extraction below ASSUMES the star shape (each hi paired with
+    // exactly one lo); if a stable non-star edge set ever arose (our
+    // small-star takes the min over the FULL neighborhood, a deviation
+    // from the Kiveris et al. ≤-neighbors formulation), the left join
+    // would silently emit duplicate (id, label) rows — so verify the
+    // invariant cheaply and fail loud, matching the round-cap posture.
+    val nonStar = edges.count() - edges.select("hi").distinct().count()
+    if (nonStar != 0)
+      throw new IllegalStateException(
+        s"connectedComponentsStar converged to a non-star edge set " +
+          s"($nonStar nodes with multiple neighbors) — label extraction " +
+          "would be ambiguous")
     val labels = edges.select(col("hi").as("id"), col("lo").as("label"))
     ids.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
@@ -552,8 +564,17 @@ object Dedup {
           .select("vec_id", "cluster_id", "keep")
           .orderBy("vec_id")
       },
+      // the oracle filters `e` with the SAME zero-norm predicate the Spark
+      // side applies (dropZeroNorm) rather than relying on DuckDB's 0/0 →
+      // NULL never winning the argmax or passing the threshold — a DuckDB
+      // config where 0/0 yields NaN (sorts FIRST under ORDER BY DESC)
+      // would otherwise corrupt bucket assignment. The singleton seed
+      // (`all_e`) stays on the UNFILTERED table, mirroring the Spark
+      // side's left join against the full corpus.
       Some(s"""WITH RECURSIVE
-              ${Similarity.sqlIvfAssign(8)},
+              ${Similarity.sqlIvfAssign(8,
+                "list_sum([x * x FOR x IN (embedding::DOUBLE[])]) > 0")},
+              all_e AS (SELECT vec_id FROM embeddings),
               p AS (
                 SELECT a.vec_id AS a_id, b.vec_id AS b_id
                 FROM assigned a JOIN assigned b
@@ -563,7 +584,7 @@ object Dedup {
                 SELECT a_id AS a, b_id AS b FROM p
                 UNION SELECT b_id, a_id FROM p),
               r(id, n) AS (
-                SELECT vec_id, vec_id FROM e
+                SELECT vec_id, vec_id FROM all_e
                 UNION
                 SELECT r.id, edges.b FROM r JOIN edges ON r.n = edges.a)
               SELECT id AS vec_id, MIN(n) AS cluster_id,
