@@ -112,6 +112,78 @@ class StreamingSpec extends AnyFunSuite {
       s"expected exactly the closed boundary window, got ${rows.toSeq}")
   }
 
+  test("checkpoint recovery: restart from the same checkpoint is exactly-once") {
+    // The streaming analog of the batch retry story (RetryMain): a query
+    // drains a first tranche of files, is STOPPED, more files arrive while
+    // it is down, and a new query restarts from the SAME checkpoint dir.
+    // The recovered run must (a) skip the already-processed files, (b)
+    // restore the watermark and the open-window state — windows straddling
+    // the tranche boundary were partially aggregated in run 1 and must
+    // emit their TOTAL counts in run 2 — and (c) append each closed window
+    // exactly once across both runs. Tranches are split by TIME so tranche
+    // 2 carries no late data and the final sink must equal the batch twin
+    // restricted to watermark-closed windows, bit for bit.
+    val s = spark
+    import s.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-recov-src")
+    val out = java.nio.file.Files.createTempDirectory("graft-recov-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-recov-ckpt")
+    val all = Tables(s, sfDir, "events").select($"ts", $"event_type", $"value")
+    val Array(minUs, maxUs) = all
+      .agg(min(unix_micros($"ts")), max(unix_micros($"ts")))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val splitUs = (minUs + maxUs) / 2
+    all.filter(unix_micros($"ts") < splitUs)
+      .write.parquet(src.resolve("t1.parquet").toString)
+
+    def drain(): Unit = {
+      val q = Streams.hourlyCounts(
+        s.readStream
+          .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+          .option("maxFilesPerTrigger", "1000000")
+          .parquet(src.toString + "/*.parquet"))
+        .writeStream
+        .format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    drain()
+    val run1 = s.read.parquet(out.toString).count()
+    // tranche 2 lands while NO query is running
+    all.filter(unix_micros($"ts") >= splitUs)
+      .write.parquet(src.resolve("t2.parquet").toString)
+    drain()
+
+    val got = s.read.parquet(out.toString)
+      .select($"hour_ts", $"event_type", $"n", $"sum_value")
+      .collect().map(_.toSeq)
+    // batch twin, closed-window rule: watermark = ms-floored max − 1h,
+    // window closed ⇔ end ≤ watermark (same semantics the append-sink
+    // boundary test pins)
+    val wmMs = maxUs / 1000 - 3600L * 1000
+    val want = all
+      .groupBy(unix_timestamp(date_trunc("hour", $"ts")).as("hour_ts"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), operators.Arith.dsum($"value").as("sum_value"))
+      .filter(($"hour_ts" + 3600) * 1000 <= wmMs)
+      .collect().map(_.toSeq)
+    assert(got.toSet == want.toSet,
+      s"recovered sink diverged from batch twin: got ${got.size} rows, " +
+        s"want ${want.size}")
+    // exactly-once: no (window, type) appended twice across the two runs
+    assert(got.size == got.map(r => (r.head, r(1))).distinct.size,
+      "duplicate window rows across restart")
+    // the restart genuinely continued work: run 1 emitted a proper
+    // non-empty prefix, run 2 emitted the rest
+    assert(run1 > 0 && run1 < got.size,
+      s"restart did not split the work (run1=$run1, total=${got.size})")
+  }
+
   test("stream-static enrich joins the broadcast dimension per event") {
     val s = spark
     import s.implicits._
