@@ -543,9 +543,13 @@ object Dedup {
         // bucketing (NaN c_cos wins every max_by) and pass the edge
         // threshold Spark-side while the oracle's NULL fails it — exclude
         // them up front; the left join below still emits them as
-        // singletons, exactly like the exact path
-        val assigned = Similarity.ivfAssign(
-          s, Similarity.dropZeroNorm(s, e), 8)
+        // singletons, exactly like the exact path.
+        // Buckets come from ITERATED k-means (4 Lloyd rounds, early-
+        // stopping at a fixed point), not the raw first-k seeding: bucket
+        // balance — and with it the Σ bucket² pair work — no longer hangs
+        // on whichever vectors happen to be rows 0..k-1.
+        val assigned = Similarity.kmeansIterate(
+          s, Similarity.dropZeroNorm(s, e), 8, 4)
         // per-bucket self-join: shuffles on `bucket` co-locate each bucket,
         // then the pair loop runs bucket-locally — never across buckets
         val a = assigned.select(col("bucket"), col("vec_id").as("a_id"),
@@ -572,12 +576,12 @@ object Dedup {
       // (`all_e`) stays on the UNFILTERED table, mirroring the Spark
       // side's left join against the full corpus.
       Some(s"""WITH RECURSIVE
-              ${Similarity.sqlIvfAssign(8,
-                "list_sum([x * x FOR x IN (embedding::DOUBLE[])]) > 0")},
+              ${Similarity.sqlIvfAssign(8, Similarity.sqlZeroNormWhere)},
+              ${Similarity.sqlKmeansRounds(4)},
               all_e AS (SELECT vec_id FROM embeddings),
               p AS (
                 SELECT a.vec_id AS a_id, b.vec_id AS b_id
-                FROM assigned a JOIN assigned b
+                FROM a4 a JOIN a4 b
                   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
                 WHERE ${Similarity.sqlCosineCols("a.v", "b.v")} >= 0.45),
               edges AS (

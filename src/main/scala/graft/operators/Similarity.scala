@@ -213,26 +213,23 @@ object Similarity {
           QUALIFY row_number() OVER (PARTITION BY vec_id
             ORDER BY c_cos DESC, c_id) = 1)"""
 
-  /** One Lloyd (k-means) refinement round over the IVF buckets: recompute
-    * each bucket's centroid as the exact fixed-point mean of its members
-    * (VecCentroid — long micro sums are order-independent, so the centroid
-    * is bit-identical across any partitioning), then reassign every vector
-    * to its nearest refined centroid. This turns the "first k vectors"
-    * seeding stand-in into a real clustering step while keeping the whole
-    * computation deterministic enough for an exact SQL oracle.
+  /** One Lloyd (k-means) round: recompute each bucket's centroid as the
+    * exact fixed-point mean of its members (VecCentroid — long micro sums
+    * are order-independent, so the centroid is bit-identical across any
+    * partitioning), then reassign every `corpus` vector to its nearest
+    * refined centroid.
     *
     * Scale shape per round: one broadcast of k centroids, one map-side
     * partial-aggregated groupBy for the (64-long, count) centroid buffers,
     * one more broadcast for reassignment — the corpus is scanned twice and
-    * never shuffled. Production k-means iterates this to a tolerance;
-    * the operator is the round.
+    * never shuffled.
     *
-    * @return (vec_id, embedding, bucket) after refinement
+    * @return (vec_id, embedding, bucket) after the round
     */
-  def kmeansRefine(s: SparkSession, e: DataFrame, k: Int): DataFrame = {
-    val assigned0 = ivfAssign(s, e, k)
+  private def lloydRound(s: SparkSession, corpus: DataFrame,
+      assigned: DataFrame): DataFrame = {
     val centroid = udaf(VecCentroid)
-    val cents1 = assigned0.groupBy(col("bucket").as("c_id"))
+    val cents1 = assigned.groupBy(col("bucket").as("c_id"))
       .agg(centroid(col("embedding")).as("c_v"))
       // a bucket of opposing embeddings can average to the zero vector,
       // whose cosine is NaN — and Spark's NaN-is-largest max_by would then
@@ -240,10 +237,7 @@ object Similarity {
       // guard as dropZeroNorm, on the centroid side.
       .filter(aggregate(col("c_v"), lit(0.0d),
         (acc, x) => acc + x * x) > 0.0)
-    // reassignment side is the plain corpus (ivfAssign preserves one row
-    // per vector, so reusing `e` avoids recomputing the seeding pass in a
-    // second DAG branch)
-    e.select(col("vec_id"), col("embedding"))
+    corpus.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents1))
       .withColumn("c_cos", cosine(s, col("embedding"), col("c_v")))
       .groupBy("vec_id")
@@ -252,6 +246,96 @@ object Similarity {
         first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"), col("bucket"))
   }
+
+  /** One Lloyd refinement round over the IVF seeding — the single-round
+    * operator (q_ann_kmeans). The reassignment side reuses the plain
+    * corpus `e` (ivfAssign preserves one row per vector) to avoid
+    * recomputing the seeding pass in a second DAG branch.
+    *
+    * @return (vec_id, embedding, bucket) after refinement
+    */
+  def kmeansRefine(s: SparkSession, e: DataFrame, k: Int): DataFrame =
+    lloydRound(s, e, ivfAssign(s, e, k))
+
+  /** Lloyd iteration for exactly `rounds` rounds, with an early stop at
+    * the assignment fixed point if one arrives sooner. A stable round is a
+    * no-op (same members ⇒ same fixed-point centroids ⇒ same
+    * reassignment), so the output is IDENTICAL to running exactly `rounds`
+    * rounds in every case — which is what lets the SQL oracle unroll a
+    * fixed depth ([[sqlKmeansRounds]]) without knowing when (or whether)
+    * the early stop fires. A strict fixed point is NOT guaranteed to
+    * exist: the mean centroid optimizes the Euclidean objective while the
+    * reassignment argmaxes COSINE, so a small set of boundary vectors can
+    * oscillate indefinitely (observed at sf0.001: changed counts decay
+    * 75 → 3 over 10 rounds without hitting 0) — the round cap, not the
+    * early stop, is the termination guarantee. Each round's assignment is
+    * localCheckpoint'ed: the per-round lineage would otherwise stack k
+    * broadcasts deep, and the checkpoint also feeds the changed-row count
+    * that drives the early stop.
+    *
+    * @return (final (vec_id, embedding, bucket), changed-count per round —
+    *         the spec pins that the iteration does real multi-round work
+    *         with a strongly decaying changed count)
+    */
+  private[graft] def kmeansRounds(s: SparkSession, e: DataFrame, k: Int,
+      rounds: Int): (DataFrame, Seq[Long]) = {
+    var assigned = ivfAssign(s, e, k).localCheckpoint()
+    val changedPerRound = Seq.newBuilder[Long]
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
+      val next = lloydRound(s, assigned, assigned).localCheckpoint()
+      val changed = next
+        .join(assigned.select(col("vec_id"),
+          col("bucket").as("prev_bucket")), Seq("vec_id"))
+        .filter(col("bucket") =!= col("prev_bucket")).count()
+      changedPerRound += changed
+      assigned = next
+      stable = changed == 0
+      r += 1
+    }
+    (assigned, changedPerRound.result())
+  }
+
+  /** [[kmeansRounds]] as a query building block: the round-capped (or
+    * earlier-stabilized — semantically identical, see kmeansRounds) bucket
+    * assignment. */
+  def kmeansIterate(s: SparkSession, e: DataFrame, k: Int,
+      rounds: Int): DataFrame = kmeansRounds(s, e, k, rounds)._1
+
+  /** The zero-norm predicate as DuckDB text — the oracle twin of
+    * [[dropZeroNorm]], passed as sqlIvfAssign's eWhere so both engines
+    * filter identically. */
+  private[operators] val sqlZeroNormWhere: String =
+    "list_sum([x * x FOR x IN (embedding::DOUBLE[])]) > 0"
+
+  /** DuckDB twin of `rounds` Lloyd iterations as CTE text: builds on
+    * `assigned` (from [[sqlIvfAssign]]) and defines `a1..a<rounds>`, each
+    * carrying (vec_id, v, bucket). Mirrors [[lloydRound]] exactly — micro
+    * fixed-point centroid means (VecCentroid's recipe), zero-norm centroid
+    * drop, cosine argmax reassignment with ties to the lower c_id. */
+  private[operators] def sqlKmeansRounds(rounds: Int): String =
+    (1 to rounds).map { i =>
+      val prev = if (i == 1) "assigned" else s"a${i - 1}"
+      s"""u$i AS (
+            SELECT bucket, i,
+              ROUND(SUM(CAST(FLOOR(v[i] * 1000000 + 0.5) AS BIGINT))::DOUBLE
+                / (COUNT(*) * 1000000.0), 6) AS c
+            FROM $prev, (SELECT unnest(generate_series(1, 64)) AS i)
+            GROUP BY bucket, i),
+          cents$i AS (
+            SELECT bucket AS c_id, array_agg(c ORDER BY i) AS c_v
+            FROM u$i GROUP BY bucket
+            HAVING list_sum([c * c FOR c IN array_agg(c)]) > 0),
+          re$i AS (
+            SELECT a.vec_id, a.v, c.c_id,
+              ${sqlCosineCols("a.v", "c.c_v")} AS c_cos
+            FROM $prev a, cents$i c),
+          a$i AS (
+            SELECT vec_id, v, c_id AS bucket FROM re$i
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+              ORDER BY c_cos DESC, c_id) = 1)"""
+    }.mkString(",\n")
 
   val queries: Seq[Q] = Seq(
 
@@ -437,27 +521,30 @@ object Similarity {
           .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
           .orderBy("bucket")
       },
-      Some(s"""WITH ${sqlIvfAssign(8,
-                "list_sum([x * x FOR x IN (embedding::DOUBLE[])]) > 0")},
-              u AS (
-                SELECT bucket, i,
-                  ROUND(SUM(CAST(FLOOR(v[i] * 1000000 + 0.5) AS BIGINT))::DOUBLE
-                    / (COUNT(*) * 1000000.0), 6) AS c
-                FROM assigned, (SELECT unnest(generate_series(1, 64)) AS i)
-                GROUP BY bucket, i),
-              cents1 AS (
-                SELECT bucket AS c_id, array_agg(c ORDER BY i) AS c_v
-                FROM u GROUP BY bucket
-                HAVING list_sum([c * c FOR c IN array_agg(c)]) > 0),
-              re AS (
-                SELECT a.vec_id, c.c_id,
-                  ${sqlCosineCols("a.v", "c.c_v")} AS c_cos
-                FROM assigned a, cents1 c),
-              re2 AS (
-                SELECT vec_id, c_id AS bucket FROM re
-                QUALIFY row_number() OVER (PARTITION BY vec_id
-                  ORDER BY c_cos DESC, c_id) = 1)
+      Some(s"""WITH ${sqlIvfAssign(8, sqlZeroNormWhere)},
+              ${sqlKmeansRounds(1)}
               SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
-              FROM re2 GROUP BY bucket ORDER BY bucket"""))
+              FROM a1 GROUP BY bucket ORDER BY bucket""")),
+
+    // ---- iterated k-means (the real clustering for the IVF index) --------
+    // Lloyd iterated for 4 rounds (early-stopping at a fixed point if one
+    // arrives — NO semantic effect, a stable round is a no-op), so the
+    // oracle simply unrolls all 4 rounds: whatever the data does, both
+    // sides equal the exactly-4-rounds result. AnnSpec pins that the
+    // iteration does real multi-round work at sf0.001 (round-2 changed
+    // count > 0, strong decay across rounds).
+    Q("q_ann_kmeans_iter",
+      (s, d) => {
+        val e = Similarity.dropZeroNorm(s,
+          embs(s, d).select(col("vec_id"), col("embedding")))
+        kmeansIterate(s, e, 8, 4)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH ${sqlIvfAssign(8, sqlZeroNormWhere)},
+              ${sqlKmeansRounds(4)}
+              SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
+              FROM a4 GROUP BY bucket ORDER BY bucket"""))
   )
 }

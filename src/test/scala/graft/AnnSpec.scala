@@ -58,4 +58,32 @@ class AnnSpec extends AnyFunSuite {
     assert(after >= before - 1e-9,
       f"reassignment worsened the objective: $before%.6f -> $after%.6f")
   }
+
+  test("kmeansRounds does real multi-round work with decaying movement") {
+    // The contract behind q_ann_kmeans_iter's fixed-depth oracle: the
+    // iteration must still be moving vectors after round 1 — otherwise
+    // "iterated" is just the single-round operator under a new name — and
+    // the movement must decay strongly (Lloyd is settling, not thrashing).
+    // A strict fixed point is NOT asserted: mean centroids optimize the
+    // Euclidean objective while reassignment argmaxes cosine, so boundary
+    // vectors can oscillate forever (observed here: 75 → 3 over 10 rounds
+    // without hitting 0) — the round cap is the termination guarantee,
+    // and correctness never depends on convergence (the oracle unrolls
+    // the exact same depth).
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val s = spark
+    val e = Similarity.dropZeroNorm(s,
+      Tables(s, sfDir, "embeddings").select(col("vec_id"), col("embedding")))
+    val (assigned, changed) = Similarity.kmeansRounds(s, e, 8, 10)
+    info(s"changed per round: ${changed.mkString(", ")}")
+    assert(changed.length >= 2 && changed(1) > 0,
+      s"iteration stabilized after one round (${changed.mkString(", ")}) — " +
+        "the multi-round path is untested at this SF")
+    assert(changed.last < changed.head / 5,
+      s"assignment movement is not decaying: ${changed.mkString(", ")}")
+    // every vector keeps exactly one bucket through the iteration
+    assert(assigned.count() == e.count())
+    assert(assigned.select("vec_id").distinct().count() == e.count())
+  }
 }
