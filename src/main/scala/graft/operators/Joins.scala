@@ -23,6 +23,31 @@ import graft.plans.Salt
   */
 object Joins {
 
+  /** Write `orders` and `customer` co-bucketed by customer key (8 buckets,
+    * sorted within buckets) as external catalog tables under a per-process
+    * scratch dir, and read them back. Shared by q_bucketed_join and the
+    * PlanSpec exchange-free pin. Bucket metadata lives in the session
+    * catalog — `spark.table` (not a bare parquet read, which would see
+    * only files) is what lets the planner trust the co-partitioning. */
+  def bucketedOrdersCustomer(s: SparkSession, d: String):
+      (DataFrame, DataFrame) = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft-bucketed-${ProcessHandle.current.pid}"
+    Tables(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$base/orders_by_cust")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_orders_by_cust")
+    Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$base/customer_by_cust")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_customer_by_cust")
+    (s.table("graft_orders_by_cust"), s.table("graft_customer_by_cust"))
+  }
+
   /** Generic as-of join: for each left row, the single latest right row
     * with the same key and right time ≤ (or <) left time.
     *
@@ -170,6 +195,31 @@ object Joins {
                 (SELECT c_custkey FROM customer
                  WHERE c_mktsegment = 'BUILDING')
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- co-bucketed storage join (the repeated-join 100 TB path) --------
+    // bucketBy(8, custkey) on BOTH sides at write time pre-hashes the data
+    // into co-located bucket files, so every subsequent join or aggregate
+    // on the key plans with ZERO Exchange on either side (pinned in
+    // PlanSpec) — the moral descendant of the reference's persistent
+    // MD5-hash-partitioned intermediates (worker/__main__.py:105-117,
+    // which partitioned once and re-read many times). Pay one shuffle at
+    // write time, amortize it over every downstream join: at 100 TB a
+    // fact-fact join between co-bucketed tables is scan + merge, no
+    // network. The aggregate after the join still exchanges on the group
+    // key — the pin is about the JOIN inputs.
+    Q("q_bucketed_join",
+      (s, d) => {
+        val (o, c) = bucketedOrdersCustomer(s, d)
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(c("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_orders"),
+            Arith.dsum(col("o_totalprice")).as("total"))
+          .orderBy("segment")
+      },
+      Some(s"""SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
+              ${Arith.sqlSum("o_totalprice")} AS total
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment ORDER BY segment""")),
 
     // ---- salted skew join ------------------------------------------------
     // plans/Salt.saltedJoin: the big side salts its join key, the small

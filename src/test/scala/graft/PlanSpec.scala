@@ -108,6 +108,27 @@ class PlanSpec extends AnyFunSuite {
     assert(pf.contains("event_type"), s"partition filter not pruned: $pf")
   }
 
+  test("co-bucketed tables join with zero Exchange on either side") {
+    // The q_bucketed_join storage contract: both tables were written
+    // bucketBy(8, custkey), so the planner must satisfy the join's
+    // distribution requirement from the bucket layout alone — any
+    // Exchange in the final plan means the write-time shuffle is being
+    // paid AGAIN on read, which is the whole thing bucketing exists to
+    // avoid. Broadcast is disabled so the join cannot sidestep the
+    // question (at 100 TB neither fact side broadcasts anyway).
+    val s = spark
+    val (o, c) = operators.Joins.bucketedOrdersCustomer(s, sfDir)
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = o.join(c, o("o_custkey") === c("c_custkey"))
+      df.collect() // finalize any adaptive re-planning before reading it
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected a merge join:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("cosinePairs is collect-free and size-dispatched") {
     val s = spark
     import org.apache.spark.sql.functions.col
