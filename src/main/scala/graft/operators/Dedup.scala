@@ -126,35 +126,74 @@ object Dedup {
     .select(col("doc_id"),
       graft.functions.SimHash32(df.sparkSession, col("text")).as("simhash"))
 
+  /** Per-round materialization for the iterative CC loops.
+    *
+    * Default (`checkpointEvery = None`): `localCheckpoint` — blocks live
+    * on executors, lineage is truncated. Fast, but an executor loss
+    * mid-iteration KILLS the job (truncated lineage cannot recompute
+    * lost blocks); acceptable for small/medium corpora where a re-run is
+    * cheap.
+    *
+    * Reliable (`checkpointEvery = Some(n)`): every n-th round (and round
+    * 0, the edge list itself) is `Dataset.checkpoint()`-ed to the
+    * checkpoint dir — durable storage the driver can re-read after ANY
+    * executor loss. Rounds in between keep their lineage (plain persist),
+    * so a lost block recomputes from the last durable round instead of
+    * failing; lineage depth is bounded by n. At 100 TB set
+    * `spark.graft.cc.checkpointDir` to shared storage (HDFS/S3); the
+    * tmp-dir default only survives single-machine executor churn.
+    */
+  private def roundCheckpoint(df: DataFrame, round: Int,
+      checkpointEvery: Option[Int]): DataFrame =
+    checkpointEvery match {
+      case Some(n) =>
+        require(n > 0, s"checkpointEvery must be positive, got $n")
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(df.sparkSession.conf
+            .getOption("spark.graft.cc.checkpointDir")
+            .getOrElse(java.nio.file.Files
+              .createTempDirectory("graft-cc-ckpt").toString))
+        if (round % n == 0) df.checkpoint()
+        else df.persist()
+      case None => df.localCheckpoint()
+    }
+
   /** Connected components by iterative min-label propagation: each node
     * adopts the smallest id reachable over the near-dup edges; O(diameter)
     * rounds, each one shuffle over the EDGE list (never all-pairs). Near-
     * dup graphs have tiny components, so this converges in 2-3 rounds; for
     * adversarial long chains swap in large-star/small-star (same join
     * shape, O(log n) rounds).
+    *
+    * @param checkpointEvery  durability of the per-round materialization —
+    *                         see [[roundCheckpoint]]
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
-    // undirected edge list, both directions; localCheckpoint materializes
-    // once and truncates lineage so each round re-reads a tiny in-memory
-    // table instead of replaying the whole LSH pipeline
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+  def connectedComponents(pairs: DataFrame,
+      checkpointEvery: Option[Int] = None): DataFrame = {
+    // undirected edge list, both directions; materialized once so each
+    // round re-reads a tiny table instead of replaying the whole LSH
+    // pipeline
+    val edges = roundCheckpoint(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))),
+      0, checkpointEvery)
+    var labels = roundCheckpoint(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")),
+      0, checkpointEvery)
     val maxRounds = 50
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
-      val next = edges
+      val next = roundCheckpoint(edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "dst_label"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_label")).as("nbr_min"))
         .join(labels, "id")
-        .withColumn("new_label", least(col("label"), col("nbr_min")))
-        .localCheckpoint()
+        .withColumn("new_label", least(col("label"), col("nbr_min"))),
+        rounds + 1, checkpointEvery)
       changed = next.filter(col("new_label") < col("label")).count()
       labels = next.select(col("id"), col("new_label").as("label"))
       rounds += 1
@@ -185,8 +224,12 @@ object Dedup {
     *    canonicalizing each component toward a star rooted at its minimum.
     * Fixpoint when the edge set stops changing; the star edges then ARE
     * the (id, label) map.
+    *
+    * @param checkpointEvery  durability of the per-round materialization —
+    *                         see [[roundCheckpoint]]
     */
-  def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+  def connectedComponentsStar(pairs: DataFrame,
+      checkpointEvery: Option[Int] = None): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     def canon(df: DataFrame): DataFrame = df
@@ -195,10 +238,12 @@ object Dedup {
       .filter(col("hi") =!= col("lo"))
       .distinct()
     // undirected edge list as canonical (hi, lo) pairs
-    var edges = canon(pairs.select(col("a_id").as("a"), col("b_id").as("b")))
-      .localCheckpoint()
-    val ids = edges.select(explode(array(col("hi"), col("lo"))).as("id"))
-      .distinct().localCheckpoint()
+    var edges = roundCheckpoint(
+      canon(pairs.select(col("a_id").as("a"), col("b_id").as("b"))),
+      0, checkpointEvery)
+    val ids = roundCheckpoint(
+      edges.select(explode(array(col("hi"), col("lo"))).as("id")).distinct(),
+      0, checkpointEvery)
     val maxRounds = 50
     var rounds = 0
     var stable = false
@@ -218,11 +263,11 @@ object Dedup {
         .union(large.select(col("lo").as("u"), col("hi").as("v")))
       val mn2 = nbrs2.groupBy("u")
         .agg(least(min(col("v")), first(col("u"))).as("m"))
-      val small = canon(
+      val small = roundCheckpoint(canon(
         nbrs2.join(mn2, "u").filter(col("v") <= col("u"))
           .select(col("v").as("a"), col("m").as("b"))
-          .union(mn2.select(col("u").as("a"), col("m").as("b"))))
-        .localCheckpoint()
+          .union(mn2.select(col("u").as("a"), col("m").as("b")))),
+        rounds + 1, checkpointEvery)
       // fixpoint test: same canonical edge set (cheap: anti-join both ways
       // over the checkpointed sets)
       stable = small.count() == edges.count() &&

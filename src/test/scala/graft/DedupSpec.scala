@@ -89,6 +89,37 @@ class DedupSpec extends AnyFunSuite {
     assert(star == minLabel)
   }
 
+  test("reliable-checkpoint CC produces identical labels to the local path") {
+    // checkpointEvery = Some(2): rounds 0, 2, 4… go through a durable
+    // Dataset.checkpoint (recoverable after executor loss), the rounds in
+    // between keep lineage via persist. Labels must be bit-identical to
+    // the localCheckpoint default on BOTH algorithms — durability is an
+    // execution property, never a semantic one. The graph mixes a path
+    // (multi-round propagation, so odd/even rounds both occur), a
+    // triangle, and singleton-adjacent stars.
+    val s = spark
+    import s.implicits._
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L), (20L, 22L)
+    ).toDF("a_id", "b_id")
+    def labelsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelsOf(Dedup.connectedComponents(pairs, Some(2))) ==
+      labelsOf(Dedup.connectedComponents(pairs)))
+    assert(labelsOf(Dedup.connectedComponentsStar(pairs, Some(2))) ==
+      labelsOf(Dedup.connectedComponentsStar(pairs)))
+    // the durable rounds really did land in the checkpoint dir
+    val dir = s.sparkContext.getCheckpointDir
+    assert(dir.isDefined, "no checkpoint dir was set")
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(
+        new java.net.URI(dir.get).getPath))
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .count()
+    assert(files > 0, s"no checkpoint data written under ${dir.get}")
+  }
+
   test("star components converge on a chain longer than the round cap") {
     val s = spark
     import s.implicits._
