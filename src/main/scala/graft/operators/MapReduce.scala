@@ -15,7 +15,16 @@ final case class JobSpec(
     mapperExecutable: String,
     reducerExecutable: String,
     numMappers: Int = 2,
-    numReducers: Int = 2)
+    numReducers: Int = 2,
+    /** D3 parity mode: spawn the mapper executable exactly once per input
+      * FILE (the reference's one-Popen-per-file contract,
+      * worker/__main__.py:94-101) instead of once per partition. Identical
+      * output for stateless line mappers (all shipped jobs); required for
+      * executables with per-invocation state (e.g. one emitting a header
+      * per run). Caps map parallelism at the file count and reads each
+      * file in a single task — keep the default for line-stateless
+      * mappers at scale. */
+    pipePerFile: Boolean = false)
 
 /** The reference engine's entire execution model as ONE Spark pipeline:
   *
@@ -32,7 +41,9 @@ final case class JobSpec(
   *    mappers are stateless line filters, so file→task grouping parity is
   *    unnecessary for output parity);
   *  - D3/D7 executables: `RDD.pipe` — the same stdin/stdout line contract,
-  *    one process per partition instead of per file;
+  *    one process per partition by default, or exactly one per input file
+  *    with `JobSpec.pipePerFile` (reference parity for per-invocation-
+  *    stateful mappers, worker/__main__.py:94-101);
   *  - D4-D6 shuffle: `repartitionAndSortWithinPartitions` with
   *    [[Md5LinePartitioner]] — Spark's sort-based shuffle IS the
   *    reference's per-file sort + heapq.merge, with spilling the reference
@@ -80,12 +91,25 @@ object MapReduce {
     * job — the reference dispatches zero map tasks and the reducers write
     * empty part files. */
   private def mapStage(spark: SparkSession, job: JobSpec): RDD[String] = {
-    val groups = splitRoundRobin(
-      listInputs(spark, job.inputDirectory), job.numMappers)
+    val files = listInputs(spark, job.inputDirectory)
+    val groups = splitRoundRobin(files, job.numMappers)
     if (groups.isEmpty) spark.sparkContext.emptyRDD[String]
-    else spark.sparkContext
-      .union(groups.map(g => spark.sparkContext.textFile(g.mkString(","))))
-      .pipe(Seq(job.mapperExecutable))
+    else {
+      val input =
+        if (job.pipePerFile)
+          // one partition per FILE: textFile may split a large file into
+          // several blocks, so collapse each file to a single partition
+          // (shuffle-free coalesce preserves line order). `pipe` then
+          // spawns the mapper exactly once per file, empty files included
+          // (FileInputFormat emits one empty split), matching the
+          // reference's per-file Popen loop.
+          spark.sparkContext.union(
+            files.map(f => spark.sparkContext.textFile(f).coalesce(1)))
+        else
+          spark.sparkContext.union(
+            groups.map(g => spark.sparkContext.textFile(g.mkString(","))))
+      input.pipe(Seq(job.mapperExecutable))
+    }
   }
 
   /** D4-D6: MD5 hash partition + whole-line sort within each partition.

@@ -203,6 +203,52 @@ class MapReduceCompatSpec extends AnyFunSuite {
     assert(gotGrep.sameElements(wantGrep))
   }
 
+  test("pipePerFile spawns the mapper exactly once per input file") {
+    // reference worker/__main__.py:94-101: one Popen per input FILE. A
+    // mapper with per-invocation state (here: a header record per run)
+    // observes the difference — default per-partition piping splits a
+    // large file across several processes, per-file mode never does.
+    val inDir = Files.createTempDirectory("graft-mr-perfile")
+    Files.writeString(inDir.resolve("file01"), "alpha\n")
+    Files.writeString(inDir.resolve("file02"), "beta\ngamma\n")
+    // large enough that textFile's goalSize splits it into >=2 blocks
+    val bigLines = (1 to 4000).map(i => f"line$i%06d")
+    Files.writeString(inDir.resolve("file03"), bigLines.mkString("", "\n", "\n"))
+    val mapper = inDir.resolve("header_map.sh")
+    Files.writeString(mapper, "#!/bin/sh\nprintf 'HEADER\\t1\\n'\ncat\n")
+    val reducer = inDir.resolve("identity_reduce.sh")
+    Files.writeString(reducer, "#!/bin/sh\ncat\n")
+    import java.nio.file.attribute.PosixFilePermissions
+    Seq(mapper, reducer).foreach(p =>
+      Files.setPosixFilePermissions(p, PosixFilePermissions.fromString("rwxr-xr-x")))
+    // input files only — the scripts must not be scanned as data
+    val dataDir = Files.createTempDirectory("graft-mr-perfile-in")
+    Seq("file01", "file02", "file03").foreach(f =>
+      Files.copy(inDir.resolve(f), dataDir.resolve(f)))
+
+    def headerCount(out: String): Int =
+      partFiles(out).flatMap(readLines).count(_ == "HEADER\t1")
+
+    val outPerFile = tmpOut()
+    MapReduce.run(spark, JobSpec(
+      dataDir.toString, outPerFile, mapper.toString, reducer.toString,
+      numMappers = 2, numReducers = 2, pipePerFile = true))
+    assert(headerCount(outPerFile) == 3,
+      "per-file mode must spawn exactly one mapper per file")
+    // content parity: every data line still flows through the shuffle
+    val dataLines = partFiles(outPerFile).flatMap(readLines)
+      .filterNot(_ == "HEADER\t1").sorted
+    assert(dataLines == (Seq("alpha", "beta", "gamma") ++ bigLines).sorted)
+
+    // default mode on the same input splits file03 across processes —
+    // the divergence this flag exists to close
+    val outDefault = tmpOut()
+    MapReduce.run(spark, JobSpec(
+      dataDir.toString, outDefault, mapper.toString, reducer.toString,
+      numMappers = 2, numReducers = 2))
+    assert(headerCount(outDefault) > 3)
+  }
+
   test("native and executable word count agree per part file at r=3") {
     val outN = tmpOut()
     val outX = tmpOut()
