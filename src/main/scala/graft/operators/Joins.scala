@@ -173,16 +173,22 @@ object Joins {
         // through the SQL surface (the sketch subquery plans as a
         // ReusedSubquery broadcast, evaluated once)
         graft.functions.BloomFns.ensureRegistered(s)
+        val customer = Tables(s, d, "customer")
         Tables(s, d, "orders").createOrReplaceTempView("bloom_orders")
-        Tables(s, d, "customer").createOrReplaceTempView("bloom_customer")
-        s.sql("""
+        customer.createOrReplaceTempView("bloom_customer")
+        // sketch sized from the FILTERED build side's Catalyst stats, not
+        // a constant — items/bits track the build side's actual scale
+        val (items, bits) = graft.functions.BloomFns.sketchSize(
+          customer.filter(col("c_mktsegment") === "BUILDING")
+            .select(col("c_custkey")))
+        s.sql(s"""
           SELECT o_orderpriority, COUNT(*) AS n_orders,
             CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(38,6))) AS DOUBLE)
               AS total
           FROM bloom_orders
           WHERE graft_bloom_contains(
               (SELECT graft_bloom_agg(CAST(c_custkey AS LONG),
-                                      100000L, 800000L)
+                                      ${items}L, ${bits}L)
                FROM bloom_customer WHERE c_mktsegment = 'BUILDING'),
               CAST(o_custkey AS LONG))
             AND o_custkey IN (SELECT c_custkey FROM bloom_customer

@@ -81,4 +81,25 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("bloom sketchSize tracks the build side's statistics") {
+    val s = spark
+    import s.implicits._
+    def build(n: Int) = (1 to n).map(_.toLong).toDF("k")
+    val (smallItems, smallBits) = graft.functions.BloomFns.sketchSize(build(100))
+    val (bigItems, bigBits) = graft.functions.BloomFns.sketchSize(build(500000))
+    // a 5000× larger build side must get a larger sketch — the point of
+    // stats-based sizing over the old hardcoded constants
+    assert(bigItems > smallItems && bigBits > smallBits)
+    // tiny build sides are floored, never degenerate
+    assert(smallItems >= 4096 && smallBits >= smallItems)
+    // items come from plan stats: a LocalRelation knows its exact rowCount
+    assert(bigItems == 500000L)
+    // optimal-m formula at the default fpp=0.03: ~7.3 bits/item
+    assert(bigBits > bigItems * 7 && bigBits < bigItems * 8)
+    // the broadcast cap binds rather than growing without bound
+    val (_, cappedBits) =
+      graft.functions.BloomFns.sketchSize(build(100), maxBits = 1024L)
+    assert(cappedBits == 1024L)
+  }
 }
