@@ -13,6 +13,21 @@ import org.apache.spark.sql.functions._
   *
   * The salt must be deterministic data (not `rand()`) for reproducible
   * results; any high-cardinality column works.
+  *
+  * Relation to AQE skew mitigation (pinned live in PlanSpec "AQE splits a
+  * skewed join partition"): `spark.sql.adaptive.skewJoin` already splits
+  * an oversized SORT-MERGE-JOIN partition at runtime, so for plain skewed
+  * joins prefer AQE and keep this manual path for the cases AQE does not
+  * cover:
+  *  - skewed AGGREGATIONS — AQE's skew rule only rewrites joins; a hot
+  *    `groupBy` key still funnels one reducer without [[saltedAgg]];
+  *  - deterministic layout — AQE's split points depend on observed map
+  *    sizes, so retries/reruns may partition differently; salting gives a
+  *    stable, data-derived layout (required when a downstream consumer
+  *    keys on task index, e.g. part-file parity);
+  *  - pre-AQE stage boundaries — AQE replans between stages; skew inside
+  *    a single stage's map side (e.g. a skewed `explode` before the first
+  *    shuffle) never reaches the skew rule.
   */
 object Salt {
 

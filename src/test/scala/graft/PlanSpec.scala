@@ -129,6 +129,43 @@ class PlanSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // The runtime complement to plans/Salt.scala: when one key dominates a
+    // shuffle, AQE's skew-join mitigation splits the oversized partition
+    // into advisory-sized chunks (replicating the matching build rows)
+    // instead of funneling it through one task. Pin that it actually
+    // fires, so a conf regression can't silently bring back the straggler.
+    // Thresholds are shrunk to test scale; detection rule is unchanged:
+    // size > max(thresholdInBytes, factor * median partition size).
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val old = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      // one hot key carrying ~98% of the rows (with padding so the skewed
+      // partition's bytes dwarf the median), plus a uniform tail
+      val big = s.range(0, 50000).select(
+        when($"id" < 49000, lit(0L)).otherwise($"id" % 997).as("k"),
+        lpad($"id".cast("string"), 100, "0").as("pad"))
+      val small = s.range(0, 1000).select($"id".as("k"), ($"id" * 2).as("v"))
+      val joined = big.join(small, "k")
+      // collect() executes joined's OWN QueryExecution (a .count() would
+      // build a different one and leave this plan unfinalized)
+      assert(joined.collect().length == 50000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"AQE did not finalize:\n$p")
+      assert(p.contains("skew=true"), s"skew mitigation did not fire:\n$p")
+    } finally old.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
   test("cosinePairs is collect-free and size-dispatched") {
     val s = spark
     import org.apache.spark.sql.functions.col
