@@ -140,6 +140,32 @@ object Complex {
               COUNT(*) FILTER (event_type = 'error') AS error
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- unpivot (wide → long) -------------------------------------------
+    // The inverse of q_pivot: melt the lineitem measure columns into
+    // (metric, val) rows — the normalization step feature pipelines use
+    // before per-metric aggregation. Narrow, shuffle-free generate (each
+    // input row expands to 3 output rows in place); keyed to a 1% orderkey
+    // slice so the row-level output stays compare-sized. Sorted by ALL
+    // output columns: (l_orderkey, l_linenumber) is not unique in
+    // lineitem, so anything less makes the hash compare nondeterministic.
+    Q("q_unpivot",
+      (s, d) => Tables(s, d, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")),
+          variableColumnName = "metric",
+          valueColumnName = "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric", "val"),
+      Some("""SELECT l_orderkey, l_linenumber, metric, val
+              FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+                               l_extendedprice, l_discount
+                             FROM lineitem WHERE l_orderkey % 100 = 0)
+                    ON l_quantity, l_extendedprice, l_discount
+                    INTO NAME metric VALUE val)
+              ORDER BY l_orderkey, l_linenumber, metric, val""")),
+
     // ---- csv sink + source round trip ------------------------------------
     // D8/D1 for typed formats: write the nation dim to csv with an explicit
     // schema, read it back, aggregate. The oracle reads the ORIGINAL

@@ -346,6 +346,31 @@ object Dedup {
 
   val queries: Seq[Q] = Seq(
 
+    // ---- keep-latest-version dedup ---------------------------------------
+    // The snapshotting half of dedup: a corpus re-crawls the same logical
+    // record many times and only the most recent version should survive.
+    // One shuffle on the logical key, one ordered pass (row_number = 1) —
+    // never a self-join against max(ts), whose intermediate is the whole
+    // version history per key twice. The tiebreak column makes "latest"
+    // total, so the survivor set is deterministic under same-ts versions.
+    Q("q_dedup_latest",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "event_type")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables(s, d, "events")
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("value"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id, value
+              FROM events
+              QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id DESC) = 1
+              ORDER BY user_id, event_type""")),
+
     // ---- exact dedup ------------------------------------------------------
     Q("q_dedup_exact",
       (s, d) => docs(s, d)

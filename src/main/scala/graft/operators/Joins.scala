@@ -93,6 +93,39 @@ object Joins {
       .drop("__side", "__payload")
   }
 
+  /** Bucketed interval join: pair each point with every interval that
+    * contains it, planned as an EQUI-join.
+    *
+    * The broadcast theta join (q_join_range) needs the interval side tiny;
+    * at 100 TB both sides can be large and BroadcastNestedLoopJoin is off
+    * the table. Bucketing restores a hash-partitionable join: every
+    * interval is replicated to each `bucketWidth`-sized bucket it overlaps
+    * (`explode(sequence(...))`), every point belongs to exactly ONE
+    * bucket, so each matching (point, interval) pair meets in exactly one
+    * bucket — equi-join on the bucket plus the exact containment
+    * predicate; no duplicates, no cartesian. Replication factor per
+    * interval is length/bucketWidth + 1, so pick `bucketWidth` on the
+    * order of the median interval length to keep it O(1). Point, lo and
+    * hi are numeric with hi exclusive (convert timestamps with
+    * `unix_micros` first); empty intervals (hi ≤ lo) match nothing.
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(!(points.columns ++ intervals.columns).exists(
+        c => c == "__pb" || c == "__ib"),
+      "intervalJoin inputs must not already contain __pb/__ib columns")
+    val p = points.withColumn("__pb", floor(col(pointCol) / bucketWidth))
+    val iv = intervals.filter(col(hiCol) > col(loCol))
+      .withColumn("__ib", explode(sequence(
+        floor(col(loCol) / bucketWidth),
+        floor((col(hiCol) - 1) / bucketWidth))))
+    p.join(iv, p("__pb") === iv("__ib") &&
+        p(pointCol) >= iv(loCol) && p(pointCol) < iv(hiCol))
+      .drop("__pb", "__ib")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- range (theta) join ----------------------------------------------
@@ -122,6 +155,48 @@ object Joins {
                            ('jumbo',  300000.0, 1e18)) AS tiers(tier, lo, hi)
                 ON o_totalprice >= lo AND o_totalprice < hi
               GROUP BY tier ORDER BY tier""")),
+
+    // ---- bucketed interval join (the big-interval-side 100 TB path) ------
+    // 40 OVERLAPPING analysis windows spanning the event corpus (each 2×
+    // the stride, so every event falls in ~2 windows — deliberately not
+    // expressible as a simple bucketing), joined via intervalJoin: the
+    // plan is an equi-join on the time bucket, never a nested-loop over
+    // points × intervals. Window bounds derive from an in-plan 1-row
+    // min/max agg (no driver-side collect); bucketWidth = 1 day ≈ the
+    // window stride at test scale.
+    Q("q_join_interval",
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(unix_micros(col("ts")).as("t"), col("value"))
+        val iv = e.agg(min(col("t")).as("tmin"), max(col("t")).as("tmax"))
+          .select(col("tmin"),
+            greatest(((col("tmax") - col("tmin")) / 40).cast("long"), lit(1L))
+              .as("w"))
+          .select(col("tmin"), col("w"),
+            explode(sequence(lit(0L), lit(39L))).as("interval_id"))
+          .select(col("interval_id"),
+            (col("tmin") + col("interval_id") * col("w")).as("lo"),
+            (col("tmin") + (col("interval_id") + 2) * col("w")).as("hi"))
+        intervalJoin(e, iv, "t", "lo", "hi", bucketWidth = 86400000000L)
+          .groupBy("interval_id")
+          .agg(count(lit(1)).as("n_events"),
+            Arith.dsum(col("value")).as("total_value"))
+          .orderBy("interval_id")
+      },
+      Some(s"""WITH b AS (
+                SELECT min(epoch_us(ts)) AS tmin,
+                       GREATEST((max(epoch_us(ts)) - min(epoch_us(ts))) // 40,
+                                1) AS w
+                FROM events),
+              iv AS (
+                SELECT i AS interval_id, tmin + i * w AS lo,
+                       tmin + (i + 2) * w AS hi
+                FROM b, range(0, 40) t(i))
+              SELECT interval_id, COUNT(*) AS n_events,
+                ${Arith.sqlSum("value")} AS total_value
+              FROM iv JOIN events e
+                ON epoch_us(e.ts) >= iv.lo AND epoch_us(e.ts) < iv.hi
+              GROUP BY interval_id ORDER BY interval_id""")),
 
     // ---- as-of join ------------------------------------------------------
     // For each event: the user's most recent STRICTLY earlier event.

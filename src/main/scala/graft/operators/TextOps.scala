@@ -298,6 +298,55 @@ object TextOps {
               WHERE substr(md5(doc_id::VARCHAR), 1, 2) < '1a'
               ORDER BY doc_id""")),
 
+    // ---- stratified sampling ---------------------------------------------
+    // Per-stratum rates over the same hash discipline as q_sample_hash:
+    // downsample the dominant language to ~10% and keep the tail languages
+    // at 50% — the data-balancing move every multilingual training mix
+    // needs. Still a single codegen'd scan-and-filter (the rate is a CASE
+    // over the stratum column, not a per-stratum job), and still stable
+    // under corpus growth: a document's keep/drop never changes when other
+    // documents are added.
+    Q("q_sample_stratified",
+      (s, d) => {
+        val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+        docs(s, d)
+          .filter(when(col("lang") === "en", h < "1999").otherwise(h < "8000"))
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+              WHERE CASE WHEN lang = 'en'
+                    THEN substr(md5(doc_id::VARCHAR), 1, 4) < '1999'
+                    ELSE substr(md5(doc_id::VARCHAR), 1, 4) < '8000' END
+              ORDER BY doc_id""")),
+
+    // ---- sequence packing ------------------------------------------------
+    // Training-batch assembly: documents are concatenated in a stable
+    // order within each source and cut into fixed-budget packs (here 4096
+    // chars as the token-budget stand-in): pack_id = the running total
+    // BEFORE the document, integer-divided by the budget. One shuffle on
+    // `source`, one ordered pass — at 100 TB widen the window key to a
+    // finer deterministic partition (e.g. (source, shard)) so no single
+    // source's history serializes through one task.
+    Q("q_seq_pack",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        docs(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            floor((sum(col("n_chars")).over(w) - col("n_chars")) / 4096)
+              .as("pack_id"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""SELECT doc_id, source, n_chars,
+                CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY source
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_chars) / 4096.0) AS BIGINT) AS pack_id
+              FROM documents ORDER BY source, doc_id""")),
+
     // ---- train/val/test split --------------------------------------------
     // Same hash discipline as q_sample_hash, partitioning the corpus into
     // held-out splits: ~5% test, ~5% val, 90% train, stable under corpus

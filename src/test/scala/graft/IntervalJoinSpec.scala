@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Joins
+
+/** Unit tests for the bucketed interval join (Joins.intervalJoin):
+  * exactly-once pairing for intervals spanning many buckets, half-open
+  * boundary semantics, empty-interval elision, and the plan shape that
+  * justifies its existence (equi-join, never a nested loop).
+  */
+class IntervalJoinSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  private def pairs(bucketWidth: Long): Set[(Long, String)] = {
+    val s = spark
+    import s.implicits._
+    val points = Seq(0L, 5L, 10L, 15L, 99L, 100L, 250L).toDF("t")
+    val intervals = Seq(
+      ("a", 0L, 10L),    // half-open: matches 0,5 but not 10
+      ("b", 10L, 11L),   // single-bucket sliver: matches exactly 10
+      ("c", 5L, 200L),   // spans many buckets: 5,10,15,99,100
+      ("d", 50L, 50L),   // empty (hi == lo): matches nothing
+      ("e", 60L, 40L)    // inverted (hi < lo): matches nothing
+    ).toDF("iv", "lo", "hi")
+    Joins.intervalJoin(points, intervals, "t", "lo", "hi", bucketWidth)
+      .select("t", "iv").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+  }
+
+  private val expected = Set(
+    (0L, "a"), (5L, "a"),
+    (10L, "b"),
+    (5L, "c"), (10L, "c"), (15L, "c"), (99L, "c"), (100L, "c"))
+
+  test("pairs each point with exactly its containing intervals") {
+    assert(pairs(bucketWidth = 16L) === expected)
+  }
+
+  test("result is bucket-width invariant (no duplicate pair per bucket)") {
+    // A multi-bucket interval is replicated once per overlapped bucket;
+    // the point's single bucket must select exactly one replica. Any
+    // dedup bug shows up as a Set that silently hides multiset dupes, so
+    // compare counts too, across widths straddling the interval lengths.
+    for (w <- Seq(1L, 3L, 64L, 1000L)) {
+      assert(pairs(w) === expected, s"bucketWidth=$w")
+      val s = spark
+      import s.implicits._
+      val points = Seq(0L, 5L, 10L, 15L, 99L, 100L, 250L).toDF("t")
+      val intervals = Seq(("c", 5L, 200L)).toDF("iv", "lo", "hi")
+      val n = Joins.intervalJoin(points, intervals, "t", "lo", "hi", w).count()
+      assert(n === 5L, s"bucketWidth=$w produced duplicate pairs")
+    }
+  }
+
+  test("plans as an equi-join on the bucket, not a nested loop") {
+    val s = spark
+    import s.implicits._
+    val points = s.range(0, 10000).select(col("id").as("t"))
+    val intervals = s.range(0, 500)
+      .select(col("id").as("iv"), (col("id") * 20).as("lo"),
+        (col("id") * 20 + 40).as("hi"))
+    val p = Joins.intervalJoin(points, intervals, "t", "lo", "hi", 32L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"interval join fell back to a nested loop:\n$p")
+  }
+
+  test("refuses reserved column names") {
+    val s = spark
+    import s.implicits._
+    val points = Seq(1L).toDF("t").withColumn("__pb", lit(0L))
+    val intervals = Seq((0L, 10L)).toDF("lo", "hi")
+    intercept[IllegalArgumentException] {
+      Joins.intervalJoin(points, intervals, "t", "lo", "hi", 16L)
+    }
+  }
+}
