@@ -182,6 +182,10 @@ object Dedup {
       edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")),
       0, checkpointEvery)
+    // handle to the round's MATERIALIZED frame (labels is a projection
+    // over it) — unpersisted once the next round is materialized, so
+    // cached blocks stay O(1) across the run instead of O(rounds)
+    var prevMat = labels
     val maxRounds = 50
     var changed = 1L
     var rounds = 0
@@ -196,6 +200,8 @@ object Dedup {
         rounds + 1, checkpointEvery)
       changed = next.filter(col("new_label") < col("label")).count()
       labels = next.select(col("id"), col("new_label").as("label"))
+      prevMat.unpersist(blocking = false)
+      prevMat = next
       rounds += 1
     }
     // a silent cap would return WRONG cluster ids for a >50-diameter chain;
@@ -272,6 +278,7 @@ object Dedup {
       // over the checkpointed sets)
       stable = small.count() == edges.count() &&
         small.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
+      edges.unpersist(blocking = false)
       edges = small
       rounds += 1
     }

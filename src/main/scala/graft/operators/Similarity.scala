@@ -290,6 +290,10 @@ object Similarity {
           col("bucket").as("prev_bucket")), Seq("vec_id"))
         .filter(col("bucket") =!= col("prev_bucket")).count()
       changedPerRound += changed
+      // the superseded round's checkpoint blocks are dead weight once
+      // `next` is materialized and the changed count is in hand — free
+      // them so pinned executor memory stays O(1), not O(rounds)
+      assigned.unpersist(blocking = false)
       assigned = next
       stable = changed == 0
       r += 1

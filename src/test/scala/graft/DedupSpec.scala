@@ -113,11 +113,18 @@ class DedupSpec extends AnyFunSuite {
     // the durable rounds really did land in the checkpoint dir
     val dir = s.sparkContext.getCheckpointDir
     assert(dir.isDefined, "no checkpoint dir was set")
-    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(
-        new java.net.URI(dir.get).getPath))
-      .filter(p => p.getFileName.toString.startsWith("part-"))
-      .count()
+    val root = java.nio.file.Paths.get(new java.net.URI(dir.get).getPath)
+    val files = scala.util.Using.resource(java.nio.file.Files.walk(root)) {
+      _.filter(p => p.getFileName.toString.startsWith("part-")).count()
+    }
     assert(files > 0, s"no checkpoint data written under ${dir.get}")
+    // drop the durable round files so the shared-session suites that
+    // follow don't inherit this test's checkpoint data on disk (the dir
+    // itself stays set — checkpoint() recreates subdirs as needed)
+    scala.util.Using.resource(java.nio.file.Files.walk(root)) {
+      _.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
   }
 
   test("star components converge on a chain longer than the round cap") {

@@ -78,4 +78,59 @@ class IntervalJoinSpec extends AnyFunSuite {
       Joins.intervalJoin(points, intervals, "t", "lo", "hi", 16L)
     }
   }
+
+  test("refuses non-integral columns (exact bucketing contract)") {
+    val s = spark
+    import s.implicits._
+    val points = Seq(1.5).toDF("t")
+    val intervals = Seq((0L, 10L)).toDF("lo", "hi")
+    intercept[IllegalArgumentException] {
+      Joins.intervalJoin(points, intervals, "t", "lo", "hi", 16L)
+    }
+  }
+
+  test("exact past 2^53: bucketing never goes through a double") {
+    // floor(col / w) computes in double precision: (2^60 - 1) rounds UP
+    // to 2^60 as a double, so its double-floored bucket index differs
+    // from the exact one. The pmod formulation keeps every value in
+    // long arithmetic — points at magnitudes like unix nanos pair
+    // exactly. Brute-force oracle over all (point, interval) pairs.
+    val s = spark
+    import s.implicits._
+    val base = 1L << 60 // well past 2^53
+    val w = 1000L
+    val pts = Seq(base - 1001, base - 1000, base - 1, base,
+      base + 999, base + 1000, Long.MaxValue - 1)
+    val ivs = Seq(
+      ("lo_edge", base - 1000, base),
+      ("hi_edge", base, base + 1000),
+      ("straddle", base - 1, base + 1),
+      ("top", Long.MaxValue - 500, Long.MaxValue))
+    val expect = (for {
+      p <- pts; (n, lo, hi) <- ivs if p >= lo && p < hi
+    } yield (p, n)).toSet
+    val got = Joins.intervalJoin(
+        pts.toDF("t"), ivs.toDF("iv", "lo", "hi"), "t", "lo", "hi", w)
+      .select("t", "iv").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === expect)
+  }
+
+  test("negative values bucket by floor, not truncation") {
+    // toward-zero division would put -1 in bucket 0 alongside +1; the
+    // pmod lower-bound keeps floor semantics so [-1000, 0) pairs with
+    // -1 and not with 0.
+    val s = spark
+    import s.implicits._
+    val pts = Seq(-1001L, -1000L, -1L, 0L, 1L)
+    val ivs = Seq(("neg", -1000L, 0L), ("pos", 0L, 1000L))
+    val expect = (for {
+      p <- pts; (n, lo, hi) <- ivs if p >= lo && p < hi
+    } yield (p, n)).toSet
+    val got = Joins.intervalJoin(
+        pts.toDF("t"), ivs.toDF("iv", "lo", "hi"), "t", "lo", "hi", 64L)
+      .select("t", "iv").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === expect)
+  }
 }
