@@ -227,7 +227,16 @@ object Similarity {
     * @return (vec_id, embedding, bucket) after the round
     */
   private def lloydRound(s: SparkSession, corpus: DataFrame,
-      assigned: DataFrame): DataFrame = {
+      assigned: DataFrame): DataFrame =
+    lloydRoundImpl(s, corpus, assigned, trackPrev = false)
+
+  /** [[lloydRound]] body; with `trackPrev` the reassignment carries the
+    * input's bucket through as `prev_bucket`, so the iteration's
+    * changed-count is a filter over the round's own output instead of an
+    * n-row shuffle join against the previous round (corpus = assigned in
+    * that mode, so the column exists). */
+  private def lloydRoundImpl(s: SparkSession, corpus: DataFrame,
+      assigned: DataFrame, trackPrev: Boolean): DataFrame = {
     val centroid = udaf(VecCentroid)
     val cents1 = assigned.groupBy(col("bucket").as("c_id"))
       .agg(centroid(col("embedding")).as("c_v"))
@@ -237,14 +246,18 @@ object Similarity {
       // guard as dropZeroNorm, on the centroid side.
       .filter(aggregate(col("c_v"), lit(0.0d),
         (acc, x) => acc + x * x) > 0.0)
-    corpus.select(col("vec_id"), col("embedding"))
+    val carry: Seq[Column] =
+      if (trackPrev) Seq(first(col("bucket")).as("prev_bucket")) else Seq.empty
+    corpus.select(col("vec_id") +: col("embedding") +:
+        (if (trackPrev) Seq(col("bucket")) else Seq.empty): _*)
       .crossJoin(broadcast(cents1))
       .withColumn("c_cos", cosine(s, col("embedding"), col("c_v")))
       .groupBy("vec_id")
       .agg(
         max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("bucket"),
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("embedding"), col("bucket"))
+        (first(col("embedding")).as("embedding") +: carry): _*)
+      .select(col("vec_id") +: col("embedding") +: col("bucket") +:
+        (if (trackPrev) Seq(col("prev_bucket")) else Seq.empty): _*)
   }
 
   /** One Lloyd refinement round over the IVF seeding — the single-round
@@ -284,10 +297,13 @@ object Similarity {
     var r = 0
     var stable = false
     while (r < rounds && !stable) {
-      val next = lloydRound(s, assigned, assigned).localCheckpoint()
-      val changed = next
-        .join(assigned.select(col("vec_id"),
-          col("bucket").as("prev_bucket")), Seq("vec_id"))
+      // prev_bucket rides along through the reassignment, so the changed
+      // count is a filter over this round's checkpoint — no join against
+      // the previous round's n rows
+      val withPrev = lloydRoundImpl(s, assigned, assigned, trackPrev = true)
+        .localCheckpoint()
+      val next = withPrev.drop("prev_bucket")
+      val changed = withPrev
         .filter(col("bucket") =!= col("prev_bucket")).count()
       changedPerRound += changed
       // the superseded round's checkpoint blocks are dead weight once
