@@ -670,6 +670,71 @@ object Dedup {
                 SELECT r.id, edges.b FROM r JOIN edges ON r.n = edges.a)
               SELECT id AS vec_id, MIN(n) AS cluster_id,
                 (MIN(n) = id) AS keep
+              FROM r GROUP BY id ORDER BY vec_id""")),
+
+    // ---- embedding near-dup, hyperplane-LSH (the third index family) -----
+    // Sign-LSH (Charikar SimHash over the embedding space) next to the
+    // exact O(n²) reference (q_dedup_embed) and the centroid-bucketed
+    // SemDeDup path (q_dedup_embed_ivf): 16 hyperplane sign bits in 2
+    // bands of 8, candidates = pairs agreeing on a full band (equi-join
+    // on the band key — no centroids to train, no Σ bucket² sensitivity
+    // to cluster balance), then the SAME exact-cosine verify, so edges ⊆
+    // the exact path's edges and every LSH cluster refines an exact
+    // cluster (pinned in DedupSpec). Candidate ids are deduped BEFORE the
+    // kernel (a dual-band pair would verify twice), then re-join their
+    // vectors. At 100 TB the knobs are nPlanes/bandBits: recall per edge
+    // is 1-(1-p^8)^2 with p = 1 - θ/π, ~0.5 at cos 0.9 — a candidate
+    // GENERATOR tuned for near-identical pairs, not a range search.
+    Q("q_dedup_embed_lsh",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val ez = Similarity.dropZeroNorm(s, e)
+        val banded = Similarity.hyperplaneBands(s, ez, nPlanes = 16,
+          bandBits = 8)
+        val cand = banded.select(col("band_idx"), col("band_key"),
+            col("vec_id").as("a_id"))
+          .join(banded.select(col("band_idx"), col("band_key"),
+            col("vec_id").as("b_id")), Seq("band_idx", "band_key"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        val edges = cand
+          .join(ez.select(col("vec_id").as("a_id"),
+            col("embedding").as("a_v")), Seq("a_id"))
+          .join(ez.select(col("vec_id").as("b_id"),
+            col("embedding").as("b_v")), Seq("b_id"))
+          .filter(Similarity.cosine(s, col("a_v"), col("b_v")) >= 0.45)
+          .select("a_id", "b_id")
+        val labels = connectedComponents(edges)
+          .withColumnRenamed("id", "vec_id")
+        e.select(col("vec_id")).join(labels, Seq("vec_id"), "left")
+          .withColumn("cluster_id", coalesce(col("label"), col("vec_id")))
+          .withColumn("keep", col("vec_id") === col("cluster_id"))
+          .select("vec_id", "cluster_id", "keep")
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE
+              ${Similarity.sqlHyperplaneBands(Similarity.sqlZeroNormWhere)},
+              all_e AS (SELECT vec_id FROM embeddings),
+              cand AS (
+                SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM banded a JOIN banded b
+                  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                    AND a.vec_id < b.vec_id),
+              p AS (
+                SELECT a_id, b_id FROM cand
+                JOIN e ea ON ea.vec_id = a_id
+                JOIN e eb ON eb.vec_id = b_id
+                WHERE ${Similarity.sqlCosineCols("ea.v", "eb.v")} >= 0.45),
+              edges AS (
+                SELECT a_id AS a, b_id AS b FROM p
+                UNION SELECT b_id, a_id FROM p),
+              r(id, n) AS (
+                SELECT vec_id, vec_id FROM all_e
+                UNION
+                SELECT r.id, edges.b FROM r JOIN edges ON r.n = edges.a)
+              SELECT id AS vec_id, MIN(n) AS cluster_id,
+                (MIN(n) = id) AS keep
               FROM r GROUP BY id ORDER BY vec_id"""))
   )
 }

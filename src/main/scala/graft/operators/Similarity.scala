@@ -171,6 +171,75 @@ object Similarity {
   def dropZeroNorm(s: SparkSession, e: DataFrame): DataFrame =
     e.filter(DotProduct(s, col("embedding"), col("embedding")) > 0.0)
 
+  /** Random-hyperplane (sign) LSH signatures, banded: bit i of a vector's
+    * signature is `sign(dot(v, h_i))` (Charikar's SimHash for cosine space,
+    * STOC'02), and the `nPlanes` bits split into `nPlanes / bandBits`
+    * bands — two vectors are LSH candidates iff they agree on EVERY bit of
+    * at least one band, so candidate generation is an equi-join on
+    * (band_idx, band_key), never an all-pairs scan. Hyperplanes are the
+    * first `nPlanes` corpus vectors — deterministic, so the definition has
+    * an exact SQL oracle (the convention ivfAssign established for
+    * centroid seeding).
+    *
+    * Scale shape: one broadcast of the planes, one map-side
+    * partial-aggregated groupBy packing bits into band keys (nPlanes rows
+    * in flight per vector, ~(vec_id, 2 longs) out), then `posexplode` to
+    * (vec_id, band_idx, band_key) — n·nBands rows, each a few bytes plus
+    * the carried embedding. The bit weight is `shiftleft(1L, h_id mod
+    * bandBits)` — exact long arithmetic, no float powers.
+    *
+    * @return (vec_id, embedding, band_idx, band_key)
+    */
+  def hyperplaneBands(s: SparkSession, e: DataFrame, nPlanes: Int,
+      bandBits: Int): DataFrame = {
+    require(nPlanes > 0 && bandBits > 0 && nPlanes % bandBits == 0,
+      s"nPlanes ($nPlanes) must be a positive multiple of bandBits ($bandBits)")
+    val nBands = nPlanes / bandBits
+    val hyp = e.filter(col("vec_id") < nPlanes)
+      .select(col("vec_id").as("h_id"), col("embedding").as("h_v"))
+    val bandCols = (0 until nBands).map { bi =>
+      sum(when(col("band_of") === bi, col("bit") * col("weight"))
+        .otherwise(0L)).as(s"__band$bi")
+    }
+    e.crossJoin(broadcast(hyp))
+      .withColumn("bit",
+        (DotProduct(s, col("embedding"), col("h_v")) >= 0.0).cast("long"))
+      .withColumn("band_of", expr(s"CAST(h_id DIV $bandBits AS INT)"))
+      .withColumn("weight",
+        expr(s"shiftleft(1L, CAST(h_id % $bandBits AS INT))"))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"), bandCols: _*)
+      .select(col("vec_id") +: col("embedding") +:
+        Seq(posexplode(array((0 until nBands).map(bi =>
+          col(s"__band$bi")): _*)).as(Seq("band_idx", "band_key"))): _*)
+  }
+
+  /** DuckDB twin of [[hyperplaneBands]] (nPlanes=16, bandBits=8) as CTE
+    * text: defines `e` (typed, filtered vectors), `hyp`, `sig` and
+    * `banded` (vec_id, band_idx, band_key) for oracle queries to build on.
+    * @param eWhere  predicate on `e`, mirroring [[dropZeroNorm]] */
+  private[operators] def sqlHyperplaneBands(eWhere: String): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE $eWhere),
+        hyp AS (SELECT vec_id AS h_id, v AS h_v FROM e WHERE vec_id < 16),
+        bits AS (
+          SELECT e.vec_id, h.h_id,
+            CASE WHEN list_sum([e.v[i] * h.h_v[i]
+                                FOR i IN generate_series(1, 64)]) >= 0
+                 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+          FROM e, hyp h),
+        sig AS (
+          SELECT vec_id,
+            SUM(CASE WHEN h_id < 8 THEN bit * (1::BIGINT << h_id)
+                     ELSE 0 END) AS band0,
+            SUM(CASE WHEN h_id >= 8 THEN bit * (1::BIGINT << (h_id - 8))
+                     ELSE 0 END) AS band1
+          FROM bits GROUP BY vec_id),
+        banded AS (
+          SELECT vec_id, 0 AS band_idx, band0 AS band_key FROM sig
+          UNION ALL
+          SELECT vec_id, 1 AS band_idx, band1 AS band_key FROM sig)"""
+
   /** IVF bucket assignment: every vector lands in its nearest-centroid
     * bucket (centroids = the first `nCentroids` vectors — deterministic
     * stand-in for k-means, so the definition has an exact SQL oracle).

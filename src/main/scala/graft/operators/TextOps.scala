@@ -371,6 +371,136 @@ object TextOps {
                        WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '1a' THEN 'val'
                        ELSE 'train' END AS split
                 FROM documents)
-              GROUP BY split, lang ORDER BY split, lang"""))
+              GROUP BY split, lang ORDER BY split, lang""")),
+
+    // ---- bigram vocabulary (LM preprocessing) -----------------------------
+    // Top-50 adjacent-token bigrams with counts. Bigrams form WITHOUT an
+    // explode-then-self-join on position: zip the token array against its
+    // own tail (slice + arrays_zip — codegen'd, per-row), THEN explode
+    // once; the only shuffle is the partial-aggregated count. The oracle
+    // forms the same pairs via a positional self-join, so the compare pins
+    // the zip formulation against the textbook definition. Ties at rank
+    // 50 are broken by the bigram text, making the cut deterministic.
+    Q("q_vocab_bigrams",
+      (s, d) => docs(s, d)
+        .select(split(lower(col("text")), " ").as("toks"))
+        .select(explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+          slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2")))
+          .as("pair"))
+        .filter(col("pair.w1") =!= "" && col("pair.w2") =!= "")
+        .select(concat_ws(" ", col("pair.w1"), col("pair.w2")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(50),
+      Some("""WITH t AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS toks
+                FROM documents),
+              u AS (
+                SELECT doc_id, unnest(toks) AS w,
+                  generate_subscripts(toks, 1) AS i
+                FROM t)
+              SELECT a.w || ' ' || b.w AS bigram, COUNT(*) AS cnt
+              FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+              WHERE a.w <> '' AND b.w <> ''
+              GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 50""")),
+
+    // ---- end-to-end training-data pipeline (the composed funnel) ----------
+    // The full pre-training preparation chain as ONE declarative plan:
+    // normalize (q_text_clean's transform) → language-ID gate (q_lang_id's
+    // heuristic) → quality gate (q_quality's composite) → exact dedup on
+    // the NORMALIZED text (min-doc_id winner per md5) → per-source funnel
+    // counts + surviving token volume. What a user of the engine actually
+    // runs nightly; every stage reuses the per-stage operators' exact
+    // definitions, so the stage queries remain the unit tests of this one.
+    //
+    // Scale shape: one scan; all flags are per-row codegen'd expressions;
+    // the dedup winner is a min() window over md5(clean) — ONE shuffle on
+    // a 16-byte key, only over rows that survived both gates; the final
+    // per-source rollup partial-aggregates map-side. No joins, no
+    // collects; at 100 TB the plan is scan → window (filtered subset) →
+    // hash agg.
+    Q("q_pipeline",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = docs(s, d)
+          .withColumn("clean", trim(regexp_replace(regexp_replace(
+            lower(col("text")), "[0-9]+", "<num>"), " +", " ")))
+          .withColumn("toks", split(col("clean"), " "))
+          .withColumn("n_tokens", size(col("toks")).cast("long"))
+          .withColumn("stop_ratio",
+            round(size(filter(col("toks"), t => t.rlike(stopRegex)))
+              .cast("double") / col("n_tokens"), 6))
+          .withColumn("lang_ok", col("stop_ratio") >= 0.08)
+          .withColumn("mean_word_len",
+            round((length(col("clean")) - col("n_tokens") + 1).cast("double")
+              / col("n_tokens"), 6))
+          .withColumn("quality",
+            round(least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.5
+              + when(col("mean_word_len").between(3.0, 10.0), 0.3)
+                .otherwise(0.0)
+              + when(col("stop_ratio") > 0.02, 0.2).otherwise(0.0), 6))
+          .withColumn("qual_ok", col("quality") >= 0.5)
+        val survived = base.filter(col("lang_ok") && col("qual_ok"))
+          .withColumn("keep_id", min(col("doc_id"))
+            .over(Window.partitionBy(md5(col("clean")))))
+          .withColumn("uniq", col("doc_id") === col("keep_id"))
+        val funnel = base.groupBy("source").agg(
+          count(lit(1)).as("n_raw"),
+          count_if(col("lang_ok")).as("n_lang"),
+          count_if(col("lang_ok") && col("qual_ok")).as("n_qual"))
+        val kept = survived.groupBy("source").agg(
+          count_if(col("uniq")).as("n_unique"),
+          sum(when(col("uniq"), col("n_tokens")).otherwise(0L))
+            .as("n_tokens_kept"))
+        funnel.join(kept, Seq("source"), "left")
+          .select(col("source"), col("n_raw"), col("n_lang"), col("n_qual"),
+            coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+            coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH base AS (
+                SELECT doc_id, source,
+                  trim(regexp_replace(regexp_replace(lower(text),
+                    '[0-9]+', '<num>', 'g'), ' +', ' ', 'g')) AS clean
+                FROM documents),
+              f AS (
+                SELECT doc_id, source, clean,
+                  len(string_split(clean, ' ')) AS n_tokens,
+                  ROUND(len([t FOR t IN string_split(clean, ' ')
+                             IF regexp_matches(t, '^(a|the|of|and|to|in)$')])::DOUBLE
+                        / len(string_split(clean, ' ')), 6) AS stop_ratio,
+                  ROUND((len(clean) - len(string_split(clean, ' ')) + 1)::DOUBLE
+                        / len(string_split(clean, ' ')), 6) AS mean_word_len
+                FROM base),
+              g AS (
+                SELECT doc_id, source, clean, n_tokens,
+                  (stop_ratio >= 0.08) AS lang_ok,
+                  (ROUND(least(n_tokens::DOUBLE / 100, 1.0) * 0.5 +
+                    CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0
+                         THEN 0.3 ELSE 0.0 END +
+                    CASE WHEN stop_ratio > 0.02 THEN 0.2 ELSE 0.0 END, 6)
+                   >= 0.5) AS qual_ok
+                FROM f),
+              s AS (
+                SELECT doc_id, source, n_tokens,
+                  (doc_id = MIN(doc_id) OVER (PARTITION BY md5(clean)))
+                    AS uniq
+                FROM g WHERE lang_ok AND qual_ok),
+              funnel AS (
+                SELECT source, COUNT(*) AS n_raw,
+                  COUNT(*) FILTER (lang_ok) AS n_lang,
+                  COUNT(*) FILTER (lang_ok AND qual_ok) AS n_qual
+                FROM g GROUP BY source),
+              kept AS (
+                SELECT source, COUNT(*) FILTER (uniq) AS n_unique,
+                  CAST(SUM(CASE WHEN uniq THEN n_tokens ELSE 0 END)
+                       AS BIGINT) AS n_tokens_kept
+                FROM s GROUP BY source)
+              SELECT f.source, n_raw, n_lang, n_qual,
+                COALESCE(n_unique, 0) AS n_unique,
+                COALESCE(n_tokens_kept, 0) AS n_tokens_kept
+              FROM funnel f LEFT JOIN kept k ON f.source = k.source
+              ORDER BY f.source"""))
   )
 }

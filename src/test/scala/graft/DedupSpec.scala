@@ -166,4 +166,26 @@ class DedupSpec extends AnyFunSuite {
     assert(ivf.exists { case (v, c) => v != c },
       "bucketed dedup found no non-singleton cluster")
   }
+
+  test("hyperplane-LSH embed dedup refines the exact clustering at sf0.01") {
+    // Same refinement direction as the IVF pin: LSH edges pass the SAME
+    // exact-cosine verify, so they are a subset of the exact edges — LSH
+    // may split clusters (a near-dup pair disagreeing on both bands) but
+    // must never merge vectors the exact path keeps apart.
+    val sf = "/root/testdata/sf0.01"
+    def clusters(q: String): Map[Long, Long] =
+      SparkEntry.queries(q)(spark, sf).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id"))
+        .toMap
+    val exact = clusters("q_dedup_embed")
+    val lsh = clusters("q_dedup_embed_lsh")
+    assert(lsh.keySet == exact.keySet)
+    lsh.groupBy(_._2).foreach { case (lshCluster, members) =>
+      val exactClusters = members.keys.map(exact).toSet
+      assert(exactClusters.size == 1,
+        s"lsh cluster $lshCluster spans exact clusters $exactClusters")
+    }
+    assert(lsh.exists { case (v, c) => v != c },
+      "hyperplane-LSH dedup found no non-singleton cluster")
+  }
 }
