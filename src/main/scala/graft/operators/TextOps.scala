@@ -414,12 +414,13 @@ object TextOps {
     // runs nightly; every stage reuses the per-stage operators' exact
     // definitions, so the stage queries remain the unit tests of this one.
     //
-    // Scale shape: one scan; all flags are per-row codegen'd expressions;
-    // the dedup winner is a min() window over md5(clean) — ONE shuffle on
-    // a 16-byte key, only over rows that survived both gates; the final
-    // per-source rollup partial-aggregates map-side. No joins, no
-    // collects; at 100 TB the plan is scan → window (filtered subset) →
-    // hash agg.
+    // Scale shape: ONE scan of the text (pinned in PlanSpec — a
+    // funnel-branch/survivor-branch formulation would read the 100 TB
+    // text column twice); all flags are per-row codegen'd expressions;
+    // the dedup winner is a conditional-min window over md5(clean) — one
+    // shuffle of narrow rows (hash key + flags + token count, the text
+    // itself never shuffles); the per-source rollup partial-aggregates
+    // map-side. No joins, no collects.
     Q("q_pipeline",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -440,23 +441,23 @@ object TextOps {
               + when(col("mean_word_len").between(3.0, 10.0), 0.3)
                 .otherwise(0.0)
               + when(col("stop_ratio") > 0.02, 0.2).otherwise(0.0), 6))
-          .withColumn("qual_ok", col("quality") >= 0.5)
-        val survived = base.filter(col("lang_ok") && col("qual_ok"))
-          .withColumn("keep_id", min(col("doc_id"))
-            .over(Window.partitionBy(md5(col("clean")))))
-          .withColumn("uniq", col("doc_id") === col("keep_id"))
-        val funnel = base.groupBy("source").agg(
-          count(lit(1)).as("n_raw"),
-          count_if(col("lang_ok")).as("n_lang"),
-          count_if(col("lang_ok") && col("qual_ok")).as("n_qual"))
-        val kept = survived.groupBy("source").agg(
-          count_if(col("uniq")).as("n_unique"),
-          sum(when(col("uniq"), col("n_tokens")).otherwise(0L))
-            .as("n_tokens_kept"))
-        funnel.join(kept, Seq("source"), "left")
-          .select(col("source"), col("n_raw"), col("n_lang"), col("n_qual"),
-            coalesce(col("n_unique"), lit(0L)).as("n_unique"),
-            coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+          .withColumn("surv", col("lang_ok") && (col("quality") >= 0.5))
+        // conditional min over ALL rows of the hash group: non-survivors
+        // contribute NULL, so the winner is the min doc_id among
+        // SURVIVORS — same result as windowing a filtered subset, without
+        // forking the scan
+        base
+          .withColumn("keep_id",
+            min(when(col("surv"), col("doc_id")))
+              .over(Window.partitionBy(md5(col("clean")))))
+          .withColumn("uniq", col("surv") && col("doc_id") === col("keep_id"))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_raw"),
+            count_if(col("lang_ok")).as("n_lang"),
+            count_if(col("surv")).as("n_qual"),
+            count_if(col("uniq")).as("n_unique"),
+            sum(when(col("uniq"), col("n_tokens")).otherwise(0L))
+              .as("n_tokens_kept"))
           .orderBy("source")
       },
       Some("""WITH base AS (
@@ -476,31 +477,25 @@ object TextOps {
               g AS (
                 SELECT doc_id, source, clean, n_tokens,
                   (stop_ratio >= 0.08) AS lang_ok,
-                  (ROUND(least(n_tokens::DOUBLE / 100, 1.0) * 0.5 +
+                  (stop_ratio >= 0.08 AND
+                   ROUND(least(n_tokens::DOUBLE / 100, 1.0) * 0.5 +
                     CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0
                          THEN 0.3 ELSE 0.0 END +
                     CASE WHEN stop_ratio > 0.02 THEN 0.2 ELSE 0.0 END, 6)
-                   >= 0.5) AS qual_ok
+                   >= 0.5) AS surv
                 FROM f),
               s AS (
-                SELECT doc_id, source, n_tokens,
-                  (doc_id = MIN(doc_id) OVER (PARTITION BY md5(clean)))
-                    AS uniq
-                FROM g WHERE lang_ok AND qual_ok),
-              funnel AS (
-                SELECT source, COUNT(*) AS n_raw,
-                  COUNT(*) FILTER (lang_ok) AS n_lang,
-                  COUNT(*) FILTER (lang_ok AND qual_ok) AS n_qual
-                FROM g GROUP BY source),
-              kept AS (
-                SELECT source, COUNT(*) FILTER (uniq) AS n_unique,
-                  CAST(SUM(CASE WHEN uniq THEN n_tokens ELSE 0 END)
-                       AS BIGINT) AS n_tokens_kept
-                FROM s GROUP BY source)
-              SELECT f.source, n_raw, n_lang, n_qual,
-                COALESCE(n_unique, 0) AS n_unique,
-                COALESCE(n_tokens_kept, 0) AS n_tokens_kept
-              FROM funnel f LEFT JOIN kept k ON f.source = k.source
-              ORDER BY f.source"""))
+                SELECT doc_id, source, n_tokens, lang_ok, surv,
+                  (surv AND doc_id =
+                    MIN(CASE WHEN surv THEN doc_id END)
+                      OVER (PARTITION BY md5(clean))) AS uniq
+                FROM g)
+              SELECT source, COUNT(*) AS n_raw,
+                COUNT(*) FILTER (lang_ok) AS n_lang,
+                COUNT(*) FILTER (surv) AS n_qual,
+                COUNT(*) FILTER (uniq) AS n_unique,
+                CAST(SUM(CASE WHEN uniq THEN n_tokens ELSE 0 END)
+                     AS BIGINT) AS n_tokens_kept
+              FROM s GROUP BY source ORDER BY source"""))
   )
 }

@@ -52,6 +52,17 @@ class PlanSpec extends AnyFunSuite {
     assert(projLine.contains("*("), s"cosine_sim outside codegen: $projLine")
   }
 
+  test("q_pipeline reads the corpus once: single scan, no join") {
+    // The composed funnel must not fork the plan into a pre-filter branch
+    // and a survivor branch — that would read the (100 TB) text column
+    // twice. One parquet scan, a window on the narrow hashed projection,
+    // one aggregate, zero joins.
+    val p = plan("q_pipeline")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"q_pipeline plans $scans parquet scans:\n$p")
+    assert(!p.contains("Join"), s"q_pipeline plans a join:\n$p")
+  }
+
   test("q_cosine_pairs never plans a cartesian product") {
     assert(!plan("q_cosine_pairs").contains("CartesianProduct"))
     assert(!plan("q_dedup_embed").contains("CartesianProduct"))
