@@ -307,6 +307,47 @@ object Complex {
       },
       Some(s"""SELECT s_nationkey, COUNT(*) AS n_suppliers,
               ${Arith.sqlSum("s_acctbal")} AS total_acctbal
-              FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
+              FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    // ---- MERGE / upsert (apply a changeset to a base table) ---------------
+    // The warehouse MERGE INTO primitive as a pure dataflow: matched keys
+    // take the changeset's row (UPDATE), unmatched changeset keys append
+    // (INSERT), everything else passes through. Expressed as
+    // base ANTI-JOIN changes ∪ changes — ONE join, and when the changeset
+    // is small (the nightly-delta norm) Spark plans it as a broadcast
+    // anti-join: the 100 TB base streams through map-side with no
+    // shuffle, which is exactly how a file-format MERGE (Delta/Iceberg
+    // copy-on-write) schedules its rewrite. The changeset here derives
+    // deterministically from the base so the oracle sees the same rows:
+    // keys ≡ 0 (mod 10) get repriced, keys ≡ 7 (mod 10) re-enter as new
+    // orders under a shifted key.
+    Q("q_merge_upsert",
+      (s, d) => {
+        val base = Tables(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val updates = base.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+        val inserts = base.filter(col("o_orderkey") % 10 === 7)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        val changes = updates.unionByName(inserts)
+        base.join(changes.select("o_orderkey"), Seq("o_orderkey"),
+            "left_anti")
+          .unionByName(changes)
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH chg AS (
+                SELECT o_orderkey, o_custkey, o_totalprice + 100.0
+                    AS o_totalprice
+                FROM orders WHERE o_orderkey % 10 = 0
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+                FROM orders WHERE o_orderkey % 10 = 7)
+              SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+              FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM chg c
+                                WHERE c.o_orderkey = o.o_orderkey)
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_totalprice FROM chg
+              ORDER BY o_orderkey"""))
   )
 }

@@ -708,6 +708,47 @@ object Relational {
               FROM orders
               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
               ORDER BY o_orderstatus ASC NULLS FIRST,
-                o_orderpriority ASC NULLS FIRST"""))
+                o_orderpriority ASC NULLS FIRST""")),
+
+    // ---- histogram / numeric binning --------------------------------------
+    // Fixed-width binning via width_bucket — the one-pass distributed
+    // histogram (each row maps to its bin codegen-side; one partial-
+    // aggregated groupBy on ≤ nbins+2 keys). The declarative twin of what
+    // an approx-percentile sketch trades accuracy for.
+    Q("q_histogram",
+      (s, d) => t(s, d, "orders")
+        .withColumn("bin",
+          width_bucket(col("o_totalprice"), lit(0.0), lit(400000.0), lit(40)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy("bin"),
+      // DuckDB has no width_bucket; the oracle spells out its definition
+      // (underflow → 0, overflow → nbins+1, else floor((v-lo)/width)+1;
+      // width = 400000/40 = 10000 exactly, so the floor math is identical
+      // in both engines)
+      Some(s"""SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                    WHEN o_totalprice >= 400000.0 THEN 41
+                    ELSE CAST(floor(o_totalprice / 10000.0) AS BIGINT) + 1
+                  END AS bin,
+              COUNT(*) AS n, ${sqlSum("o_totalprice")} AS total
+              FROM orders GROUP BY bin ORDER BY bin""")),
+
+    // ---- ordered string aggregation (listagg) -----------------------------
+    // collect_list carries NO intra-group order guarantee after a shuffle,
+    // so the canonical deterministic listagg is sort_array(collect_list)
+    // → array_join. Grouped on nation (bounded cardinality ⇒ bounded
+    // per-group state); the oracle's string_agg(... ORDER BY) pins the
+    // ordering contract.
+    Q("q_string_agg",
+      (s, d) => t(s, d, "supplier")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          array_join(sort_array(collect_list(col("s_name"))), ",")
+            .as("names"))
+        .orderBy("s_nationkey"),
+      Some("""SELECT s_nationkey, COUNT(*) AS n_suppliers,
+              string_agg(s_name, ',' ORDER BY s_name) AS names
+              FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
   )
 }

@@ -14,7 +14,10 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // NOTE: cleanCheckpoints stays OFF here (unlike Verify/Bench): the
+      // ContextCleaner would GC-delete superseded CC round checkpoints
+      // out from under DedupSpec's durability assertion; the spec deletes
+      // its checkpoint data explicitly instead.
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
