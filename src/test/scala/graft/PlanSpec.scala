@@ -68,6 +68,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("q_dedup_embed").contains("CartesianProduct"))
   }
 
+  test("q_dedup_embed_lsh candidates come from a band equi-join") {
+    // the whole point of the banded signature: candidate generation must
+    // plan as an equi-join on (band_idx, band_key), never an all-pairs
+    // nested loop over the corpus
+    val p = plan("q_dedup_embed_lsh")
+    assert(!p.contains("CartesianProduct"),
+      s"LSH candidate join degenerated to a cartesian:\n$p")
+  }
+
+  test("q_merge_upsert plans one anti-join and no cartesian") {
+    val p = plan("q_merge_upsert")
+    assert(p.contains("LeftAnti"), s"merge lost its anti-join shape:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_vocab_bigrams prunes to the text column and partial-aggregates") {
+    val p = plan("q_vocab_bigrams")
+    assert(p.contains("partial_"), "bigram count has no partial aggregate")
+    assert(!p.contains("doc_id"), "bigram scan reads pruned columns")
+  }
+
   test("q_tfidf does not FORCE a broadcast of the document-frequency table") {
     // at tiny sf Catalyst's size estimate legitimately broadcasts the df
     // side; what must NOT exist is a broadcast() hint that would still
