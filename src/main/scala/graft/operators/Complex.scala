@@ -348,6 +348,46 @@ object Complex {
                                 WHERE c.o_orderkey = o.o_orderkey)
               UNION ALL
               SELECT o_orderkey, o_custkey, o_totalprice FROM chg
-              ORDER BY o_orderkey"""))
+              ORDER BY o_orderkey""")),
+
+    // ---- native session windows -------------------------------------------
+    // Spark's session_window() generator next to the hand-rolled islands
+    // formulation (q_sessionize): the native operator plans a dedicated
+    // SessionWindow aggregation (merging sort-based, no window-function
+    // shuffle-per-row), the 100 TB-preferred path. Boundary semantics
+    // DIFFER from the islands query on exact-gap ties — session windows
+    // are half-open [start, last + gap), so a gap of EXACTLY 30 min
+    // starts a NEW session, while q_sessionize's `gap > 30min` predicate
+    // merges it — hence the oracle's `>=` island rule. Session bounds
+    // report as min/max event times (the window struct's `end` is
+    // last + gap, which would leak the gap constant into the schema).
+    Q("q_session_window",
+      (s, d) => Tables(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"))
+        .select(col("user_id"), col("n_events"), col("start_us"),
+          col("end_us"))
+        .orderBy("user_id", "start_us"),
+      Some("""WITH g AS (
+                SELECT user_id, event_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS eus,
+                  epoch_us(CAST(ts AS TIMESTAMP)) -
+                    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+                FROM events),
+              s AS (
+                SELECT user_id, eus,
+                  SUM(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY eus, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_id
+                FROM g)
+              SELECT user_id, COUNT(*) AS n_events,
+                MIN(eus) AS start_us, MAX(eus) AS end_us
+              FROM s GROUP BY user_id, session_id
+              ORDER BY user_id, start_us"""))
   )
 }

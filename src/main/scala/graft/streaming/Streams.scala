@@ -33,6 +33,19 @@ object Streams {
     .select(unix_timestamp(col("window.start")).as("hour_ts"),
       col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding event-time windows (1 h length, 30 min slide) on a stream:
+    * the streaming twin of q_events_sliding. Every event expands into
+    * length/slide = 2 window rows BEFORE the stateful aggregation, so
+    * partial aggregation still applies per micro-batch; the watermark
+    * bounds state exactly as in [[hourlyCounts]] (horizon × event_type ×
+    * 2 open windows). */
+  def slidingCounts(events: DataFrame): DataFrame = events
+    .withWatermark("ts", "1 hour")
+    .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+    .agg(count(lit(1)).as("n"), Arith.dsum(col("value")).as("sum_value"))
+    .select(unix_timestamp(col("window.start")).as("win_start"),
+      col("event_type"), col("n"), col("sum_value"))
+
   /** Stream-static enrichment: join a stream against a batch dimension.
     * The static side broadcasts (re-read per micro-batch for parquet
     * sources, so slowly-changing dims stay fresh); the stream never
@@ -199,6 +212,33 @@ object Streams {
       Some(s"""SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_ts,
               event_type, COUNT(*) AS n, ${Arith.sqlSum("value")} AS sum_value
               FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""")),
+
+    // Sliding windows on the stream (Complete-mode memory sink like
+    // q_stream_hourly, so ALL windows emit and the oracle is the plain
+    // batch sliding aggregation — q_events_sliding's SQL verbatim).
+    Q("q_stream_sliding",
+      (s, d) => {
+        val stream = eventsStream(s, d)
+        val sink = "q_stream_sliding_sink"
+        val q = slidingCounts(stream).writeStream
+          .format("memory").queryName(sink)
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink).orderBy("win_start", "event_type")
+      },
+      Some(s"""WITH x AS (
+                SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 1800) * 1800
+                       AS BIGINT) AS w0, event_type, value
+                FROM events),
+              u AS (
+                SELECT w0 AS win_start, event_type, value FROM x
+                UNION ALL
+                SELECT w0 - 1800, event_type, value FROM x)
+              SELECT win_start, event_type, COUNT(*) AS n,
+                ${Arith.sqlSum("value")} AS sum_value
+              FROM u GROUP BY 1, 2 ORDER BY win_start, event_type""")),
 
     // Append-mode parquet sink — the PRODUCTION sink shape (q_stream_hourly's
     // memory/Complete sink is the harness-bounded variant): each window row
