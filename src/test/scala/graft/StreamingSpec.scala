@@ -242,6 +242,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("sessionize checkpoint recovery: custom state survives a restart") {
+    // The flatMapGroupsWithState analog of the windowed-agg recovery test:
+    // run 1 drains the EARLY half of the events, leaving every user's
+    // open session in the state store; the query stops; the late half
+    // (plus per-user far-future sentinels that close all real sessions)
+    // arrives while it is down; run 2 restarts from the SAME checkpoint.
+    // Sessions straddling the tranche boundary were built in run 1's
+    // state and must finish with run 2's events — so the final sink
+    // equals the batch q_sessionize sessions exactly once each (sorted
+    // MULTISET compare: a re-emitted session would show as a duplicate).
+    val s = spark
+    import s.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-sess-src")
+    val out = java.nio.file.Files.createTempDirectory("graft-sess-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt")
+    val all = Tables(s, sfDir, "events")
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id")
+    val Array(minUs, maxUs) = all.agg(min($"ts_us"), max($"ts_us"))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val splitUs = (minUs + maxUs) / 2
+    all.filter($"ts_us" < splitUs)
+      .write.parquet(src.resolve("t1.parquet").toString)
+
+    def drain(): Unit = {
+      val q = Streams.sessionize(
+        s.readStream.schema("user_id LONG, ts_us LONG, event_id LONG")
+          .option("maxFilesPerTrigger", "1000000")
+          .parquet(src.toString + "/*.parquet").as[Ev])
+        .writeStream
+        .format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    drain()
+    // tranche 2 + sentinels land while NO query is running
+    all.filter($"ts_us" >= splitUs)
+      .write.parquet(src.resolve("t2.parquet").toString)
+    all.select($"user_id").distinct()
+      .select($"user_id", lit(maxUs + 10 * Streams.GapUs).as("ts_us"),
+        (lit(2000000000L) + $"user_id").as("event_id"))
+      .write.parquet(src.resolve("t3.parquet").toString)
+    drain()
+
+    val got = s.read.parquet(out.toString).as[Session].collect()
+      .map(x => (x.user_id, x.n_events, x.start_us, x.end_us))
+      .sortBy(identity).toSeq
+    val want = SparkEntry.queries("q_sessionize")(s, sfDir)
+      .select($"user_id", $"n_events", $"start_us", $"end_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(identity).toSeq
+    assert(got == want,
+      s"recovered session set diverges: got ${got.size} sessions, " +
+        s"want ${want.size}")
+  }
+
   test("sessionize emits idle sessions via event-time timeout (bounded state)") {
     val s = spark
     import s.implicits._
