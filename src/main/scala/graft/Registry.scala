@@ -21,6 +21,7 @@ object Registry {
       operators.TextOps.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
+      operators.Typed.queries ++
       streaming.Streams.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
