@@ -684,7 +684,13 @@ object Dedup {
     // kernel (a dual-band pair would verify twice), then re-join their
     // vectors. At 100 TB the knobs are nPlanes/bandBits: recall per edge
     // is 1-(1-p^8)^2 with p = 1 - θ/π, ~0.5 at cos 0.9 — a candidate
-    // GENERATOR tuned for near-identical pairs, not a range search.
+    // GENERATOR tuned for near-identical pairs (re-encoded duplicates),
+    // not a range search. Measured honestly at sf0.01: every exact edge
+    // sits at cos 0.45-0.51 (p^8 ≈ 0.04), so sign-LSH recovers few of
+    // them by design — that regime belongs to the IVF path, whose bucket
+    // partitioning does not decay with angle; a τ≈0.45 LSH range search
+    // would need ~50+ bands (the classic S-curve tradeoff), which is the
+    // `nPlanes` knob, not a different algorithm.
     Q("q_dedup_embed_lsh",
       (s, d) => {
         val e = Tables(s, d, "embeddings")

@@ -55,4 +55,37 @@ class AsofSpec extends AnyFunSuite {
     assert(m((2L, 102L)) == None)
     assert(m((3L, 103L)) == None)
   }
+
+  test("randomized sweep matches a brute-force oracle (seeded)") {
+    // 5 keys, 80 rows a side, times drawn from 0..40 so ties (both
+    // left-right and right-right) are dense — the contract under test:
+    //   eligible right rows: rt < lt (strict) / rt ≤ lt (non-strict),
+    //   winner = max by (time, tiebreak).
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = Seq.tabulate(80)(i =>
+      (rnd.between(1L, 6L), rnd.between(0L, 41L), 100L + i))
+    val right = Seq.tabulate(80)(i =>
+      (rnd.between(1L, 6L), rnd.between(0L, 41L), 500L + i))
+    for (strict <- Seq(true, false)) {
+      val got = Joins.asof(
+          left.toDF("k", "t", "lid"),
+          right.map(r => (r._1, r._2, r._3, r._3)).toDF("k", "t", "rid", "lid"),
+          key = "k", time = "t", tiebreak = "lid",
+          rightPayload = Seq("rid"), strict = strict)
+        .withColumn("rid", col("__match.rid").cast("long"))
+        .select("k", "lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+      val want = left.map { case (k, lt, lid) =>
+        val elig = right.filter(r => r._1 == k &&
+          (if (strict) r._2 < lt else r._2 <= lt))
+        (k, lid) -> (if (elig.isEmpty) None
+                     else Some(elig.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+      assert(got == want, s"strict=$strict diverged from brute force")
+    }
+  }
 }

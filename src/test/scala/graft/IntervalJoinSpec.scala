@@ -116,6 +116,33 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("randomized sweep matches a brute-force oracle (seeded)") {
+    // 150 points × 60 intervals across negative, small, and >2^53
+    // magnitudes, several bucket widths straddling the interval lengths —
+    // every (point ∈ [lo, hi)) pair must appear exactly once.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val magnets = Seq(0L, -500000L, 1L << 60)
+    def near(m: Long): Long = m + rnd.between(-30000L, 30000L)
+    val pts = Seq.fill(150)(near(magnets(rnd.nextInt(magnets.size))))
+    val ivs = Seq.tabulate(60) { i =>
+      val lo = near(magnets(rnd.nextInt(magnets.size)))
+      (i.toLong, lo, lo + rnd.between(-1000L, 50000L))
+    }
+    val expect = (for {
+      p <- pts; (id, lo, hi) <- ivs if p >= lo && p < hi
+    } yield (p, id)).groupBy(identity).view.mapValues(_.size).toMap
+    for (w <- Seq(7L, 1024L, 99991L)) {
+      val got = Joins.intervalJoin(
+          pts.toDF("t"), ivs.toDF("iv", "lo", "hi"), "t", "lo", "hi", w)
+        .select("t", "iv").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == expect, s"bucketWidth=$w diverged from brute force")
+    }
+  }
+
   test("negative values bucket by floor, not truncation") {
     // toward-zero division would put -1 in bucket 0 alongside +1; the
     // pmod lower-bound keeps floor semantics so [-1000, 0) pairs with
