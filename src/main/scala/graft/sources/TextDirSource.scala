@@ -9,7 +9,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  SupportsPushDownFilters, SupportsPushDownLimit,
+  SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{And, EqualTo, Filter, In, IsNotNull,
   Not, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -129,10 +130,11 @@ private[sources] class TextDirTable(path: String)
 
 private[sources] class TextDirScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
 
   private var required: StructType = TextDirSource.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -147,11 +149,21 @@ private[sources] class TextDirScanBuilder(path: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new TextDirScan(path, required, pushed)
+  // PARTIAL limit pushdown (isPartiallyPushed stays at its default true,
+  // so Spark keeps its own global Limit): each per-file reader stops
+  // after `limit` lines — a LIMIT 100 over a directory of 10 GB files
+  // reads ≤100 lines per file instead of every byte of every file
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    true
+  }
+
+  override def build(): Scan = new TextDirScan(path, required, pushed, limit)
 }
 
 private[sources] class TextDirScan(
-    path: String, required: StructType, pushed: Array[Filter])
+    path: String, required: StructType, pushed: Array[Filter],
+    limit: Option[Int])
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -159,7 +171,8 @@ private[sources] class TextDirScan(
   override def description(): String =
     s"textdir($path) columns=${required.fieldNames.mkString(",")}" +
       (if (pushed.isEmpty) ""
-       else s" pushed=[${pushed.mkString(", ")}]")
+       else s" pushed=[${pushed.mkString(", ")}]") +
+      limit.map(l => s" limit=$l").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -182,7 +195,8 @@ private[sources] class TextDirScan(
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
     new TextDirReaderFactory(required,
-      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
+      limit)
   }
 }
 
@@ -191,7 +205,8 @@ private[sources] case class TextDirInputPartition(file: String)
 
 private[sources] class TextDirReaderFactory(
     required: StructType,
-    conf: SerializableConfiguration) extends PartitionReaderFactory {
+    conf: SerializableConfiguration,
+    limit: Option[Int]) extends PartitionReaderFactory {
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
@@ -208,9 +223,14 @@ private[sources] class TextDirReaderFactory(
         case "line" => 1
       }
       private var current: String = _
+      private var emitted = 0
 
       override def next(): Boolean = {
+        // pushed LIMIT: this partition can contribute at most `limit`
+        // rows to the global (Spark-side) limit — stop reading the file
+        if (limit.exists(emitted >= _)) return false
         current = in.readLine()
+        emitted += 1
         current != null
       }
 

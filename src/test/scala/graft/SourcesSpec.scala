@@ -80,4 +80,22 @@ class SourcesSpec extends AnyFunSuite {
       !col("file").isin(s"file:$dir/b.txt", lit(null)))
     assert(notIn.count() == 0, "NOT IN (.., NULL) must yield no rows")
   }
+
+  test("textdir source pushes LIMIT into the per-file readers") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-textdir-limit")
+    java.nio.file.Files.writeString(dir.resolve("a.txt"),
+      (1 to 1000).map(i => s"a$i").mkString("", "\n", "\n"))
+    java.nio.file.Files.writeString(dir.resolve("b.txt"),
+      (1 to 1000).map(i => s"b$i").mkString("", "\n", "\n"))
+    val limited = s.read.format(TextDirSource.Name).load(dir.toString)
+      .limit(3)
+    // the limit reached the scan (each reader stops after 3 lines rather
+    // than draining its file; Spark's own global Limit still applies on
+    // top — partial pushdown)
+    val plan = limited.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=3"), s"limit not pushed to the scan:\n$plan")
+    assert(limited.select("line").as[String].collect().length == 3)
+  }
 }
