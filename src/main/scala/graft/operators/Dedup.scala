@@ -741,6 +741,46 @@ object Dedup {
                 SELECT r.id, edges.b FROM r JOIN edges ON r.n = edges.a)
               SELECT id AS vec_id, MIN(n) AS cluster_id,
                 (MIN(n) = id) AS keep
-              FROM r GROUP BY id ORDER BY vec_id"""))
+              FROM r GROUP BY id ORDER BY vec_id""")),
+
+    // ---- triangle count over the near-dup graph ---------------------------
+    // Graph analytics on the dedup edge list: triangles (3-cliques of
+    // mutually-similar docs) witness TRANSITIVE similarity — a cluster
+    // quality signal (chains of barely-similar pairs have none). The
+    // canonical a<b<c orientation makes each triangle meet in exactly one
+    // join path: edges(a,b) ⋈ edges(b,c) closes against edges(a,c) — two
+    // equi-joins over the EDGE list, never touching the n² doc space. At
+    // 100 TB scale the classic refinement is orienting by (degree, id)
+    // instead of id so hub nodes don't fan out their full neighborhood;
+    // near-dup graphs have no hubs (clusters are small by construction),
+    // so id-orientation suffices here. Spark runs the REAL LSH pipeline
+    // for the edges; the oracle brute-forces the same pair set.
+    Q("q_triangles",
+      (s, d) => {
+        val pairs = nearDupPairs(s, d).localCheckpoint()
+        val e12 = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
+        val e23 = pairs.select(col("a_id").as("y2"), col("b_id").as("z"))
+        val e13 = pairs.select(col("a_id").as("x3"), col("b_id").as("z3"))
+        val tri = e12.join(e23, col("y") === col("y2"))
+          .join(e13, col("x") === col("x3") && col("z") === col("z3"))
+          .agg(count(lit(1)).as("n_triangles"))
+        pairs.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+      },
+      Some("""WITH sh AS (
+                SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                         FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents)
+                WHERE len(toks) >= 3),
+              p AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                      len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5)
+              SELECT (SELECT COUNT(*) FROM p) AS n_edges,
+                (SELECT COUNT(*)
+                 FROM p e1 JOIN p e2 ON e1.b_id = e2.a_id
+                 JOIN p e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id)
+                  AS n_triangles"""))
   )
 }

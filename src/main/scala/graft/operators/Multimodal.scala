@@ -139,6 +139,35 @@ object Multimodal {
                 WHERE n_chars > 0)
               SELECT media_type, COUNT(*) AS n_frames,
                 COUNT(DISTINCT fp) AS n_distinct_frames
-              FROM f GROUP BY media_type ORDER BY media_type"""))
+              FROM f GROUP BY media_type ORDER BY media_type""")),
+
+    // ---- fixed-size audio chunking (the ASR-pipeline front door) ----------
+    // Speech pipelines feed models fixed-duration windows; for byte-PCM
+    // that is fixed-size byte ranges. Chunk boundaries derive from the
+    // payload LENGTH only — integer arithmetic, no decode — so the blob
+    // column prunes away entirely and the explode emits (asset × chunks)
+    // narrow rows; the downstream decoder then reads ONLY the ranges it
+    // was assigned (the substring/offset pattern object stores serve
+    // natively). Exact integer ceil-division, half-open ranges, last
+    // chunk short.
+    Q("q_multimodal_chunks",
+      (s, d) => media(s, d)
+        .filter(col("media_type") === "audio" && col("n_bytes") > 0)
+        .withColumn("chunk_idx",
+          explode(sequence(lit(0L),
+            expr("CAST((n_bytes + 255) DIV 256 AS LONG)") - 1)))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * 256L).as("offset"),
+          least(lit(256L), col("n_bytes") - col("chunk_idx") * 256L)
+            .as("chunk_len"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""SELECT doc_id, CAST(fno AS BIGINT) AS chunk_idx,
+                CAST(fno * 256 AS BIGINT) AS offset,
+                CAST(LEAST(256, n_chars - fno * 256) AS BIGINT) AS chunk_len
+              FROM documents,
+                LATERAL unnest(generate_series(0,
+                  CAST(ceil(n_chars / 256.0) AS INTEGER) - 1)) AS t(fno)
+              WHERE doc_id % 3 = 1 AND n_chars > 0
+              ORDER BY doc_id, chunk_idx"""))
   )
 }
