@@ -207,6 +207,74 @@ object TextOps {
                 FROM scored)
               WHERE rk = 1 ORDER BY doc_id""")),
 
+    // ---- BM25 retrieval scoring -------------------------------------------
+    // Okapi BM25 (k1=1.2, b=0.75, Lucene's +1 idf smoothing) for a fixed
+    // two-term query — the ranking function a corpus-search/retrieval
+    // layer runs over the same tf/df machinery as q_tfidf. Shapes: token
+    // explode → per-doc length (one groupBy), a 1-row broadcast (N,
+    // avgdl), per-term df (bounded by |query| keys), then a per-doc sum
+    // over the query terms. The per-doc score sums exactly TWO doubles —
+    // IEEE addition is commutative, so aggregation order cannot change
+    // the result (at ≥3 terms you'd round per-term first or sum
+    // decimals). Top-20 by (score, doc_id) is a TakeOrderedAndProject.
+    Q("q_bm25",
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("word"))
+          .filter(col("word") =!= "")
+        val dl = toks.groupBy("doc_id")
+          .agg(count(lit(1)).cast("double").as("dl"))
+        val stats = dl.agg(
+          avg(col("dl")).as("avgdl"),
+          count(lit(1)).cast("double").as("n_docs"))
+        val tf = toks.filter(col("word").isin("spark", "data"))
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy("word")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        tf.join(dfc, "word")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf",
+            log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+              (col("df") + 0.5)))
+          .withColumn("term_score",
+            col("idf") * (col("tf") * 2.2) /
+              (col("tf") +
+                lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .groupBy("doc_id")
+          .agg(round(sum(col("term_score")), 6).as("score"),
+            count(lit(1)).as("n_terms_hit"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, word FROM (
+                  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                  FROM documents)
+                WHERE word <> ''),
+              dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM toks
+                     GROUP BY doc_id),
+              stats AS (SELECT avg(dl) AS avgdl, COUNT(*)::DOUBLE AS n_docs
+                        FROM dl),
+              tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks
+                     WHERE word IN ('spark', 'data') GROUP BY doc_id, word),
+              dfc AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf
+                      GROUP BY word),
+              scored AS (
+                SELECT tf.doc_id,
+                  ln(1.0 + (stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5)) *
+                    (tf.tf * 2.2) /
+                    (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                    AS term_score
+                FROM tf JOIN dfc ON tf.word = dfc.word
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats)
+              SELECT doc_id, ROUND(SUM(term_score), 6) AS score,
+                COUNT(*) AS n_terms_hit
+              FROM scored GROUP BY doc_id
+              ORDER BY score DESC, doc_id LIMIT 20""")),
+
     // ---- text normalization / scrubbing ----------------------------------
     // The cheap cleaning pass in front of dedup/training: lowercase, mask
     // digit runs, collapse whitespace, trim. All regexp_replace — codegen'd,
