@@ -710,6 +710,33 @@ object Relational {
               ORDER BY o_orderstatus ASC NULLS FIRST,
                 o_orderpriority ASC NULLS FIRST""")),
 
+    // ---- relative-rank window functions -----------------------------------
+    // percent_rank + cume_dist: the normalized-position family next to
+    // rank/ntile. The compound ORDER BY (price, orderkey) makes every
+    // in-partition position — hence both ratios — fully deterministic
+    // under ties; rounding guards the (rank-1)/(n-1) division at 6dp.
+    Q("q_window_pct",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey")
+        t(s, d, "orders")
+          .filter(col("o_custkey") <= 100)
+          .withColumn("pct_rank", round(percent_rank().over(w), 6))
+          .withColumn("cume", round(cume_dist().over(w), 6))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"), col("pct_rank"), col("cume"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+              ROUND(percent_rank() OVER
+                (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+              ROUND(cume_dist() OVER
+                (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey), 6) AS cume
+              FROM orders WHERE o_custkey <= 100
+              ORDER BY o_orderpriority, o_orderkey""")),
+
     // ---- histogram / numeric binning --------------------------------------
     // Fixed-width binning via width_bucket — the one-pass distributed
     // histogram (each row maps to its bin codegen-side; one partial-
