@@ -57,4 +57,16 @@ class MemoryBudgetSpec extends AnyFunSuite {
     }
     rm(dir.toFile)
   }
+
+  test("high-cardinality aggregation SPILLS and stays exact in a 320 MB JVM") {
+    // The relational twin of the pipe-path budget: 3 M rows / 1.5 M groups
+    // with 100-byte carried payloads cannot hold their hash-aggregation
+    // state in a 320 MB heap's execution region — HashAggregate must fall
+    // back to sort-based spilling, and the spilled runs must merge back to
+    // EXACT counts/sums/distincts (SpillMain fails nonzero on any drift,
+    // and also if nothing spilled — premise rot is a failure too).
+    assert(ForkedJvm.run("graft.SpillMain", "320m", Seq.empty) == 0,
+      "forked 320 MB JVM failed — either the spill path lost data or the " +
+        "workload no longer forces a spill")
+  }
 }
