@@ -37,7 +37,9 @@ object Joins {
     * calls (bench iterations, downstream joins) go straight to the
     * catalog. A shutdown hook removes this process's scratch dirs. */
   def bucketedOrdersCustomer(s: SparkSession, d: String):
-      (DataFrame, DataFrame) = {
+      (DataFrame, DataFrame) = synchronized {
+    // synchronized: concurrent Engine.submit-style callers in one JVM
+    // must not race the tableExists check into a double bucketed write
     val tag = s"${ProcessHandle.current.pid}_" +
       java.lang.Integer.toHexString(d.hashCode)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-$tag"
