@@ -275,6 +275,47 @@ object TextOps {
               FROM scored GROUP BY doc_id
               ORDER BY score DESC, doc_id LIMIT 20""")),
 
+    // ---- unigram language-model scoring -----------------------------------
+    // Mean unigram log-probability per document against the corpus's own
+    // distribution — the cheap statistical fluency signal (very negative =
+    // rare-token soup) between heuristics (q_quality) and a real LM. The
+    // per-token logprobs join back by a SHUFFLE join (the vocabulary is
+    // corpus-sized — the q_tfidf df-join call, not a broadcast); the
+    // corpus total is a 1-row broadcast. A per-doc sum of HUNDREDS of
+    // doubles would be partitioning-dependent, so each term rounds to 6dp
+    // and sums as DECIMAL(38,6) — the Arith discipline — making the score
+    // bit-stable across any shuffle order and both engines.
+    Q("q_unigram_logprob",
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("word"))
+          .filter(col("word") =!= "")
+        val cnt = toks.groupBy("word").agg(count(lit(1)).as("wc"))
+        val tot = toks.agg(count(lit(1)).cast("double").as("tot"))
+        toks.join(cnt, "word")
+          .crossJoin(broadcast(tot))
+          .withColumn("lp",
+            round(log(col("wc") / col("tot")), 6).cast("decimal(38,6)"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round((sum(col("lp")).cast("double") / count(lit(1))), 6)
+              .as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, word FROM (
+                  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                  FROM documents)
+                WHERE word <> ''),
+              cnt AS (SELECT word, COUNT(*) AS wc FROM toks GROUP BY word),
+              tot AS (SELECT COUNT(*)::DOUBLE AS tot FROM toks)
+              SELECT doc_id, COUNT(*) AS n_tokens,
+                ROUND(CAST(SUM(CAST(ROUND(ln(wc / tot), 6) AS DECIMAL(38,6)))
+                           AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+              FROM toks JOIN cnt USING (word) CROSS JOIN tot
+              GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- text normalization / scrubbing ----------------------------------
     // The cheap cleaning pass in front of dedup/training: lowercase, mask
     // digit runs, collapse whitespace, trim. All regexp_replace — codegen'd,

@@ -34,9 +34,14 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("aggregations do map-side partial aggregation") {
-    for (q <- Seq("q_agg", "q_wordcount")) {
+    for (q <- Seq("q_agg", "q_wordcount", "q_histogram")) {
       assert(plan(q).contains("partial_"), s"$q has no partial aggregate")
     }
+  }
+
+  test("q_bm25 takes its top-20 via TakeOrderedAndProject") {
+    assert(plan("q_bm25").contains("TakeOrderedAndProject"),
+      "bm25 does a full global sort for its limit")
   }
 
   test("cosine_sim participates in whole-stage codegen over a scan") {
