@@ -214,6 +214,46 @@ object Similarity {
           col(s"__band$bi")): _*)).as(Seq("band_idx", "band_key"))): _*)
   }
 
+  /** Product-quantization building blocks (m subspaces × subDim dims,
+    * k codewords per subspace; codewords = the first k corpus vectors'
+    * subvectors — the deterministic seeding convention ivfAssign set, so
+    * the whole index has an exact SQL oracle).
+    *
+    * Scale shape: the codebook is m·k tiny rows (broadcast); encoding is
+    * one corpus scan exploded ×m, joined against the broadcast codebook,
+    * and a partial-aggregated argmin — codes are m small ints per vector,
+    * a 64-float embedding compressed to 8 bytes. Distances use the dot
+    * identity ‖a−b‖² = a·a − 2a·b + b·b with the SAME left-to-right
+    * kernel both engines run, rounded at 6dp so argmins tie-break
+    * identically (ties fall to the lowest code id).
+    */
+  private def pqSubs(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, outCol: String): DataFrame = df
+    .select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+      col(vecCol))
+    .select(col(idCol), col("sub"),
+      slice(col(vecCol), col("sub") * subDim + 1, lit(subDim)).as(outCol))
+
+  /** (code, sub, cw): the per-subspace codebook. */
+  def pqCodebook(s: SparkSession, e: DataFrame, m: Int, subDim: Int,
+      k: Int): DataFrame =
+    pqSubs(e.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("code"), col("embedding")),
+      "code", "embedding", m, subDim, "cw")
+
+  private def pqD2(s: SparkSession, a: Column, b: Column): Column =
+    round(DotProduct(s, a, a) - lit(2.0) * DotProduct(s, a, b)
+      + DotProduct(s, b, b), 6)
+
+  /** (vec_id, sub, code): every vector's nearest codeword per subspace. */
+  def pqEncode(s: SparkSession, e: DataFrame, cb: DataFrame, m: Int,
+      subDim: Int): DataFrame =
+    pqSubs(e, "vec_id", "embedding", m, subDim, "sv")
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", pqD2(s, col("sv"), col("cw")))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+
   /** DuckDB twin of [[hyperplaneBands]] (nPlanes=16, bandBits=8) as CTE
     * text: defines `e` (typed, filtered vectors), `hyp`, `sig` and
     * `banded` (vec_id, band_idx, band_key) for oracle queries to build on.
@@ -634,6 +674,115 @@ object Similarity {
       Some(s"""WITH ${sqlIvfAssign(8, sqlZeroNormWhere)},
               ${sqlKmeansRounds(4)}
               SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
-              FROM a4 GROUP BY bucket ORDER BY bucket"""))
+              FROM a4 GROUP BY bucket ORDER BY bucket""")),
+
+    // ---- product-quantization ANN (the compressed-index family) ----------
+    // PQ completes the index triad: brute force (exact), IVF (partition),
+    // PQ (compression). 8 subspaces × 8 codewords squeeze each 64-float
+    // vector to 8 small codes; query-time ADC builds a 8×4 lookup table
+    // of query-subvector→codeword distances (one broadcast of 320 tiny
+    // rows), so scoring the WHOLE corpus is a code lookup + a sum of 8
+    // table entries per vector — no float kernel over the corpus at all.
+    // The approximate top-20 then re-ranks by exact cosine to a top-3.
+    // Per-vector ADC sums 8 rounded-decimal entries (exact DECIMAL
+    // arithmetic, so shuffle order can't move the ranking); at 100 TB the
+    // codes table is ~1/32 the corpus bytes and the scan never touches
+    // the raw embeddings until the re-rank's top-10 fetch.
+    Q("q_ann_pq",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = 8; val subDim = 8; val k = 8
+        val e = Similarity.dropZeroNorm(s,
+          embs(s, d).select(col("vec_id"), col("embedding")))
+        val cb = pqCodebook(s, e, m, subDim, k)
+        val codes = pqEncode(s, e, cb, m, subDim)
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+        val lut = pqSubs(queries, "q_id", "q_v", m, subDim, "qsv")
+          .join(broadcast(cb), Seq("sub"))
+          .withColumn("qd2", pqD2(s, col("qsv"), col("cw")))
+          .select(col("q_id"), col("sub"), col("code"), col("qd2"))
+        val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy("q_id", "vec_id")
+          .agg(sum(col("qd2").cast("decimal(38,6)")).as("adc"))
+        val top10 = adc
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))))
+          .filter(col("rk") <= 20)
+        top10
+          .join(e, Seq("vec_id"))
+          .join(broadcast(queries), Seq("q_id"))
+          .withColumn("cos", cosine(s, col("embedding"), col("q_v")))
+          .withColumn("rank", row_number().over(
+              Window.partitionBy("q_id")
+                .orderBy(col("cos").desc, col("vec_id")))
+            .cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE $sqlZeroNormWhere),
+              subs AS (SELECT m FROM range(0, 8) t(m)),
+              cb AS (
+                SELECT c.vec_id AS code, s.m AS sub,
+                  list_slice(c.v, s.m * 8 + 1, s.m * 8 + 8) AS cw
+                FROM e c, subs s WHERE c.vec_id < 8),
+              sv AS (
+                SELECT e.vec_id, s.m AS sub,
+                  list_slice(e.v, s.m * 8 + 1, s.m * 8 + 8) AS sv
+                FROM e, subs s),
+              enc AS (
+                SELECT vec_id, sub, code FROM (
+                  SELECT sv.vec_id, sv.sub, cb.code,
+                    ROUND(
+                      list_sum([sv.sv[i] * sv.sv[i]
+                                FOR i IN generate_series(1, 8)])
+                      - 2.0 * list_sum([sv.sv[i] * cb.cw[i]
+                                        FOR i IN generate_series(1, 8)])
+                      + list_sum([cb.cw[i] * cb.cw[i]
+                                  FOR i IN generate_series(1, 8)]), 6) AS d2
+                  FROM sv JOIN cb ON sv.sub = cb.sub)
+                QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                  ORDER BY d2, code) = 1),
+              q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 5),
+              qsub AS (
+                SELECT q_id, s.m AS sub,
+                  list_slice(q.q_v, s.m * 8 + 1, s.m * 8 + 8) AS qsv
+                FROM q, subs s),
+              lut AS (
+                SELECT q_id, qsub.sub, cb.code,
+                  ROUND(
+                    list_sum([qsub.qsv[i] * qsub.qsv[i]
+                              FOR i IN generate_series(1, 8)])
+                    - 2.0 * list_sum([qsub.qsv[i] * cb.cw[i]
+                                      FOR i IN generate_series(1, 8)])
+                    + list_sum([cb.cw[i] * cb.cw[i]
+                                FOR i IN generate_series(1, 8)]), 6) AS qd2
+                FROM qsub JOIN cb ON qsub.sub = cb.sub),
+              adc AS (
+                SELECT l.q_id, enc.vec_id,
+                  SUM(CAST(l.qd2 AS DECIMAL(38,6))) AS adc
+                FROM enc JOIN lut l
+                  ON enc.sub = l.sub AND enc.code = l.code
+                WHERE enc.vec_id <> l.q_id
+                GROUP BY l.q_id, enc.vec_id),
+              top10 AS (
+                SELECT q_id, vec_id FROM adc
+                QUALIFY row_number() OVER (PARTITION BY q_id
+                  ORDER BY adc, vec_id) <= 20),
+              rer AS (
+                SELECT t.q_id, t.vec_id,
+                  ${sqlCosineCols("e.v", "q.q_v")} AS cos
+                FROM top10 t JOIN e ON e.vec_id = t.vec_id
+                JOIN q ON q.q_id = t.q_id)
+              SELECT q_id, rank, vec_id, cos FROM (
+                SELECT q_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, vec_id) AS rank
+                FROM rer)
+              WHERE rank <= 3 ORDER BY q_id, rank"""))
   )
 }

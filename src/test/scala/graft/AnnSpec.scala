@@ -30,6 +30,37 @@ class AnnSpec extends AnyFunSuite {
     assert(mean >= 0.5, f"recall collapsed: $mean%.2f")
   }
 
+  test("PQ ADC recall@3 vs exact top-3 stays above 0.3") {
+    // An 8-codeword/subspace codebook is still coarse (8 bytes per
+    // vector); the floor pins that ADC ranking + exact re-rank still
+    // recovers a meaningful fraction of the true neighbors (measured
+    // 0.67 at sf0.001) rather than degenerating to noise.
+    val s = spark
+    val pq = SparkEntry.queries("q_ann_pq")(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val vecs = Tables(s, sfDir, "embeddings").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val ok = vecs.filter { case (_, v) => dot(v, v) > 0 }
+    val exact = pq.keys.map { q =>
+      val qv = ok(q)
+      q -> ok.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, dot(qv, v) / math.sqrt(dot(qv, qv) * dot(v, v)))
+        }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+    }.toMap
+    val recalls = exact.map { case (q, nn) =>
+      (nn intersect pq(q)).size.toDouble / nn.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ recall@3 = $mean%.2f over ${recalls.size} queries")
+    assert(mean >= 0.3, f"recall collapsed: $mean%.2f")
+  }
+
   test("k-means reassignment never decreases the cosine objective") {
     // Lloyd-step monotonicity, the property that makes iterating this
     // converge: holding the refined centroids FIXED, the reassignment
