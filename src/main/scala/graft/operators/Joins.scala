@@ -361,6 +361,64 @@ object Joins {
               FROM orders JOIN customer ON o_custkey = c_custkey
               GROUP BY c_mktsegment ORDER BY segment""")),
 
+    // ---- null-aware NOT IN anti-join --------------------------------------
+    // NOT IN over a NULLABLE subquery is NOT the plain anti-join: one NULL
+    // in the build side makes every `x NOT IN (...)` UNKNOWN — the query
+    // legally returns zero rows. Catalyst must therefore plan a NULL-AWARE
+    // anti join (single-column: broadcast + null check) instead of the
+    // hash anti-join q_join_anti gets. The CASE below yields NULL only
+    // for a segment that doesn't exist, so the RESULT equals the plain
+    // anti-join while the PLAN still carries the null-aware machinery —
+    // both engines implement the same three-valued rule, which is exactly
+    // what the oracle pins.
+    Q("q_join_notin",
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("notin_orders")
+        Tables(s, d, "customer").createOrReplaceTempView("notin_customer")
+        s.sql(s"""
+          SELECT o_orderpriority, COUNT(*) AS n_orders,
+            CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(38,6)))
+              AS DOUBLE) AS total
+          FROM notin_orders
+          WHERE o_custkey NOT IN
+            (SELECT CASE WHEN c_mktsegment = 'NO_SUCH_SEGMENT' THEN NULL
+                         ELSE c_custkey END
+             FROM notin_customer WHERE c_mktsegment = 'BUILDING')
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+              ${Arith.sqlSum("o_totalprice")} AS total
+              FROM orders
+              WHERE o_custkey NOT IN
+                (SELECT CASE WHEN c_mktsegment = 'NO_SUCH_SEGMENT' THEN NULL
+                             ELSE c_custkey END
+                 FROM customer WHERE c_mktsegment = 'BUILDING')
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- correlated non-equi EXISTS ---------------------------------------
+    // EXISTS whose correlation is an INEQUALITY (any order bigger than the
+    // customer's account balance) cannot hash-join: Catalyst plans a
+    // broadcast nested-loop semi join. Dimension side broadcast, fact side
+    // streamed once — the correct shape when the predicate has no equi
+    // component; with one, the planner would hash on it and keep the
+    // inequality as a residual.
+    Q("q_exists_correlated",
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("ex_orders")
+        Tables(s, d, "customer").createOrReplaceTempView("ex_customer")
+        s.sql("""
+          SELECT c_mktsegment, COUNT(*) AS n_customers
+          FROM ex_customer c
+          WHERE EXISTS (SELECT 1 FROM ex_orders o
+                        WHERE o.o_totalprice > c.c_acctbal * 100)
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_customers
+              FROM customer c
+              WHERE EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_totalprice > c.c_acctbal * 100)
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // ---- salted skew join ------------------------------------------------
     // plans/Salt.saltedJoin: the big side salts its join key, the small
     // side replicates per salt — a hot key spreads over `buckets` tasks

@@ -82,6 +82,22 @@ class PlanSpec extends AnyFunSuite {
       s"LSH candidate join degenerated to a cartesian:\n$p")
   }
 
+  test("q_join_notin plans a NULL-AWARE anti join") {
+    // the semantic difference from q_join_anti: one build-side NULL must
+    // empty the result, which a plain hash anti-join cannot honor
+    // BroadcastHashJoinExec prints its isNullAwareAntiJoin flag as the
+    // trailing boolean: "..., LeftAnti, BuildRight, true"
+    val p = plan("q_join_notin")
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"NOT IN lost its null-aware anti-join plan:\n$p")
+  }
+
+  test("q_exists_correlated plans a broadcast nested-loop semi join") {
+    val p = plan("q_exists_correlated")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Semi"),
+      s"non-equi EXISTS lost its BNLJ semi shape:\n$p")
+  }
+
   test("q_merge_upsert plans one anti-join and no cartesian") {
     val p = plan("q_merge_upsert")
     assert(p.contains("LeftAnti"), s"merge lost its anti-join shape:\n$p")
