@@ -242,6 +242,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("foreachBatch applies per-batch MERGE upserts to a parquet state table") {
+    // The arbitrary-sink production pattern: each micro-batch applies a
+    // changeset to persistent state with the SAME anti-join ∪ changes
+    // dataflow as q_merge_upsert, staging through a per-batch temp dir
+    // (Spark refuses to overwrite a path it is reading). Two batches
+    // update overlapping keys; the final state must reflect batch order
+    // (last write wins) — the incremental twin of the batch MERGE row.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-feb").toString
+    val state = s"$dir/state"
+    (1L to 10L).map((_, 0L)).toDF("id", "v").write.parquet(state)
+    val input = MemoryStream[(Long, Long)](s)
+    val apply: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (batch, batchId) => {
+        val upd = batch.toDF("id", "v").dropDuplicates("id")
+        val next = s.read.parquet(state)
+          .join(upd.select("id"), Seq("id"), "left_anti")
+          .unionByName(upd)
+        val tmp = s"$dir/tmp_$batchId"
+        next.write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp).write.mode("overwrite").parquet(state)
+      }
+    val q = input.toDS().toDF("id", "v").writeStream
+      .foreachBatch(apply)
+      .start()
+    try {
+      input.addData((1L, 100L), (11L, 5L))
+      q.processAllAvailable()
+      input.addData((1L, 200L), (12L, 7L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s.read.parquet(state).as[(Long, Long)].collect().toMap
+    val want = (2L to 10L).map(_ -> 0L).toMap ++
+      Map(1L -> 200L, 11L -> 5L, 12L -> 7L)
+    assert(got == want, s"state diverged: $got")
+  }
+
   test("sessionize checkpoint recovery: custom state survives a restart") {
     // The flatMapGroupsWithState analog of the windowed-agg recovery test:
     // run 1 drains the EARLY half of the events, leaving every user's
