@@ -396,12 +396,16 @@ object Joins {
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // ---- correlated non-equi EXISTS ---------------------------------------
-    // EXISTS whose correlation is an INEQUALITY (any order bigger than the
-    // customer's account balance) cannot hash-join: Catalyst plans a
-    // broadcast nested-loop semi join. Dimension side broadcast, fact side
-    // streamed once — the correct shape when the predicate has no equi
-    // component; with one, the planner would hash on it and keep the
-    // inequality as a residual.
+    // EXISTS whose correlation is an INEQUALITY (an urgent order bigger
+    // than the customer's account balance) cannot hash-join: Catalyst
+    // plans a broadcast nested-loop semi join — the correct shape when
+    // the predicate has no equi component (with one, the planner hashes
+    // on it and keeps the inequality as a residual). BNLJ is inherently
+    // O(stream × build): the uncorrelated filter bounds the build side
+    // here, and when the correlation is AGGREGATABLE (like this one — it
+    // only depends on max(o_totalprice)) the production rewrite is a
+    // 1-row scalar aggregate + filter, O(n); the row deliberately keeps
+    // the general EXISTS form because that plan family is what it pins.
     Q("q_exists_correlated",
       (s, d) => {
         Tables(s, d, "orders").createOrReplaceTempView("ex_orders")
@@ -410,13 +414,15 @@ object Joins {
           SELECT c_mktsegment, COUNT(*) AS n_customers
           FROM ex_customer c
           WHERE EXISTS (SELECT 1 FROM ex_orders o
-                        WHERE o.o_totalprice > c.c_acctbal * 100)
+                        WHERE o.o_orderpriority = '1-URGENT'
+                          AND o.o_totalprice > c.c_acctbal * 100)
           GROUP BY c_mktsegment ORDER BY c_mktsegment""")
       },
       Some("""SELECT c_mktsegment, COUNT(*) AS n_customers
               FROM customer c
               WHERE EXISTS (SELECT 1 FROM orders o
-                            WHERE o.o_totalprice > c.c_acctbal * 100)
+                            WHERE o.o_orderpriority = '1-URGENT'
+                              AND o.o_totalprice > c.c_acctbal * 100)
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     // ---- salted skew join ------------------------------------------------
