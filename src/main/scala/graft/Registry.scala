@@ -24,5 +24,11 @@ object Registry {
       operators.Typed.queries ++
       streaming.Streams.queries
 
-  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+  lazy val byName: Map[String, Q] = {
+    // a duplicate name would silently SHADOW a query in this map — the
+    // driver would verify one of the two and report it under both
+    val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    all.map(q => q.name -> q).toMap
+  }
 }

@@ -10,9 +10,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Registry.byName("q_join").run(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Goes through
+    * Registry.byName so its duplicate-name guard fires here too (a dup
+    * would otherwise silently shadow a query in this map). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Registry.all.map(q => q.name -> q.run).toMap
+    Registry.byName.view.mapValues(_.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

@@ -350,6 +350,53 @@ object Complex {
               SELECT o_orderkey, o_custkey, o_totalprice FROM chg
               ORDER BY o_orderkey""")),
 
+    // ---- Z-order layout (multi-dimensional clustering) --------------------
+    // The data-layout story behind Delta/Iceberg OPTIMIZE ZORDER: interleave
+    // the bits of two dimensions (10 bits each here — user bucket × time
+    // bucket) into one z-value and assign rows to "files" by z-RANGE. Each
+    // file then covers a bounded SQUARE in (d1, d2) space — the per-file
+    // min/max spans this query emits are what lets a reader prune files
+    // for predicates on EITHER dimension, where a one-dimension sort gives
+    // unbounded spans in the other. Everything is exact integer bit
+    // arithmetic in a codegen'd higher-order fold: no window, no global
+    // sort, no UDF — the file assignment is a pure per-row function and
+    // the only shuffle is the per-file rollup.
+    Q("q_layout_zorder",
+      (s, d) => Tables(s, d, "events")
+        .select(
+          pmod(col("user_id"), lit(1024L)).as("d1"),
+          pmod(expr("CAST(unix_micros(ts) DIV 1000000 AS LONG)"), lit(1024L))
+            .as("d2"))
+        .withColumn("z", expr(
+          """aggregate(sequence(0, 9), 0L, (acc, i) ->
+             acc + pmod(shiftright(d1, i), 2) * shiftleft(1L, 2 * i)
+                 + pmod(shiftright(d2, i), 2) * shiftleft(1L, 2 * i + 1))"""))
+        .withColumn("file_id", floor(col("z") / 32768L).cast("long"))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("d1")).as("min_d1"), max(col("d1")).as("max_d1"),
+          min(col("d2")).as("min_d2"), max(col("d2")).as("max_d2"),
+          (max(col("d1")) - min(col("d1"))).as("span_d1"),
+          (max(col("d2")) - min(col("d2"))).as("span_d2"))
+        .orderBy("file_id"),
+      Some("""WITH b AS (
+                SELECT user_id % 1024 AS d1,
+                  (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) % 1024 AS d2
+                FROM events),
+              z AS (
+                SELECT d1, d2,
+                  list_sum([((d1 >> i) & 1) * (1::BIGINT << (2 * i))
+                            + ((d2 >> i) & 1) * (1::BIGINT << (2 * i + 1))
+                            FOR i IN generate_series(0, 9)]) AS z
+                FROM b)
+              SELECT CAST(FLOOR(z / 32768) AS BIGINT) AS file_id,
+                COUNT(*) AS n_rows,
+                MIN(d1) AS min_d1, MAX(d1) AS max_d1,
+                MIN(d2) AS min_d2, MAX(d2) AS max_d2,
+                MAX(d1) - MIN(d1) AS span_d1,
+                MAX(d2) - MIN(d2) AS span_d2
+              FROM z GROUP BY 1 ORDER BY file_id""")),
+
     // ---- native session windows -------------------------------------------
     // Spark's session_window() generator next to the hand-rolled islands
     // formulation (q_sessionize): the native operator plans a dedicated
