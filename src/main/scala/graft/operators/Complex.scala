@@ -350,6 +350,55 @@ object Complex {
               SELECT o_orderkey, o_custkey, o_totalprice FROM chg
               ORDER BY o_orderkey""")),
 
+    // ---- time-series gap filling (resample to a dense grid) ---------------
+    // Hourly counts per event type with EVERY hour present — silent gaps
+    // poison downstream window math (a 7-day moving average over sparse
+    // rows averages the wrong denominator). The dense (hour × type) grid
+    // comes from an in-plan sequence over the corpus min/max (1-row agg,
+    // no driver collect) crossed with the distinct types (bounded
+    // cardinality); actuals LEFT-join onto it and missing slots coalesce
+    // to zero. Scale shape: grid rows = hours × types (tiny vs events);
+    // the heavy side joins once on (hour, type).
+    Q("q_events_gapfill",
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(
+            expr("CAST((unix_micros(ts) DIV 1000000) DIV 3600 AS LONG)")
+              .as("hr"),
+            col("event_type"), col("value"))
+        val hours = e.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+          .select(explode(sequence(col("h0"), col("h1"))).as("hr"))
+        val grid = hours.crossJoin(
+          broadcast(e.select("event_type").distinct()))
+        val actual = e.groupBy("hr", "event_type")
+          .agg(count(lit(1)).as("n"), Arith.dsum(col("value")).as("sum_value"))
+        grid.join(actual, Seq("hr", "event_type"), "left")
+          .select(col("hr").as("hour_no"), col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+          .orderBy("hour_no", "event_type")
+      },
+      Some(s"""WITH e AS (
+                SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 3600
+                    AS hr, event_type, value
+                FROM events),
+              hours AS (
+                SELECT unnest(generate_series((SELECT MIN(hr) FROM e),
+                                              (SELECT MAX(hr) FROM e))) AS hr),
+              grid AS (
+                SELECT hr, event_type
+                FROM hours, (SELECT DISTINCT event_type FROM e)),
+              actual AS (
+                SELECT hr, event_type, COUNT(*) AS n,
+                  ${Arith.sqlSum("value")} AS sum_value
+                FROM e GROUP BY hr, event_type)
+              SELECT g.hr AS hour_no, g.event_type,
+                COALESCE(a.n, 0) AS n,
+                COALESCE(a.sum_value, 0.0) AS sum_value
+              FROM grid g LEFT JOIN actual a
+                ON g.hr = a.hr AND g.event_type = a.event_type
+              ORDER BY hour_no, g.event_type""")),
+
     // ---- Z-order layout (multi-dimensional clustering) --------------------
     // The data-layout story behind Delta/Iceberg OPTIMIZE ZORDER: interleave
     // the bits of two dimensions (10 bits each here — user bucket × time
