@@ -169,10 +169,17 @@ object Joins {
     requireIntegral(points, pointCol)
     requireIntegral(intervals, loCol)
     requireIntegral(intervals, hiCol)
-    // exact long floor-to-bucket: lower bound of the containing bucket
+    // exact long floor-to-bucket: lower bound of the containing bucket.
+    // `l - pmod(l, w)` would overflow only for l within w of Long.MinValue
+    // (pmod is non-negative); no real domain (timestamps, ids, offsets)
+    // lives there, so guard loudly instead of silently mis-bucketing.
     def bucketStart(c: Column): Column = {
       val l = c.cast("long")
-      l - pmod(l, lit(bucketWidth))
+      when(l < Long.MinValue + bucketWidth,
+        raise_error(format_string(
+          s"intervalJoin: value %d underflows bucket arithmetic " +
+            s"(width $bucketWidth)", l)))
+        .otherwise(l - pmod(l, lit(bucketWidth)))
     }
     val p = points.withColumn("__pb", bucketStart(col(pointCol)))
     val iv = intervals.filter(col(hiCol) > col(loCol))
