@@ -200,7 +200,7 @@ object Dedup {
         rounds + 1, checkpointEvery)
       changed = next.filter(col("new_label") < col("label")).count()
       labels = next.select(col("id"), col("new_label").as("label"))
-      prevMat.unpersist(blocking = false)
+      Materialize.free(prevMat)
       prevMat = next
       rounds += 1
     }
@@ -278,7 +278,7 @@ object Dedup {
       // over the checkpointed sets)
       stable = small.count() == edges.count() &&
         small.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
-      edges.unpersist(blocking = false)
+      Materialize.free(edges)
       edges = small
       rounds += 1
     }
@@ -754,7 +754,11 @@ object Dedup {
     // instead of id so hub nodes don't fan out their full neighborhood;
     // near-dup graphs have no hubs (clusters are small by construction),
     // so id-orientation suffices here. Spark runs the REAL LSH pipeline
-    // for the edges; the oracle brute-forces the same pair set.
+    // for the edges; the oracle brute-forces the same pair set — the row
+    // therefore bets on LSH edge-level recall, the SAME bet q_dedup_
+    // minhash already makes: at r=2/b=64 a jac≥0.5 pair misses every
+    // band with probability ≤ (1−0.25)^64 ≈ 1e-8, negligible even
+    // per-edge.
     Q("q_triangles",
       (s, d) => {
         val pairs = nearDupPairs(s, d).localCheckpoint()

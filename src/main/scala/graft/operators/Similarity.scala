@@ -417,8 +417,10 @@ object Similarity {
       changedPerRound += changed
       // the superseded round's checkpoint blocks are dead weight once
       // `next` is materialized and the changed count is in hand — free
-      // them so pinned executor memory stays O(1), not O(rounds)
-      assigned.unpersist(blocking = false)
+      // the UNDERLYING RDD (Dataset.unpersist is a silent no-op on
+      // checkpointed plans, see Materialize) so pinned executor memory
+      // stays O(1), not O(rounds)
+      Materialize.free(assigned)
       assigned = next
       stable = changed == 0
       r += 1
@@ -687,7 +689,7 @@ object Similarity {
     // Per-vector ADC sums 8 rounded-decimal entries (exact DECIMAL
     // arithmetic, so shuffle order can't move the ranking); at 100 TB the
     // codes table is ~1/32 the corpus bytes and the scan never touches
-    // the raw embeddings until the re-rank's top-10 fetch.
+    // the raw embeddings until the re-rank's top-20 fetch.
     Q("q_ann_pq",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -706,11 +708,11 @@ object Similarity {
           .filter(col("vec_id") =!= col("q_id"))
           .groupBy("q_id", "vec_id")
           .agg(sum(col("qd2").cast("decimal(38,6)")).as("adc"))
-        val top10 = adc
+        val cands = adc
           .withColumn("rk", row_number().over(
             Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))))
           .filter(col("rk") <= 20)
-        top10
+        cands
           .join(e, Seq("vec_id"))
           .join(broadcast(queries), Seq("q_id"))
           .withColumn("cos", cosine(s, col("embedding"), col("q_v")))
@@ -769,14 +771,14 @@ object Similarity {
                   ON enc.sub = l.sub AND enc.code = l.code
                 WHERE enc.vec_id <> l.q_id
                 GROUP BY l.q_id, enc.vec_id),
-              top10 AS (
+              cands AS (
                 SELECT q_id, vec_id FROM adc
                 QUALIFY row_number() OVER (PARTITION BY q_id
                   ORDER BY adc, vec_id) <= 20),
               rer AS (
                 SELECT t.q_id, t.vec_id,
                   ${sqlCosineCols("e.v", "q.q_v")} AS cos
-                FROM top10 t JOIN e ON e.vec_id = t.vec_id
+                FROM cands t JOIN e ON e.vec_id = t.vec_id
                 JOIN q ON q.q_id = t.q_id)
               SELECT q_id, rank, vec_id, cos FROM (
                 SELECT q_id, vec_id, cos,

@@ -127,6 +127,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("Materialize.free drops localCheckpoint blocks (unpersist cannot)") {
+    // the iteration loops rely on this: Dataset.unpersist only uncaches
+    // CacheManager entries, and a checkpointed plan was never registered
+    // there — the underlying RDD is what holds the blocks
+    import org.apache.spark.storage.StorageLevel
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).toDF("x").localCheckpoint()
+    val rdd = df.queryExecution.logical
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
+    assert(rdd.getStorageLevel != StorageLevel.NONE,
+      "localCheckpoint left nothing persisted")
+    df.unpersist(blocking = true) // the trap this test documents: a no-op
+    assert(rdd.getStorageLevel != StorageLevel.NONE,
+      "Dataset.unpersist unexpectedly freed checkpoint blocks — " +
+        "Materialize may be obsolete on this Spark version")
+    graft.operators.Materialize.free(df)
+    assert(rdd.getStorageLevel == StorageLevel.NONE,
+      "Materialize.free failed to drop the checkpoint blocks")
+  }
+
   test("star components converge on a chain longer than the round cap") {
     val s = spark
     import s.implicits._
