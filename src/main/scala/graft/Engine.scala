@@ -96,13 +96,20 @@ object Engine {
   * `mapreduce-submit` CLI; flags and defaults mirror
   * reference mapreduce/submit.py:25-58. */
 object Cli {
-  def main(args: Array[String]): Unit = {
+
+  /** Flag parsing, factored out for unit testing. Diagnostics distinguish
+    * an UNKNOWN flag from a known flag MISSING ITS VALUE (a trailing
+    * odd-length window) — the latter used to fall through to the
+    * catch-all and report "unknown argument: --output". */
+  private[graft] def parse(args: Array[String]): JobSpec = {
     var in = "tests/testdata/input"
     var out = "output"
     var mapper = "tests/testdata/exec/wc_map.sh"
     var reducer = "tests/testdata/exec/wc_reduce.sh"
     var m = 2
     var r = 2
+    val known = Set("--input", "--output", "--mapper", "--reducer",
+      "--nmappers", "--nreducers")
     args.sliding(2, 2).foreach {
       case Array("--input", v)     => in = v
       case Array("--output", v)    => out = v
@@ -110,14 +117,21 @@ object Cli {
       case Array("--reducer", v)   => reducer = v
       case Array("--nmappers", v)  => m = v.toInt
       case Array("--nreducers", v) => r = v.toInt
+      case Array(flag) if known(flag) =>
+        sys.error(s"missing value for $flag")
       case other =>
         sys.error(s"unknown argument: ${other.mkString(" ")}")
     }
+    JobSpec(in, out, mapper, reducer, m, r)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val job = parse(args)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-mapreduce")
       .getOrCreate()
-    try Engine.submit(spark, JobSpec(in, out, mapper, reducer, m, r))
+    try Engine.submit(spark, job)
     finally spark.stop()
   }
 }

@@ -320,15 +320,22 @@ object Complex {
     // copy-on-write) schedules its rewrite. The changeset here derives
     // deterministically from the base so the oracle sees the same rows:
     // keys ≡ 0 (mod 10) get repriced, keys ≡ 7 (mod 10) re-enter as new
-    // orders under a shifted key.
+    // orders under a key shifted past max(o_orderkey) — computed IN-PLAN
+    // (1-row broadcast agg, no driver collect) so inserted keys can never
+    // collide with existing base keys at any scale factor (a fixed shift
+    // would collide once sf grows past it and silently turn inserts into
+    // deletes of the colliding base rows).
     Q("q_merge_upsert",
       (s, d) => {
         val base = Tables(s, d, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice")
+        val shift = base.agg(max(col("o_orderkey")).as("__shift"))
         val updates = base.filter(col("o_orderkey") % 10 === 0)
           .withColumn("o_totalprice", col("o_totalprice") + 100.0)
         val inserts = base.filter(col("o_orderkey") % 10 === 7)
-          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .crossJoin(broadcast(shift))
+          .withColumn("o_orderkey", col("o_orderkey") + col("__shift"))
+          .drop("__shift")
         val changes = updates.unionByName(inserts)
         base.join(changes.select("o_orderkey"), Seq("o_orderkey"),
             "left_anti")
@@ -340,7 +347,8 @@ object Complex {
                     AS o_totalprice
                 FROM orders WHERE o_orderkey % 10 = 0
                 UNION ALL
-                SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+                SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM orders),
+                  o_custkey, o_totalprice
                 FROM orders WHERE o_orderkey % 10 = 7)
               SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
               FROM orders o
@@ -361,10 +369,15 @@ object Complex {
     // the heavy side joins once on (hour, type).
     Q("q_events_gapfill",
       (s, d) => {
+        // FLOOR division to the hour bucket, not Spark's truncate-toward-
+        // zero DIV: the oracle's `//` floors, and a pre-1970 timestamp
+        // (negative micros) would otherwise land one bucket higher here.
+        // (l - pmod(l, w)) is exactly divisible, so DIV of it is exact
+        // floor division at any magnitude — no double round-trip.
         val e = Tables(s, d, "events")
           .select(
-            expr("CAST((unix_micros(ts) DIV 1000000) DIV 3600 AS LONG)")
-              .as("hr"),
+            expr("""(unix_micros(ts) - pmod(unix_micros(ts), 3600000000L))
+                    DIV 3600000000L""").as("hr"),
             col("event_type"), col("value"))
         val hours = e.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
           .select(explode(sequence(col("h0"), col("h1"))).as("hr"))
@@ -414,8 +427,10 @@ object Complex {
       (s, d) => Tables(s, d, "events")
         .select(
           pmod(col("user_id"), lit(1024L)).as("d1"),
-          pmod(expr("CAST(unix_micros(ts) DIV 1000000 AS LONG)"), lit(1024L))
-            .as("d2"))
+          // floor-div to seconds (oracle `//` floors; DIV truncates), then
+          // pmod — agrees with the oracle's pmod-mirror for any sign
+          pmod(expr("""(unix_micros(ts) - pmod(unix_micros(ts), 1000000L))
+                       DIV 1000000L"""), lit(1024L)).as("d2"))
         .withColumn("z", expr(
           """aggregate(sequence(0, 9), 0L, (acc, i) ->
              acc + pmod(shiftright(d1, i), 2) * shiftleft(1L, 2 * i)
@@ -428,9 +443,13 @@ object Complex {
           (max(col("d1")) - min(col("d1"))).as("span_d1"),
           (max(col("d2")) - min(col("d2"))).as("span_d2"))
         .orderBy("file_id"),
+      // pmod on the Spark side (non-negative) vs DuckDB's sign-following
+      // `%`: mirror pmod explicitly with ((x % m) + m) % m so the two
+      // engines agree even for negative user_ids / pre-1970 timestamps.
       Some("""WITH b AS (
-                SELECT user_id % 1024 AS d1,
-                  (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) % 1024 AS d2
+                SELECT ((user_id % 1024) + 1024) % 1024 AS d1,
+                  (((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) % 1024)
+                   + 1024) % 1024 AS d2
                 FROM events),
               z AS (
                 SELECT d1, d2,

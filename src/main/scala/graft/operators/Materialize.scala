@@ -14,13 +14,21 @@ import org.apache.spark.sql.execution.LogicalRDD
   * that is what actually drops the blocks and keeps pinned executor
   * memory O(1) across rounds.
   *
+  * The frame handed in is often not the bare checkpoint but a cheap
+  * projection over it (e.g. kmeansRounds frees `withPrev.drop(col)`, a
+  * Project over the LogicalRDD), so the whole logical plan is traversed
+  * and EVERY LogicalRDD under it is unpersisted — a round's frame never
+  * contains another round's checkpoint (each round starts from its own
+  * materialization), so the traversal cannot free live blocks.
+  *
   * After this call the frame is UNRECOMPUTABLE (localCheckpoint already
   * truncated its lineage) — only free a round once its successor is
   * fully materialized and the round is never read again.
   */
 object Materialize {
-  def free(df: DataFrame): Unit = df.queryExecution.logical match {
-    case l: LogicalRDD => l.rdd.unpersist(blocking = false)
-    case _             => df.unpersist(blocking = false)
+  def free(df: DataFrame): Unit = {
+    val rdds = df.queryExecution.logical.collect { case l: LogicalRDD => l }
+    if (rdds.isEmpty) df.unpersist(blocking = false)
+    else rdds.foreach(_.rdd.unpersist(blocking = false))
   }
 }

@@ -81,8 +81,21 @@ object Similarity {
       .map { case (id, v) => ((id % blocks).toInt, (id, v)) }
       .groupByKey(blocks)
       .mapValues(_.toArray.sortBy(_._1))
-    bucketed.cartesian(bucketed)
-      .filter { case ((ba, _), (bb, _)) => ba <= bb }
+    // The upper-triangle pair grid (ba ≤ bb) is built EXPLICITLY instead
+    // of filtering a full cartesian: the cartesian schedules blocks² tasks
+    // and ships both blocks into each, with the ba > bb half dropped by
+    // the first filter — ~2× the task-scheduling and block-replication
+    // cost for zero compute. Keying each (ba, bb) pair and joining the
+    // block arrays in ships each block ~blocks copies total (vs 2·blocks
+    // under cartesian) and schedules only blocks·(blocks+1)/2 pair tasks.
+    val nPairs = blocks * (blocks + 1) / 2
+    val pairIdx = vecs.sparkContext.parallelize(
+      for { a <- 0 until blocks; b <- a until blocks } yield (a, b),
+      math.max(1, blocks))
+    pairIdx.join(bucketed, blocks)          // (ba, (bb, as))
+      .map { case (ba, (bb, as)) => (bb, (ba, as)) }
+      .join(bucketed, math.max(1, nPairs))  // (bb, ((ba, as), bs))
+      .map { case (bb, ((ba, as), bs)) => ((ba, as), (bb, bs)) }
       .flatMap { case ((ba, as), (bb, bs)) =>
         for {
           (aId, av) <- as.iterator
@@ -191,17 +204,25 @@ object Similarity {
     * @return (vec_id, embedding, band_idx, band_key)
     */
   def hyperplaneBands(s: SparkSession, e: DataFrame, nPlanes: Int,
-      bandBits: Int): DataFrame = {
+      bandBits: Int): DataFrame =
+    bandsOf(s, e,
+      e.filter(col("vec_id") < nPlanes)
+        .select(col("vec_id").as("h_id"), col("embedding").as("h_v")),
+      nPlanes, bandBits)
+
+  /** Banded sign-LSH signatures against an arbitrary (h_id, h_v) plane
+    * set — the shared core of [[hyperplaneBands]] (corpus-vector planes)
+    * and [[seededHyperplaneBands]] (data-independent seeded planes). */
+  private def bandsOf(s: SparkSession, e: DataFrame, planes: DataFrame,
+      nPlanes: Int, bandBits: Int): DataFrame = {
     require(nPlanes > 0 && bandBits > 0 && nPlanes % bandBits == 0,
       s"nPlanes ($nPlanes) must be a positive multiple of bandBits ($bandBits)")
     val nBands = nPlanes / bandBits
-    val hyp = e.filter(col("vec_id") < nPlanes)
-      .select(col("vec_id").as("h_id"), col("embedding").as("h_v"))
     val bandCols = (0 until nBands).map { bi =>
       sum(when(col("band_of") === bi, col("bit") * col("weight"))
         .otherwise(0L)).as(s"__band$bi")
     }
-    e.crossJoin(broadcast(hyp))
+    e.crossJoin(broadcast(planes))
       .withColumn("bit",
         (DotProduct(s, col("embedding"), col("h_v")) >= 0.0).cast("long"))
       .withColumn("band_of", expr(s"CAST(h_id DIV $bandBits AS INT)"))
@@ -213,6 +234,70 @@ object Similarity {
         Seq(posexplode(array((0 until nBands).map(bi =>
           col(s"__band$bi")): _*)).as(Seq("band_idx", "band_key"))): _*)
   }
+
+  /** Deterministic seeded pseudo-Gaussian hyperplanes — DATA-INDEPENDENT
+    * random planes, the fix for [[hyperplaneBands]]' corpus-vector planes
+    * (corpus vectors are not mean-centered, so their sign bits correlate
+    * for clustered corpora and recall falls below the Charikar bound).
+    *
+    * Component i of plane p is an Irwin–Hall(8) sample centered at 0: the
+    * 32 hex chars of md5("<seed>_p_i") split into 8 4-char chunks, each an
+    * integer v_k ∈ [0, 65535]; g = Σ v_k/65536 − 4 ≈ N(0, 8/12). Every
+    * term is an exact dyadic rational (denominator 2^16), so the sum is
+    * BIT-EXACT in both engines — no transcendentals (a Box–Muller ln/cos
+    * could differ by an ulp between the JVM and DuckDB's libm and flip a
+    * rounded value), hence an exact SQL oracle ([[sqlSeededPlanes]]). For
+    * sign LSH only the plane's direction matters, so the missing
+    * √(12/8) variance normalization is irrelevant.
+    */
+  def seededPlanes(s: SparkSession, seed: String, nPlanes: Int,
+      dims: Int = 64): DataFrame =
+    s.range(nPlanes).select(col("id").as("h_id"),
+      transform(sequence(lit(1), lit(dims)), i =>
+        aggregate(sequence(lit(0), lit(7)), lit(0.0d), (acc, k) =>
+          acc + conv(substr(
+            md5(concat_ws("_", lit(seed), col("id").cast("string"),
+              i.cast("string"))), k * 4 + 1, lit(4)), 16, 10)
+            .cast("double") / 65536.0d) - lit(4.0d)).as("h_v"))
+
+  /** [[hyperplaneBands]] with [[seededPlanes]] instead of corpus vectors.
+    * `e` must carry (vec_id, embedding). */
+  def seededHyperplaneBands(s: SparkSession, e: DataFrame, seed: String,
+      nPlanes: Int, bandBits: Int, dims: Int = 64): DataFrame =
+    bandsOf(s, e, seededPlanes(s, seed, nPlanes, dims), nPlanes, bandBits)
+
+  /** DuckDB twin of [[seededPlanes]] as a CTE: defines `hyp(h_id, h_v)`.
+    * Per-char formulation of the same sum: hex char j of chunk k
+    * contributes digit/16^((j-1)%4 + 1) — every term exact dyadic, so any
+    * summation order gives the identical double. */
+  private[operators] def sqlSeededPlanes(seed: String, nPlanes: Int,
+      dims: Int = 64): String =
+    s"""hyp AS (
+          SELECT p AS h_id,
+            [list_sum([(strpos('0123456789abcdef',
+                substr(md5('${seed}_' || p || '_' || i), j, 1)) - 1)
+                / (16.0 ** (((j - 1) % 4) + 1))
+                FOR j IN generate_series(1, 32)]) - 4.0
+             FOR i IN generate_series(1, $dims)] AS h_v
+          FROM range(0, $nPlanes) t(p))"""
+
+  /** DuckDB twin of [[seededHyperplaneBands]] as CTE text: builds on a
+    * corpus CTE `<corpus>(vec_id, v)` plus [[sqlSeededPlanes]], defining
+    * `bits` and `banded(vec_id, band_idx, band_key)`. */
+  private[operators] def sqlSeededBands(seed: String, nPlanes: Int,
+      bandBits: Int, corpus: String): String =
+    s"""${sqlSeededPlanes(seed, nPlanes)},
+        bits AS (
+          SELECT u.vec_id, h.h_id,
+            CASE WHEN list_sum([u.v[i] * h.h_v[i]
+                                FOR i IN generate_series(1, 64)]) >= 0
+                 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+          FROM $corpus u, hyp h),
+        banded AS (
+          SELECT vec_id, CAST(h_id // $bandBits AS INT) AS band_idx,
+            SUM(bit * (1::BIGINT << CAST(h_id % $bandBits AS INT)))
+              AS band_key
+          FROM bits GROUP BY vec_id, band_idx)"""
 
   /** Product-quantization building blocks (m subspaces × subDim dims,
     * k codewords per subspace; codewords = the first k corpus vectors'
@@ -344,17 +429,24 @@ object Similarity {
     * changed-count is a filter over the round's own output instead of an
     * n-row shuffle join against the previous round (corpus = assigned in
     * that mode, so the column exists). */
-  private def lloydRoundImpl(s: SparkSession, corpus: DataFrame,
-      assigned: DataFrame, trackPrev: Boolean): DataFrame = {
+  /** (c_id, c_v): each bucket's centroid as the exact fixed-point mean of
+    * its members (VecCentroid — order-independent long micro sums), with
+    * zero-vector centroids dropped: a bucket of opposing embeddings can
+    * average to the zero vector, whose cosine is NaN — and Spark's
+    * NaN-is-largest max_by would then capture EVERY vector while the
+    * oracle's NULL sorts last (same guard as dropZeroNorm, centroid side).
+    * Shared by the Lloyd rounds and the refined-IVF probe (q_ann_ivf). */
+  def centroidsOf(assigned: DataFrame): DataFrame = {
     val centroid = udaf(VecCentroid)
-    val cents1 = assigned.groupBy(col("bucket").as("c_id"))
+    assigned.groupBy(col("bucket").as("c_id"))
       .agg(centroid(col("embedding")).as("c_v"))
-      // a bucket of opposing embeddings can average to the zero vector,
-      // whose cosine is NaN — and Spark's NaN-is-largest max_by would then
-      // capture EVERY vector while the oracle's NULL sorts last. Same
-      // guard as dropZeroNorm, on the centroid side.
       .filter(aggregate(col("c_v"), lit(0.0d),
         (acc, x) => acc + x * x) > 0.0)
+  }
+
+  private def lloydRoundImpl(s: SparkSession, corpus: DataFrame,
+      assigned: DataFrame, trackPrev: Boolean): DataFrame = {
+    val cents1 = centroidsOf(assigned)
     val carry: Seq[Column] =
       if (trackPrev) Seq(first(col("bucket")).as("prev_bucket")) else Seq.empty
     corpus.select(col("vec_id") +: col("embedding") +:
@@ -445,19 +537,25 @@ object Similarity {
     * carrying (vec_id, v, bucket). Mirrors [[lloydRound]] exactly — micro
     * fixed-point centroid means (VecCentroid's recipe), zero-norm centroid
     * drop, cosine argmax reassignment with ties to the lower c_id. */
+  /** DuckDB twin of [[centroidsOf]] as CTE text over an assignment CTE
+    * `<prev>(vec_id, v, bucket)`: defines `u<tag>` and `cents<tag>(c_id,
+    * c_v)` — VecCentroid's micro fixed-point mean, zero-norm drop. */
+  private[operators] def sqlCentroids(prev: String, tag: String): String =
+    s"""u$tag AS (
+          SELECT bucket, i,
+            ROUND(SUM(CAST(FLOOR(v[i] * 1000000 + 0.5) AS BIGINT))::DOUBLE
+              / (COUNT(*) * 1000000.0), 6) AS c
+          FROM $prev, (SELECT unnest(generate_series(1, 64)) AS i)
+          GROUP BY bucket, i),
+        cents$tag AS (
+          SELECT bucket AS c_id, array_agg(c ORDER BY i) AS c_v
+          FROM u$tag GROUP BY bucket
+          HAVING list_sum([c * c FOR c IN array_agg(c)]) > 0)"""
+
   private[operators] def sqlKmeansRounds(rounds: Int): String =
     (1 to rounds).map { i =>
       val prev = if (i == 1) "assigned" else s"a${i - 1}"
-      s"""u$i AS (
-            SELECT bucket, i,
-              ROUND(SUM(CAST(FLOOR(v[i] * 1000000 + 0.5) AS BIGINT))::DOUBLE
-                / (COUNT(*) * 1000000.0), 6) AS c
-            FROM $prev, (SELECT unnest(generate_series(1, 64)) AS i)
-            GROUP BY bucket, i),
-          cents$i AS (
-            SELECT bucket AS c_id, array_agg(c ORDER BY i) AS c_v
-            FROM u$i GROUP BY bucket
-            HAVING list_sum([c * c FOR c IN array_agg(c)]) > 0),
+      s"""${sqlCentroids(prev, i.toString)},
           re$i AS (
             SELECT a.vec_id, a.v, c.c_id,
               ${sqlCosineCols("a.v", "c.c_v")} AS c_cos
@@ -579,22 +677,23 @@ object Similarity {
               WHERE rk <= 5 ORDER BY q_id, rk""")),
 
     // ---- IVF-style approximate top-k (the 100 TB path) -------------------
-    // Centroids: first 8 vectors (deterministic stand-in for k-means).
-    // Every vector lands in its nearest-centroid bucket (one broadcast
-    // pass); a query probes its 2 nearest buckets only, so the search
-    // touches ~2/8 of the corpus instead of all of it. "Approximate" means
-    // approximate RECALL vs exhaustive search — the computation itself
-    // (fixed centroids, rounded exact cosines, total-order tie-breaks) is
-    // fully deterministic, so it has an exact SQL oracle.
+    // The index is built over ITERATED k-means buckets (2 Lloyd rounds over
+    // the first-8 seeding — the bucket-balanced shape q_dedup_embed_ivf
+    // established; raw first-k seeds would hang bucket balance on whichever
+    // vectors happen to be rows 0..7). A query ranks buckets by cosine to
+    // the bucket CENTROID (the mean of its members — centroidsOf) and
+    // probes its 2 nearest buckets only, so the search touches ~2/8 of the
+    // corpus instead of all of it. "Approximate" means approximate RECALL
+    // vs exhaustive search — the computation itself (deterministic seeding,
+    // exact fixed-point centroid means, rounded exact cosines, total-order
+    // tie-breaks) is fully deterministic, so it has an exact SQL oracle.
     Q("q_ann_ivf",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val e = embs(s, d).select(col("vec_id"), col("embedding"))
-        val cents = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("c_id"), col("embedding").as("c_v"))
-        // Bucket assignment via aggregate argmax (max_by over a totally-
-        // ordered struct), NOT a window: see ivfAssign (the shared helper).
-        val bucketed = ivfAssign(s, e, 8)
+        val e = Similarity.dropZeroNorm(s,
+          embs(s, d).select(col("vec_id"), col("embedding")))
+        val bucketed = kmeansIterate(s, e, 8, 2)
+        val cents = centroidsOf(bucketed)
         // queries probe their 2 nearest buckets (tiny set: rank per query)
         val qw = Window.partitionBy(col("vec_id"))
           .orderBy(col("c_cos").desc, col("c_id"))
@@ -615,19 +714,24 @@ object Similarity {
           .select(col("q_id"), col("rk"), col("vec_id").as("nn_id"), col("cos"))
           .orderBy("q_id", "rk")
       },
-      // Same argmax/rank formulation as the Spark plan: bucket = argmax
-      // centroid-cosine (ties → lower c_id), queries probe top-2 buckets,
-      // rank candidates by (cos DESC, nn_id).
-      Some(s"""WITH ${sqlIvfAssign(8)},
+      // Same formulation: a2 = 2 unrolled Lloyd rounds, probe centroids =
+      // centroidsOf(a2) (the `p`-tagged CTE), queries probe top-2 buckets
+      // (ties → lower c_id), rank candidates by (cos DESC, nn_id).
+      Some(s"""WITH ${sqlIvfAssign(8, sqlZeroNormWhere)},
+              ${sqlKmeansRounds(2)},
+              ${sqlCentroids("a2", "p")},
+              qc AS (
+                SELECT e.vec_id, e.v, c.c_id,
+                  ${sqlCosineCols("e.v", "c.c_v")} AS c_cos
+                FROM e, centsp c WHERE e.vec_id < 10),
               qprobe AS (
-                SELECT vec_id AS q_id, v AS q_v, c_id AS bucket FROM ac
-                WHERE vec_id < 10
+                SELECT vec_id AS q_id, v AS q_v, c_id AS bucket FROM qc
                 QUALIFY row_number() OVER (PARTITION BY vec_id
                   ORDER BY c_cos DESC, c_id) <= 2),
               cand AS (
                 SELECT q.q_id, a.vec_id AS nn_id,
                   ${sqlCosineCols("a.v", "q.q_v")} AS cos
-                FROM qprobe q JOIN assigned a ON a.bucket = q.bucket
+                FROM qprobe q JOIN a2 a ON a.bucket = q.bucket
                 WHERE a.vec_id <> q.q_id)
               SELECT q_id, CAST(rk AS INTEGER) AS rk, nn_id, cos FROM (
                 SELECT q_id, nn_id, cos,
@@ -635,6 +739,49 @@ object Similarity {
                     ORDER BY cos DESC, nn_id) AS rk
                 FROM cand)
               WHERE rk <= 3 ORDER BY q_id, rk""")),
+
+    // ---- kNN-join (per-corpus-row top-k neighbors) ------------------------
+    // The retrieval-index-build shape: for EVERY corpus row, its k nearest
+    // neighbors — not a fixed query set (q_ann_topk/q_ann_ivf) and not a
+    // pair-threshold join (q_cosine_pairs). Candidates come from the same
+    // iterated-k-means buckets as the IVF index: each vector ranks only its
+    // own bucket's members (window over the bucket self-join), so pair work
+    // is Σ bucket² ≈ n²/k and — with k grown with the corpus — bounded per
+    // bucket at 100 TB. Recall is approximate by definition (a true
+    // neighbor in another bucket is missed); the computation is
+    // deterministic, so the bucketed definition has an exact SQL oracle.
+    // Vectors alone in their bucket emit no rows, exactly like the oracle.
+    Q("q_knn_join",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Similarity.dropZeroNorm(s,
+          embs(s, d).select(col("vec_id"), col("embedding")))
+        val assigned = kmeansIterate(s, e, 8, 2)
+        val b = assigned.select(col("bucket"), col("vec_id").as("nn_id"),
+          col("embedding").as("nn_v"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("cos").desc, col("nn_id"))
+        assigned.join(b, Seq("bucket"))
+          .filter(col("vec_id") =!= col("nn_id"))
+          .withColumn("cos", cosine(s, col("embedding"), col("nn_v")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("vec_id"), col("rk"), col("nn_id"), col("cos"))
+          .orderBy("vec_id", "rk")
+      },
+      Some(s"""WITH ${sqlIvfAssign(8, sqlZeroNormWhere)},
+              ${sqlKmeansRounds(2)},
+              cand AS (
+                SELECT a.vec_id, b.vec_id AS nn_id,
+                  ${sqlCosineCols("a.v", "b.v")} AS cos
+                FROM a2 a JOIN a2 b
+                  ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+              SELECT vec_id, CAST(rk AS INTEGER) AS rk, nn_id, cos FROM (
+                SELECT vec_id, nn_id, cos,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, nn_id) AS rk
+                FROM cand)
+              WHERE rk <= 3 ORDER BY vec_id, rk""")),
 
     // ---- k-means refinement round (real clustering for the IVF index) ----
     // One Lloyd iteration over the IVF buckets: exact fixed-point centroid
@@ -681,9 +828,10 @@ object Similarity {
     // ---- product-quantization ANN (the compressed-index family) ----------
     // PQ completes the index triad: brute force (exact), IVF (partition),
     // PQ (compression). 8 subspaces × 8 codewords squeeze each 64-float
-    // vector to 8 small codes; query-time ADC builds a 8×4 lookup table
-    // of query-subvector→codeword distances (one broadcast of 320 tiny
-    // rows), so scoring the WHOLE corpus is a code lookup + a sum of 8
+    // vector to 8 small codes; query-time ADC builds an 8×8 lookup table
+    // of query-subvector→codeword distances per query (one broadcast of
+    // 5·8·8 = 320 tiny rows), so scoring the WHOLE corpus is a code
+    // lookup + a sum of 8
     // table entries per vector — no float kernel over the corpus at all.
     // The approximate top-20 then re-ranks by exact cosine to a top-3.
     // Per-vector ADC sums 8 rounded-decimal entries (exact DECIMAL
@@ -785,6 +933,106 @@ object Similarity {
                   row_number() OVER (PARTITION BY q_id
                     ORDER BY cos DESC, vec_id) AS rank
                 FROM rer)
-              WHERE rank <= 3 ORDER BY q_id, rank"""))
+              WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // ---- seeded-hyperplane LSH recall (sign-LSH in its design regime) -----
+    // hyperplaneBands' corpus-vector planes are honest about their low
+    // recall at τ=0.45 (q_dedup_embed_lsh's docstring); THIS row measures
+    // the seeded data-independent planes in the regime sign-LSH is built
+    // for: near-identical pairs at cos ≈ 0.9. Each corpus vector gets a
+    // deterministic "re-encoded" copy — component i scaled by 1.5 or 0.5
+    // on an md5 coin flip, so cos(v, v') ≈ 1/√1.25 ≈ 0.894 independent of
+    // the data (exact double arithmetic, identical in both engines). The
+    // planted pairs with exact cos ≥ 0.85 are the ground truth; candidates
+    // are planted pairs sharing ≥ 1 of 4 4-bit bands over 16 seeded
+    // planes. Expected recall 1-(1-p⁴)⁴ ≈ 0.95 at p = 1-θ/π ≈ 0.85 —
+    // DedupSpec pins ≥ 0.6 at sf0.001. Everything is deterministic (md5
+    // coins, dyadic-exact Irwin–Hall planes), so recall itself has an
+    // exact SQL oracle — the measurement cannot silently rot.
+    Q("q_lsh_recall",
+      (s, d) => {
+        val e = dropZeroNorm(s,
+          embs(s, d).select(col("vec_id"), col("embedding")))
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double"))
+              .as("embedding"))
+        // copies live past max(vec_id) — offset computed IN-PLAN (1-row
+        // broadcast), collision-free at any scale factor
+        val off = e.agg((max(col("vec_id")) + 1L).as("__off"))
+        // two selects on purpose: the perturbation coin keys on the
+        // ORIGINAL vec_id, and an aliased `vec_id + off` in the same
+        // select would capture the lambda's col("vec_id") reference
+        val copies = e.crossJoin(broadcast(off))
+          .select(col("vec_id"), col("__off"),
+            transform(col("embedding"), (x, i) =>
+              x * when(substring(md5(concat_ws("_", lit("perturb"),
+                col("vec_id").cast("string"), (i + lit(1)).cast("string"))),
+                1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                lit(1.5d)).otherwise(lit(0.5d))).as("embedding"))
+          .select((col("vec_id") + col("__off")).as("vec_id"),
+            col("embedding"))
+        val union = e.unionByName(copies)
+        val banded = seededHyperplaneBands(s, union, "gauss", 16, 4)
+        // candidates restricted to the planted pairs up front: the
+        // (band, b_id = a_id + off) equi-join keeps the probe linear in n
+        // instead of materializing every same-band pair
+        val cand = banded.select(col("band_idx"), col("band_key"),
+            col("vec_id").as("a_id"))
+          .crossJoin(broadcast(off))
+          .join(banded.select(col("band_idx").as("b_band_idx"),
+            col("band_key").as("b_band_key"), col("vec_id").as("b_id")),
+            col("band_idx") === col("b_band_idx") &&
+              col("band_key") === col("b_band_key") &&
+              col("b_id") === col("a_id") + col("__off"))
+          .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+        val planted = e.select(col("vec_id").as("a_id"),
+            col("embedding").as("a_v"))
+          .crossJoin(broadcast(off))
+          .join(copies.select(col("vec_id").as("b_id"),
+            col("embedding").as("b_v")),
+            col("b_id") === col("a_id") + col("__off"))
+          .withColumn("cos", cosine(s, col("a_v"), col("b_v")))
+          .filter(col("cos") >= 0.85)
+        val hit = planted.join(cand, Seq("a_id", "b_id"), "left_semi")
+        planted.agg(count(lit(1)).as("n_true"),
+            davg(col("cos")).as("avg_cos"))
+          .crossJoin(hit.agg(count(lit(1)).as("n_recalled")))
+          .select(col("n_true"), col("n_recalled"),
+            round(col("n_recalled").cast("double") / col("n_true"), 4)
+              .as("recall"),
+            col("avg_cos"))
+      },
+      Some(s"""WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE $sqlZeroNormWhere),
+              off AS (SELECT MAX(vec_id) + 1 AS o FROM e),
+              copies AS (
+                SELECT e.vec_id + o.o AS vec_id,
+                  [e.v[i] * (CASE WHEN substr(md5('perturb_' || e.vec_id
+                      || '_' || i), 1, 1)
+                    IN ('8','9','a','b','c','d','e','f')
+                    THEN 1.5 ELSE 0.5 END)
+                   FOR i IN generate_series(1, 64)] AS v
+                FROM e, off o),
+              u AS (SELECT * FROM e UNION ALL SELECT * FROM copies),
+              ${sqlSeededBands("gauss", 16, 4, "u")},
+              cand AS (
+                SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM banded a JOIN banded b
+                  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                JOIN off ON b.vec_id = a.vec_id + off.o),
+              truth AS (
+                SELECT e.vec_id AS a_id, c.vec_id AS b_id,
+                  ${sqlCosineCols("e.v", "c.v")} AS cos
+                FROM e JOIN copies c
+                  ON c.vec_id = e.vec_id + (SELECT o FROM off)
+                WHERE ${sqlCosineCols("e.v", "c.v")} >= 0.85)
+              SELECT t.n_true, r.n_recalled,
+                ROUND(r.n_recalled::DOUBLE / t.n_true, 4) AS recall,
+                t.avg_cos
+              FROM (SELECT COUNT(*) AS n_true,
+                      ${Arith.sqlAvg("cos")} AS avg_cos FROM truth) t,
+                   (SELECT COUNT(*) AS n_recalled FROM truth
+                    JOIN cand USING (a_id, b_id)) r"""))
   )
 }

@@ -29,8 +29,17 @@ object TextOps {
     Tables(s, d, "documents")
 
   /** English function words used by the language-ID / quality heuristics.
-    * Kept tiny and mirrored verbatim in the oracle SQL. */
-  private val stopRegex = "^(a|the|of|and|to|in)$"
+    * Kept tiny and mirrored verbatim in the oracle SQL (whose
+    * regexp_matches('^(a|the|of|and|to|in)$') is exactly set membership).
+    * The Spark side tests membership with `isin` — a literal In over the
+    * token, evaluated as direct string equality — instead of rlike: a
+    * regex-engine invocation per token on the hot text path costs ~3× the
+    * whole query (the r6 bench's slowest non-iterative text row). */
+  private val stopWords = Seq("a", "the", "of", "and", "to", "in")
+
+  /** Count of stop-word tokens in a token-array column (repeats count). */
+  private def nStop(toks: org.apache.spark.sql.Column) =
+    size(filter(toks, t => t.isin(stopWords: _*))).cast("long")
 
   val queries: Seq[Q] = Seq(
 
@@ -83,8 +92,7 @@ object TextOps {
       (s, d) => docs(s, d)
         .withColumn("toks", split(lower(col("text")), " "))
         .withColumn("n_tokens", size(col("toks")).cast("long"))
-        .withColumn("n_stop",
-          size(filter(col("toks"), t => t.rlike(stopRegex))).cast("long"))
+        .withColumn("n_stop", nStop(col("toks")))
         .withColumn("stop_ratio",
           round(col("n_stop").cast("double") / col("n_tokens"), 6))
         .withColumn("pred_lang",
@@ -112,8 +120,7 @@ object TextOps {
           round((col("n_chars") - col("n_tokens") + 1).cast("double") /
             col("n_tokens"), 6))
         .withColumn("stop_ratio",
-          round(size(filter(col("toks"), t => t.rlike(stopRegex)))
-            .cast("double") / col("n_tokens"), 6))
+          round(nStop(col("toks")).cast("double") / col("n_tokens"), 6))
         .withColumn("quality",
           round(least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.5 +
             when(col("mean_word_len").between(3.0, 10.0), 0.3).otherwise(0.0) +
@@ -539,8 +546,7 @@ object TextOps {
           .withColumn("toks", split(col("clean"), " "))
           .withColumn("n_tokens", size(col("toks")).cast("long"))
           .withColumn("stop_ratio",
-            round(size(filter(col("toks"), t => t.rlike(stopRegex)))
-              .cast("double") / col("n_tokens"), 6))
+            round(nStop(col("toks")).cast("double") / col("n_tokens"), 6))
           .withColumn("lang_ok", col("stop_ratio") >= 0.08)
           .withColumn("mean_word_len",
             round((length(col("clean")) - col("n_tokens") + 1).cast("double")

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Arg-parsing contract of the submit CLI (reference mapreduce/submit.py's
+  * flags and defaults) — no Spark session involved. */
+class CliSpec extends AnyFunSuite {
+
+  test("defaults mirror the reference submit CLI") {
+    val j = Cli.parse(Array.empty)
+    assert(j.inputDirectory == "tests/testdata/input")
+    assert(j.outputDirectory == "output")
+    assert(j.numMappers == 2 && j.numReducers == 2)
+  }
+
+  test("flags override defaults") {
+    val j = Cli.parse(Array(
+      "--input", "/in", "--output", "/out",
+      "--mapper", "m.sh", "--reducer", "r.sh",
+      "--nmappers", "4", "--nreducers", "3"))
+    assert(j.inputDirectory == "/in" && j.outputDirectory == "/out")
+    assert(j.mapperExecutable == "m.sh" && j.reducerExecutable == "r.sh")
+    assert(j.numMappers == 4 && j.numReducers == 3)
+  }
+
+  test("a known flag missing its value reports 'missing value'") {
+    val e = intercept[RuntimeException](
+      Cli.parse(Array("--input", "/in", "--output")))
+    assert(e.getMessage.contains("missing value for --output"), e.getMessage)
+  }
+
+  test("an unknown flag reports 'unknown argument'") {
+    val e = intercept[RuntimeException](
+      Cli.parse(Array("--bogus", "x")))
+    assert(e.getMessage.contains("unknown argument: --bogus x"), e.getMessage)
+  }
+}

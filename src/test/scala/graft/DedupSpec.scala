@@ -148,6 +148,49 @@ class DedupSpec extends AnyFunSuite {
       "Materialize.free failed to drop the checkpoint blocks")
   }
 
+  test("reliable-checkpoint CC survives injected task failures (forked)") {
+    // end-to-end exercise of the checkpointEvery path under failure: a
+    // 60-node chain whose edge source fails every task's first attempt,
+    // run in a forked local[2,2] JVM (the shared session is plain local
+    // mode, where any task failure is fatal) — completes with exact labels
+    val code = ForkedJvm.run("graft.CheckpointCcMain", "1g", Seq("60"))
+    assert(code == 0, s"forked checkpoint-CC run exited $code")
+  }
+
+  test("seeded-hyperplane LSH recall holds in its design regime (τ≈0.9)") {
+    // the recall row plants a re-encoded copy of every corpus vector at
+    // cos ≈ 1/√1.25 ≈ 0.894 and probes with 4 bands of 4 seeded-Gaussian
+    // sign bits: expected recall 1-(1-p⁴)⁴ ≈ 0.95 at p = 1-θ/π ≈ 0.85.
+    // Pin the regime (avg planted cos near 0.894) and a conservative
+    // recall floor — corpus-vector planes (q_dedup_embed_lsh's honest
+    // caveat) do NOT clear this bar on clustered corpora.
+    val row = SparkEntry.queries("q_lsh_recall")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    val avgCos = row.getAs[Double]("avg_cos")
+    val recall = row.getAs[Double]("recall")
+    assert(avgCos >= 0.85 && avgCos <= 0.95,
+      s"planted pairs off the τ≈0.9 regime: avg_cos=$avgCos")
+    assert(recall >= 0.6, s"seeded sign-LSH recall $recall below the pin")
+    assert(row.getAs[Long]("n_true") > 0)
+  }
+
+  test("Materialize.free frees through a Project over the checkpoint") {
+    // the kmeansRounds shape: the handle freed per round is
+    // withPrev.drop("prev_bucket") — a Project over the LogicalRDD, not
+    // the LogicalRDD itself. free must traverse the plan, or checkpoint
+    // blocks pin O(rounds) executor memory.
+    import org.apache.spark.storage.StorageLevel
+    val s = spark
+    import s.implicits._
+    val ck = (1 to 100).map(i => (i, i * 2)).toDF("x", "prev").localCheckpoint()
+    val rdd = ck.queryExecution.logical
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
+    assert(rdd.getStorageLevel != StorageLevel.NONE)
+    graft.operators.Materialize.free(ck.drop("prev"))
+    assert(rdd.getStorageLevel == StorageLevel.NONE,
+      "Materialize.free missed a LogicalRDD wrapped in a Project")
+  }
+
   test("star components converge on a chain longer than the round cap") {
     val s = spark
     import s.implicits._

@@ -135,6 +135,20 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_knn_join ranks within buckets, never a cartesian") {
+    // the kNN-join's candidate set is the bucket self-join (equi on
+    // `bucket`); an all-pairs nested loop would be n² at 100 TB
+    val p = plan("q_knn_join")
+    assert(!p.contains("CartesianProduct"), "kNN-join went all-pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_lsh_recall candidates come from a band equi-join, no cartesian") {
+    assert(!plan("q_lsh_recall").contains("CartesianProduct"),
+      "seeded-LSH recall probe degenerated to a cartesian")
+  }
+
   test("q_ann_kmeans broadcasts centroids and partial-aggregates buffers") {
     val p = plan("q_ann_kmeans")
     // both the seeding pass and the reassignment pass broadcast the tiny
