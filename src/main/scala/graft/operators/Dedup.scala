@@ -743,6 +743,53 @@ object Dedup {
                 (MIN(n) = id) AS keep
               FROM r GROUP BY id ORDER BY vec_id""")),
 
+    // ---- exact repeated-substring detection --------------------------------
+    // The window-granular form of exact-substring dedup (Lee et al.,
+    // "Deduplicating Training Data Makes Language Models Better", ACL'22 —
+    // their suffix-array pass finds verbatim spans repeated ACROSS
+    // documents; the scalable dataflow version detects them at fixed
+    // window granularity): every 10-token window is hashed, a window
+    // appearing in ≥ 2 documents is a duplicated span witness, and each
+    // document reports its duplicated-window fraction — the signal used
+    // to cut boilerplate/licenses/templates that exact whole-doc dedup
+    // misses. Shapes: one text scan → per-row distinct window hashes
+    // (codegen'd transform, the text column never shuffles — only 32-char
+    // hashes); the doc-count table joins back by SHUFFLE (window
+    // vocabulary is corpus-sized, per the q_tfidf df-join rule); per-doc
+    // rollup partial-aggregates.
+    Q("q_substring_dup",
+      (s, d) => {
+        val w = docs(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 10)
+          .select(col("doc_id"), explode(array_distinct(
+            transform(sequence(lit(0), size(col("toks")) - 10),
+              i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(10)))))))
+            .as("wh"))
+        val c = w.groupBy("wh").agg(count(lit(1)).as("n_docs"))
+        w.join(c, "wh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            count_if(col("n_docs") >= 2).as("n_dup_windows"),
+            round(count_if(col("n_docs") >= 2).cast("double") /
+              count(lit(1)), 6).as("dup_fraction"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+                SELECT doc_id,
+                  unnest(list_distinct([md5(array_to_string(toks[i:i+9], ' '))
+                    FOR i IN generate_series(1, len(toks) - 9)])) AS wh
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents)
+                WHERE len(toks) >= 10),
+              c AS (SELECT wh, COUNT(*) AS n_docs FROM w GROUP BY wh)
+              SELECT w.doc_id, COUNT(*) AS n_windows,
+                COUNT(*) FILTER (c.n_docs >= 2) AS n_dup_windows,
+                ROUND((COUNT(*) FILTER (c.n_docs >= 2))::DOUBLE / COUNT(*), 6)
+                  AS dup_fraction
+              FROM w JOIN c USING (wh)
+              GROUP BY w.doc_id ORDER BY doc_id""")),
+
     // ---- triangle count over the near-dup graph ---------------------------
     // Graph analytics on the dedup edge list: triangles (3-cliques of
     // mutually-similar docs) witness TRANSITIVE similarity — a cluster

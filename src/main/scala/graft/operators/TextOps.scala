@@ -397,6 +397,90 @@ object TextOps {
               FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
               WHERE len(toks) >= 5 ORDER BY doc_id""")),
 
+    // ---- benchmark decontamination ----------------------------------------
+    // The eval-set overlap check every training corpus must pass before
+    // training: a document sharing ANY 5-token window with a held-out
+    // benchmark is flagged (the n-gram-overlap decontamination rule used
+    // for public LM benchmarks). The "benchmark" here is the first 5
+    // documents — a deterministic stand-in so the definition has an exact
+    // oracle; in production it is an external (and always SMALL) suite,
+    // which is exactly why the scale shape is a BROADCAST left join of
+    // the corpus's window hashes against the eval set: the 100 TB corpus
+    // streams map-side, zero shuffles before the per-doc rollup, and the
+    // text column never leaves the scan (only 32-char hashes flow).
+    Q("q_decontaminate",
+      (s, d) => {
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), explode(array_distinct(
+            transform(sequence(lit(0), size(col("toks")) - 5),
+              i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(5)))))))
+            .as("gh"))
+        // the eval branch re-scans with doc_id < 5 pushed into the scan —
+        // at scale the suite is an external table, not a corpus subset
+        val ev = grams(docs(s, d).filter(col("doc_id") < 5))
+          .select("gh").distinct().withColumn("hit", lit(1L))
+        grams(docs(s, d).filter(col("doc_id") >= 5))
+          .join(broadcast(ev), Seq("gh"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            count(col("hit")).as("n_hits"),
+            (count(col("hit")) > 0).as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+                SELECT doc_id,
+                  unnest(list_distinct([md5(array_to_string(toks[i:i+4], ' '))
+                    FOR i IN generate_series(1, len(toks) - 4)])) AS gh
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents)
+                WHERE len(toks) >= 5),
+              ev AS (SELECT DISTINCT gh FROM g WHERE doc_id < 5)
+              SELECT g.doc_id, COUNT(*) AS n_grams,
+                COUNT(ev.gh) AS n_hits,
+                (COUNT(ev.gh) > 0) AS contaminated
+              FROM g LEFT JOIN ev ON g.gh = ev.gh
+              WHERE g.doc_id >= 5
+              GROUP BY g.doc_id ORDER BY doc_id""")),
+
+    // ---- intra-document repetition ----------------------------------------
+    // The Gopher-style repetition filter: a document whose 3-grams repeat
+    // heavily (1 − distinct/total above threshold) is loops/boilerplate,
+    // not prose. Entirely per-row codegen'd array ops — no shuffle at all
+    // before the determinism sort, so it composes into the q_pipeline
+    // funnel for free at any corpus size.
+    Q("q_repetition",
+      (s, d) => docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("n3", (size(col("toks")) - 2).cast("long"))
+        .withColumn("grams",
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))
+        .withColumn("n3_distinct",
+          size(array_distinct(col("grams"))).cast("long"))
+        .withColumn("rep_fraction", round(lit(1.0) -
+          col("n3_distinct").cast("double") / col("n3"), 6))
+        .withColumn("repetitive", col("rep_fraction") > 0.2)
+        .select(col("doc_id"), col("n3"), col("n3_distinct"),
+          col("rep_fraction"), col("repetitive"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents),
+              f AS (
+                SELECT doc_id, CAST(len(toks) - 2 AS BIGINT) AS n3,
+                  CAST(len(list_distinct([array_to_string(toks[i:i+2], ' ')
+                    FOR i IN generate_series(1, len(toks) - 2)])) AS BIGINT)
+                    AS n3_distinct
+                FROM t WHERE len(toks) >= 3)
+              SELECT doc_id, n3, n3_distinct,
+                ROUND(1.0 - n3_distinct::DOUBLE / n3, 6) AS rep_fraction,
+                (ROUND(1.0 - n3_distinct::DOUBLE / n3, 6) > 0.2)
+                  AS repetitive
+              FROM f ORDER BY doc_id""")),
+
     // ---- deterministic hash sampling -------------------------------------
     // The sampling a training-data pipeline actually ships: hash-bucketed,
     // not RNG'd — the sample is REPRODUCIBLE (same rows on every run, any

@@ -72,6 +72,19 @@ class DedupSpec extends AnyFunSuite {
       s"near-dup hamming $dNear not below unrelated $dFar")
   }
 
+  test("substring-dup flags shared 10-token spans, not unique docs") {
+    // docs 0/1 are verbatim copies (every window shared → fraction 1.0);
+    // doc 2 differs in ONE token near the end, so exactly its windows not
+    // covering that token are duplicated (8 of 11); docs 3/4 are unique
+    val rows = SparkEntry.queries("q_substring_dup")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("dup_fraction")).toMap
+    assert(rows(0L) == 1.0 && rows(1L) == 1.0)
+    assert(rows(2L) > 0.5 && rows(2L) < 1.0,
+      s"near-dup doc should be partially duplicated, got ${rows(2L)}")
+    assert(rows(3L) == 0.0 && rows(4L) == 0.0)
+  }
+
   test("star connected components agree with min-label propagation") {
     val s = spark
     import s.implicits._

@@ -149,6 +149,19 @@ class PlanSpec extends AnyFunSuite {
       "seeded-LSH recall probe degenerated to a cartesian")
   }
 
+  test("q_decontaminate broadcasts the eval set against the corpus scan") {
+    // the benchmark suite is always small: the corpus must stream map-side
+    // through a broadcast join, never shuffle on the window hash
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval-set join not broadcast:\n$p")
+  }
+
+  test("q_repetition is one scan with no join") {
+    val p = plan("q_repetition")
+    assert(!p.contains("Join"), s"q_repetition plans a join:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+  }
+
   test("q_ann_kmeans broadcasts centroids and partial-aggregates buffers") {
     val p = plan("q_ann_kmeans")
     // both the seeding pass and the reassignment pass broadcast the tiny
