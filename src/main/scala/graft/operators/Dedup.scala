@@ -759,13 +759,7 @@ object Dedup {
     // rollup partial-aggregates.
     Q("q_substring_dup",
       (s, d) => {
-        val w = docs(s, d)
-          .withColumn("toks", split(col("text"), " "))
-          .filter(size(col("toks")) >= 10)
-          .select(col("doc_id"), explode(array_distinct(
-            transform(sequence(lit(0), size(col("toks")) - 10),
-              i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(10)))))))
-            .as("wh"))
+        val w = TextOps.windowHashes(docs(s, d), 10)
         val c = w.groupBy("wh").agg(count(lit(1)).as("n_docs"))
         w.join(c, "wh")
           .groupBy("doc_id")

@@ -14,12 +14,17 @@ import org.apache.spark.sql.execution.LogicalRDD
   * that is what actually drops the blocks and keeps pinned executor
   * memory O(1) across rounds.
   *
-  * The frame handed in is often not the bare checkpoint but a cheap
-  * projection over it (e.g. kmeansRounds frees `withPrev.drop(col)`, a
-  * Project over the LogicalRDD), so the whole logical plan is traversed
-  * and EVERY LogicalRDD under it is unpersisted — a round's frame never
-  * contains another round's checkpoint (each round starts from its own
-  * materialization), so the traversal cannot free live blocks.
+  * A CacheManager-CACHED frame (the `.persist()` in-between rounds of
+  * the reliable-checkpoint CC path) is freed with plain unpersist FIRST:
+  * its lineage plan still contains the durable rounds' [[LogicalRDD]]s,
+  * which are live for the rest of the run — traversing it would both
+  * unpersist those shared blocks and leak the frame's own cache.
+  *
+  * Otherwise the frame is a checkpoint or a cheap projection over one
+  * (e.g. kmeansRounds frees `withPrev.drop(col)`, a Project over the
+  * LogicalRDD), so the logical plan is traversed and every LogicalRDD
+  * under it is unpersisted — a CHECKPOINTED round's plan was truncated
+  * at materialization, so the only LogicalRDDs under it are its own.
   *
   * After this call the frame is UNRECOMPUTABLE (localCheckpoint already
   * truncated its lineage) — only free a round once its successor is
@@ -27,8 +32,12 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Materialize {
   def free(df: DataFrame): Unit = {
-    val rdds = df.queryExecution.logical.collect { case l: LogicalRDD => l }
-    if (rdds.isEmpty) df.unpersist(blocking = false)
-    else rdds.foreach(_.rdd.unpersist(blocking = false))
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      df.unpersist(blocking = false)
+    else {
+      val rdds = df.queryExecution.logical.collect { case l: LogicalRDD => l }
+      if (rdds.isEmpty) df.unpersist(blocking = false)
+      else rdds.foreach(_.rdd.unpersist(blocking = false))
+    }
   }
 }

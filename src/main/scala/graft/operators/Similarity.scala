@@ -78,7 +78,10 @@ object Similarity {
       threshold: Double,
       blocks: Int): org.apache.spark.rdd.RDD[(Long, Long, Double)] = {
     val bucketed = vecs
-      .map { case (id, v) => ((id % blocks).toInt, (id, v)) }
+      // floorMod: a plain % would hand a negative vec_id a NEGATIVE
+      // bucket, outside the 0..blocks-1 pair grid below — the broadcast
+      // arm has no such id dependence, and the two paths must agree
+      .map { case (id, v) => (math.floorMod(id, blocks.toLong).toInt, (id, v)) }
       .groupByKey(blocks)
       .mapValues(_.toArray.sortBy(_._1))
     // The upper-triangle pair grid (ba ≤ bb) is built EXPLICITLY instead
@@ -87,14 +90,20 @@ object Similarity {
     // the first filter — ~2× the task-scheduling and block-replication
     // cost for zero compute. Keying each (ba, bb) pair and joining the
     // block arrays in ships each block ~blocks copies total (vs 2·blocks
-    // under cartesian) and schedules only blocks·(blocks+1)/2 pair tasks.
-    val nPairs = blocks * (blocks + 1) / 2
-    val pairIdx = vecs.sparkContext.parallelize(
-      for { a <- 0 until blocks; b <- a until blocks } yield (a, b),
-      math.max(1, blocks))
-    pairIdx.join(bucketed, blocks)          // (ba, (bb, as))
+    // under cartesian) and schedules only blocks·(blocks+1)/2 pair groups.
+    // The grid itself is generated DISTRIBUTED (flatMap over the block
+    // ids, never an O(blocks²) driver-side sequence), pair count stays in
+    // Long (blocks ≈ 65k — a 4 TB corpus — overflows the Int triangle
+    // number), and the join's partition count is capped: past the cap
+    // each task just processes several independent pair groups.
+    val nPairs = blocks.toLong * (blocks + 1) / 2
+    val pairParts = math.min(nPairs, 65536L).toInt.max(1)
+    val pairIdx = vecs.sparkContext
+      .parallelize(0 until blocks, math.max(1, math.min(blocks, 1024)))
+      .flatMap(a => Iterator.range(a, blocks).map(b => (a, b)))
+    pairIdx.join(bucketed, blocks)    // (ba, (bb, as))
       .map { case (ba, (bb, as)) => (bb, (ba, as)) }
-      .join(bucketed, math.max(1, nPairs))  // (bb, ((ba, as), bs))
+      .join(bucketed, pairParts)      // (bb, ((ba, as), bs))
       .map { case (bb, ((ba, as), bs)) => ((ba, as), (bb, bs)) }
       .flatMap { case ((ba, as), (bb, bs)) =>
         for {

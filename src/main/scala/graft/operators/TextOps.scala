@@ -41,6 +41,20 @@ object TextOps {
   private def nStop(toks: org.apache.spark.sql.Column) =
     size(filter(toks, t => t.isin(stopWords: _*))).cast("long")
 
+  /** (doc_id, wh): the distinct md5 hashes of every n-token window of
+    * `text`; documents with fewer than n tokens drop out. One definition
+    * shared by q_substring_dup (n=10) and q_decontaminate (n=5) — and
+    * mirrored verbatim in both oracles — so the window rule cannot drift
+    * between the operators that compare window sets. */
+  private[operators] def windowHashes(
+      df: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame = df
+    .withColumn("toks", split(col("text"), " "))
+    .filter(size(col("toks")) >= n)
+    .select(col("doc_id"), explode(array_distinct(
+      transform(sequence(lit(0), size(col("toks")) - n),
+        i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))))
+      .as("wh"))
+
   val queries: Seq[Q] = Seq(
 
     // ---- word count (the reference's flagship job, Q1-Q4) -----------------
@@ -410,19 +424,12 @@ object TextOps {
     // text column never leaves the scan (only 32-char hashes flow).
     Q("q_decontaminate",
       (s, d) => {
-        def grams(df: org.apache.spark.sql.DataFrame) = df
-          .withColumn("toks", split(col("text"), " "))
-          .filter(size(col("toks")) >= 5)
-          .select(col("doc_id"), explode(array_distinct(
-            transform(sequence(lit(0), size(col("toks")) - 5),
-              i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(5)))))))
-            .as("gh"))
         // the eval branch re-scans with doc_id < 5 pushed into the scan —
         // at scale the suite is an external table, not a corpus subset
-        val ev = grams(docs(s, d).filter(col("doc_id") < 5))
-          .select("gh").distinct().withColumn("hit", lit(1L))
-        grams(docs(s, d).filter(col("doc_id") >= 5))
-          .join(broadcast(ev), Seq("gh"), "left")
+        val ev = windowHashes(docs(s, d).filter(col("doc_id") < 5), 5)
+          .select("wh").distinct().withColumn("hit", lit(1L))
+        windowHashes(docs(s, d).filter(col("doc_id") >= 5), 5)
+          .join(broadcast(ev), Seq("wh"), "left")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_grams"),
             count(col("hit")).as("n_hits"),

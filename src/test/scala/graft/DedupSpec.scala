@@ -204,6 +204,29 @@ class DedupSpec extends AnyFunSuite {
       "Materialize.free missed a LogicalRDD wrapped in a Project")
   }
 
+  test("Materialize.free on a cached frame spares the checkpoint under it") {
+    // the reliable-checkpoint CC loops persist() the in-between rounds;
+    // their lineage still contains the durable rounds' LogicalRDDs, which
+    // stay live — free must unpersist the frame's OWN cache and must NOT
+    // traverse into (and drop) the shared checkpoint blocks
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val ck = (1 to 100).toDF("x").localCheckpoint()
+    val ckRdd = ck.queryExecution.logical
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
+    val derived = ck.withColumn("y", col("x") * 2).persist()
+    derived.count()
+    assert(derived.storageLevel != StorageLevel.NONE)
+    graft.operators.Materialize.free(derived)
+    assert(derived.storageLevel == StorageLevel.NONE,
+      "free left the cached frame's own blocks pinned")
+    assert(ckRdd.getStorageLevel != StorageLevel.NONE,
+      "free dropped the LIVE checkpoint blocks under a cached frame")
+    graft.operators.Materialize.free(ck)
+  }
+
   test("star components converge on a chain longer than the round cap") {
     val s = spark
     import s.implicits._
