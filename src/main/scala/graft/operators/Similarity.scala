@@ -944,6 +944,176 @@ object Similarity {
                 FROM rer)
               WHERE rank <= 3 ORDER BY q_id, rank""")),
 
+    // ---- IVF-PQ composite index (the full FAISS-style ANN stack) ----------
+    // The two index families composed the way a production vector index
+    // ships them: iterated-k-means buckets narrow the search to 2-of-8
+    // probes (IVF), and within buckets vectors are stored as 8-byte PQ
+    // codes over RESIDUALS v − centroid(bucket(v)) — residuals concentrate
+    // near the origin, so the coarse 8-codeword codebook spends its bits
+    // on the part of the vector the bucket assignment hasn't already
+    // explained (Jégou et al., "Product Quantization for Nearest Neighbor
+    // Search", TPAMI'11). Query time: probe the 2 nearest buckets, build
+    // one 8×8 ADC table per (query, probed bucket) from the query's
+    // PER-BUCKET residual, score that bucket's codes by table lookup +
+    // exact decimal sum, re-rank the top-20 by exact cosine. Everything
+    // deterministic (fixed seeding, exact fixed-point centroids, dyadic
+    // residual subtraction, rounded d2, total-order ties) → exact oracle.
+    // At 100 TB: codes are ~1/32 the corpus bytes, the scan per query
+    // touches 2/8 of the code table and NO raw embeddings until the
+    // re-rank's top-20 fetch, and every join is against broadcast-tiny
+    // codebooks/LUTs.
+    Q("q_ann_ivfpq",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = 8; val subDim = 8; val k = 8; val nBuckets = 8
+        val e = Similarity.dropZeroNorm(s,
+          embs(s, d).select(col("vec_id"), col("embedding")))
+        val assigned = kmeansIterate(s, e, nBuckets, 2)
+        val cents = centroidsOf(assigned)
+        // residual = v − its bucket's centroid: float→double is exact and
+        // the subtraction is the same IEEE op both engines run
+        val resid = assigned
+          .join(broadcast(cents), col("bucket") === col("c_id"))
+          .select(col("vec_id"), col("bucket"),
+            zip_with(col("embedding"), col("c_v"),
+              (x, c) => x.cast("double") - c).as("resid"))
+        val cb = pqSubs(resid.filter(col("vec_id") < k)
+            .select(col("vec_id").cast("int").as("code"), col("resid")),
+          "code", "resid", m, subDim, "cw")
+        val codes = resid
+          .select(col("vec_id"), col("bucket"),
+            explode(sequence(lit(0), lit(m - 1))).as("sub"), col("resid"))
+          .select(col("vec_id"), col("bucket"), col("sub"),
+            slice(col("resid"), col("sub") * subDim + 1, lit(subDim))
+              .as("sv"))
+          .join(broadcast(cb), Seq("sub"))
+          .withColumn("d2", pqD2(s, col("sv"), col("cw")))
+          .groupBy("vec_id", "sub")
+          .agg(first(col("bucket")).as("bucket"),
+            min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+        // probe: 2 nearest refined centroids per query (the q_ann_ivf rule)
+        val qw = Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_cos").desc, col("c_id"))
+        val qprobe = e.filter(col("vec_id") < 5)
+          .crossJoin(broadcast(cents))
+          .withColumn("c_cos", cosine(s, col("embedding"), col("c_v")))
+          .withColumn("c_rk", row_number().over(qw))
+          .filter(col("c_rk") <= 2)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_v"),
+            col("c_id").as("bucket"), col("c_v"))
+        // the query's residual is PER PROBED BUCKET (against that bucket's
+        // centroid) — the detail that makes residual ADC distances honest
+        val lut = qprobe
+          .select(col("q_id"), col("bucket"),
+            zip_with(col("q_v"), col("c_v"),
+              (x, c) => x.cast("double") - c).as("qr"))
+          .select(col("q_id"), col("bucket"),
+            explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qr"))
+          .select(col("q_id"), col("bucket"), col("sub"),
+            slice(col("qr"), col("sub") * subDim + 1, lit(subDim)).as("qsv"))
+          .join(broadcast(cb), Seq("sub"))
+          .withColumn("qd2", pqD2(s, col("qsv"), col("cw")))
+          .select(col("q_id"), col("bucket"), col("sub"), col("code"),
+            col("qd2"))
+        val adc = codes.join(broadcast(lut), Seq("bucket", "sub", "code"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy("q_id", "vec_id")
+          .agg(sum(col("qd2").cast("decimal(38,6)")).as("adc"))
+        val cands = adc.withColumn("rk", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))))
+          .filter(col("rk") <= 20)
+        val qv = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+        cands.join(e, Seq("vec_id"))
+          .join(broadcast(qv), Seq("q_id"))
+          .withColumn("cos", cosine(s, col("embedding"), col("q_v")))
+          .withColumn("rank", row_number().over(
+              Window.partitionBy("q_id")
+                .orderBy(col("cos").desc, col("vec_id")))
+            .cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH ${sqlIvfAssign(8, sqlZeroNormWhere)},
+              ${sqlKmeansRounds(2)},
+              ${sqlCentroids("a2", "p")},
+              resid AS (
+                SELECT a.vec_id, a.bucket,
+                  [a.v[i] - c.c_v[i] FOR i IN generate_series(1, 64)] AS r
+                FROM a2 a JOIN centsp c ON a.bucket = c.c_id),
+              subs AS (SELECT m FROM range(0, 8) t(m)),
+              cb AS (
+                SELECT r.vec_id AS code, s.m AS sub,
+                  list_slice(r.r, s.m * 8 + 1, s.m * 8 + 8) AS cw
+                FROM resid r, subs s WHERE r.vec_id < 8),
+              sv AS (
+                SELECT r.vec_id, r.bucket, s.m AS sub,
+                  list_slice(r.r, s.m * 8 + 1, s.m * 8 + 8) AS sv
+                FROM resid r, subs s),
+              enc AS (
+                SELECT vec_id, bucket, sub, code FROM (
+                  SELECT sv.vec_id, sv.bucket, sv.sub, cb.code,
+                    ROUND(
+                      list_sum([sv.sv[i] * sv.sv[i]
+                                FOR i IN generate_series(1, 8)])
+                      - 2.0 * list_sum([sv.sv[i] * cb.cw[i]
+                                        FOR i IN generate_series(1, 8)])
+                      + list_sum([cb.cw[i] * cb.cw[i]
+                                  FOR i IN generate_series(1, 8)]), 6) AS d2
+                  FROM sv JOIN cb ON sv.sub = cb.sub)
+                QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                  ORDER BY d2, code) = 1),
+              qc AS (
+                SELECT e.vec_id, e.v, c.c_id, c.c_v,
+                  ${sqlCosineCols("e.v", "c.c_v")} AS c_cos
+                FROM e, centsp c WHERE e.vec_id < 5),
+              qprobe AS (
+                SELECT vec_id AS q_id, v AS q_v, c_id AS bucket, c_v FROM qc
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                  ORDER BY c_cos DESC, c_id) <= 2),
+              qsub AS (
+                SELECT q_id, bucket, s.m AS sub,
+                  list_slice([q_v[i] - c_v[i]
+                              FOR i IN generate_series(1, 64)],
+                    s.m * 8 + 1, s.m * 8 + 8) AS qsv
+                FROM qprobe, subs s),
+              lut AS (
+                SELECT q_id, qsub.bucket, qsub.sub, cb.code,
+                  ROUND(
+                    list_sum([qsub.qsv[i] * qsub.qsv[i]
+                              FOR i IN generate_series(1, 8)])
+                    - 2.0 * list_sum([qsub.qsv[i] * cb.cw[i]
+                                      FOR i IN generate_series(1, 8)])
+                    + list_sum([cb.cw[i] * cb.cw[i]
+                                FOR i IN generate_series(1, 8)]), 6) AS qd2
+                FROM qsub JOIN cb ON qsub.sub = cb.sub),
+              adc AS (
+                SELECT l.q_id, enc.vec_id,
+                  SUM(CAST(l.qd2 AS DECIMAL(38,6))) AS adc
+                FROM enc JOIN lut l
+                  ON enc.bucket = l.bucket AND enc.sub = l.sub
+                    AND enc.code = l.code
+                WHERE enc.vec_id <> l.q_id
+                GROUP BY l.q_id, enc.vec_id),
+              cands AS (
+                SELECT q_id, vec_id FROM adc
+                QUALIFY row_number() OVER (PARTITION BY q_id
+                  ORDER BY adc, vec_id) <= 20),
+              q1 AS (SELECT vec_id AS q_id, v AS q_v FROM e
+                     WHERE vec_id < 5),
+              rer AS (
+                SELECT t.q_id, t.vec_id,
+                  ${sqlCosineCols("e.v", "q.q_v")} AS cos
+                FROM cands t JOIN e ON e.vec_id = t.vec_id
+                JOIN q1 q ON q.q_id = t.q_id)
+              SELECT q_id, rank, vec_id, cos FROM (
+                SELECT q_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, vec_id) AS rank
+                FROM rer)
+              WHERE rank <= 3 ORDER BY q_id, rank""")),
+
     // ---- seeded-hyperplane LSH recall (sign-LSH in its design regime) -----
     // hyperplaneBands' corpus-vector planes are honest about their low
     // recall at τ=0.45 (q_dedup_embed_lsh's docstring); THIS row measures

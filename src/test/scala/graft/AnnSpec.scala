@@ -30,6 +30,45 @@ class AnnSpec extends AnyFunSuite {
     assert(mean >= 0.5, f"recall collapsed: $mean%.2f")
   }
 
+  test("IVF-PQ recall@3 vs exact top-3 stays above 0.2") {
+    // the composed index pays BOTH approximations (2-of-8 probes AND
+    // 8-codeword residual codes before the exact re-rank) — the floor
+    // pins that the composition still beats noise
+    val s = spark
+    val ivfpq = SparkEntry.queries("q_ann_ivfpq")(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = SparkEntry.queries("q_ann_topk")(s, sfDir)
+      .filter("q_id < 5 AND rk <= 3").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, nn) =>
+      (nn intersect ivfpq.getOrElse(q, Set.empty)).size.toDouble / nn.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF-PQ recall@3 = $mean%.2f over ${recalls.size} queries")
+    assert(mean >= 0.2, f"composed-index recall collapsed: $mean%.2f")
+  }
+
+  test("seeded hyperplanes are dyadic-exact Irwin-Hall samples") {
+    // the cross-engine oracle bet: every plane component must be an exact
+    // multiple of 1/65536 in [-4, 4] (a sum of 8 16-bit uniforms minus the
+    // mean) — any transcendental or non-dyadic term would break bit parity
+    import scala.jdk.CollectionConverters._
+    val planes = graft.operators.Similarity.seededPlanes(spark, "gauss", 16)
+      .collect()
+    assert(planes.length == 16)
+    for (r <- planes) {
+      val v = r.getList[Double](1).asScala
+      assert(v.length == 64)
+      v.foreach { g =>
+        assert(math.abs(g) <= 4.0, s"component $g outside Irwin-Hall range")
+        val scaled = g * 65536.0
+        assert(scaled == math.rint(scaled), s"component $g not dyadic-exact")
+      }
+    }
+  }
+
   test("PQ ADC recall@3 vs exact top-3 stays above 0.3") {
     // An 8-codeword/subspace codebook is still coarse (8 bytes per
     // vector); the floor pins that ADC ranking + exact re-rank still
