@@ -743,6 +743,96 @@ object Dedup {
                 (MIN(n) = id) AS keep
               FROM r GROUP BY id ORDER BY vec_id""")),
 
+    // ---- incremental dedup (new batch vs existing corpus) ------------------
+    // The shape a production pipeline actually runs nightly: dedup an
+    // INCREMENT against the already-deduped corpus, not the whole corpus
+    // against itself. A batch document is dropped if (in priority order)
+    // its content hash exists in the corpus (exact_corpus), an earlier
+    // batch document has the same hash (exact_batch), or it is a verified
+    // near-dup of a corpus document (near_corpus: minhash-band candidates
+    // batch×corpus, exact-Jaccard ≥ 0.5 verify — the q_dedup_minhash
+    // machinery pointed across the two sets instead of self-joined).
+    // Batch/corpus split is doc_id % 5 here (a deterministic stand-in for
+    // the ingest date). Scale shape: only 32-byte digests and ~16-byte
+    // band keys shuffle — never text; the near check costs
+    // O(batch bands ⋈ corpus bands), NOT O(batch × corpus); batch-internal
+    // NEAR dups are left to the next full-corpus pass (documented
+    // pipeline convention — exact batch dups ARE caught).
+    Q("q_dedup_incremental",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val all = docs(s, d)
+        val batch = all.filter(col("doc_id") % 5 === 0)
+        val corpus = all.filter(col("doc_id") % 5 =!= 0)
+        val bHash = batch.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        val cHash = corpus.select(sha2(col("text"), 256).as("h")).distinct()
+          .withColumn("in_corpus", lit(1L))
+        val bSh = shingled(batch).localCheckpoint()
+        val cSh = shingled(corpus).localCheckpoint()
+        val nearHit = minhashBands(s, bSh)
+          .select(col("doc_id").as("b_id"), col("band"))
+          .join(minhashBands(s, cSh)
+            .select(col("doc_id").as("c_id"), col("band")), Seq("band"))
+          .select("b_id", "c_id").dropDuplicates("b_id", "c_id")
+          .join(bSh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+            "b_id")
+          .join(cSh.select(col("doc_id").as("c_id"), col("sh").as("c_sh")),
+            "c_id")
+          .filter(jaccard(col("b_sh"), col("c_sh")) >= 0.5)
+          .select(col("b_id").as("doc_id")).distinct()
+          .withColumn("near_corpus", lit(1L))
+        bHash
+          .join(cHash, Seq("h"), "left")
+          .withColumn("first_id",
+            min(col("doc_id")).over(Window.partitionBy("h")))
+          .join(nearHit, Seq("doc_id"), "left")
+          .withColumn("reason",
+            when(col("in_corpus").isNotNull, "exact_corpus")
+              .when(col("doc_id") > col("first_id"), "exact_batch")
+              .when(col("near_corpus").isNotNull, "near_corpus")
+              .otherwise("kept"))
+          .withColumn("keep", col("reason") === "kept")
+          .select(col("doc_id"), col("keep"), col("reason"))
+          .orderBy("doc_id")
+      },
+      // brute-force twin: the near check is exhaustive batch×corpus
+      // Jaccard — it matches because LSH recall at jac ≥ 0.5 is ≈ 1
+      // (r=2/b=64: miss prob < 1e-8, the q_dedup_minhash bet)
+      Some("""WITH b AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+              c AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+              bh AS (SELECT doc_id, sha256(text) AS h FROM b),
+              ch AS (SELECT DISTINCT sha256(text) AS h FROM c),
+              firsts AS (SELECT h, MIN(doc_id) AS first_id FROM bh GROUP BY h),
+              bsh AS (
+                SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                         FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM b)
+                WHERE len(toks) >= 3),
+              csh AS (
+                SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                         FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM c)
+                WHERE len(toks) >= 3),
+              near AS (
+                SELECT DISTINCT bsh.doc_id
+                FROM bsh JOIN csh
+                ON ROUND(len(list_intersect(bsh.sh, csh.sh))::DOUBLE /
+                   len(list_distinct(list_concat(bsh.sh, csh.sh))), 6) >= 0.5)
+              SELECT bh.doc_id,
+                (CASE WHEN ch.h IS NOT NULL THEN 'exact_corpus'
+                      WHEN bh.doc_id > f.first_id THEN 'exact_batch'
+                      WHEN n.doc_id IS NOT NULL THEN 'near_corpus'
+                      ELSE 'kept' END) = 'kept' AS keep,
+                CASE WHEN ch.h IS NOT NULL THEN 'exact_corpus'
+                     WHEN bh.doc_id > f.first_id THEN 'exact_batch'
+                     WHEN n.doc_id IS NOT NULL THEN 'near_corpus'
+                     ELSE 'kept' END AS reason
+              FROM bh
+              LEFT JOIN ch ON bh.h = ch.h
+              JOIN firsts f ON bh.h = f.h
+              LEFT JOIN near n ON bh.doc_id = n.doc_id
+              ORDER BY bh.doc_id""")),
+
     // ---- exact repeated-substring detection --------------------------------
     // The window-granular form of exact-substring dedup (Lee et al.,
     // "Deduplicating Training Data Makes Language Models Better", ACL'22 —

@@ -72,6 +72,16 @@ class DedupSpec extends AnyFunSuite {
       s"near-dup hamming $dNear not below unrelated $dFar")
   }
 
+  test("incremental dedup drops a batch doc whose copy is in the corpus") {
+    // planted corpus under the doc_id % 5 split: batch = {doc 0}, corpus =
+    // {1..4}; doc 0 is a verbatim copy of corpus doc 1 → exact_corpus drop
+    val rows = SparkEntry.queries("q_dedup_incremental")(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("doc_id") == 0L)
+    assert(!rows(0).getAs[Boolean]("keep"))
+    assert(rows(0).getAs[String]("reason") == "exact_corpus")
+  }
+
   test("substring-dup flags shared 10-token spans, not unique docs") {
     // docs 0/1 are verbatim copies (every window shared → fraction 1.0);
     // doc 2 differs in ONE token near the end, so exactly its windows not
