@@ -274,10 +274,13 @@ object Dedup {
           .select(col("v").as("a"), col("m").as("b"))
           .union(mn2.select(col("u").as("a"), col("m").as("b")))),
         rounds + 1, checkpointEvery)
-      // fixpoint test: same canonical edge set (cheap: anti-join both ways
-      // over the checkpointed sets)
-      stable = small.count() == edges.count() &&
-        small.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
+      // fixpoint test: same canonical edge set — ONE action (a full-outer
+      // join keeping only one-sided rows is the symmetric difference;
+      // empty ⟺ equal sets) instead of two counts plus an anti-join
+      stable = small.withColumn("__l", lit(1))
+        .join(edges.withColumn("__r", lit(1)), Seq("hi", "lo"), "full_outer")
+        .filter(col("__l").isNull || col("__r").isNull)
+        .isEmpty
       Materialize.free(edges)
       edges = small
       rounds += 1

@@ -529,11 +529,26 @@ object Similarity {
     (assigned, changedPerRound.result())
   }
 
-  /** [[kmeansRounds]] as a query building block: the round-capped (or
-    * earlier-stabilized — semantically identical, see kmeansRounds) bucket
-    * assignment. */
+  /** [[kmeansRounds]] as a query building block: exactly `rounds` Lloyd
+    * rounds, WITHOUT the early-stop machinery — a stable round is a no-op
+    * (see kmeansRounds), so the output is identical to the early-stopping
+    * variant, and skipping the per-round changed-count saves one Spark
+    * job (plus the prev_bucket carry) per round for the four queries
+    * built on this. q_ann_kmeans_iter uses [[kmeansRounds]] directly
+    * because AnnSpec pins its changed-count telemetry. */
   def kmeansIterate(s: SparkSession, e: DataFrame, k: Int,
-      rounds: Int): DataFrame = kmeansRounds(s, e, k, rounds)._1
+      rounds: Int): DataFrame = {
+    var assigned = ivfAssign(s, e, k).localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val next = lloydRoundImpl(s, assigned, assigned, trackPrev = false)
+        .localCheckpoint()
+      Materialize.free(assigned)
+      assigned = next
+      r += 1
+    }
+    assigned
+  }
 
   /** The zero-norm predicate as DuckDB text — the oracle twin of
     * [[dropZeroNorm]], passed as sqlIvfAssign's eWhere so both engines

@@ -149,6 +149,15 @@ class PlanSpec extends AnyFunSuite {
       "seeded-LSH recall probe degenerated to a cartesian")
   }
 
+  test("q_dedup_incremental and q_ann_ivfpq never plan a cartesian") {
+    // incremental near-dup candidates come from the batch×corpus BAND
+    // equi-join; IVF-PQ scoring joins codes against broadcast LUTs
+    assert(!plan("q_dedup_incremental").contains("CartesianProduct"),
+      "incremental dedup went all-pairs")
+    assert(!plan("q_ann_ivfpq").contains("CartesianProduct"),
+      "IVF-PQ scoring went all-pairs")
+  }
+
   test("q_decontaminate broadcasts the eval set against the corpus scan") {
     // the benchmark suite is always small: the corpus must stream map-side
     // through a broadcast join, never shuffle on the window hash
