@@ -274,13 +274,14 @@ object Dedup {
           .select(col("v").as("a"), col("m").as("b"))
           .union(mn2.select(col("u").as("a"), col("m").as("b")))),
         rounds + 1, checkpointEvery)
-      // fixpoint test: same canonical edge set — ONE action (a full-outer
-      // join keeping only one-sided rows is the symmetric difference;
-      // empty ⟺ equal sets) instead of two counts plus an anti-join
-      stable = small.withColumn("__l", lit(1))
-        .join(edges.withColumn("__r", lit(1)), Seq("hi", "lo"), "full_outer")
-        .filter(col("__l").isNull || col("__r").isNull)
-        .isEmpty
+      // fixpoint test: same canonical edge set. The count equality guard
+      // is load-bearing at scale: counts are shuffle-free scans over the
+      // materialized sets and differ in every NON-stable round, so the
+      // set-comparison join (which exchanges both full edge lists) runs
+      // only in the one round that actually converged. Given equal counts
+      // and distinct sets, small∖edges = ∅ ⟺ equality.
+      stable = small.count() == edges.count() &&
+        small.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
       Materialize.free(edges)
       edges = small
       rounds += 1
@@ -756,11 +757,14 @@ object Dedup {
     // batch×corpus, exact-Jaccard ≥ 0.5 verify — the q_dedup_minhash
     // machinery pointed across the two sets instead of self-joined).
     // Batch/corpus split is doc_id % 5 here (a deterministic stand-in for
-    // the ingest date). Scale shape: only 32-byte digests and ~16-byte
-    // band keys shuffle — never text; the near check costs
-    // O(batch bands ⋈ corpus bands), NOT O(batch × corpus); batch-internal
-    // NEAR dups are left to the next full-corpus pass (documented
-    // pipeline convention — exact batch dups ARE caught).
+    // the ingest date). Scale shape: candidate GENERATION shuffles only
+    // 32-byte digests and ~16-byte band keys — never text — and costs
+    // O(batch bands ⋈ corpus bands), NOT O(batch × corpus); the exact-
+    // Jaccard verify then joins the candidate ids back to the shingle
+    // tables, which DOES shuffle the (text-sized) shingle sets once —
+    // the same verify cost q_dedup_minhash pays. Batch-internal NEAR
+    // dups are left to the next full-corpus pass (documented pipeline
+    // convention — exact batch dups ARE caught).
     Q("q_dedup_incremental",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -803,9 +807,14 @@ object Dedup {
       // (r=2/b=64: miss prob < 1e-8, the q_dedup_minhash bet)
       Some("""WITH b AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
               c AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
-              bh AS (SELECT doc_id, sha256(text) AS h FROM b),
+              -- first_id via a window (NULL hashes group together), like
+              -- the Spark side: an inner join to a GROUP BY h table would
+              -- DROP a NULL-text batch row that Spark keeps
+              bh AS (
+                SELECT doc_id, sha256(text) AS h,
+                  MIN(doc_id) OVER (PARTITION BY sha256(text)) AS first_id
+                FROM b),
               ch AS (SELECT DISTINCT sha256(text) AS h FROM c),
-              firsts AS (SELECT h, MIN(doc_id) AS first_id FROM bh GROUP BY h),
               bsh AS (
                 SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
                          FOR i IN generate_series(1, len(toks) - 2)]) AS sh
@@ -823,16 +832,15 @@ object Dedup {
                    len(list_distinct(list_concat(bsh.sh, csh.sh))), 6) >= 0.5)
               SELECT bh.doc_id,
                 (CASE WHEN ch.h IS NOT NULL THEN 'exact_corpus'
-                      WHEN bh.doc_id > f.first_id THEN 'exact_batch'
+                      WHEN bh.doc_id > bh.first_id THEN 'exact_batch'
                       WHEN n.doc_id IS NOT NULL THEN 'near_corpus'
                       ELSE 'kept' END) = 'kept' AS keep,
                 CASE WHEN ch.h IS NOT NULL THEN 'exact_corpus'
-                     WHEN bh.doc_id > f.first_id THEN 'exact_batch'
+                     WHEN bh.doc_id > bh.first_id THEN 'exact_batch'
                      WHEN n.doc_id IS NOT NULL THEN 'near_corpus'
                      ELSE 'kept' END AS reason
               FROM bh
               LEFT JOIN ch ON bh.h = ch.h
-              JOIN firsts f ON bh.h = f.h
               LEFT JOIN near n ON bh.doc_id = n.doc_id
               ORDER BY bh.doc_id""")),
 

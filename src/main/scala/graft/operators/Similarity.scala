@@ -501,53 +501,51 @@ object Similarity {
     *         with a strongly decaying changed count)
     */
   private[graft] def kmeansRounds(s: SparkSession, e: DataFrame, k: Int,
-      rounds: Int): (DataFrame, Seq[Long]) = {
+      rounds: Int): (DataFrame, Seq[Long]) =
+    lloydLoop(s, e, k, rounds, track = true)
+
+  /** Exactly `rounds` Lloyd rounds WITHOUT the early-stop machinery — a
+    * stable round is a no-op (see [[kmeansRounds]]), so the output is
+    * identical to the early-stopping variant, and skipping the per-round
+    * changed-count saves one Spark job (plus the prev_bucket carry) per
+    * round. All five kmeans-bucketed queries (q_ann_ivf, q_knn_join,
+    * q_ann_kmeans_iter, q_ann_ivfpq, q_dedup_embed_ivf) build on this;
+    * AnnSpec pins the changed-count telemetry by calling [[kmeansRounds]]
+    * directly. */
+  def kmeansIterate(s: SparkSession, e: DataFrame, k: Int,
+      rounds: Int): DataFrame =
+    lloydLoop(s, e, k, rounds, track = false)._1
+
+  /** Shared loop body of [[kmeansRounds]] / [[kmeansIterate]]. With
+    * `track`, prev_bucket rides along through the reassignment so the
+    * changed count is a filter over the round's own checkpoint — no join
+    * against the previous round's n rows — and the loop early-stops at a
+    * fixed point (semantically a no-op; see kmeansRounds). Each round
+    * frees the superseded round's checkpoint blocks (the UNDERLYING RDD —
+    * Dataset.unpersist is a silent no-op on checkpointed plans, see
+    * Materialize) so pinned executor memory stays O(1), not O(rounds). */
+  private def lloydLoop(s: SparkSession, e: DataFrame, k: Int,
+      rounds: Int, track: Boolean): (DataFrame, Seq[Long]) = {
     var assigned = ivfAssign(s, e, k).localCheckpoint()
     val changedPerRound = Seq.newBuilder[Long]
     var r = 0
     var stable = false
     while (r < rounds && !stable) {
-      // prev_bucket rides along through the reassignment, so the changed
-      // count is a filter over this round's checkpoint — no join against
-      // the previous round's n rows
-      val withPrev = lloydRoundImpl(s, assigned, assigned, trackPrev = true)
+      val round = lloydRoundImpl(s, assigned, assigned, trackPrev = track)
         .localCheckpoint()
-      val next = withPrev.drop("prev_bucket")
-      val changed = withPrev
-        .filter(col("bucket") =!= col("prev_bucket")).count()
-      changedPerRound += changed
-      // the superseded round's checkpoint blocks are dead weight once
-      // `next` is materialized and the changed count is in hand — free
-      // the UNDERLYING RDD (Dataset.unpersist is a silent no-op on
-      // checkpointed plans, see Materialize) so pinned executor memory
-      // stays O(1), not O(rounds)
+      val next =
+        if (track) {
+          val changed = round
+            .filter(col("bucket") =!= col("prev_bucket")).count()
+          changedPerRound += changed
+          stable = changed == 0
+          round.drop("prev_bucket")
+        } else round
       Materialize.free(assigned)
       assigned = next
-      stable = changed == 0
       r += 1
     }
     (assigned, changedPerRound.result())
-  }
-
-  /** [[kmeansRounds]] as a query building block: exactly `rounds` Lloyd
-    * rounds, WITHOUT the early-stop machinery — a stable round is a no-op
-    * (see kmeansRounds), so the output is identical to the early-stopping
-    * variant, and skipping the per-round changed-count saves one Spark
-    * job (plus the prev_bucket carry) per round for the four queries
-    * built on this. q_ann_kmeans_iter uses [[kmeansRounds]] directly
-    * because AnnSpec pins its changed-count telemetry. */
-  def kmeansIterate(s: SparkSession, e: DataFrame, k: Int,
-      rounds: Int): DataFrame = {
-    var assigned = ivfAssign(s, e, k).localCheckpoint()
-    var r = 0
-    while (r < rounds) {
-      val next = lloydRoundImpl(s, assigned, assigned, trackPrev = false)
-        .localCheckpoint()
-      Materialize.free(assigned)
-      assigned = next
-      r += 1
-    }
-    assigned
   }
 
   /** The zero-norm predicate as DuckDB text — the oracle twin of
@@ -829,12 +827,13 @@ object Similarity {
               FROM a1 GROUP BY bucket ORDER BY bucket""")),
 
     // ---- iterated k-means (the real clustering for the IVF index) --------
-    // Lloyd iterated for 4 rounds (early-stopping at a fixed point if one
-    // arrives — NO semantic effect, a stable round is a no-op), so the
-    // oracle simply unrolls all 4 rounds: whatever the data does, both
-    // sides equal the exactly-4-rounds result. AnnSpec pins that the
-    // iteration does real multi-round work at sf0.001 (round-2 changed
-    // count > 0, strong decay across rounds).
+    // Lloyd iterated for exactly 4 rounds (kmeansIterate — no early-stop
+    // machinery, which would be a semantic no-op anyway since a stable
+    // round reproduces itself), so the oracle simply unrolls all 4
+    // rounds: whatever the data does, both sides equal the
+    // exactly-4-rounds result. AnnSpec pins that the iteration does real
+    // multi-round work at sf0.001 (round-2 changed count > 0, strong
+    // decay across rounds) via kmeansRounds' telemetry.
     Q("q_ann_kmeans_iter",
       (s, d) => {
         val e = Similarity.dropZeroNorm(s,
