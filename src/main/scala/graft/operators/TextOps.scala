@@ -527,6 +527,49 @@ object TextOps {
                     ELSE substr(md5(doc_id::VARCHAR), 1, 4) < '8000' END
               ORDER BY doc_id""")),
 
+    // ---- token-budget mixture sampling ------------------------------------
+    // The data-mixing primitive: each source contributes documents up to a
+    // fixed TOKEN budget (n_chars as the stand-in, per q_seq_pack), taken
+    // in a deterministic hash-priority order — the reproducible version of
+    // "sample X tokens from each source" that a training-mix spec needs.
+    // A document is kept iff the running total BEFORE it is under budget,
+    // so every source takes the first document that crosses the line
+    // (budgets fill, never undershoot by a whole document). One shuffle on
+    // `source`, one ordered pass; the hash order (not doc_id order) keeps
+    // the sample unbiased w.r.t. crawl order while staying stable under
+    // corpus growth of OTHER sources.
+    Q("q_sample_budget",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        docs(s, d)
+          .withColumn("prior",
+            sum(col("n_chars")).over(w) - col("n_chars"))
+          .withColumn("keep", col("prior") < 50000L)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            count_if(col("keep")).as("n_kept"),
+            sum(when(col("keep"), col("n_chars")).otherwise(0L))
+              .cast("long").as("chars_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH r AS (
+                SELECT source, n_chars,
+                  SUM(n_chars) OVER (PARTITION BY source
+                    ORDER BY md5(doc_id::VARCHAR), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_chars AS prior
+                FROM documents)
+              SELECT source, COUNT(*) AS n_total,
+                COUNT(*) FILTER (prior < 50000) AS n_kept,
+                CAST(SUM(CASE WHEN prior < 50000 THEN n_chars ELSE 0 END)
+                     AS BIGINT) AS chars_kept
+              FROM r GROUP BY source ORDER BY source""")),
+
     // ---- sequence packing ------------------------------------------------
     // Training-batch assembly: documents are concatenated in a stable
     // order within each source and cut into fixed-budget packs (here 4096
