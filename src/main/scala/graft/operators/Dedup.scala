@@ -78,7 +78,7 @@ object Dedup {
   /** MurmurHash3 x64-128 (Austin Appleby's reference algorithm, public
     * domain) over a byte array: two full-entropy 64-bit lanes for the
     * Kirsch–Mitzenmacher family. */
-  private[operators] def murmur128(data: Array[Byte]): (Long, Long) = {
+  private[graft] def murmur128(data: Array[Byte]): (Long, Long) = {
     val c1 = 0x87c37b91114253d5L
     val c2 = 0x4cf5ad432745937fL
     var h1 = 0L

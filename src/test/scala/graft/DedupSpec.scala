@@ -72,6 +72,25 @@ class DedupSpec extends AnyFunSuite {
       s"near-dup hamming $dNear not below unrelated $dFar")
   }
 
+  test("murmur128 matches Guava's murmur3_128 on every block/tail path") {
+    // the minhash base hasher is hand-rolled (no oracle sees it, so a
+    // broken tail path would only show as silent recall loss) — pin it
+    // byte-identical to the reference implementation on the classpath,
+    // covering lengths 0..64 (all 16 tail lengths × block counts 0..4)
+    val rnd = new scala.util.Random(7)
+    for (len <- 0 to 64; _ <- 1 to 4) {
+      val data = new Array[Byte](len)
+      rnd.nextBytes(data)
+      val (h1, h2) = graft.operators.Dedup.murmur128(data)
+      val bb = java.nio.ByteBuffer
+        .wrap(com.google.common.hash.Hashing.murmur3_128().hashBytes(data)
+          .asBytes())
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      assert((h1, h2) == (bb.getLong(0), bb.getLong(8)),
+        s"murmur128 diverges from Guava at length $len")
+    }
+  }
+
   test("incremental dedup drops a batch doc whose copy is in the corpus") {
     // planted corpus under the doc_id % 5 split: batch = {doc 0}, corpus =
     // {1..4}; doc 0 is a verbatim copy of corpus doc 1 → exact_corpus drop
