@@ -77,7 +77,15 @@ object Dedup {
 
   /** MurmurHash3 x64-128 (Austin Appleby's reference algorithm, public
     * domain) over a byte array: two full-entropy 64-bit lanes for the
-    * Kirsch–Mitzenmacher family. */
+    * Kirsch–Mitzenmacher family.
+    *
+    * Hand-rolled rather than Guava's `Hashing.murmur3_128()` (same
+    * algorithm, same classpath) because Guava's Hasher/HashCode API
+    * allocates two objects plus a byte array PER CALL — this runs once
+    * per shingle on the hottest dedup loop, where a (Long, Long) return
+    * stays allocation-free after escape analysis. DedupSpec pins it
+    * byte-identical to the Guava implementation on every tail/block
+    * path, so the duplication cannot silently drift. */
   private[graft] def murmur128(data: Array[Byte]): (Long, Long) = {
     val c1 = 0x87c37b91114253d5L
     val c2 = 0x4cf5ad432745937fL
