@@ -13,9 +13,18 @@ import graft.{Q, Tables}
   */
 object Complex {
 
-  /** Deterministic scratch dir for the sink round-trip queries. */
-  private def scratch(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-sink-${ProcessHandle.current.pid}/$name"
+  /** Deterministic scratch dir for the sink round-trip queries — the
+    * per-pid root is registered with the shared shutdown-hook cleanup
+    * (Scratch), so repeated bench/test JVMs don't accumulate table
+    * copies under /tmp. */
+  private lazy val scratchRoot: String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft-sink-${ProcessHandle.current.pid}"
+    Scratch.register(root)
+    root
+  }
+
+  private def scratch(name: String): String = s"$scratchRoot/$name"
 
   val queries: Seq[Q] = Seq(
 
@@ -106,7 +115,12 @@ object Complex {
                   epoch_us(CAST(ts AS TIMESTAMP)) AS eus,
                   epoch_us(CAST(ts AS TIMESTAMP)) -
                     lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
-                      (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+                      (PARTITION BY user_id
+                       -- order by the MICROSECOND-truncated time, like the
+                       -- Spark side (whose reader truncates nanos): raw-ts
+                       -- order could invert same-microsecond pairs
+                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+                      AS gap_us
                 FROM events),
               sid AS (
                 SELECT user_id, event_id, eus,
@@ -490,7 +504,12 @@ object Complex {
                   epoch_us(CAST(ts AS TIMESTAMP)) AS eus,
                   epoch_us(CAST(ts AS TIMESTAMP)) -
                     lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
-                      (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+                      (PARTITION BY user_id
+                       -- order by the MICROSECOND-truncated time, like the
+                       -- Spark side (whose reader truncates nanos): raw-ts
+                       -- order could invert same-microsecond pairs
+                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+                      AS gap_us
                 FROM events),
               s AS (
                 SELECT user_id, eus,

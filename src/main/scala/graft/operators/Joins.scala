@@ -68,25 +68,10 @@ object Joins {
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
         .saveAsTable(tCustomer)
     }
-    registerScratchCleanup(base)
+    Scratch.register(base)
     (s.table(tOrders), s.table(tCustomer))
   }
 
-  private val cleanupDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private lazy val cleanupHook: Unit =
-    sys.addShutdownHook {
-      cleanupDirs.forEach { dir =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(new java.io.File(dir))
-      }
-    }
-  private def registerScratchCleanup(dir: String): Unit = {
-    cleanupDirs.add(dir); cleanupHook
-  }
 
   /** Generic as-of join: for each left row, the single latest right row
     * with the same key and right time ≤ (or <) left time.
@@ -295,9 +280,17 @@ object Joins {
       // STRICT semantics, robust to same-timestamp ties: the RANGE frame
       // admits only strictly-earlier timestamps (a lag() would admit
       // same-ts rows with smaller event_id, diverging from the engine).
+      // The (ts, event_id) tiebreak packs into one HUGEINT key; the 10^12
+      // multiplier keeps it lexicographic while event_id < 10^12 (the id
+      // is a row counter — 10^12 events is ~100 PB of this table, far
+      // past the design point; a 10^6 multiplier would already break at
+      // sf1) and the product ~1.8e27 sits well inside HUGEINT. arg_max
+      // over a struct key would avoid the bound, but DuckDB 1.0's
+      // arg_max does not accept struct ordering keys.
       Some("""SELECT user_id, event_id, event_type,
               arg_max(event_id,
-                  epoch_us(CAST(ts AS TIMESTAMP))::HUGEINT * 1000000 + event_id)
+                  epoch_us(CAST(ts AS TIMESTAMP))::HUGEINT * 1000000000000
+                  + event_id)
                 OVER (PARTITION BY user_id
                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)

@@ -95,9 +95,12 @@ object Streams {
     * never emit and churned users would leak state forever.
     *
     * Within a micro-batch the group iterator is not time-ordered, so events
-    * sort by (ts_us, event_id) first — correct as long as a single user's
-    * events do not straddle micro-batches out of order (the 30-minute
-    * watermark enforces exactly that horizon).
+    * sort by (ts_us, event_id) first. ACROSS batches the watermark only
+    * bounds lateness to the 30-minute horizon — it does not prevent a
+    * within-horizon late event from arriving after the session has
+    * advanced — so the merge extends the session with min(start)/max(end)
+    * rather than overwriting the end (an overwrite would let a late event
+    * REGRESS the session end and mis-split on the next gap test).
     */
   def sessionize(events: Dataset[Ev]): Dataset[Session] = {
     val sp = events.sparkSession
@@ -124,7 +127,8 @@ object Streams {
             sorted.foreach { e =>
               open match {
                 case Some(s) if e.ts_us - s.endUs <= GapUs =>
-                  open = Some(SessionState(s.startUs, e.ts_us, s.n + 1))
+                  open = Some(SessionState(math.min(s.startUs, e.ts_us),
+                    math.max(s.endUs, e.ts_us), s.n + 1))
                 case Some(s) =>
                   closed += Session(userId, s.n, s.startUs, s.endUs)
                   open = Some(SessionState(e.ts_us, e.ts_us, 1))
@@ -186,13 +190,7 @@ object Streams {
     * they would accumulate across rounds in /tmp. */
   private lazy val scratchRoot: java.nio.file.Path = {
     val root = java.nio.file.Files.createTempDirectory("graft-stream-scratch")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-      catch { case _: Throwable => () } // best-effort cleanup
-    }))
+    graft.operators.Scratch.register(root.toString)
     root
   }
 
@@ -297,8 +295,9 @@ object Streams {
         val stream = eventsStream(s, d)
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("value"))
-        val customers = s.read
-          .parquet(s"$d/customer.parquet")
+        // through the Tables loader like every batch query — it is the
+        // single point where per-table read quirks live
+        val customers = graft.Tables(s, d, "customer")
           .select(col("c_custkey"), col("c_mktsegment"))
         val sink = "q_stream_enrich_sink"
         val q = enrich(stream, customers)

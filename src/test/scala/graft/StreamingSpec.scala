@@ -364,6 +364,38 @@ class StreamingSpec extends AnyFunSuite {
       s"expected both idle sessions closed by timeout, got $got")
   }
 
+  test("sessionize: a within-watermark late event cannot regress a session") {
+    // the watermark bounds lateness to 30 min — it does NOT prevent a
+    // within-horizon late event from arriving after the session advanced.
+    // A naive end-overwrite merge would regress the session end and then
+    // mis-split on the next gap test; the min/max merge must not.
+    val s = spark
+    import s.implicits._
+    val m = 60L * 1000000
+    val input = MemoryStream[Ev](s)
+    input.addData(Ev(1, 10 * m, 1), Ev(1, 39 * m, 2)) // session 10m..39m
+    val q = Streams.sessionize(input.toDS()).writeStream
+      .format("memory").queryName("late_regress").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // LATE event at 15m: above the watermark (39m − 30m = 9m) so it is
+      // admitted, and it must extend nothing (end stays 39m)
+      input.addData(Ev(1, 15 * m, 3))
+      q.processAllAvailable()
+      // 60m: gap from the TRUE end (39m) is 21m ≤ 30m → same session; a
+      // regressed end (15m) would make it 45m and wrongly split
+      input.addData(Ev(1, 60 * m, 4))
+      q.processAllAvailable()
+      input.addData(Ev(99, 5000 * m, 99)) // advance watermark → flush
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s.table("late_regress").as[Session].collect()
+      .filter(_.user_id == 1L)
+      .map(x => (x.n_events, x.start_us, x.end_us)).toSet
+    assert(got == Set((4L, 10 * m, 60 * m)),
+      s"late event regressed/split the session: $got")
+  }
+
   test("stream-stream join (clicks x purchases) matches its batch twin") {
     val s = spark
     import s.implicits._
