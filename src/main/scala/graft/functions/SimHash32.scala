@@ -44,7 +44,9 @@ case class SimHash32(child: Expression)
     val text = input.asInstanceOf[UTF8String].toString
     val seen = new java.util.HashSet[String]()
     val votes = new Array[Int](32)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // thread-local reuse (graft.plans.Md5): this eval runs once per ROW,
+    // and a MessageDigest.getInstance is a provider lookup per call
+    val md = graft.plans.Md5.threadDigest()
     // limit -1 keeps trailing empty tokens — matching Spark's split()
     text.split(" ", -1).foreach { tok =>
       if (seen.add(tok)) {

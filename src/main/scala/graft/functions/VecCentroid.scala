@@ -27,6 +27,12 @@ object VecCentroid
   override def reduce(b: (Array[Long], Long),
       a: Array[Float]): (Array[Long], Long) = {
     val acc = if (b._1.isEmpty) new Array[Long](a.length) else b._1
+    // ragged dimensions have no defined centroid — fail loud: silently
+    // truncating (or crashing only when the SHORTER vector arrives first)
+    // would make the result partition-order dependent
+    require(a.length == acc.length,
+      s"VecCentroid: mixed vector dimensions in one group " +
+        s"(${a.length} vs ${acc.length})")
     var i = 0
     while (i < a.length) {
       acc(i) += math.floor(a(i).toDouble * 1e6 + 0.5).toLong
@@ -40,6 +46,9 @@ object VecCentroid
     if (x._1.isEmpty) y
     else if (y._1.isEmpty) x
     else {
+      require(x._1.length == y._1.length,
+        s"VecCentroid: mixed vector dimensions across partitions " +
+          s"(${x._1.length} vs ${y._1.length})")
       var i = 0
       while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
       (x._1, x._2 + y._2)

@@ -70,7 +70,12 @@ object MapReduce {
   def listInputs(spark: SparkSession, dir: String): Seq[String] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(path).filter(_.isFile).map(_.getPath.toString)
+    fs.listStatus(path).filter(_.isFile)
+      // Python's glob("*") skips hidden files — without this, chaining
+      // jobs on a checksummed filesystem would pipe the previous job's
+      // .part-*.crc / ._SUCCESS.crc binary droppings through the mapper
+      .filterNot(_.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
       .sortBy(_.split('/').last).toSeq
   }
 
@@ -106,8 +111,13 @@ object MapReduce {
           spark.sparkContext.union(
             files.map(f => spark.sparkContext.textFile(f).coalesce(1)))
         else
+          // one textFile PER FILE, never a comma-joined path list: a
+          // filename containing a comma (legal everywhere, fine in the
+          // reference's per-file Popen loop) would be split into two
+          // nonexistent paths by textFile's list parsing
           spark.sparkContext.union(
-            groups.map(g => spark.sparkContext.textFile(g.mkString(","))))
+            groups.map(g => spark.sparkContext.union(
+              g.map(f => spark.sparkContext.textFile(f)))))
       input.pipe(Seq(job.mapperExecutable))
     }
   }

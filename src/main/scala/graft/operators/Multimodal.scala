@@ -56,15 +56,22 @@ object Multimodal {
   }
 
   /** STUB: deterministic stand-in for a media decoder. Width/height derive
-    * from the payload length, checksum from the bytes — stable across
-    * engines and runs. */
+    * from the payload BYTE length; the checksum sums the payload's decoded
+    * Unicode CODE POINTS — the same quantity the DuckDB oracle's per-char
+    * `ord()` sums, so parity holds even if the corpus stops being ASCII
+    * (a UTF-8 byte sum would silently diverge on the first 'é'). */
   private def fakeDecode(id: Long, mediaType: String,
       blob: Array[Byte]): Decoded = {
     val w = (blob.length % 64) + 16
     val h = (blob.length % 48) + 9
     var sum = 0L
-    var i = 0
-    while (i < blob.length) { sum += blob(i) & 0xff; i += 1 }
+    val text = new String(blob, java.nio.charset.StandardCharsets.UTF_8)
+    var k = 0
+    while (k < text.length) {
+      val cp = text.codePointAt(k)
+      sum += cp
+      k += Character.charCount(cp)
+    }
     Decoded(id, mediaType, w, h, w.toLong * h, sum)
   }
 

@@ -72,11 +72,21 @@ object Similarity {
   }
 
   /** Core of [[blockedCosineJoin]] on a raw vector RDD — shared with the
-    * custom physical operator (graft.plans.BlockedCosineJoinExec). */
+    * custom physical operator (graft.plans.BlockedCosineJoinExec).
+    *
+    * @param keepNaN  zero-norm pairs have no defined cosine. The API
+    *                 paths drop them (`false` — cosinePairs filters
+    *                 zero-norm rows on the broadcast arm too, so the arms
+    *                 agree). The OPTIMIZER REWRITE passes `true`: the
+    *                 declarative plan it replaces evaluates
+    *                 `round(cosine_sim,6) >= t` under Spark's
+    *                 NaN-is-largest comparison, which PASSES NaN — the
+    *                 rewrite must not change which rows a query returns. */
   def blockedPairs(
       vecs: org.apache.spark.rdd.RDD[(Long, Array[Float])],
       threshold: Double,
-      blocks: Int): org.apache.spark.rdd.RDD[(Long, Long, Double)] = {
+      blocks: Int,
+      keepNaN: Boolean = false): org.apache.spark.rdd.RDD[(Long, Long, Double)] = {
     val bucketed = vecs
       // floorMod: a plain % would hand a negative vec_id a NEGATIVE
       // bucket, outside the 0..blocks-1 pair grid below — the broadcast
@@ -120,13 +130,15 @@ object Similarity {
               nb += bv(k).toDouble * bv(k)
               k += 1
             }
-            // zero-norm vector ⇒ no defined cosine: drop the pair (the
-            // broadcast arm filters such rows out; BigDecimal(NaN) throws)
-            if (na == 0.0 || nb == 0.0) Double.NegativeInfinity
-            else BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+            // zero-norm vector ⇒ no defined cosine: NaN when the caller
+            // needs Spark's NaN-passes-any-threshold semantics, else a
+            // sentinel that the filter drops (BigDecimal(NaN) throws)
+            if (na == 0.0 || nb == 0.0) {
+              if (keepNaN) Double.NaN else Double.NegativeInfinity
+            } else BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
           }
-          if r >= threshold
+          if r.isNaN || r >= threshold
         } yield (math.min(aId, bId), math.max(aId, bId), r)
       }
   }
@@ -139,6 +151,18 @@ object Similarity {
   /** Per-block target for [[blockedCosineJoin]] auto-sizing: each task
     * holds two blocks ⇒ ~128 MB peak per task. */
   val TargetBlockBytes: Long = 64L << 20
+
+  /** Block count for the blocked GEMM at a Catalyst size estimate:
+    * ceil(bytes / TargetBlockBytes) clamped to [2, 2^16]. The clamps are
+    * load-bearing: Catalyst's unknown-stats default is Long.MaxValue —
+    * a truncating .toInt there yields 0, i.e. TWO blocks of half the
+    * corpus each, an OOM at exactly the scale the dispatch exists to
+    * survive — and past 2^16 blocks (≈ 4 TB at the 64 MB target) the
+    * pair-grid size would dominate, so tasks hold proportionally more
+    * than the target instead. */
+  def blocksFor(bytes: BigInt): Int =
+    ((bytes - 1) / TargetBlockBytes + 1)
+      .max(BigInt(2)).min(BigInt(1 << 16)).toInt
 
   /** Exact cosine similarity join with NO driver-side collect: dispatches
     * on Catalyst's own size estimate (plan statistics — no job runs).
@@ -177,8 +201,7 @@ object Similarity {
           .filter(col("cos") >= threshold)
           .select("a_id", "b_id", "cos")
       } else {
-        val blocks = math.max(2, ((bytes - 1) / TargetBlockBytes + 1).toInt)
-        blockedCosineJoin(s, e, threshold, blocks)
+        blockedCosineJoin(s, e, threshold, blocksFor(bytes))
       }
     // unordered: pair sets feed clustering/stats; callers needing a
     // deterministic order (the oracle row) sort at the call site

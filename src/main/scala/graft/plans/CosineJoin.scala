@@ -113,10 +113,23 @@ object RewriteCosineSelfJoin extends Rule[LogicalPlan] {
             org.apache.spark.sql.types.FloatType, _) => true
           case _ => false
         }
-        val sidesOk = l.outputSet.contains(aId) && r.outputSet.contains(bId) &&
-          floatVec(av) && floatVec(bv) &&
-          ((l.outputSet.contains(av) && r.outputSet.contains(bv)) ||
-            (l.outputSet.contains(bv) && r.outputSet.contains(av)))
+        // ORDINAL alignment, not mere membership: the two sides being
+        // canonically equal plans, "same position in each side's output"
+        // is what proves aId/bId (and av/bv) are the SAME underlying
+        // corpus column — membership alone would let a join of id against
+        // a DIFFERENT column (or cosine of two different vector columns)
+        // rewrite into same-column semantics. The exec also hard-codes
+        // getLong for ids, so only LongType ids may rewrite.
+        def ordinal(side: LogicalPlan, a: Attribute): Int =
+          side.output.indexWhere(_.exprId == a.exprId)
+        val vecAligned =
+          (ordinal(l, av) >= 0 && ordinal(l, av) == ordinal(r, bv)) ||
+            (ordinal(l, bv) >= 0 && ordinal(l, bv) == ordinal(r, av))
+        val sidesOk =
+          ordinal(l, aId) >= 0 && ordinal(l, aId) == ordinal(r, bId) &&
+          aId.dataType == org.apache.spark.sql.types.LongType &&
+          bId.dataType == org.apache.spark.sql.types.LongType &&
+          floatVec(av) && floatVec(bv) && vecAligned
         // every conjunct must be accounted for — else no rewrite. The
         // threshold must compare THE PAIR cosine (same operand attrs as
         // the projected one, either order); an IsNotNull is absorbable
@@ -149,9 +162,10 @@ object RewriteCosineSelfJoin extends Rule[LogicalPlan] {
         if (sidesOk && pairOrder && thrs.nonEmpty && allKnown && selfJoin &&
           size > BigInt(maxBytes)) {
           val vecAttr = if (l.outputSet.contains(av)) av else bv
-          val blocks = math.max(2,
-            ((size.min(BigInt(Long.MaxValue)).toLong - 1) /
-              Similarity.TargetBlockBytes + 1).toInt)
+          // clamped in Similarity.blocksFor — Catalyst's unknown-stats
+          // default (Long.MaxValue) must not truncate to a tiny block
+          // count and defeat the OOM protection this rewrite exists for
+          val blocks = Similarity.blocksFor(size)
           Some(CosineSelfJoin(
             Project(Seq(aId, vecAttr), l), // pin (id, vec) ordinals for exec
             thrs.max, blocks, Seq(outA, outB, al.toAttribute)))
@@ -195,10 +209,14 @@ case class BlockedCosineJoinExec(
       }
     }
     val types = output.map(_.dataType).toArray
-    Similarity.blockedPairs(vecs, threshold, blocks).mapPartitions { it =>
-      val proj = UnsafeProjection.create(types)
-      it.map { case (a, b, c) => proj(InternalRow(a, b, c)) }
-    }
+    // keepNaN: the declarative plan this exec replaces passes NaN cosines
+    // through the threshold (Spark's NaN-is-largest comparison) — the
+    // rewrite must return the same rows for a corpus with zero-norm rows
+    Similarity.blockedPairs(vecs, threshold, blocks, keepNaN = true)
+      .mapPartitions { it =>
+        val proj = UnsafeProjection.create(types)
+        it.map { case (a, b, c) => proj(InternalRow(a, b, c)) }
+      }
   }
 
   override protected def withNewChildInternal(

@@ -24,6 +24,15 @@ object Md5 {
       MessageDigest.getInstance("MD5")
   }
 
+  /** The per-thread reset digest, for other per-row MD5 hot paths
+    * (SimHash32) — a `MessageDigest.getInstance` is a JCA provider lookup
+    * plus allocation per call. */
+  private[graft] def threadDigest(): MessageDigest = {
+    val md = digests.get()
+    md.reset()
+    md
+  }
+
   /** Non-negative MD5(key) mod n, bit-identical to Python's
     * `int(hexdigest, 16) % n`. */
   def mod(key: String, n: Int): Int =

@@ -76,6 +76,10 @@ object Salt {
   def saltedSumCount(
       df: DataFrame, key: Seq[String], saltFrom: Column, buckets: Int,
       sums: Seq[(String, Column)]): DataFrame = {
+    // same hazard saltedJoin guards: an existing __salt column would be
+    // silently overwritten before the aggregation
+    require(!df.columns.contains("__salt"),
+      "saltedSumCount input must not already contain a __salt column")
     val keyCols = key.map(col)
     val partials = count(lit(1)).as("__n") +:
       sums.zipWithIndex.map { case ((_, c), i) => partialSum(c).as(s"__s$i") }

@@ -62,6 +62,53 @@ class CosineRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrite preserves the declarative plan's zero-norm NaN semantics") {
+    // Spark's NaN-is-largest comparison PASSES a NaN cosine through any
+    // threshold, so a declarative join over a corpus with a zero-norm
+    // vector returns its pairs with cos = NaN. The rewrite must return
+    // the same rows — the API paths (cosinePairs) drop zero-norms up
+    // front, but a SQL user's plan gets whatever semantics it wrote.
+    val s = spark
+    import s.implicits._
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ RewriteCosineSelfJoin
+    s.experimental.extraStrategies =
+      s.experimental.extraStrategies :+ CosineJoinStrategy
+    try {
+      val corpus = Seq(
+        (0L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero-norm
+        (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+        (2L, Array(1.0f, 0.1f, 0.0f, 0.0f))
+      ).toDF("vec_id", "embedding")
+      def selfJoin(e: org.apache.spark.sql.DataFrame) = {
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+        a.join(b, col("a_id") < col("b_id"))
+          .withColumn("cos", round(CosineSim(s, col("a_v"), col("b_v")), 6))
+          .filter(col("cos") >= 0.9)
+          .select("a_id", "b_id", "cos")
+      }
+      // NaN-safe normalization: tuple equality on primitive NaN is false
+      def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.getDouble(2).isNaN) "NaN" else r.getDouble(2).toString))
+        .toSet
+      val want = norm(selfJoin(corpus)) // BNLJ path
+      assert(want.exists(_._3 == "NaN"), s"no NaN pair in baseline: $want")
+      s.conf.set(RewriteCosineSelfJoin.ConfKey, "0")
+      val rewritten = selfJoin(corpus)
+      assert(rewritten.queryExecution.executedPlan.toString
+        .contains("BlockedCosineJoin"))
+      assert(norm(rewritten) == want)
+    } finally {
+      s.conf.unset(RewriteCosineSelfJoin.ConfKey)
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations.filterNot(_ == RewriteCosineSelfJoin)
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies.filterNot(_ == CosineJoinStrategy)
+    }
+  }
+
   test("rule refuses joins whose semantics it cannot absorb") {
     val s = spark
     s.experimental.extraOptimizations =
