@@ -24,9 +24,21 @@ object Tables {
     * timestamp type, so we read it as raw nanos (legacy.parquet.nanosAsLong)
     * and truncate to microseconds. `ts div 1000` keeps the arithmetic in
     * exact integer space (a double division would lose precision at 1e18).
+    *
+    * nanosAsLong is a SESSION-LEVEL engine contract, not a per-read
+    * option (Spark consults SQLConf at schema conversion, so it cannot be
+    * scoped to one DataFrameReader): every nano-precision timestamp
+    * column in the session reads back as a raw BIGINT. The engine's own
+    * sessions (Bench/Verify/tests) pin it at build time; here it is set
+    * only if unset — never toggled back and forth — so concurrent readers
+    * in one session cannot race it, and oracle comparisons must truncate
+    * to microseconds wherever ts order/equality matters (they do — see
+    * the epoch_us(CAST(ts AS TIMESTAMP)) convention).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true"))
+      spark.conf.set(key, "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -39,6 +39,34 @@ object Dedup {
         i => concat_ws(" ", slice(col("toks"), i + 1, lit(3))))))
     .select(col("doc_id"), col("sh"))
 
+  /** DuckDB twin of [[shingled]] as SELECT text over `<src>` — ONE
+    * definition interpolated into every shingle-based oracle, so the
+    * engine and oracle shingle rules cannot drift apart per query. */
+  private def sqlShingled(src: String): String =
+    s"""SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+          FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $src)
+        WHERE len(toks) >= 3"""
+
+  /** DuckDB twin of [[simhash32]] as CTE text over `<src>`: defines `t`,
+    * `v` (per-position votes) and `sig(doc_id, simhash)`. */
+  private def sqlSimhash32(src: String): String =
+    s"""t AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+          FROM $src),
+        v AS (
+          SELECT doc_id,
+            [list_sum([CASE WHEN substr(md5(tok), j, 1)
+                        IN ('8','9','a','b','c','d','e','f')
+                       THEN 1 ELSE -1 END FOR tok IN toks])
+             FOR j IN generate_series(1, 32)] AS votes
+          FROM t),
+        sig AS (
+          SELECT doc_id,
+            CAST(list_sum([CASE WHEN votes[j] > 0 THEN 2**(j-1) ELSE 0 END
+                  FOR j IN generate_series(1, 32)]) AS BIGINT) AS simhash
+          FROM v)"""
+
   /** Exact Jaccard similarity of two string-array columns (distinct sets). */
   private def jaccard(a: Column, b: Column): Column =
     round(size(array_intersect(a, b)).cast("double") /
@@ -275,6 +303,10 @@ object Dedup {
         s"connectedComponents did not converge in $maxRounds rounds " +
           s"($changed labels still changing) — component diameter too " +
           "large for min-label propagation")
+    // the returned labels are a projection over the FINAL round only —
+    // the edge list is dead once the loop exits, and without this every
+    // CC-based query would pin an edge list of blocks until session end
+    Materialize.free(edges)
     labels
   }
 
@@ -386,13 +418,9 @@ object Dedup {
   /** Shared oracle for both clustering rows — brute-forced pairs + a
     * recursive transitive closure; the component minimum is the label, so
     * min-label propagation and large-star/small-star both match it. */
-  private val ClustersOracleSql: String =
-    """WITH RECURSIVE
-       sh AS (
-         SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
-                  FOR i IN generate_series(1, len(toks) - 2)]) AS sh
-         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-         WHERE len(toks) >= 3),
+  private lazy val ClustersOracleSql: String =
+    s"""WITH RECURSIVE
+       sh AS (${sqlShingled("documents")}),
        pairs AS (
          SELECT a.doc_id AS a_id, b.doc_id AS b_id
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -439,10 +467,14 @@ object Dedup {
             col("value"))
           .orderBy("user_id", "event_type")
       },
+      // order by the MICROSECOND-truncated time like the Spark reader
+      // (raw nanosecond order could pick a different survivor for two
+      // versions inside the same microsecond)
       Some("""SELECT user_id, event_type, event_id, value
               FROM events
               QUALIFY row_number() OVER (PARTITION BY user_id, event_type
-                ORDER BY ts DESC, event_id DESC) = 1
+                ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+                  event_id DESC) = 1
               ORDER BY user_id, event_type""")),
 
     // ---- exact dedup ------------------------------------------------------
@@ -468,11 +500,7 @@ object Dedup {
           .select(col("a_id"), col("b_id"), col("jac"))
           .orderBy("a_id", "b_id")
       },
-      Some("""WITH sh AS (
-                SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
-                         FOR i IN generate_series(1, len(toks) - 2)]) AS sh
-                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-                WHERE len(toks) >= 3)
+      Some(s"""WITH sh AS (${sqlShingled("documents")})
               SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                 ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
                       len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
@@ -505,20 +533,8 @@ object Dedup {
     // near-dup grouping over these signatures is a groupBy on bit-bands.
     Q("q_dedup_simhash",
       (s, d) => simhash32(docs(s, d)).orderBy("doc_id"),
-      Some("""WITH t AS (
-                SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-                FROM documents),
-              v AS (
-                SELECT doc_id,
-                  [list_sum([CASE WHEN substr(md5(tok), j, 1)
-                              IN ('8','9','a','b','c','d','e','f')
-                             THEN 1 ELSE -1 END FOR tok IN toks])
-                   FOR j IN generate_series(1, 32)] AS votes
-                FROM t)
-              SELECT doc_id,
-                CAST(list_sum([CASE WHEN votes[j] > 0 THEN 2**(j-1) ELSE 0 END
-                      FOR j IN generate_series(1, 32)]) AS BIGINT) AS simhash
-              FROM v ORDER BY doc_id""")),
+      Some(s"""WITH ${sqlSimhash32("documents")}
+              SELECT doc_id, simhash FROM sig ORDER BY doc_id""")),
 
     // ---- SimHash banded near-dup (LSH over Hamming space) ----------------
     // The grouping the signature exists for — with the two shapes a 100 TB
@@ -564,22 +580,8 @@ object Dedup {
           .filter(col("n_pairs").isNotNull && col("n_pairs") > 0)
           .orderBy("hamming")
       },
-      Some("""WITH t AS (
-                SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-                FROM documents),
-              v AS (
-                SELECT doc_id,
-                  [list_sum([CASE WHEN substr(md5(tok), j, 1)
-                              IN ('8','9','a','b','c','d','e','f')
-                             THEN 1 ELSE -1 END FOR tok IN toks])
-                   FOR j IN generate_series(1, 32)] AS votes
-                FROM t),
-              s AS (
-                SELECT doc_id,
-                  CAST(list_sum([CASE WHEN votes[j] > 0 THEN 2**(j-1) ELSE 0 END
-                        FOR j IN generate_series(1, 32)]) AS BIGINT) AS simhash
-                FROM v),
-              g AS (SELECT simhash, COUNT(*) AS cnt FROM s GROUP BY simhash),
+      Some(s"""WITH ${sqlSimhash32("documents")},
+              g AS (SELECT simhash, COUNT(*) AS cnt FROM sig GROUP BY simhash),
               bands AS (
                 SELECT simhash, cnt, j AS band,
                   (simhash >> (8 * j)) & 255 AS band_val
@@ -615,11 +617,7 @@ object Dedup {
             jaccard(col("a_sh"), col("b_sh")).as("jac"))
           .orderBy("a_id")
       },
-      Some("""WITH sh AS (
-                SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
-                         FOR i IN generate_series(1, len(toks) - 2)]) AS sh
-                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-                WHERE len(toks) >= 3)
+      Some(s"""WITH sh AS (${sqlShingled("documents")})
               SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                 ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
                       len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
@@ -868,7 +866,7 @@ object Dedup {
       // brute-force twin: the near check is exhaustive batch×corpus
       // Jaccard — it matches because LSH recall at jac ≥ 0.5 is ≈ 1
       // (r=2/b=64: miss prob < 1e-8, the q_dedup_minhash bet)
-      Some("""WITH b AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+      Some(s"""WITH b AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
               c AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
               -- first_id via a window (NULL hashes group together), like
               -- the Spark side: an inner join to a GROUP BY h table would
@@ -878,16 +876,8 @@ object Dedup {
                   MIN(doc_id) OVER (PARTITION BY sha256(text)) AS first_id
                 FROM b),
               ch AS (SELECT DISTINCT sha256(text) AS h FROM c),
-              bsh AS (
-                SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
-                         FOR i IN generate_series(1, len(toks) - 2)]) AS sh
-                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM b)
-                WHERE len(toks) >= 3),
-              csh AS (
-                SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
-                         FOR i IN generate_series(1, len(toks) - 2)]) AS sh
-                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM c)
-                WHERE len(toks) >= 3),
+              bsh AS (${sqlShingled("b")}),
+              csh AS (${sqlShingled("c")}),
               near AS (
                 SELECT DISTINCT bsh.doc_id
                 FROM bsh JOIN csh
@@ -975,12 +965,7 @@ object Dedup {
           .agg(count(lit(1)).as("n_triangles"))
         pairs.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
       },
-      Some("""WITH sh AS (
-                SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
-                         FOR i IN generate_series(1, len(toks) - 2)]) AS sh
-                FROM (SELECT doc_id, string_split(text, ' ') AS toks
-                      FROM documents)
-                WHERE len(toks) >= 3),
+      Some(s"""WITH sh AS (${sqlShingled("documents")}),
               p AS (
                 SELECT a.doc_id AS a_id, b.doc_id AS b_id
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id

@@ -224,6 +224,16 @@ private[sources] class TextDirReaderFactory(
       }
       private var current: String = _
       private var emitted = 0
+      // the projection layout is CONSTANT for the whole partition: reuse
+      // one row buffer and precompute which ordinal (if any) carries the
+      // line — get() is the innermost scan loop, and a per-row Seq +
+      // boxed mapping was pure garbage
+      private val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(cols.length)
+      private val lineOrdinals = cols.indices.filter(i => cols(i) == 1)
+      locally {
+        cols.indices.foreach(i => if (cols(i) == 0) row.update(i, fileUtf8))
+      }
 
       override def next(): Boolean = {
         // pushed LIMIT: this partition can contribute at most `limit`
@@ -234,11 +244,11 @@ private[sources] class TextDirReaderFactory(
         current != null
       }
 
-      override def get(): InternalRow = InternalRow.fromSeq(
-        cols.toSeq.map {
-          case 0 => fileUtf8
-          case 1 => UTF8String.fromString(current)
-        })
+      override def get(): InternalRow = {
+        lineOrdinals.foreach(i =>
+          row.update(i, UTF8String.fromString(current)))
+        row
+      }
 
       override def close(): Unit = in.close()
     }
