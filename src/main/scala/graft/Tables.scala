@@ -37,7 +37,7 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    if (!spark.conf.getOption(key).contains("true"))
+    if (spark.conf.getOption(key).isEmpty)
       spark.conf.set(key, "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

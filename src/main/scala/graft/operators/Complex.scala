@@ -383,11 +383,13 @@ object Complex {
     // the heavy side joins once on (hour, type).
     Q("q_events_gapfill",
       (s, d) => {
-        // FLOOR division to the hour bucket, not Spark's truncate-toward-
-        // zero DIV: the oracle's `//` floors, and a pre-1970 timestamp
-        // (negative micros) would otherwise land one bucket higher here.
-        // (l - pmod(l, w)) is exactly divisible, so DIV of it is exact
-        // floor division at any magnitude — no double round-trip.
+        // FLOOR division to the hour bucket on BOTH engines. DuckDB's
+        // integer `//` truncates toward zero (NOT floors), so the oracle
+        // below applies the same (l - pmod(l, w)) subtraction before its
+        // `//`: the numerator is then exactly divisible and truncation
+        // equals floor at any sign. Floor is the right bucket semantics —
+        // a pre-1970 instant belongs to the hour CONTAINING it, not the
+        // one above.
         val e = Tables(s, d, "events")
           .select(
             expr("""(unix_micros(ts) - pmod(unix_micros(ts), 3600000000L))
@@ -405,10 +407,14 @@ object Complex {
             coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
           .orderBy("hour_no", "event_type")
       },
-      Some(s"""WITH e AS (
-                SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 3600
-                    AS hr, event_type, value
+      Some(s"""WITH us AS (
+                SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type,
+                  value
                 FROM events),
+              e AS (
+                SELECT (us - ((us % 3600000000) + 3600000000) % 3600000000)
+                    // 3600000000 AS hr, event_type, value
+                FROM us),
               hours AS (
                 SELECT unnest(generate_series((SELECT MIN(hr) FROM e),
                                               (SELECT MAX(hr) FROM e))) AS hr),
@@ -441,8 +447,9 @@ object Complex {
       (s, d) => Tables(s, d, "events")
         .select(
           pmod(col("user_id"), lit(1024L)).as("d1"),
-          // floor-div to seconds (oracle `//` floors; DIV truncates), then
-          // pmod — agrees with the oracle's pmod-mirror for any sign
+          // floor-div to seconds via the pmod subtraction (DuckDB `//` and
+          // Spark DIV both truncate; the oracle applies the same
+          // subtraction so both floor), then pmod — sign-safe on both
           pmod(expr("""(unix_micros(ts) - pmod(unix_micros(ts), 1000000L))
                        DIV 1000000L"""), lit(1024L)).as("d2"))
         .withColumn("z", expr(
@@ -460,11 +467,14 @@ object Complex {
       // pmod on the Spark side (non-negative) vs DuckDB's sign-following
       // `%`: mirror pmod explicitly with ((x % m) + m) % m so the two
       // engines agree even for negative user_ids / pre-1970 timestamps.
-      Some("""WITH b AS (
-                SELECT ((user_id % 1024) + 1024) % 1024 AS d1,
-                  (((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) % 1024)
-                   + 1024) % 1024 AS d2
+      Some("""WITH us AS (
+                SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
                 FROM events),
+              b AS (
+                SELECT ((user_id % 1024) + 1024) % 1024 AS d1,
+                  ((((us - ((us % 1000000) + 1000000) % 1000000) // 1000000)
+                    % 1024) + 1024) % 1024 AS d2
+                FROM us),
               z AS (
                 SELECT d1, d2,
                   list_sum([((d1 >> i) & 1) * (1::BIGINT << (2 * i))
