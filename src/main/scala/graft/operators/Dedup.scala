@@ -415,6 +415,65 @@ object Dedup {
       .select("a_id", "b_id")
   }
 
+  /** Incremental (batch-vs-corpus) dedup core — factored out of the
+    * q_dedup_incremental registration so DedupSpec can drive it with
+    * planted frames. Drop priority: exact_corpus > exact_batch >
+    * near_corpus > near_batch. `near_batch` drops a batch doc that
+    * near-dups (minhash-band candidates, exact-Jaccard ≥ 0.5 verify) an
+    * EARLIER batch doc — the min-id representative convention
+    * q_dedup_exact's keep-first and the CC min-label rule already use —
+    * regardless of whether that earlier doc itself survives:
+    * non-recursive, so no iteration and an exact SQL oracle. Scale shape:
+    * candidate generation shuffles only 32-byte digests and band keys
+    * (batch bands ⋈ corpus bands + batch-band self-join), never text;
+    * the exact-Jaccard verifies join candidate ids back to the shingle
+    * tables — the same verify cost q_dedup_minhash pays. */
+  def incrementalDedup(s: SparkSession, batch: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bHash = batch.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val cHash = corpus.select(sha2(col("text"), 256).as("h")).distinct()
+      .withColumn("in_corpus", lit(1L))
+    val bSh = shingled(batch).localCheckpoint()
+    val cSh = shingled(corpus).localCheckpoint()
+    val bBands = minhashBands(s, bSh)
+    val nearHit = bBands
+      .select(col("doc_id").as("b_id"), col("band"))
+      .join(minhashBands(s, cSh)
+        .select(col("doc_id").as("c_id"), col("band")), Seq("band"))
+      .select("b_id", "c_id").dropDuplicates("b_id", "c_id")
+      .join(bSh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+        "b_id")
+      .join(cSh.select(col("doc_id").as("c_id"), col("sh").as("c_sh")),
+        "c_id")
+      .filter(jaccard(col("b_sh"), col("c_sh")) >= 0.5)
+      .select(col("b_id").as("doc_id")).distinct()
+      .withColumn("near_corpus", lit(1L))
+    val nearBatch = lshCandidates(bBands)
+      .join(bSh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+        "a_id")
+      .join(bSh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+        "b_id")
+      .filter(jaccard(col("a_sh"), col("b_sh")) >= 0.5)
+      .select(col("b_id").as("doc_id")).distinct()
+      .withColumn("near_batch", lit(1L))
+    bHash
+      .join(cHash, Seq("h"), "left")
+      .withColumn("first_id",
+        min(col("doc_id")).over(Window.partitionBy("h")))
+      .join(nearHit, Seq("doc_id"), "left")
+      .join(nearBatch, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("in_corpus").isNotNull, "exact_corpus")
+          .when(col("doc_id") > col("first_id"), "exact_batch")
+          .when(col("near_corpus").isNotNull, "near_corpus")
+          .when(col("near_batch").isNotNull, "near_batch")
+          .otherwise("kept"))
+      .withColumn("keep", col("reason") === "kept")
+      .select(col("doc_id"), col("keep"), col("reason"))
+      .orderBy("doc_id")
+  }
+
   /** Shared oracle for both clustering rows — brute-forced pairs + a
     * recursive transitive closure; the component minimum is the label, so
     * min-label propagation and large-star/small-star both match it. */
@@ -745,7 +804,11 @@ object Dedup {
     // on the band key — no centroids to train, no Σ bucket² sensitivity
     // to cluster balance), then the SAME exact-cosine verify, so edges ⊆
     // the exact path's edges and every LSH cluster refines an exact
-    // cluster (pinned in DedupSpec). Candidate ids are deduped BEFORE the
+    // cluster (pinned in DedupSpec). Planes are the DATA-INDEPENDENT
+    // seeded Irwin–Hall family (Similarity.seededHyperplaneBands) whose
+    // recall is measured and pinned by q_lsh_recall — corpus-vector
+    // planes would correlate sign bits on clustered corpora and fall
+    // below the Charikar bound. Candidate ids are deduped BEFORE the
     // kernel (a dual-band pair would verify twice), then re-join their
     // vectors. At 100 TB the knobs are nPlanes/bandBits: recall per edge
     // is 1-(1-p^8)^2 with p = 1 - θ/π, ~0.5 at cos 0.9 — a candidate
@@ -761,8 +824,8 @@ object Dedup {
         val e = Tables(s, d, "embeddings")
           .select(col("vec_id"), col("embedding"))
         val ez = Similarity.dropZeroNorm(s, e)
-        val banded = Similarity.hyperplaneBands(s, ez, nPlanes = 16,
-          bandBits = 8)
+        val banded = Similarity.seededHyperplaneBands(s, ez, "gauss",
+          nPlanes = 16, bandBits = 8)
         val cand = banded.select(col("band_idx"), col("band_key"),
             col("vec_id").as("a_id"))
           .join(banded.select(col("band_idx"), col("band_key"),
@@ -785,7 +848,10 @@ object Dedup {
           .orderBy("vec_id")
       },
       Some(s"""WITH RECURSIVE
-              ${Similarity.sqlHyperplaneBands(Similarity.sqlZeroNormWhere)},
+              e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings
+                    WHERE ${Similarity.sqlZeroNormWhere}),
+              ${Similarity.sqlSeededBands("gauss", 16, 8, "e")},
               all_e AS (SELECT vec_id FROM embeddings),
               cand AS (
                 SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
@@ -820,52 +886,21 @@ object Dedup {
     // Batch/corpus split is doc_id % 5 here (a deterministic stand-in for
     // the ingest date). Scale shape: candidate GENERATION shuffles only
     // 32-byte digests and ~16-byte band keys — never text — and costs
-    // O(batch bands ⋈ corpus bands), NOT O(batch × corpus); the exact-
-    // Jaccard verify then joins the candidate ids back to the shingle
-    // tables, which DOES shuffle the (text-sized) shingle sets once —
-    // the same verify cost q_dedup_minhash pays. Batch-internal NEAR
-    // dups are left to the next full-corpus pass (documented pipeline
-    // convention — exact batch dups ARE caught).
+    // O(batch bands ⋈ corpus bands) plus a batch-band self-join, NOT
+    // O(batch × corpus); the exact-Jaccard verify then joins the
+    // candidate ids back to the shingle tables, which DOES shuffle the
+    // (text-sized) shingle sets once — the same verify cost
+    // q_dedup_minhash pays. Batch-internal near-dups are caught too
+    // (near_batch — see incrementalDedup's priority contract).
     Q("q_dedup_incremental",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val all = docs(s, d)
-        val batch = all.filter(col("doc_id") % 5 === 0)
-        val corpus = all.filter(col("doc_id") % 5 =!= 0)
-        val bHash = batch.select(col("doc_id"), sha2(col("text"), 256).as("h"))
-        val cHash = corpus.select(sha2(col("text"), 256).as("h")).distinct()
-          .withColumn("in_corpus", lit(1L))
-        val bSh = shingled(batch).localCheckpoint()
-        val cSh = shingled(corpus).localCheckpoint()
-        val nearHit = minhashBands(s, bSh)
-          .select(col("doc_id").as("b_id"), col("band"))
-          .join(minhashBands(s, cSh)
-            .select(col("doc_id").as("c_id"), col("band")), Seq("band"))
-          .select("b_id", "c_id").dropDuplicates("b_id", "c_id")
-          .join(bSh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
-            "b_id")
-          .join(cSh.select(col("doc_id").as("c_id"), col("sh").as("c_sh")),
-            "c_id")
-          .filter(jaccard(col("b_sh"), col("c_sh")) >= 0.5)
-          .select(col("b_id").as("doc_id")).distinct()
-          .withColumn("near_corpus", lit(1L))
-        bHash
-          .join(cHash, Seq("h"), "left")
-          .withColumn("first_id",
-            min(col("doc_id")).over(Window.partitionBy("h")))
-          .join(nearHit, Seq("doc_id"), "left")
-          .withColumn("reason",
-            when(col("in_corpus").isNotNull, "exact_corpus")
-              .when(col("doc_id") > col("first_id"), "exact_batch")
-              .when(col("near_corpus").isNotNull, "near_corpus")
-              .otherwise("kept"))
-          .withColumn("keep", col("reason") === "kept")
-          .select(col("doc_id"), col("keep"), col("reason"))
-          .orderBy("doc_id")
+        incrementalDedup(s, all.filter(col("doc_id") % 5 === 0),
+          all.filter(col("doc_id") % 5 =!= 0))
       },
-      // brute-force twin: the near check is exhaustive batch×corpus
-      // Jaccard — it matches because LSH recall at jac ≥ 0.5 is ≈ 1
-      // (r=2/b=64: miss prob < 1e-8, the q_dedup_minhash bet)
+      // brute-force twin: the near checks are exhaustive batch×corpus and
+      // batch×batch Jaccard — they match because LSH recall at jac ≥ 0.5
+      // is ≈ 1 (r=2/b=64: miss prob < 1e-8, the q_dedup_minhash bet)
       Some(s"""WITH b AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
               c AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
               -- first_id via a window (NULL hashes group together), like
@@ -882,19 +917,27 @@ object Dedup {
                 SELECT DISTINCT bsh.doc_id
                 FROM bsh JOIN csh
                 ON ROUND(len(list_intersect(bsh.sh, csh.sh))::DOUBLE /
-                   len(list_distinct(list_concat(bsh.sh, csh.sh))), 6) >= 0.5)
+                   len(list_distinct(list_concat(bsh.sh, csh.sh))), 6) >= 0.5),
+              nearb AS (
+                SELECT DISTINCT b2.doc_id
+                FROM bsh b1 JOIN bsh b2 ON b1.doc_id < b2.doc_id
+                WHERE ROUND(len(list_intersect(b1.sh, b2.sh))::DOUBLE /
+                   len(list_distinct(list_concat(b1.sh, b2.sh))), 6) >= 0.5)
               SELECT bh.doc_id,
                 (CASE WHEN ch.h IS NOT NULL THEN 'exact_corpus'
                       WHEN bh.doc_id > bh.first_id THEN 'exact_batch'
                       WHEN n.doc_id IS NOT NULL THEN 'near_corpus'
+                      WHEN nb.doc_id IS NOT NULL THEN 'near_batch'
                       ELSE 'kept' END) = 'kept' AS keep,
                 CASE WHEN ch.h IS NOT NULL THEN 'exact_corpus'
                      WHEN bh.doc_id > bh.first_id THEN 'exact_batch'
                      WHEN n.doc_id IS NOT NULL THEN 'near_corpus'
+                     WHEN nb.doc_id IS NOT NULL THEN 'near_batch'
                      ELSE 'kept' END AS reason
               FROM bh
               LEFT JOIN ch ON bh.h = ch.h
               LEFT JOIN near n ON bh.doc_id = n.doc_id
+              LEFT JOIN nearb nb ON bh.doc_id = nb.doc_id
               ORDER BY bh.doc_id""")),
 
     // ---- exact repeated-substring detection --------------------------------

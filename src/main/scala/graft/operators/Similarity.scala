@@ -216,15 +216,13 @@ object Similarity {
   def dropZeroNorm(s: SparkSession, e: DataFrame): DataFrame =
     e.filter(DotProduct(s, col("embedding"), col("embedding")) > 0.0)
 
-  /** Random-hyperplane (sign) LSH signatures, banded: bit i of a vector's
-    * signature is `sign(dot(v, h_i))` (Charikar's SimHash for cosine space,
-    * STOC'02), and the `nPlanes` bits split into `nPlanes / bandBits`
-    * bands — two vectors are LSH candidates iff they agree on EVERY bit of
-    * at least one band, so candidate generation is an equi-join on
-    * (band_idx, band_key), never an all-pairs scan. Hyperplanes are the
-    * first `nPlanes` corpus vectors — deterministic, so the definition has
-    * an exact SQL oracle (the convention ivfAssign established for
-    * centroid seeding).
+  /** Banded sign-LSH signatures against an arbitrary (h_id, h_v) plane
+    * set — the core of [[seededHyperplaneBands]]. Bit i of a vector's
+    * signature is `sign(dot(v, h_i))` (Charikar's SimHash for cosine
+    * space, STOC'02), and the `nPlanes` bits split into
+    * `nPlanes / bandBits` bands — two vectors are LSH candidates iff they
+    * agree on EVERY bit of at least one band, so candidate generation is
+    * an equi-join on (band_idx, band_key), never an all-pairs scan.
     *
     * Scale shape: one broadcast of the planes, one map-side
     * partial-aggregated groupBy packing bits into band keys (nPlanes rows
@@ -232,19 +230,7 @@ object Similarity {
     * (vec_id, band_idx, band_key) — n·nBands rows, each a few bytes plus
     * the carried embedding. The bit weight is `shiftleft(1L, h_id mod
     * bandBits)` — exact long arithmetic, no float powers.
-    *
-    * @return (vec_id, embedding, band_idx, band_key)
     */
-  def hyperplaneBands(s: SparkSession, e: DataFrame, nPlanes: Int,
-      bandBits: Int): DataFrame =
-    bandsOf(s, e,
-      e.filter(col("vec_id") < nPlanes)
-        .select(col("vec_id").as("h_id"), col("embedding").as("h_v")),
-      nPlanes, bandBits)
-
-  /** Banded sign-LSH signatures against an arbitrary (h_id, h_v) plane
-    * set — the shared core of [[hyperplaneBands]] (corpus-vector planes)
-    * and [[seededHyperplaneBands]] (data-independent seeded planes). */
   private def bandsOf(s: SparkSession, e: DataFrame, planes: DataFrame,
       nPlanes: Int, bandBits: Int): DataFrame = {
     require(nPlanes > 0 && bandBits > 0 && nPlanes % bandBits == 0,
@@ -268,9 +254,9 @@ object Similarity {
   }
 
   /** Deterministic seeded pseudo-Gaussian hyperplanes — DATA-INDEPENDENT
-    * random planes, the fix for [[hyperplaneBands]]' corpus-vector planes
-    * (corpus vectors are not mean-centered, so their sign bits correlate
-    * for clustered corpora and recall falls below the Charikar bound).
+    * random planes (corpus-vector planes would not do: corpus vectors are
+    * not mean-centered, so their sign bits correlate for clustered
+    * corpora and recall falls below the Charikar bound).
     *
     * Component i of plane p is an Irwin–Hall(8) sample centered at 0: the
     * 32 hex chars of md5("<seed>_p_i") split into 8 4-char chunks, each an
@@ -292,8 +278,9 @@ object Similarity {
               i.cast("string"))), k * 4 + 1, lit(4)), 16, 10)
             .cast("double") / 65536.0d) - lit(4.0d)).as("h_v"))
 
-  /** [[hyperplaneBands]] with [[seededPlanes]] instead of corpus vectors.
-    * `e` must carry (vec_id, embedding). */
+  /** Banded sign-LSH signatures over [[seededPlanes]]. `e` must carry
+    * (vec_id, embedding). @return (vec_id, embedding, band_idx,
+    * band_key) */
   def seededHyperplaneBands(s: SparkSession, e: DataFrame, seed: String,
       nPlanes: Int, bandBits: Int, dims: Int = 64): DataFrame =
     bandsOf(s, e, seededPlanes(s, seed, nPlanes, dims), nPlanes, bandBits)
@@ -351,12 +338,91 @@ object Similarity {
     .select(col(idCol), col("sub"),
       slice(col(vecCol), col("sub") * subDim + 1, lit(subDim)).as(outCol))
 
-  /** (code, sub, cw): the per-subspace codebook. */
+  /** (code, sub, cw): the SEED codebook — the first k vectors'
+    * subvectors, the deterministic starting point [[pqTrain]] refines. */
   def pqCodebook(s: SparkSession, e: DataFrame, m: Int, subDim: Int,
       k: Int): DataFrame =
     pqSubs(e.filter(col("vec_id") < k)
         .select(col("vec_id").cast("int").as("code"), col("embedding")),
       "code", "embedding", m, subDim, "cw")
+
+  /** Per-subspace Lloyd-trained PQ codebook: `rounds` L2 k-means rounds
+    * over a seed codebook, per subspace independently. Assignment is the
+    * rounded-d2 argmin with ties to the lowest code (pqD2's total order);
+    * the update is the exact fixed-point micro mean per (sub, code) — the
+    * VecCentroid recipe in native columns: per-element
+    * `floor(x·1e6 + 0.5)` longs sum order-independently, so codewords are
+    * bit-identical across any partitioning and the SQL oracle can unroll
+    * the same rounds ([[sqlPqTrain]]). A codeword that loses every member
+    * drops out (k shrinks — mirrored by the oracle's GROUP BY); unlike
+    * the cosine Lloyd loop there is no zero-norm drop, because L2
+    * distance to a zero codeword is well-defined.
+    *
+    * Scale shape per round: one broadcast of ≤ m·k codewords, one
+    * map-side partial-aggregated argmin over the exploded corpus, one
+    * tiny (sub, code) rollup — the corpus never shuffles. The trained
+    * codebook is checkpointed per round (m·k rows) so the broadcast plan
+    * stays shallow.
+    *
+    * @param sv  (vec_id, sub, sv) subvectors ([[pqSubs]] output)
+    * @param seed  (code, sub, cw) starting codebook
+    */
+  def pqTrain(s: SparkSession, sv: DataFrame, seed: DataFrame,
+      subDim: Int, rounds: Int): DataFrame = {
+    var cb = seed
+    (1 to rounds).foreach { _ =>
+      val assigned = sv.join(broadcast(cb), Seq("sub"))
+        .withColumn("d2", pqD2(s, col("sv"), col("cw")))
+        .groupBy("vec_id", "sub")
+        .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"),
+          first(col("sv")).as("sv"))
+      cb = assigned.groupBy("sub", "code")
+        .agg(array((0 until subDim).map(i =>
+          round(
+            sum(floor(element_at(col("sv"), i + 1).cast("double") * 1e6
+              + lit(0.5d))).cast("double")
+              / (count(lit(1)).cast("double") * 1e6), 6)): _*).as("cw"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** The pqD2 formula as DuckDB text over list columns `a`, `b`. */
+  private def sqlPqD2(a: String, b: String, subDim: Int): String =
+    s"""ROUND(list_sum([$a[i] * $a[i] FOR i IN generate_series(1, $subDim)])
+        - 2.0 * list_sum([$a[i] * $b[i] FOR i IN generate_series(1, $subDim)])
+        + list_sum([$b[i] * $b[i] FOR i IN generate_series(1, $subDim)]),
+        6)"""
+
+  /** DuckDB twin of [[pqTrain]] seeded by the first-k subvectors, as CTE
+    * text over a `sv(vec_id, sub, sv)` CTE: defines `cb0` (seed) and
+    * `pa<r>`/`pu<r>`/`cb<r>` per round — the final codebook is
+    * `cb<rounds>`. */
+  private[operators] def sqlPqTrain(k: Int, subDim: Int,
+      rounds: Int): String = {
+    val seed = s"""cb0 AS (
+          SELECT sub, CAST(vec_id AS INT) AS code, sv AS cw
+          FROM sv WHERE vec_id < $k)"""
+    val roundCtes = (1 to rounds).map { r =>
+      s"""pa$r AS (
+            SELECT vec_id, sub, sv, code FROM (
+              SELECT sv.vec_id, sv.sub, sv.sv, cb.code,
+                ${sqlPqD2("sv.sv", "cb.cw", subDim)} AS d2
+              FROM sv JOIN cb${r - 1} cb ON sv.sub = cb.sub)
+            QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+              ORDER BY d2, code) = 1),
+          pu$r AS (
+            SELECT sub, code, i,
+              ROUND(SUM(CAST(FLOOR(sv[i] * 1000000 + 0.5) AS BIGINT))::DOUBLE
+                / (COUNT(*) * 1000000.0), 6) AS c
+            FROM pa$r, (SELECT unnest(generate_series(1, $subDim)) AS i)
+            GROUP BY sub, code, i),
+          cb$r AS (
+            SELECT sub, code, array_agg(c ORDER BY i) AS cw
+            FROM pu$r GROUP BY sub, code)"""
+    }
+    (seed +: roundCtes).mkString(",\n")
+  }
 
   private def pqD2(s: SparkSession, a: Column, b: Column): Column =
     round(DotProduct(s, a, a) - lit(2.0) * DotProduct(s, a, b)
@@ -370,32 +436,6 @@ object Similarity {
       .withColumn("d2", pqD2(s, col("sv"), col("cw")))
       .groupBy("vec_id", "sub")
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
-
-  /** DuckDB twin of [[hyperplaneBands]] (nPlanes=16, bandBits=8) as CTE
-    * text: defines `e` (typed, filtered vectors), `hyp`, `sig` and
-    * `banded` (vec_id, band_idx, band_key) for oracle queries to build on.
-    * @param eWhere  predicate on `e`, mirroring [[dropZeroNorm]] */
-  private[operators] def sqlHyperplaneBands(eWhere: String): String =
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-              WHERE $eWhere),
-        hyp AS (SELECT vec_id AS h_id, v AS h_v FROM e WHERE vec_id < 16),
-        bits AS (
-          SELECT e.vec_id, h.h_id,
-            CASE WHEN list_sum([e.v[i] * h.h_v[i]
-                                FOR i IN generate_series(1, 64)]) >= 0
-                 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-          FROM e, hyp h),
-        sig AS (
-          SELECT vec_id,
-            SUM(CASE WHEN h_id < 8 THEN bit * (1::BIGINT << h_id)
-                     ELSE 0 END) AS band0,
-            SUM(CASE WHEN h_id >= 8 THEN bit * (1::BIGINT << (h_id - 8))
-                     ELSE 0 END) AS band1
-          FROM bits GROUP BY vec_id),
-        banded AS (
-          SELECT vec_id, 0 AS band_idx, band0 AS band_key FROM sig
-          UNION ALL
-          SELECT vec_id, 1 AS band_idx, band1 AS band_key FROM sig)"""
 
   /** IVF bucket assignment: every vector lands in its nearest-centroid
     * bucket (centroids = the first `nCentroids` vectors — deterministic
@@ -874,7 +914,10 @@ object Similarity {
     // ---- product-quantization ANN (the compressed-index family) ----------
     // PQ completes the index triad: brute force (exact), IVF (partition),
     // PQ (compression). 8 subspaces × 8 codewords squeeze each 64-float
-    // vector to 8 small codes; query-time ADC builds an 8×8 lookup table
+    // vector to 8 small codes; codewords are TRAINED — 2 per-subspace L2
+    // Lloyd rounds over the first-k seed (pqTrain; deterministic
+    // fixed-point means, so the oracle unrolls the identical training).
+    // Query-time ADC builds an 8×8 lookup table
     // of query-subvector→codeword distances per query (one broadcast of
     // 5·8·8 = 320 tiny rows), so scoring the WHOLE corpus is a code
     // lookup + a sum of 8
@@ -890,7 +933,8 @@ object Similarity {
         val m = 8; val subDim = 8; val k = 8
         val e = Similarity.dropZeroNorm(s,
           embs(s, d).select(col("vec_id"), col("embedding")))
-        val cb = pqCodebook(s, e, m, subDim, k)
+        val cb = pqTrain(s, pqSubs(e, "vec_id", "embedding", m, subDim, "sv"),
+          pqCodebook(s, e, m, subDim, k), subDim, rounds = 2)
         val codes = pqEncode(s, e, cb, m, subDim)
         val queries = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
@@ -922,14 +966,11 @@ object Similarity {
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                 WHERE $sqlZeroNormWhere),
               subs AS (SELECT m FROM range(0, 8) t(m)),
-              cb AS (
-                SELECT c.vec_id AS code, s.m AS sub,
-                  list_slice(c.v, s.m * 8 + 1, s.m * 8 + 8) AS cw
-                FROM e c, subs s WHERE c.vec_id < 8),
               sv AS (
                 SELECT e.vec_id, s.m AS sub,
                   list_slice(e.v, s.m * 8 + 1, s.m * 8 + 8) AS sv
                 FROM e, subs s),
+              ${sqlPqTrain(8, 8, 2)},
               enc AS (
                 SELECT vec_id, sub, code FROM (
                   SELECT sv.vec_id, sv.sub, cb.code,
@@ -940,7 +981,7 @@ object Similarity {
                                         FOR i IN generate_series(1, 8)])
                       + list_sum([cb.cw[i] * cb.cw[i]
                                   FOR i IN generate_series(1, 8)]), 6) AS d2
-                  FROM sv JOIN cb ON sv.sub = cb.sub)
+                  FROM sv JOIN cb2 cb ON sv.sub = cb.sub)
                 QUALIFY row_number() OVER (PARTITION BY vec_id, sub
                   ORDER BY d2, code) = 1),
               q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 5),
@@ -957,7 +998,7 @@ object Similarity {
                                       FOR i IN generate_series(1, 8)])
                     + list_sum([cb.cw[i] * cb.cw[i]
                                 FOR i IN generate_series(1, 8)]), 6) AS qd2
-                FROM qsub JOIN cb ON qsub.sub = cb.sub),
+                FROM qsub JOIN cb2 cb ON qsub.sub = cb.sub),
               adc AS (
                 SELECT l.q_id, enc.vec_id,
                   SUM(CAST(l.qd2 AS DECIMAL(38,6))) AS adc
@@ -989,7 +1030,9 @@ object Similarity {
     // near the origin, so the coarse 8-codeword codebook spends its bits
     // on the part of the vector the bucket assignment hasn't already
     // explained (Jégou et al., "Product Quantization for Nearest Neighbor
-    // Search", TPAMI'11). Query time: probe the 2 nearest buckets, build
+    // Search", TPAMI'11); the residual codebook is Lloyd-trained per
+    // subspace (pqTrain, 2 rounds over the first-k seed). Query time:
+    // probe the 2 nearest buckets, build
     // one 8×8 ADC table per (query, probed bucket) from the query's
     // PER-BUCKET residual, score that bucket's codes by table lookup +
     // exact decimal sum, re-rank the top-20 by exact cosine. Everything
@@ -1014,9 +1057,13 @@ object Similarity {
           .select(col("vec_id"), col("bucket"),
             zip_with(col("embedding"), col("c_v"),
               (x, c) => x.cast("double") - c).as("resid"))
-        val cb = pqSubs(resid.filter(col("vec_id") < k)
-            .select(col("vec_id").cast("int").as("code"), col("resid")),
-          "code", "resid", m, subDim, "cw")
+        val cb = pqTrain(s,
+          pqSubs(resid.select(col("vec_id"), col("resid")),
+            "vec_id", "resid", m, subDim, "sv"),
+          pqSubs(resid.filter(col("vec_id") < k)
+              .select(col("vec_id").cast("int").as("code"), col("resid")),
+            "code", "resid", m, subDim, "cw"),
+          subDim, rounds = 2)
         val codes = resid
           .select(col("vec_id"), col("bucket"),
             explode(sequence(lit(0), lit(m - 1))).as("sub"), col("resid"))
@@ -1080,14 +1127,11 @@ object Similarity {
                   [a.v[i] - c.c_v[i] FOR i IN generate_series(1, 64)] AS r
                 FROM a2 a JOIN centsp c ON a.bucket = c.c_id),
               subs AS (SELECT m FROM range(0, 8) t(m)),
-              cb AS (
-                SELECT r.vec_id AS code, s.m AS sub,
-                  list_slice(r.r, s.m * 8 + 1, s.m * 8 + 8) AS cw
-                FROM resid r, subs s WHERE r.vec_id < 8),
               sv AS (
                 SELECT r.vec_id, r.bucket, s.m AS sub,
                   list_slice(r.r, s.m * 8 + 1, s.m * 8 + 8) AS sv
                 FROM resid r, subs s),
+              ${sqlPqTrain(8, 8, 2)},
               enc AS (
                 SELECT vec_id, bucket, sub, code FROM (
                   SELECT sv.vec_id, sv.bucket, sv.sub, cb.code,
@@ -1098,7 +1142,7 @@ object Similarity {
                                         FOR i IN generate_series(1, 8)])
                       + list_sum([cb.cw[i] * cb.cw[i]
                                   FOR i IN generate_series(1, 8)]), 6) AS d2
-                  FROM sv JOIN cb ON sv.sub = cb.sub)
+                  FROM sv JOIN cb2 cb ON sv.sub = cb.sub)
                 QUALIFY row_number() OVER (PARTITION BY vec_id, sub
                   ORDER BY d2, code) = 1),
               qc AS (
@@ -1124,7 +1168,7 @@ object Similarity {
                                       FOR i IN generate_series(1, 8)])
                     + list_sum([cb.cw[i] * cb.cw[i]
                                 FOR i IN generate_series(1, 8)]), 6) AS qd2
-                FROM qsub JOIN cb ON qsub.sub = cb.sub),
+                FROM qsub JOIN cb2 cb ON qsub.sub = cb.sub),
               adc AS (
                 SELECT l.q_id, enc.vec_id,
                   SUM(CAST(l.qd2 AS DECIMAL(38,6))) AS adc

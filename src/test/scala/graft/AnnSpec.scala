@@ -30,10 +30,11 @@ class AnnSpec extends AnyFunSuite {
     assert(mean >= 0.5, f"recall collapsed: $mean%.2f")
   }
 
-  test("IVF-PQ recall@3 vs exact top-3 stays above 0.2") {
+  test("IVF-PQ recall@3 vs exact top-3 stays above 0.45") {
     // the composed index pays BOTH approximations (2-of-8 probes AND
     // 8-codeword residual codes before the exact re-rank) — the floor
-    // pins that the composition still beats noise
+    // pins that the composition still beats noise (measured 0.67 at
+    // sf0.001 with the Lloyd-trained residual codebook)
     val s = spark
     val ivfpq = SparkEntry.queries("q_ann_ivfpq")(s, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
@@ -47,7 +48,7 @@ class AnnSpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.size
     info(f"IVF-PQ recall@3 = $mean%.2f over ${recalls.size} queries")
-    assert(mean >= 0.2, f"composed-index recall collapsed: $mean%.2f")
+    assert(mean >= 0.45, f"composed-index recall collapsed: $mean%.2f")
   }
 
   test("seeded hyperplanes are dyadic-exact Irwin-Hall samples") {
@@ -69,11 +70,12 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
-  test("PQ ADC recall@3 vs exact top-3 stays above 0.3") {
+  test("PQ ADC recall@3 vs exact top-3 stays above 0.55") {
     // An 8-codeword/subspace codebook is still coarse (8 bytes per
     // vector); the floor pins that ADC ranking + exact re-rank still
     // recovers a meaningful fraction of the true neighbors (measured
-    // 0.67 at sf0.001) rather than degenerating to noise.
+    // 0.73 at sf0.001 with the Lloyd-trained codebook, up from 0.67
+    // with first-k codewords) rather than degenerating to noise.
     val s = spark
     val pq = SparkEntry.queries("q_ann_pq")(s, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
@@ -97,7 +99,7 @@ class AnnSpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.size
     info(f"PQ recall@3 = $mean%.2f over ${recalls.size} queries")
-    assert(mean >= 0.3, f"recall collapsed: $mean%.2f")
+    assert(mean >= 0.55, f"recall collapsed: $mean%.2f")
   }
 
   test("k-means reassignment never decreases the cosine objective") {

@@ -204,8 +204,9 @@ class DedupSpec extends AnyFunSuite {
     // cos ≈ 1/√1.25 ≈ 0.894 and probes with 4 bands of 4 seeded-Gaussian
     // sign bits: expected recall 1-(1-p⁴)⁴ ≈ 0.95 at p = 1-θ/π ≈ 0.85.
     // Pin the regime (avg planted cos near 0.894) and a conservative
-    // recall floor — corpus-vector planes (q_dedup_embed_lsh's honest
-    // caveat) do NOT clear this bar on clustered corpora.
+    // recall floor. This is the recall bar for the seeded Irwin–Hall
+    // plane family that q_dedup_embed_lsh now runs on (corpus-vector
+    // planes would NOT clear it on clustered corpora).
     val row = SparkEntry.queries("q_lsh_recall")(
       spark, "/root/testdata/sf0.001").collect()(0)
     val avgCos = row.getAs[Double]("avg_cos")
@@ -316,5 +317,38 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(lsh.exists { case (v, c) => v != c },
       "hyperplane-LSH dedup found no non-singleton cluster")
+  }
+
+  test("incremental dedup assigns every drop reason on planted frames") {
+    // one planted doc per reason, plus priority coverage: doc 15 is a
+    // near-dup of BOTH corpus doc 1 and batch doc 10 — near_corpus must
+    // win over near_batch per incrementalDedup's priority contract.
+    val s = spark
+    import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    val fresh = "totally unrelated fresh content never seen anywhere " +
+      "with many distinct tokens"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "corpus only text that matches nothing else at all today"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                                  // exact_corpus
+      (15L, base.replace("sigma", "SIGMA2")),       // near_corpus
+      (20L, other),                                 // kept (pair min-id)
+      (25L, other.replace("sixteen", "seventeen")), // near_batch (of 20)
+      (30L, fresh),                                 // kept
+      (35L, fresh))                                 // exact_batch (of 30)
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(s, batch, corpus).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("reason"), r.getAs[Boolean]("keep"))).toList
+    assert(out == List(
+      (10L, "exact_corpus", false), (15L, "near_corpus", false),
+      (20L, "kept", true), (25L, "near_batch", false),
+      (30L, "kept", true), (35L, "exact_batch", false)))
   }
 }
