@@ -94,8 +94,29 @@ object Engine {
 
 /** `spark-submit`-able entry point replacing the reference's
   * `mapreduce-submit` CLI; flags and defaults mirror
-  * reference mapreduce/submit.py:25-58. */
+  * reference mapreduce/submit.py:25-58. A `status` subcommand covers the
+  * `bin/mapreduce status` lifecycle check (reference bin/mapreduce:49-60);
+  * start/stop/restart need no counterpart — the session's own lifecycle
+  * (getOrCreate/stop) IS the manager+worker lifecycle here. */
 object Cli {
+
+  /** `bin/mapreduce status` parity: the reference pgreps the
+    * manager/worker processes and exits 0 only when both are up. The
+    * Spark control plane lives in the session registry — a live
+    * SparkContext is the manager, its task slots are the workers — so
+    * status reports that identity. Returns (report lines, exit code) so
+    * CliSpec asserts both without forking a JVM. */
+  private[graft] def status(): (Seq[String], Int) =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .filter(!_.sparkContext.isStopped) match {
+      case Some(s) =>
+        val sc = s.sparkContext
+        (Seq(
+          s"manager: app ${sc.applicationId} on ${sc.master}",
+          s"workers: ${sc.defaultParallelism} task slots"), 0)
+      case None =>
+        (Seq("manager: not running", "workers: not running"), 1)
+    }
 
   /** Flag parsing, factored out for unit testing. Diagnostics distinguish
     * an UNKNOWN flag from a known flag MISSING ITS VALUE (a trailing
@@ -125,13 +146,21 @@ object Cli {
     JobSpec(in, out, mapper, reducer, m, r)
   }
 
-  def main(args: Array[String]): Unit = {
-    val job = parse(args)
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName("graft-mapreduce")
-      .getOrCreate()
-    try Engine.submit(spark, job)
-    finally spark.stop()
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("status") =>
+      val (lines, code) = status()
+      lines.foreach(println)
+      if (code != 0) sys.exit(code)
+    case _ =>
+      // bare flags stay the submit path (mapreduce-submit compat); an
+      // explicit leading `submit` is accepted for bin/mapreduce symmetry
+      val rest = if (args.headOption.contains("submit")) args.drop(1) else args
+      val job = parse(rest)
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .appName("graft-mapreduce")
+        .getOrCreate()
+      try Engine.submit(spark, job)
+      finally spark.stop()
   }
 }

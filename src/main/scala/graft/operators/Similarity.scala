@@ -729,6 +729,28 @@ object Similarity {
               WHERE ${sqlCosine("a", "b")} >= 0.45
               ORDER BY a_id, b_id""")),
 
+    // ---- blocked-GEMM cosine join, forced (the 100 TB arm) ---------------
+    // The same exact join THROUGH the distributed blocked-GEMM arm with
+    // blocks pinned at 8. q_cosine_pairs' size dispatch always takes the
+    // broadcast arm at test/bench scale, so without this row the blocked
+    // operator — the arm that actually runs at 100 TB — would have no
+    // standing correctness row and no bench line for vs_prev to catch
+    // regressions in. 8 blocks exercise the full upper-triangle pair grid
+    // (36 cells), the per-pair block join, and the native kernel; results
+    // are bit-identical to the broadcast arm (same HALF_UP 6dp rounding),
+    // so the row shares q_cosine_pairs' exact oracle.
+    Q("q_cosine_pairs_gemm",
+      (s, d) => blockedCosineJoin(s,
+        embs(s, d).select(col("vec_id"), col("embedding")), 0.45,
+        blocks = 8)
+        .orderBy("a_id", "b_id"),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                ${sqlCosine("a", "b")} AS cos
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE ${sqlCosine("a", "b")} >= 0.45
+              ORDER BY a_id, b_id""")),
+
     // ---- brute-force cosine top-k (the exact baseline) -------------------
     // Rank on the ROUNDED cosine with vec_id tiebreak so ranking is
     // deterministic and engine-independent.

@@ -34,4 +34,15 @@ class CliSpec extends AnyFunSuite {
       Cli.parse(Array("--bogus", "x")))
     assert(e.getMessage.contains("unknown argument: --bogus x"), e.getMessage)
   }
+
+  test("status reports the live session as manager + workers (exit 0)") {
+    // bin/mapreduce status parity: exit 0 only with the control plane up
+    // — here, the live session in this JVM's registry
+    TestSpark.spark // force the shared session into existence
+    val (lines, code) = Cli.status()
+    assert(code == 0, lines.mkString("; "))
+    assert(lines.exists(_.startsWith("manager: app ")), lines.mkString("; "))
+    assert(lines.exists(_.matches("workers: \\d+ task slots")),
+      lines.mkString("; "))
+  }
 }

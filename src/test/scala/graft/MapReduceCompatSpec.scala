@@ -203,6 +203,15 @@ class MapReduceCompatSpec extends AnyFunSuite {
     assert(gotGrep.sameElements(wantGrep))
   }
 
+  test("FIFO admission: a queued job waits for the running job (forked)") {
+    // the delegated C3 ordering pinned observably: in a 1-slot forked JVM
+    // (the shared session has 32 slots — both jobs would just run), the
+    // second of two concurrent submissions starts only after the first
+    // completes. See FifoMain for the timing contract.
+    val code = ForkedJvm.run("graft.FifoMain", "1g", Seq.empty)
+    assert(code == 0, s"forked FIFO run exited $code")
+  }
+
   test("pipePerFile spawns the mapper exactly once per input file") {
     // reference worker/__main__.py:94-101: one Popen per input FILE. A
     // mapper with per-invocation state (here: a header record per run)
