@@ -106,9 +106,12 @@ object Cli {
     * SparkContext is the manager, its task slots are the workers — so
     * status reports that identity. Returns (report lines, exit code) so
     * CliSpec asserts both without forking a JVM. */
-  private[graft] def status(): (Seq[String], Int) =
-    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      .filter(!_.sparkContext.isStopped) match {
+  private[graft] def status(): (Seq[String], Int) = {
+    // filter EACH candidate before orElse: a stale stopped thread-local
+    // active session must not mask a live default session
+    val live = (s: SparkSession) => !s.sparkContext.isStopped
+    SparkSession.getActiveSession.filter(live)
+      .orElse(SparkSession.getDefaultSession.filter(live)) match {
       case Some(s) =>
         val sc = s.sparkContext
         (Seq(
@@ -117,6 +120,7 @@ object Cli {
       case None =>
         (Seq("manager: not running", "workers: not running"), 1)
     }
+  }
 
   /** Flag parsing, factored out for unit testing. Diagnostics distinguish
     * an UNKNOWN flag from a known flag MISSING ITS VALUE (a trailing

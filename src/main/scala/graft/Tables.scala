@@ -29,15 +29,18 @@ object Tables {
     * option (Spark consults SQLConf at schema conversion, so it cannot be
     * scoped to one DataFrameReader): every nano-precision timestamp
     * column in the session reads back as a raw BIGINT. The engine's own
-    * sessions (Bench/Verify/tests) pin it at build time; here it is set
-    * only if unset — never toggled back and forth — so concurrent readers
-    * in one session cannot race it, and oracle comparisons must truncate
+    * sessions (Bench/Verify/tests) pin it at build time; here it is
+    * FORCE-PINNED to true (nanosAsLong is a registered SQLConf, so
+    * `getOption` surfaces the `false` default even when the user never
+    * set it — "set only if unset" is undecidable from the conf API) and
+    * never toggled back, so concurrent readers in one session cannot
+    * race it, and oracle comparisons must truncate
     * to microseconds wherever ts order/equality matters (they do — see
     * the epoch_us(CAST(ts AS TIMESTAMP)) convention).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    if (spark.conf.getOption(key).isEmpty)
+    if (!spark.conf.getOption(key).contains("true"))
       spark.conf.set(key, "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -436,7 +436,10 @@ object Dedup {
       .withColumn("in_corpus", lit(1L))
     val bSh = shingled(batch).localCheckpoint()
     val cSh = shingled(corpus).localCheckpoint()
-    val bBands = minhashBands(s, bSh)
+    // checkpointed: consumed by BOTH the corpus band-join and the
+    // batch-internal self-join below — without it the minhash kernel
+    // runs twice over the batch
+    val bBands = minhashBands(s, bSh).localCheckpoint()
     val nearHit = bBands
       .select(col("doc_id").as("b_id"), col("band"))
       .join(minhashBands(s, cSh)

@@ -90,8 +90,18 @@ object Similarity {
     val bucketed = vecs
       // floorMod: a plain % would hand a negative vec_id a NEGATIVE
       // bucket, outside the 0..blocks-1 pair grid below — the broadcast
-      // arm has no such id dependence, and the two paths must agree
-      .map { case (id, v) => (math.floorMod(id, blocks.toLong).toInt, (id, v)) }
+      // arm has no such id dependence, and the two paths must agree.
+      // The norm is precomputed ONCE per vector here (not per pair): the
+      // accumulation order matches CosineSim exactly (Σ v(k)² ascending,
+      // then sqrt), so dot/(sa·sb) below is bit-identical to the
+      // expression's dot/(sqrt(na)·sqrt(nb)) while cutting the per-pair
+      // inner loop from 3 multiply-adds per element to 1.
+      .map { case (id, v) =>
+        var na = 0.0
+        var k = 0
+        while (k < v.length) { na += v(k).toDouble * v(k); k += 1 }
+        (math.floorMod(id, blocks.toLong).toInt, (id, v, math.sqrt(na)))
+      }
       .groupByKey(blocks)
       .mapValues(_.toArray.sortBy(_._1))
     // The upper-triangle pair grid (ba ≤ bb) is built EXPLICITLY instead
@@ -117,26 +127,30 @@ object Similarity {
       .map { case (bb, ((ba, as), bs)) => ((ba, as), (bb, bs)) }
       .flatMap { case ((ba, as), (bb, bs)) =>
         for {
-          (aId, av) <- as.iterator
-          (bId, bv) <- bs.iterator
+          (aId, av, sa) <- as.iterator
+          (bId, bv, sb) <- bs.iterator
           // same block: each unordered pair appears twice — keep aId < bId;
           // cross block: exactly once, any id order — keep all
           if ba < bb || aId < bId
           r = {
-            var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
-            while (k < av.length) {
-              dot += av(k).toDouble * bv(k)
-              na += av(k).toDouble * av(k)
-              nb += bv(k).toDouble * bv(k)
-              k += 1
-            }
+            var dot = 0.0; var k = 0
+            while (k < av.length) { dot += av(k).toDouble * bv(k); k += 1 }
             // zero-norm vector ⇒ no defined cosine: NaN when the caller
             // needs Spark's NaN-passes-any-threshold semantics, else a
             // sentinel that the filter drops (BigDecimal(NaN) throws)
-            if (na == 0.0 || nb == 0.0) {
+            if (sa == 0.0 || sb == 0.0) {
               if (keepNaN) Double.NaN else Double.NegativeInfinity
-            } else BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            } else {
+              val raw = dot / (sa * sb)
+              // HALF_UP at scale 6 moves a value by at most 5e-7, so a
+              // raw cosine more than 1e-6 below the threshold can never
+              // round up to it — skip the BigDecimal for the ~all of the
+              // n²/2 pairs that lose, paying it only near/above the bar
+              // (bit-identical survivors, no 200M-allocation hot path)
+              if (raw < threshold - 1e-6) Double.NegativeInfinity
+              else BigDecimal(raw)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            }
           }
           if r.isNaN || r >= threshold
         } yield (math.min(aId, bId), math.max(aId, bId), r)
@@ -1218,10 +1232,10 @@ object Similarity {
               WHERE rank <= 3 ORDER BY q_id, rank""")),
 
     // ---- seeded-hyperplane LSH recall (sign-LSH in its design regime) -----
-    // hyperplaneBands' corpus-vector planes are honest about their low
-    // recall at τ=0.45 (q_dedup_embed_lsh's docstring); THIS row measures
-    // the seeded data-independent planes in the regime sign-LSH is built
-    // for: near-identical pairs at cos ≈ 0.9. Each corpus vector gets a
+    // q_dedup_embed_lsh runs on the same seeded plane family this row
+    // measures (Dedup.scala cites it as its recall evidence); THIS row
+    // pins the planes in the regime sign-LSH is built for:
+    // near-identical pairs at cos ≈ 0.9. Each corpus vector gets a
     // deterministic "re-encoded" copy — component i scaled by 1.5 or 0.5
     // on an md5 coin flip, so cos(v, v') ≈ 1/√1.25 ≈ 0.894 independent of
     // the data (exact double arithmetic, identical in both engines). The

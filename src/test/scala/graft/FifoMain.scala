@@ -7,14 +7,18 @@ import org.apache.spark.sql.SparkSession
   * (reference mapreduce/manager/__main__.py:175-189); the engine
   * delegates that queue to Spark's default FIFO scheduler. With ONE task
   * slot (`local[1]`) the delegation is observable: a job submitted while
-  * another runs must wait for the running job's task to finish. Two
-  * threads submit single-task jobs 150 ms apart; the first job's task
-  * sleeps 400 ms. FIFO orders by job id (the first submission wins the
-  * slot even if its task has not launched when the second arrives), so
-  * the second job's task may start only after the first's finishes.
-  * Exits 0 iff that ordering held.
+  * another runs must wait for the running job's task to finish. The
+  * first job's task sleeps 400 ms; the second is submitted only AFTER
+  * the first's task is observed running (a volatile flag set inside the
+  * task closure — local mode executes tasks in this JVM), so the
+  * "submitted while another runs" premise holds even on a loaded
+  * machine where a fixed delay could miss. The second job's task may
+  * then start only after the first's finishes. Exits 0 iff that
+  * ordering held.
   */
 object FifoMain {
+  @volatile private var aStarted = false
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[1]")
@@ -29,6 +33,7 @@ object FifoMain {
     @volatile var bStart = 0L
     val ta = new Thread(() => {
       aEnd = sc.parallelize(Seq(1), 1).map { _ =>
+        FifoMain.aStarted = true
         Thread.sleep(400); System.nanoTime()
       }.collect()(0)
     })
@@ -37,7 +42,11 @@ object FifoMain {
         System.nanoTime()
       }.collect()(0)
     })
-    ta.start(); Thread.sleep(150); tb.start()
+    ta.start()
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (!aStarted && System.nanoTime() < deadline) Thread.sleep(5)
+    assert(aStarted, "job A's task never started within 10 s")
+    tb.start()
     ta.join(); tb.join()
     spark.stop()
     if (aEnd > 0 && bStart > aEnd) sys.exit(0)

@@ -1,0 +1,228 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness (the empirical evidence behind the 100 TB scale
+  * claims): synthesize a `copies`× corpus from sf0.1 by shifted-key
+  * self-union — copy k of doc/vec d gets id `d + k·off` — and run the
+  * flagship dedup/ANN/CC paths on it with per-query wall time, peak task
+  * memory, shuffle write, and spill from a task-metrics listener.
+  *
+  * No DuckDB oracle runs at this scale. Instead the construction gives
+  * EXACT invariants: identical copies have jac/cos = 1, text and
+  * embeddings are unchanged, and ids in copy 0 are the smallest — so the
+  * stress near-dup graph is precisely the ×copies "blow-up" of the sf0.1
+  * graph (edge (x+i·off, y+j·off) iff edge (x,y) or x = y), every stress
+  * component is an sf0.1 component × copies, and its min-label is the
+  * sf0.1 label. Each query's full output is therefore derivable from its
+  * own sf0.1 run, and the harness asserts that derivation EXACTLY
+  * (set-equality via except, both directions) — the same bar as the
+  * oracle gate, at 10× the data. Centroid paths stay exact because
+  * duplicated members scale the fixed-point micro sums and counts by the
+  * same factor, leaving every mean (and so every Lloyd round) unchanged.
+  *
+  * Also asserts survivor-set idempotence: the kept representatives of
+  * the near-dup clustering contain no near-dup pair at all (one rep per
+  * component ⇒ rerunning the pair scan on them returns zero rows).
+  *
+  * args: [srcDir=/root/testdata/sf0.1] [copies=10] [workDir=/tmp/graft_stress]
+  * Exits nonzero if any invariant fails.
+  */
+object StressMain {
+
+  private val peak = new AtomicLong
+  private val shuf = new AtomicLong
+  private val spill = new AtomicLong
+  private var failures = 0
+
+  private def resetMetrics(): Unit = { peak.set(0); shuf.set(0); spill.set(0) }
+
+  private def mb(v: Long): Long = v >> 20
+
+  /** Time the full plan and print one metrics row. `df` is BY-NAME:
+    * several queries (clusters_star, embed_ivf) run their iterative
+    * heavy lifting eagerly during DataFrame CONSTRUCTION
+    * (localCheckpoint rounds), so evaluating the argument before `t0`
+    * would time only the final cheap projection. Unlike Bench's noop
+    * convention this WRITES the result to `outDir` parquet — the
+    * invariant checks below read it back, so each stress query computes
+    * exactly once instead of once per assertion; result sets are tiny
+    * next to the compute they time, so the write cost is noise. */
+  private def timed(name: String, outDir: String, df: => DataFrame): Unit = {
+    resetMetrics()
+    val t0 = System.nanoTime()
+    df.write.mode("overwrite").parquet(s"$outDir/$name")
+    val s = (System.nanoTime() - t0) / 1e9
+    println(f"STRESS| $name%-22s ${s}%7.2f s  peakTask ${mb(peak.get)}%5d MB" +
+      f"  shufW ${mb(shuf.get)}%5d MB  spill ${mb(spill.get)}%5d MB")
+  }
+
+  private def check(name: String, ok: Boolean, detail: => String): Unit =
+    if (ok) println(s"STRESS| invariant ok: $name")
+    else { failures += 1; println(s"STRESS| INVARIANT FAILED: $name — $detail") }
+
+  /** Exact set equality of two frames (same schema), both directions. */
+  private def sameSet(name: String, got: DataFrame, want: DataFrame): Unit = {
+    val extra = got.exceptAll(want).count()
+    val missing = want.exceptAll(got).count()
+    check(name, extra == 0 && missing == 0,
+      s"$extra unexpected rows, $missing missing rows")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val work = if (args.length > 2) args(2) else "/tmp/graft_stress"
+    val spark = Bench.benchSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          peak.getAndAccumulate(m.peakExecutionMemory, math.max(_, _))
+          shuf.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spill.addAndGet(m.memoryBytesSpilled)
+        }
+      }
+    })
+
+    // ---- build the blown-up corpus ---------------------------------------
+    val docs0 = spark.read.parquet(s"$src/documents.parquet")
+    val embs0 = spark.read.parquet(s"$src/embeddings.parquet")
+    val dOff = docs0.agg(max("doc_id")).head.getLong(0) + 1
+    val vOff = embs0.agg(max("vec_id")).head.getLong(0) + 1
+    val nDocs = docs0.count()
+    val nVecs = embs0.count()
+    (0 until copies).map(k =>
+        docs0.withColumn("doc_id", col("doc_id") + lit(k * dOff)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    (0 until copies).map(k =>
+        embs0.withColumn("vec_id", col("vec_id") + lit(k * vOff)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    println(s"STRESS| corpus: ${nDocs * copies} docs, ${nVecs * copies} " +
+      s"vectors ($copies× $src) at $work")
+
+    def q(name: String, dir: String): DataFrame =
+      SparkEntry.queries(name)(spark, dir)
+
+    // ---- timed stress runs ----------------------------------------------
+    val names = Seq("q_dedup_exact", "q_dedup_minhash",
+      "q_dedup_clusters_star", "q_dedup_embed_ivf", "q_substring_dup",
+      "q_knn_join", "q_cosine_pairs_gemm")
+    names.foreach(n => timed(n, s"$work/out", q(n, work)))
+    // materialized stress outputs — every invariant below reads these
+    // instead of re-running the query it just timed
+    def out(name: String): DataFrame =
+      spark.read.parquet(s"$work/out/$name")
+
+    // ---- invariants vs the sf0.1 run ------------------------------------
+    // exact dedup: same hash families, counts ×copies, survivor in copy 0
+    sameSet("q_dedup_exact = sf0.1 families ×copies",
+      out("q_dedup_exact").select("keep_id", "n_copies"),
+      q("q_dedup_exact", src).select(col("keep_id"),
+        (col("n_copies") * copies).as("n_copies")))
+
+    // minhash pairs: mapped to copy-0 ids they are exactly the sf0.1
+    // pairs plus one (d, d, 1.0) witness per banded doc (the copies)
+    val origPairs = q("q_dedup_minhash", src)
+    val famPairs = docs0
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id").as("a_id"), col("doc_id").as("b_id"),
+        lit(1.0).as("jac"))
+    sameSet("q_dedup_minhash = blow-up of sf0.1 pairs",
+      out("q_dedup_minhash").select(
+        least(col("a_id") % dOff, col("b_id") % dOff).as("a_id"),
+        greatest(col("a_id") % dOff, col("b_id") % dOff).as("b_id"),
+        col("jac")).distinct(),
+      origPairs.unionByName(famPairs))
+
+    // CC on the blow-up graph: every copy of doc d labels to d's sf0.1
+    // label (component min lives in copy 0) — label = component min at
+    // 10× scale, checked exactly; docs absent from the sf0.1 output
+    // (singletons there) cluster with their own copies under label d
+    val origLabels = q("q_dedup_clusters_star", src)
+      .select(col("doc_id"), col("cluster_id"))
+    val banded = docs0.filter(size(split(col("text"), " ")) >= 3)
+      .select("doc_id")
+    val expectLabel = banded.join(origLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val copyIdx = spark.range(copies).select(col("id").as("k"))
+    val expectCc = expectLabel.crossJoin(copyIdx)
+      .select((col("doc_id") + col("k") * dOff).as("doc_id"),
+        col("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+    sameSet("q_dedup_clusters_star = sf0.1 components ×copies",
+      out("q_dedup_clusters_star"), expectCc)
+
+    // survivor idempotence: one representative per component ⇒ the pair
+    // scan over the kept set alone finds nothing
+    val kept = out("q_dedup_clusters_star")
+      .filter(col("keep")).select("doc_id")
+    spark.read.parquet(s"$work/documents.parquet")
+      .join(kept, Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$work/kept/documents.parquet")
+    check("survivor set has zero near-dup pairs",
+      q("q_dedup_minhash", s"$work/kept").count() == 0, "pairs remained")
+
+    // IVF semantic dedup: duplicated members leave every centroid mean
+    // bit-identical, copies share buckets, so components expand the same
+    // way — full-output equality against the sf0.1 run's expansion
+    val origIvf = q("q_dedup_embed_ivf", src)
+      .select(col("vec_id"), col("cluster_id"))
+    val expectIvf = origIvf.crossJoin(copyIdx)
+      .select((col("vec_id") + col("k") * vOff).as("vec_id"),
+        col("cluster_id"))
+      .withColumn("keep", col("vec_id") === col("cluster_id"))
+    sameSet("q_dedup_embed_ivf = sf0.1 components ×copies",
+      out("q_dedup_embed_ivf"), expectIvf)
+
+    // substring dedup: copies make every window cross-doc duplicated
+    val subDup = out("q_substring_dup")
+    val origSub = q("q_substring_dup", src)
+    check("q_substring_dup: every doc fully duplicated",
+      subDup.filter(col("dup_fraction") =!= 1.0).count() == 0,
+      "docs with dup_fraction < 1 exist")
+    sameSet("q_substring_dup window counts preserved per copy",
+      subDup.select((col("doc_id") % dOff).as("doc_id"), col("n_windows"))
+        .distinct(),
+      origSub.select("doc_id", "n_windows"))
+
+    // kNN join: 3 rows per vector the query actually ranks (it drops
+    // zero-norm vectors — count with the same predicate, not raw corpus
+    // size); rank-1 neighbor is always an identical copy in the same
+    // bucket (cos exactly 1.0)
+    val nRanked = operators.Similarity.dropZeroNorm(spark, embs0).count()
+    val knn = out("q_knn_join")
+    check("q_knn_join row count = 3 × nonzero-norm corpus",
+      knn.count() == 3L * nRanked * copies, s"got ${knn.count()}")
+    check("q_knn_join rank-1 = identical copy (cos 1.0)",
+      knn.filter(col("rk") === 1).agg(min("cos")).head.getDouble(0) == 1.0,
+      "a rank-1 neighbor below 1.0")
+
+    // blocked GEMM: same mapped-set law as minhash, against the sf0.1
+    // broadcast-arm run — the two arms are bit-identical, so this also
+    // cross-checks the forced 8-block grid at 10× the vectors
+    val origCos = q("q_cosine_pairs", src)
+    val famCos = embs0.select(col("vec_id").as("a_id"),
+      col("vec_id").as("b_id"), lit(1.0).as("cos"))
+    sameSet("q_cosine_pairs_gemm = blow-up of sf0.1 pairs",
+      out("q_cosine_pairs_gemm").select(
+        least(col("a_id") % vOff, col("b_id") % vOff).as("a_id"),
+        greatest(col("a_id") % vOff, col("b_id") % vOff).as("b_id"),
+        col("cos")).distinct(),
+      origCos.unionByName(famCos))
+
+    spark.stop()
+    if (failures > 0) {
+      System.err.println(s"STRESS| $failures invariant(s) failed")
+      sys.exit(1)
+    }
+    println("STRESS| all invariants passed")
+  }
+}
