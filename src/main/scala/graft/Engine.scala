@@ -102,9 +102,13 @@ object Cli {
 
   /** `bin/mapreduce status` parity: the reference pgreps the
     * manager/worker processes and exits 0 only when both are up. The
-    * Spark control plane lives in the session registry — a live
-    * SparkContext is the manager, its task slots are the workers — so
-    * status reports that identity. Returns (report lines, exit code) so
+    * Spark control plane has two observable homes, checked in order:
+    * the session registry of THIS JVM (library embedding — a live
+    * SparkContext is the manager, its task slots the workers), then the
+    * app's monitoring REST API on the default UI ports ([[probeUi]]) —
+    * the documented way to observe a running Spark app from OUTSIDE its
+    * JVM, which is where a `spark-submit Cli status` invocation lives
+    * relative to a running job. Returns (report lines, exit code) so
     * CliSpec asserts both without forking a JVM. */
   private[graft] def status(): (Seq[String], Int) = {
     // filter EACH candidate before orElse: a stale stopped thread-local
@@ -117,10 +121,62 @@ object Cli {
         (Seq(
           s"manager: app ${sc.applicationId} on ${sc.master}",
           s"workers: ${sc.defaultParallelism} task slots"), 0)
-      case None =>
-        (Seq("manager: not running", "workers: not running"), 1)
+      case None => probeUi() match {
+        case Some((app, cores)) =>
+          (Seq(s"manager: app $app",
+            s"workers: $cores task slots"), 0)
+        case None =>
+          (Seq("manager: not running", "workers: not running"), 1)
+      }
     }
   }
+
+  /** Cross-process arm of [[status]]: scan the default Spark UI port
+    * range (SparkUI binds 4040 and walks upward on conflict, 5 retries
+    * by default) for a live app via the standard monitoring REST API,
+    * returning its id and total active cores. A fresh `spark-submit`
+    * JVM has an empty session registry, so without this arm `status`
+    * could never see a job running in another process — the exact check
+    * the reference's pgrep performs. Sub-second timeouts keep the
+    * nothing-running path fast; any I/O failure on a port just means
+    * "no app there". */
+  private[graft] def probeUi(
+      ports: Range = 4040 to 4044): Option[(String, Int)] =
+    ports.iterator.flatMap { p =>
+      for {
+        apps <- httpJson(s"http://localhost:$p/api/v1/applications")
+        id <- Option(apps.path(0).path("id").asText(null))
+        execs <- httpJson(
+          s"http://localhost:$p/api/v1/applications/$id/executors")
+      } yield (s"$id (REST :$p)", activeCores(execs))
+    }.nextOption()
+
+  /** Sum of totalCores over active executors in a `/executors` REST
+    * payload; factored out so CliSpec pins the parse against a canned
+    * response without a live UI. */
+  private[graft] def activeCores(
+      execs: com.fasterxml.jackson.databind.JsonNode): Int =
+    (0 until execs.size).map(execs.get)
+      .filter(_.path("isActive").asBoolean(true))
+      .map(_.path("totalCores").asInt(0)).sum
+
+  private def httpJson(
+      url: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+    try {
+      val c = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      c.setConnectTimeout(300)
+      c.setReadTimeout(500)
+      try {
+        if (c.getResponseCode != 200) None
+        else {
+          val body = scala.io.Source
+            .fromInputStream(c.getInputStream, "UTF-8").mkString
+          Some(new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(body))
+        }
+      } finally c.disconnect()
+    } catch { case _: java.io.IOException => None }
 
   /** Flag parsing, factored out for unit testing. Diagnostics distinguish
     * an UNKNOWN flag from a known flag MISSING ITS VALUE (a trailing

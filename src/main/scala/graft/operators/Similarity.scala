@@ -54,6 +54,18 @@ object Similarity {
   private def sqlCosine(a: String, b: String): String =
     sqlCosineCols(s"$a.v", s"$b.v")
 
+  /** The exact cosine-pair oracle, shared VERBATIM by q_cosine_pairs and
+    * q_cosine_pairs_gemm: the two rows are the broadcast and blocked arms
+    * of the SAME join, so a single string keeps their correctness bars
+    * from drifting apart under a future threshold/rounding edit. */
+  private val cosinePairsOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          ${sqlCosine("a", "b")} AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ${sqlCosine("a", "b")} >= 0.45
+        ORDER BY a_id, b_id"""
+
   /** Exact cosine similarity join for corpora too large to broadcast: a
     * distributed blocked GEMM. Vectors hash into `blocks` buckets; every
     * block PAIR (b_a ≤ b_b) becomes one task via an RDD cartesian of the
@@ -736,12 +748,7 @@ object Similarity {
       (s, d) => cosinePairs(s,
         embs(s, d).select(col("vec_id"), col("embedding")), 0.45)
         .orderBy("a_id", "b_id"),
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                ${sqlCosine("a", "b")} AS cos
-              FROM e a JOIN e b ON a.vec_id < b.vec_id
-              WHERE ${sqlCosine("a", "b")} >= 0.45
-              ORDER BY a_id, b_id""")),
+      Some(cosinePairsOracleSql)),
 
     // ---- blocked-GEMM cosine join, forced (the 100 TB arm) ---------------
     // The same exact join THROUGH the distributed blocked-GEMM arm with
@@ -758,12 +765,7 @@ object Similarity {
         embs(s, d).select(col("vec_id"), col("embedding")), 0.45,
         blocks = 8)
         .orderBy("a_id", "b_id"),
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                ${sqlCosine("a", "b")} AS cos
-              FROM e a JOIN e b ON a.vec_id < b.vec_id
-              WHERE ${sqlCosine("a", "b")} >= 0.45
-              ORDER BY a_id, b_id""")),
+      Some(cosinePairsOracleSql)),
 
     // ---- brute-force cosine top-k (the exact baseline) -------------------
     // Rank on the ROUNDED cosine with vec_id tiebreak so ranking is

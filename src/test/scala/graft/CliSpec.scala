@@ -35,6 +35,16 @@ class CliSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown argument: --bogus x"), e.getMessage)
   }
 
+  test("activeCores sums totalCores over active executors only") {
+    // canned /api/v1/applications/<id>/executors payload — pins the REST
+    // parse without a live UI (the end-to-end probe is StatusMain)
+    val json = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      """[{"id":"driver","isActive":true,"totalCores":32},
+          {"id":"1","isActive":false,"totalCores":8},
+          {"id":"2","isActive":true,"totalCores":16}]""")
+    assert(Cli.activeCores(json) == 48)
+  }
+
   test("status reports the live session as manager + workers (exit 0)") {
     // bin/mapreduce status parity: exit 0 only with the control plane up
     // — here, the live session in this JVM's registry

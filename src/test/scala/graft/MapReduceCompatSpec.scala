@@ -212,6 +212,15 @@ class MapReduceCompatSpec extends AnyFunSuite {
     assert(code == 0, s"forked FIFO run exited $code")
   }
 
+  test("status sees a job in another process via the REST probe (forked)") {
+    // bin/mapreduce status parity across process boundaries: the forked
+    // JVM hosts the one UI-enabled session of the test run and probes it
+    // over real loopback HTTP — up ⇒ app id + task slots, stopped ⇒
+    // nothing. See StatusMain for the exact assertions.
+    val code = ForkedJvm.run("graft.StatusMain", "1g", Seq.empty)
+    assert(code == 0, s"forked status probe exited $code")
+  }
+
   test("pipePerFile spawns the mapper exactly once per input file") {
     // reference worker/__main__.py:94-101: one Popen per input FILE. A
     // mapper with per-invocation state (here: a header record per run)

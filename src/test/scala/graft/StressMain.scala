@@ -41,6 +41,23 @@ object StressMain {
 
   private def resetMetrics(): Unit = { peak.set(0); shuf.set(0); spill.set(0) }
 
+  /** The listener bus is ASYNCHRONOUS: tail onTaskEnd events for the job
+    * that just finished may still be queued when the write action
+    * returns. Poll until the counters hold still across a 50 ms window
+    * (2 s cap) before reading them — otherwise a row undercounts its
+    * query and the next resetMetrics() races the stragglers, bleeding
+    * their bytes into the NEXT query's totals. */
+  private def drainMetrics(): Unit = {
+    val deadline = System.nanoTime() + 2000000000L
+    var prev = (-1L, -1L, -1L)
+    var cur = (peak.get, shuf.get, spill.get)
+    while (prev != cur && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      prev = cur
+      cur = (peak.get, shuf.get, spill.get)
+    }
+  }
+
   private def mb(v: Long): Long = v >> 20
 
   /** Time the full plan and print one metrics row. `df` is BY-NAME:
@@ -57,6 +74,7 @@ object StressMain {
     val t0 = System.nanoTime()
     df.write.mode("overwrite").parquet(s"$outDir/$name")
     val s = (System.nanoTime() - t0) / 1e9
+    drainMetrics()
     println(f"STRESS| $name%-22s ${s}%7.2f s  peakTask ${mb(peak.get)}%5d MB" +
       f"  shufW ${mb(shuf.get)}%5d MB  spill ${mb(spill.get)}%5d MB")
   }
@@ -209,8 +227,12 @@ object StressMain {
     // broadcast-arm run — the two arms are bit-identical, so this also
     // cross-checks the forced 8-block grid at 10× the vectors
     val origCos = q("q_cosine_pairs", src)
-    val famCos = embs0.select(col("vec_id").as("a_id"),
-      col("vec_id").as("b_id"), lit(1.0).as("cos"))
+    // the join drops zero-norm vectors (no defined cosine), so their
+    // copies produce NO self-pairs — build the expected witnesses under
+    // the same predicate, exactly as nRanked does for kNN above
+    val famCos = operators.Similarity.dropZeroNorm(spark, embs0)
+      .select(col("vec_id").as("a_id"),
+        col("vec_id").as("b_id"), lit(1.0).as("cos"))
     sameSet("q_cosine_pairs_gemm = blow-up of sf0.1 pairs",
       out("q_cosine_pairs_gemm").select(
         least(col("a_id") % vOff, col("b_id") % vOff).as("a_id"),
