@@ -605,6 +605,36 @@ object Similarity {
       rounds: Int): DataFrame =
     lloydLoop(s, e, k, rounds, track = false)._1
 
+  /** kNN-join: every corpus row's `k` nearest neighbors (cosine, ties to
+    * the lower nn_id). Candidates come from iterated-k-means buckets —
+    * each vector ranks only its own bucket's members via a window over
+    * the bucket self-join, so pair work is Σ bucket² ≈ n²/buckets and
+    * per-task memory is O(largest bucket), NOT O(n). The scale contract
+    * is therefore `buckets` ∝ corpus size: grown proportionally, bucket
+    * occupancy — and with it per-task memory and per-bucket pair work —
+    * stays CONSTANT as the corpus grows (StressMain demonstrates this:
+    * 10× the vectors with 10× the buckets holds peak task memory at the
+    * fixed-bucket sf0.1 level). Recall is approximate by definition (a
+    * true neighbor in another bucket is missed); the computation itself
+    * is deterministic, so the fixed-bucket q_knn_join row has an exact
+    * SQL oracle. Zero-norm vectors (no defined cosine) are dropped;
+    * vectors alone in their bucket emit no rows. */
+  def knnJoin(s: SparkSession, e: DataFrame, k: Int, buckets: Int,
+      rounds: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = kmeansIterate(s, dropZeroNorm(s, e), buckets, rounds)
+    val b = assigned.select(col("bucket"), col("vec_id").as("nn_id"),
+      col("embedding").as("nn_v"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("nn_id"))
+    assigned.join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos", cosine(s, col("embedding"), col("nn_v")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("rk"), col("nn_id"), col("cos"))
+  }
+
   /** Shared loop body of [[kmeansRounds]] / [[kmeansIterate]]. With
     * `track`, prev_bucket rides along through the reassignment so the
     * changed count is a filter over the round's own checkpoint — no join
@@ -866,32 +896,13 @@ object Similarity {
     // ---- kNN-join (per-corpus-row top-k neighbors) ------------------------
     // The retrieval-index-build shape: for EVERY corpus row, its k nearest
     // neighbors — not a fixed query set (q_ann_topk/q_ann_ivf) and not a
-    // pair-threshold join (q_cosine_pairs). Candidates come from the same
-    // iterated-k-means buckets as the IVF index: each vector ranks only its
-    // own bucket's members (window over the bucket self-join), so pair work
-    // is Σ bucket² ≈ n²/k and — with k grown with the corpus — bounded per
-    // bucket at 100 TB. Recall is approximate by definition (a true
-    // neighbor in another bucket is missed); the computation is
-    // deterministic, so the bucketed definition has an exact SQL oracle.
+    // pair-threshold join (q_cosine_pairs). See [[knnJoin]]; buckets
+    // pinned at 8 here so the definition has an exact SQL oracle.
     // Vectors alone in their bucket emit no rows, exactly like the oracle.
     Q("q_knn_join",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val e = Similarity.dropZeroNorm(s,
-          embs(s, d).select(col("vec_id"), col("embedding")))
-        val assigned = kmeansIterate(s, e, 8, 2)
-        val b = assigned.select(col("bucket"), col("vec_id").as("nn_id"),
-          col("embedding").as("nn_v"))
-        val w = Window.partitionBy("vec_id")
-          .orderBy(col("cos").desc, col("nn_id"))
-        assigned.join(b, Seq("bucket"))
-          .filter(col("vec_id") =!= col("nn_id"))
-          .withColumn("cos", cosine(s, col("embedding"), col("nn_v")))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 3)
-          .select(col("vec_id"), col("rk"), col("nn_id"), col("cos"))
-          .orderBy("vec_id", "rk")
-      },
+      (s, d) => knnJoin(s,
+        embs(s, d).select(col("vec_id"), col("embedding")), 3, 8)
+        .orderBy("vec_id", "rk"),
       Some(s"""WITH ${sqlIvfAssign(8, sqlZeroNormWhere)},
               ${sqlKmeansRounds(2)},
               cand AS (
