@@ -242,6 +242,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("sessionize on the RocksDB state store matches the default store") {
+    // At 100 TB the default HDFS-backed provider keeps every key's state
+    // ON-HEAP in each executor — the documented scale path is the RocksDB
+    // provider (rocksdbjni ships with Spark), which pages state to local
+    // disk. Pin that the heaviest custom-state path
+    // (flatMapGroupsWithState sessionize) runs on it UNCHANGED: identical
+    // closed sessions vs the batch twin, with the query's own progress
+    // metrics proving RocksDB really was the store (no silent fallback).
+    val s = spark
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try {
+      val evs = Tables(s, sfDir, "events")
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id")
+        .as[Ev].collect().toSeq
+      val maxUs = evs.map(_.ts_us).max
+      val sentinels = evs.map(_.user_id).distinct
+        .map(u => Ev(u, maxUs + 10 * Streams.GapUs, Long.MaxValue))
+      val input = MemoryStream[Ev](s)
+      input.addData(evs: _*)
+      input.addData(sentinels: _*)
+      val q = Streams.sessionize(input.toDS()).writeStream
+        .format("memory").queryName("sessions_rocksdb")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+
+      val usedRocks = q.recentProgress.flatMap(_.stateOperators)
+        .exists(_.customMetrics.keySet.asScala.exists(_.contains("rocksdb")))
+      assert(usedRocks,
+        "no rocksdb custom metrics in progress — provider did not take effect")
+
+      val got = s.table("sessions_rocksdb").as[Session].collect()
+        .map(x => (x.user_id, x.n_events, x.start_us, x.end_us)).toSet
+      val want = SparkEntry.queries("q_sessionize")(s, sfDir)
+        .select($"user_id", $"n_events", $"start_us", $"end_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == want)
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   test("foreachBatch applies per-batch MERGE upserts to a parquet state table") {
     // The arbitrary-sink production pattern: each micro-batch applies a
     // changeset to persistent state with the SAME anti-join ∪ changes
