@@ -28,6 +28,47 @@ object Relational {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  /** Raw HyperLogLog estimates next to the exact distinct counts they
+    * approximate — the production 100 TB shape is the two `hll_*` columns
+    * alone (one pass, bounded memory). Shared by q_approx_distinct (which
+    * reduces it to cross-engine bound verdicts) and SqlSpec's quantitative
+    * 4×rsd pin. rsd is written explicitly (the approx_count_distinct
+    * default, 0.05) so the sketch precision and the bound can't drift
+    * apart.
+    */
+  def approxDistinctRaw(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        approx_count_distinct(col("l_suppkey"), 0.05).as("hll_supp"),
+        approx_count_distinct(col("l_partkey"), 0.05).as("hll_part"))
+
+  /** Top-10 exact heavy hitters with their count-min estimates and the
+    * ⌈eps·N⌉ overshoot allowance (eps = 0.001, confidence = 0.99, fixed
+    * seed). Shared by q_heavy_hitters (bound-verdict reduction) and
+    * SqlSpec's quantitative one-sided-error pin.
+    */
+  def heavyHittersRaw(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CmsEstimate.ensureRegistered(s)
+    t(s, d, "lineitem").createOrReplaceTempView("cms_lineitem")
+    s.sql("""
+      WITH exact AS (
+        SELECT l_suppkey, COUNT(*) AS exact_n FROM cms_lineitem
+        GROUP BY l_suppkey ORDER BY exact_n DESC, l_suppkey LIMIT 10),
+      tot AS (SELECT CAST(CEIL(0.001 * COUNT(*)) AS LONG) AS allow
+              FROM cms_lineitem)
+      SELECT l_suppkey, exact_n,
+        graft_cms_estimate(
+          (SELECT count_min_sketch(CAST(l_suppkey AS LONG),
+                                   0.001d, 0.99d, 42)
+           FROM cms_lineitem),
+          CAST(l_suppkey AS LONG)) AS est_n,
+        allow
+      FROM exact CROSS JOIN tot ORDER BY exact_n DESC, l_suppkey""")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- scans / projection / filter -----------------------------------
@@ -175,41 +216,49 @@ object Relational {
 
     // Sketch path: HyperLogLog distinct counts — the 100 TB answer when
     // exact distinct (q_agg_distinct's expand+two-phase) is too expensive.
-    // Approximate ⇒ no cross-engine oracle (driver records rows-only).
+    // The raw estimate is implementation-defined (no cross-engine oracle
+    // exists for HLL register contents), but its ERROR CONTRACT is not:
+    // this row runs the sketch in-plan, checks every per-group estimate
+    // against the exact distinct count at 4× the configured rsd, and emits
+    // only oracle-reproducible columns (exact counts + the bound verdicts).
+    // DuckDB asserts the verdicts are uniformly true, so a broken sketch
+    // (wrong merge, wrong register width — lands orders of magnitude off,
+    // not 20%) fails the driver gate, not just SqlSpec. The exact counts
+    // here are the verification harness, not the production path: at
+    // 100 TB a user runs approxDistinctRaw alone.
     Q("q_approx_distinct",
-      (s, d) => t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_suppkey")).as("approx_supp"),
-          approx_count_distinct(col("l_partkey")).as("approx_part"))
+      (s, d) => approxDistinctRaw(s, d)
+        .select(col("l_returnflag"), col("n_supp"), col("n_part"),
+          (abs(col("hll_supp") - col("n_supp")) <= lit(4 * 0.05) * col("n_supp"))
+            .as("supp_ok"),
+          (abs(col("hll_part") - col("n_part")) <= lit(4 * 0.05) * col("n_part"))
+            .as("part_ok"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+              COUNT(DISTINCT l_partkey) AS n_part,
+              true AS supp_ok, true AS part_ok
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // Sketch path #2: count-min frequency estimates for the heaviest keys
     // — the 100 TB answer when exact per-key counts are needed only for
     // heavy hitters (frequent-token detection, hot-key diagnosis). Built
     // by Spark's public count_min_sketch aggregate, read back through the
-    // graft_cms_estimate expression (Spark ships no reader). One-sided
-    // error (estimate ≥ truth, overshoot ≤ eps·N at the configured
-    // confidence) is pinned in SqlSpec; sketch internals have no
-    // cross-engine oracle, so the driver records rows-only (like the HLL
-    // row, and bounded the same way).
+    // graft_cms_estimate expression (Spark ships no reader). Like the HLL
+    // row, the raw estimate is implementation-defined but the one-sided
+    // error contract (estimate ≥ truth always — collisions only ADD —
+    // and overshoot ≤ ⌈eps·N⌉ at the configured confidence) is checked
+    // in-plan and emitted as an oracle-reproducible verdict, so a broken
+    // sketch fails the driver gate. SqlSpec additionally pins the raw
+    // estimate distances via heavyHittersRaw.
     Q("q_heavy_hitters",
-      (s, d) => {
-        graft.functions.CmsEstimate.ensureRegistered(s)
-        t(s, d, "lineitem").createOrReplaceTempView("cms_lineitem")
-        s.sql("""
-          WITH exact AS (
-            SELECT l_suppkey, COUNT(*) AS exact_n FROM cms_lineitem
-            GROUP BY l_suppkey ORDER BY exact_n DESC, l_suppkey LIMIT 10)
-          SELECT l_suppkey, exact_n,
-            graft_cms_estimate(
-              (SELECT count_min_sketch(CAST(l_suppkey AS LONG),
-                                       0.001d, 0.99d, 42)
-               FROM cms_lineitem),
-              CAST(l_suppkey AS LONG)) AS est_n
-          FROM exact ORDER BY exact_n DESC, l_suppkey""")
-      },
-      None),
+      (s, d) => heavyHittersRaw(s, d)
+        .select(col("l_suppkey"), col("exact_n"),
+          (col("est_n") >= col("exact_n") &&
+            col("est_n") <= col("exact_n") + col("allow")).as("within_bound"))
+        .orderBy(col("exact_n").desc, col("l_suppkey")),
+      Some("""SELECT l_suppkey, COUNT(*) AS exact_n, true AS within_bound
+              FROM lineitem GROUP BY l_suppkey
+              ORDER BY exact_n DESC, l_suppkey LIMIT 10""")),
 
     Q("q_agg_distinct",
       (s, d) => t(s, d, "lineitem")

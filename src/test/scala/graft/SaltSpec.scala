@@ -76,10 +76,10 @@ class SaltSpec extends AnyFunSuite {
 
   test("approx_count_distinct lands within 10% of exact") {
     val s = spark
-    val r = SparkEntry.queries("q_approx_distinct")(s, sfDir)
+    val r = operators.Relational.approxDistinctRaw(s, sfDir)
       .join(Tables(s, sfDir, "lineitem").groupBy("l_returnflag")
         .agg(countDistinct(col("l_suppkey")).as("exact_supp")), "l_returnflag")
-      .select(col("approx_supp"), col("exact_supp"))
+      .select(col("hll_supp").as("approx_supp"), col("exact_supp"))
       .collect()
     r.foreach { row =>
       val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)

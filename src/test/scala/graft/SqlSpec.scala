@@ -41,39 +41,48 @@ class SqlSpec extends AnyFunSuite {
   test("count-min estimates are one-sided and within eps*N of exact") {
     // CMS guarantees estimate >= truth ALWAYS (hash collisions only add),
     // and overshoot <= eps*N with the configured confidence — at sf0.01's
-    // ~60k lineitem rows and eps=0.001 that is a 61-count allowance
+    // ~60k lineitem rows and eps=0.001 that is a 61-count allowance.
+    // Checks the RAW estimates (the registered q_heavy_hitters reduces
+    // them to bound verdicts so the driver's DuckDB oracle can check the
+    // same contract cross-engine).
     val s = spark
     val sf = "/root/testdata/sf0.01"
-    val rows = SparkEntry.queries("q_heavy_hitters")(s, sf).collect()
+    val rows = operators.Relational.heavyHittersRaw(s, sf).collect()
     assert(rows.length == 10)
     val n = Tables(s, sf, "lineitem").count()
     rows.foreach { r =>
       val exact = r.getAs[Long]("exact_n")
       val est = r.getAs[Long]("est_n")
+      assert(r.getAs[Long]("allow") == (0.001 * n).ceil.toLong)
       assert(est >= exact,
         s"CMS undercounted suppkey ${r.get(0)}: $est < $exact")
       assert(est <= exact + (0.001 * n).ceil.toLong,
         s"CMS overshoot beyond eps*N for suppkey ${r.get(0)}: $est vs $exact")
     }
+    assert(SparkEntry.queries("q_heavy_hitters")(s, sf).collect()
+      .forall(_.getAs[Boolean]("within_bound")))
   }
 
   test("approx_count_distinct stays within the configured rsd of exact") {
-    // q_approx_distinct has no cross-engine oracle by design (HLL sketches
-    // are implementation-defined); this BOUNDS it instead: at sf0.01 every
-    // per-group estimate must sit within 4× the default relative standard
-    // deviation (rsd = 0.05) of q_agg_distinct's exact counts. The sketch
-    // is deterministic for fixed input, so this is a stable gate, and 4σ
-    // leaves room without ever accepting a broken sketch (a wrong merge or
-    // register width lands orders of magnitude off, not 20%).
+    // HLL register contents are implementation-defined, but the error
+    // contract is checkable: at sf0.01 every per-group RAW estimate must
+    // sit within 4× the configured relative standard deviation
+    // (rsd = 0.05) of q_agg_distinct's independently-computed exact
+    // counts. The sketch is deterministic for fixed input, so this is a
+    // stable gate, and 4σ leaves room without ever accepting a broken
+    // sketch (a wrong merge or register width lands orders of magnitude
+    // off, not 20%). The registered q_approx_distinct reduces the same
+    // estimates to bound verdicts checked cross-engine by the driver.
     val s = spark
     val sf = "/root/testdata/sf0.01"
-    def byFlag(q: String, cols: (String, String)): Map[String, (Long, Long)] =
-      SparkEntry.queries(q)(s, sf).collect().map { r =>
-        r.getAs[String]("l_returnflag") ->
-          (r.getAs[Long](cols._1), r.getAs[Long](cols._2))
-      }.toMap
-    val exact = byFlag("q_agg_distinct", ("n_supp", "n_part"))
-    val approx = byFlag("q_approx_distinct", ("approx_supp", "approx_part"))
+    val exact = SparkEntry.queries("q_agg_distinct")(s, sf).collect().map { r =>
+      r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("n_supp"), r.getAs[Long]("n_part"))
+    }.toMap
+    val approx = operators.Relational.approxDistinctRaw(s, sf).collect().map { r =>
+      r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("hll_supp"), r.getAs[Long]("hll_part"))
+    }.toMap
     assert(approx.keySet == exact.keySet)
     val tol = 4 * 0.05
     exact.foreach { case (flag, (eSupp, ePart)) =>
@@ -82,6 +91,10 @@ class SqlSpec extends AnyFunSuite {
         s"$flag suppkey estimate $aSupp vs exact $eSupp beyond ${tol * 100}%")
       assert(math.abs(aPart - ePart) <= tol * ePart,
         s"$flag partkey estimate $aPart vs exact $ePart beyond ${tol * 100}%")
+    }
+    SparkEntry.queries("q_approx_distinct")(s, sf).collect().foreach { r =>
+      assert(r.getAs[Boolean]("supp_ok") && r.getAs[Boolean]("part_ok"),
+        s"bound verdict false for ${r.get(0)}")
     }
   }
 }
