@@ -108,9 +108,15 @@ object Cli {
     * app's monitoring REST API on the default UI ports ([[probeUi]]) —
     * the documented way to observe a running Spark app from OUTSIDE its
     * JVM, which is where a `spark-submit Cli status` invocation lives
-    * relative to a running job. Returns (report lines, exit code) so
-    * CliSpec asserts both without forking a JVM. */
-  private[graft] def status(): (Seq[String], Int) = {
+    * relative to a running job. `ports` widens the probe beyond the
+    * default UI walk for apps submitted with an explicit
+    * `spark.ui.port` (`status --port N` on the command line) — without
+    * it such an app is invisible to the cross-process arm, the same
+    * failure class as the reference's `pgrep -f` missing a renamed
+    * process. Returns (report lines, exit code) so CliSpec asserts both
+    * without forking a JVM. */
+  private[graft] def status(
+      ports: Range = defaultUiPorts): (Seq[String], Int) = {
     // filter EACH candidate before orElse: a stale stopped thread-local
     // active session must not mask a live default session
     val live = (s: SparkSession) => !s.sparkContext.isStopped
@@ -121,7 +127,7 @@ object Cli {
         (Seq(
           s"manager: app ${sc.applicationId} on ${sc.master}",
           s"workers: ${sc.defaultParallelism} task slots"), 0)
-      case None => probeUi() match {
+      case None => probeUi(ports) match {
         case Some((app, cores)) =>
           (Seq(s"manager: app $app",
             s"workers: $cores task slots"), 0)
@@ -140,8 +146,28 @@ object Cli {
     * the reference's pgrep performs. Sub-second timeouts keep the
     * nothing-running path fast; any I/O failure on a port just means
     * "no app there". */
+  /** SparkUI binds 4040 and walks upward on conflict (5 retries by
+    * default) — the range a portless `status` scans. */
+  private[graft] val defaultUiPorts: Range = 4040 to 4044
+
+  /** `status --port N` → probe exactly N; no flag → the default UI
+    * walk. Factored out so CliSpec pins the parse (including the
+    * missing-value and non-numeric diagnostics) without forking. */
+  private[graft] def parseStatusPorts(args: Seq[String]): Range =
+    args match {
+      case Seq() => defaultUiPorts
+      case Seq("--port", v) =>
+        val p = try v.toInt catch {
+          case _: NumberFormatException =>
+            sys.error(s"--port expects a number, got: $v")
+        }
+        p to p
+      case Seq("--port") => sys.error("missing value for --port")
+      case other => sys.error(s"unknown argument: ${other.mkString(" ")}")
+    }
+
   private[graft] def probeUi(
-      ports: Range = 4040 to 4044): Option[(String, Int)] =
+      ports: Range = defaultUiPorts): Option[(String, Int)] =
     ports.iterator.flatMap { p =>
       for {
         apps <- httpJson(s"http://localhost:$p/api/v1/applications")
@@ -208,7 +234,7 @@ object Cli {
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("status") =>
-      val (lines, code) = status()
+      val (lines, code) = status(parseStatusPorts(args.drop(1).toSeq))
       lines.foreach(println)
       if (code != 0) sys.exit(code)
     case _ =>

@@ -45,6 +45,24 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.activeCores(json) == 48)
   }
 
+  test("status --port selects the explicit UI port to probe") {
+    // an app submitted with spark.ui.port outside the default 4040-4044
+    // walk is invisible to a portless status; --port closes that gap
+    assert(Cli.parseStatusPorts(Seq.empty) == Cli.defaultUiPorts)
+    assert(Cli.parseStatusPorts(Seq("--port", "4099")) == (4099 to 4099))
+    val missing = intercept[RuntimeException](
+      Cli.parseStatusPorts(Seq("--port")))
+    assert(missing.getMessage.contains("missing value for --port"),
+      missing.getMessage)
+    val nan = intercept[RuntimeException](
+      Cli.parseStatusPorts(Seq("--port", "ui")))
+    assert(nan.getMessage.contains("--port expects a number"), nan.getMessage)
+    val unknown = intercept[RuntimeException](
+      Cli.parseStatusPorts(Seq("--verbose")))
+    assert(unknown.getMessage.contains("unknown argument: --verbose"),
+      unknown.getMessage)
+  }
+
   test("status reports the live session as manager + workers (exit 0)") {
     // bin/mapreduce status parity: exit 0 only with the control plane up
     // — here, the live session in this JVM's registry

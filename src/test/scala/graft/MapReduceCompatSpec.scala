@@ -214,9 +214,10 @@ class MapReduceCompatSpec extends AnyFunSuite {
 
   test("status sees a job in another process via the REST probe (forked)") {
     // bin/mapreduce status parity across process boundaries: the forked
-    // JVM hosts the one UI-enabled session of the test run and probes it
+    // JVM hosts the UI-enabled sessions of the test run and probes them
     // over real loopback HTTP — up ⇒ app id + task slots, stopped ⇒
-    // nothing. See StatusMain for the exact assertions.
+    // nothing; plus the --port scenario (UI on 4099: default walk blind,
+    // explicit port sighted). See StatusMain for the exact assertions.
     val code = ForkedJvm.run("graft.StatusMain", "1g", Seq.empty)
     assert(code == 0, s"forked status probe exited $code")
   }
