@@ -22,6 +22,7 @@ object Registry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Typed.queries ++
+      operators.Graph.queries ++
       streaming.Streams.queries
 
   lazy val byName: Map[String, Q] = {

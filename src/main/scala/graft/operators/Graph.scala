@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Iterative graph analytics over edge lists — the third graph family
+  * next to connected components (`Dedup.scala`, near-dup clustering) and
+  * triangle counting (`q_triangles`).
+  *
+  * The reference has no graph surface; this is part of the
+  * training-pipeline extension (document/link-graph importance scoring
+  * is a standard corpus-curation signal — e.g. quality-weighting pages
+  * by link centrality before sampling).
+  *
+  * Scale shape (100 TB design point): everything is edge-space joins and
+  * partial-aggregated shuffles on node ids — node state (rank) is O(V),
+  * edges O(E), and no step ever materializes anything denser. Each round
+  * shuffles contributions on dst only after map-side partial aggregation,
+  * and superseded round state is freed ([[Materialize.free]]) so pinned
+  * executor memory stays O(1) across rounds, the same discipline as the
+  * Lloyd/CC loops.
+  */
+object Graph {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** Fixed-iteration PageRank over a directed edge list `(src, dst)`.
+    *
+    * Damping 0.85, per-node teleport 0.15 (the unnormalized per-node
+    * form: r = 0.15 + 0.85·Σ_in r/outdeg, fixed point ~1 per node).
+    * Requires every node to appear as BOTH a source and a destination
+    * (true for any symmetrized graph, like the bipartite one
+    * q_pagerank builds) — nodes without out-edges would leak rank mass
+    * and nodes without in-edges would fall out of the frame.
+    *
+    * Determinism across engines — fixed-point micro-rank units (1e-6),
+    * the sqlCentroids convention, NOT `round(x, 6)`: Spark rounds the
+    * exact decimal expansion of the double (BigDecimal HALF_UP) while
+    * DuckDB rounds the scaled double, and the two disagree by 1 ulp
+    * whenever a contribution lands within an ulp of a .5 boundary
+    * (observed at sf0.01 on the very first top-20 row). Instead every
+    * step is IEEE double arithmetic — bit-identical in any engine — with
+    * an explicit `floor(x + 0.5)` half-up back to integer micro-units:
+    * contribution = ⌊r_µ/outdeg + ½⌋, summed EXACTLY as longs
+    * (order-independent, so partial aggregation across any executor
+    * count gives one answer), update r_µ' = ⌊150000 + 0.85·Σ + ½⌋.
+    * 3 rounds in Spark and 3 unrolled CTEs in DuckDB agree on every
+    * digit and the driver hash-compares exactly.
+    *
+    * Returns (node STRING, r LONG) with r in micro-rank units.
+    */
+  def pagerank(s: SparkSession, edges0: DataFrame, iters: Int): DataFrame = {
+    // edges and degrees are read every round — materialize once; ranks
+    // are re-checkpointed per round and the superseded round freed
+    val edges = edges0.select("src", "dst").localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    var ranks = deg.select(col("src").as("node"),
+      lit(1000000L).as("r")).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val next = edges
+        .join(deg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"),
+          floor(col("r").cast("double") / col("outdeg") + lit(0.5))
+            .cast("long").as("w"))
+        .groupBy("dst")
+        .agg(sum(col("w")).as("acc"))
+        .select(col("dst").as("node"),
+          floor(lit(150000.0) + lit(0.85) * col("acc").cast("double") +
+            lit(0.5)).cast("long").as("r"))
+        .localCheckpoint()
+      Materialize.free(ranks)
+      ranks = next
+      i += 1
+    }
+    ranks
+  }
+
+  /** One DuckDB PageRank round as CTE text — the oracle twin of the loop
+    * body in [[pagerank]], kept adjacent so they can't drift. */
+  private def sqlPrRound(i: Int): String = {
+    val prev = if (i == 1) "r0" else s"r${i - 1}"
+    s"""r$i AS (
+          SELECT e.dst AS node,
+            CAST(FLOOR(150000 + 0.85 * CAST(SUM(CAST(FLOOR(
+                CAST(r.r AS DOUBLE) / d.outdeg + 0.5) AS BIGINT))
+              AS DOUBLE) + 0.5) AS BIGINT) AS r
+          FROM edges e
+          JOIN $prev r ON e.src = r.node
+          JOIN deg d ON e.src = d.src
+          GROUP BY e.dst)"""
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // Link-importance scoring on the bipartite customer–supplier graph
+    // (an edge per distinct trading pair from lineitem⋈orders,
+    // symmetrized): 3 PageRank rounds, top-20 nodes. The fact-fact join
+    // shuffles on orderkey once to build the edge list; every round after
+    // that touches only O(E) edge rows and O(V) rank rows.
+    Q("q_pagerank",
+      (s, d) => {
+        val pairs = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+          .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(
+            concat(lit("c:"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s:"), col("l_suppkey").cast("string")).as("dst"))
+          .distinct()
+        val edges = pairs.union(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        pagerank(s, edges, 3)
+          .select(col("node"),
+            (col("r").cast("double") / lit(1000000.0)).as("rank"))
+          .orderBy(col("rank").desc, col("node"))
+          .limit(20)
+      },
+      Some(s"""WITH pairs AS (
+                SELECT DISTINCT 'c:' || o_custkey AS src,
+                                's:' || l_suppkey AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              edges AS (
+                SELECT src, dst FROM pairs
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM pairs),
+              deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+              r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r
+                     FROM deg),
+              ${sqlPrRound(1)},
+              ${sqlPrRound(2)},
+              ${sqlPrRound(3)}
+              SELECT node, CAST(r AS DOUBLE) / 1000000.0 AS rank FROM r3
+              ORDER BY rank DESC, node LIMIT 20"""))
+  )
+}
