@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,6 +27,34 @@ import Arith._
 object Relational {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** Per-column table profile in long form — one row per profiled column
+    * with (n_rows, n_null, n_distinct, min_val, max_val). One scan:
+    * every metric is a partial-aggregated expression in a single agg
+    * node, exploded to rows driver-free. `cols` pairs each column with a
+    * min/max FORMATTER applied after the aggregate (ordering happens on
+    * the native type, the string image is only for display/compare).
+    * Exercised with planted nulls/duplicates in ProfileSpec; q_profile
+    * runs it over `orders` against a DuckDB oracle.
+    */
+  def profile(df: DataFrame,
+      cols: Seq[(String, Column => Column)]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (n, fmt) =>
+      Seq(count(col(n)).as(s"cnt_$n"),
+        countDistinct(col(n)).as(s"nd_$n"),
+        fmt(min(col(n))).as(s"min_$n"),
+        fmt(max(col(n))).as(s"max_$n"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { case (n, _) =>
+      struct(lit(n).as("col_name"), col("n_rows"),
+        (col("n_rows") - col(s"cnt_$n")).as("n_null"),
+        col(s"nd_$n").as("n_distinct"),
+        col(s"min_$n").as("min_val"), col(s"max_$n").as("max_val"))
+    }
+    one.select(explode(array(entries: _*)).as("p"))
+      .select("p.*").orderBy("col_name")
+  }
 
   /** Raw HyperLogLog estimates next to the exact distinct counts they
     * approximate — the production 100 TB shape is the two `hll_*` columns
@@ -785,6 +813,51 @@ object Relational {
                  ORDER BY o_totalprice, o_orderkey), 6) AS cume
               FROM orders WHERE o_custkey <= 100
               ORDER BY o_orderpriority, o_orderkey""")),
+
+    // ---- data profiling ---------------------------------------------------
+    // Per-column table profiling — the QC pass a pipeline runs before
+    // training on a new table: row/null/distinct counts and min/max per
+    // column, in long form. One scan: every metric is a partial-aggregated
+    // expression in a single agg node (the multi-column exact distincts
+    // expand the scan k-ways — the standard exact-profiling shape; at
+    // 100 TB swap countDistinct for approx_count_distinct and the expand
+    // disappears, same query otherwise). min/max are formatted per TYPE to
+    // be engine-stable: ints/strings cast directly, doubles through
+    // DECIMAL(18,2) (the money columns are exact 2-decimal values — a raw
+    // double→string cast differs between engines), timestamps through
+    // DATE. The one-row aggregate is then exploded to (column, metrics)
+    // rows driver-free.
+    Q("q_profile",
+      (s, d) => profile(t(s, d, "orders"), Seq(
+        ("o_orderkey", _.cast("string")),
+        ("o_custkey", _.cast("string")),
+        ("o_orderstatus", c => c),
+        ("o_totalprice", _.cast("decimal(18,2)").cast("string")),
+        ("o_orderdate", _.cast("date").cast("string")),
+        ("o_orderpriority", c => c))),
+      Some {
+        def row(n: String, minV: String, maxV: String) =
+          s"""SELECT '$n' AS col_name, COUNT(*) AS n_rows,
+              COUNT(*) - COUNT($n) AS n_null,
+              COUNT(DISTINCT $n) AS n_distinct,
+              $minV AS min_val, $maxV AS max_val FROM orders"""
+        def str(f: String, n: String) = s"CAST($f($n) AS VARCHAR)"
+        def dec(f: String, n: String) =
+          s"CAST(CAST($f($n) AS DECIMAL(18,2)) AS VARCHAR)"
+        def dt(f: String, n: String) =
+          s"CAST(CAST($f($n) AS DATE) AS VARCHAR)"
+        Seq(
+          row("o_orderkey", str("MIN", "o_orderkey"), str("MAX", "o_orderkey")),
+          row("o_custkey", str("MIN", "o_custkey"), str("MAX", "o_custkey")),
+          row("o_orderstatus", "MIN(o_orderstatus)", "MAX(o_orderstatus)"),
+          row("o_totalprice", dec("MIN", "o_totalprice"),
+            dec("MAX", "o_totalprice")),
+          row("o_orderdate", dt("MIN", "o_orderdate"),
+            dt("MAX", "o_orderdate")),
+          row("o_orderpriority", "MIN(o_orderpriority)",
+            "MAX(o_orderpriority)"))
+          .mkString(" UNION ALL ") + " ORDER BY col_name"
+      }),
 
     // ---- histogram / numeric binning --------------------------------------
     // Fixed-width binning via width_bucket — the one-pass distributed

@@ -390,7 +390,10 @@ object Similarity {
     * codebook is checkpointed per round (m·k rows) so the broadcast plan
     * stays shallow.
     *
-    * @param sv  (vec_id, sub, sv) subvectors ([[pqSubs]] output)
+    * @param sv  (vec_id, sub, sv) TRAINING subvectors ([[pqSubs]]
+    *            output) — callers may (and the ANN rows do) pass a
+    *            deterministic sample: training needs representative
+    *            members per codeword, not the whole corpus
     * @param seed  (code, sub, cw) starting codebook
     */
   def pqTrain(s: SparkSession, sv: DataFrame, seed: DataFrame,
@@ -423,9 +426,11 @@ object Similarity {
   /** DuckDB twin of [[pqTrain]] seeded by the first-k subvectors, as CTE
     * text over a `sv(vec_id, sub, sv)` CTE: defines `cb0` (seed) and
     * `pa<r>`/`pu<r>`/`cb<r>` per round — the final codebook is
-    * `cb<rounds>`. */
+    * `cb<rounds>`. `trainWhere` restricts the TRAINING members (the
+    * oracle twin of the sampled frame the Spark side hands pqTrain);
+    * the seed stays first-k of the full corpus on both engines. */
   private[operators] def sqlPqTrain(k: Int, subDim: Int,
-      rounds: Int): String = {
+      rounds: Int, trainWhere: String = "TRUE"): String = {
     val seed = s"""cb0 AS (
           SELECT sub, CAST(vec_id AS INT) AS code, sv AS cw
           FROM sv WHERE vec_id < $k)"""
@@ -434,7 +439,8 @@ object Similarity {
             SELECT vec_id, sub, sv, code FROM (
               SELECT sv.vec_id, sv.sub, sv.sv, cb.code,
                 ${sqlPqD2("sv.sv", "cb.cw", subDim)} AS d2
-              FROM sv JOIN cb${r - 1} cb ON sv.sub = cb.sub)
+              FROM sv JOIN cb${r - 1} cb ON sv.sub = cb.sub
+              WHERE $trainWhere)
             QUALIFY row_number() OVER (PARTITION BY vec_id, sub
               ORDER BY d2, code) = 1),
           pu$r AS (
@@ -982,7 +988,16 @@ object Similarity {
         val m = 8; val subDim = 8; val k = 8
         val e = Similarity.dropZeroNorm(s,
           embs(s, d).select(col("vec_id"), col("embedding")))
-        val cb = pqTrain(s, pqSubs(e, "vec_id", "embedding", m, subDim, "sv"),
+        // codebooks are TRAINED ON A DETERMINISTIC SAMPLE (every 2nd
+        // vector), the FAISS practice — codeword quality needs thousands
+        // of members per codeword, not the whole corpus, so training cost
+        // stays O(sample) while encoding still covers every vector. The
+        // modulus sample is engine-exact (a production pipeline would
+        // hash-sample; on the dense synthetic ids a modulus is the same
+        // thing with an exact oracle).
+        val cb = pqTrain(s,
+          pqSubs(e, "vec_id", "embedding", m, subDim, "sv")
+            .filter(col("vec_id") % 2 === 0),
           pqCodebook(s, e, m, subDim, k), subDim, rounds = 2)
         val codes = pqEncode(s, e, cb, m, subDim)
         val queries = e.filter(col("vec_id") < 5)
@@ -1019,7 +1034,7 @@ object Similarity {
                 SELECT e.vec_id, s.m AS sub,
                   list_slice(e.v, s.m * 8 + 1, s.m * 8 + 8) AS sv
                 FROM e, subs s),
-              ${sqlPqTrain(8, 8, 2)},
+              ${sqlPqTrain(8, 8, 2, "sv.vec_id % 2 = 0")},
               enc AS (
                 SELECT vec_id, sub, code FROM (
                   SELECT sv.vec_id, sv.sub, cb.code,
@@ -1106,9 +1121,12 @@ object Similarity {
           .select(col("vec_id"), col("bucket"),
             zip_with(col("embedding"), col("c_v"),
               (x, c) => x.cast("double") - c).as("resid"))
+        // residual codebooks train on the same every-2nd deterministic
+        // sample as q_ann_pq (see there); encoding below covers all rows
         val cb = pqTrain(s,
           pqSubs(resid.select(col("vec_id"), col("resid")),
-            "vec_id", "resid", m, subDim, "sv"),
+            "vec_id", "resid", m, subDim, "sv")
+            .filter(col("vec_id") % 2 === 0),
           pqSubs(resid.filter(col("vec_id") < k)
               .select(col("vec_id").cast("int").as("code"), col("resid")),
             "code", "resid", m, subDim, "cw"),
@@ -1180,7 +1198,7 @@ object Similarity {
                 SELECT r.vec_id, r.bucket, s.m AS sub,
                   list_slice(r.r, s.m * 8 + 1, s.m * 8 + 8) AS sv
                 FROM resid r, subs s),
-              ${sqlPqTrain(8, 8, 2)},
+              ${sqlPqTrain(8, 8, 2, "sv.vec_id % 2 = 0")},
               enc AS (
                 SELECT vec_id, bucket, sub, code FROM (
                   SELECT sv.vec_id, sv.bucket, sv.sub, cb.code,

@@ -74,8 +74,12 @@ class AnnSpec extends AnyFunSuite {
     // An 8-codeword/subspace codebook is still coarse (8 bytes per
     // vector); the floor pins that ADC ranking + exact re-rank still
     // recovers a meaningful fraction of the true neighbors (measured
-    // 0.73 at sf0.001 with the Lloyd-trained codebook, up from 0.67
-    // with first-k codewords) rather than degenerating to noise.
+    // 0.60 at sf0.001 with the Lloyd-trained codebook over the every-2nd
+    // training sample — 0.73 training on all 500 vectors, 0.67 with
+    // untrained first-k codewords; the sample costs recall only at this
+    // toy corpus size, while at bench/production scale it halves
+    // training cost at thousands of members per codeword) rather than
+    // degenerating to noise.
     val s = spark
     val pq = SparkEntry.queries("q_ann_pq")(s, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
