@@ -56,6 +56,31 @@ object Relational {
       .select("p.*").orderBy("col_name")
   }
 
+  /** Rows of `df` whose integer-valued expression `x` deviates more than
+    * 3σ from its `key`-group mean — the per-group z-test with ZERO
+    * floating point: |x−μ| > 3σ cleared of divisions and square roots is
+    *   (n·x − S)² > 9·(n·Sxx − S²),  S = Σx, Sxx = Σx²
+    * over exact DECIMAL(38,0) arithmetic, so the boundary cases are
+    * engine-exact. `x` must be integral (pass cents, counts, micro-units)
+    * with |x| ≤ ~1e8 at ≤ ~1e9 rows/group to keep intermediates < 1e34.
+    * A constant group has rhs = 0 and flags nothing (lhs 0 is not > 0).
+    * Two passes: a per-key stats aggregate (partial-aggregated, broadcast
+    * back) then a map-side filter over the scan. Planted-frame semantics
+    * in ProfileSpec; q_outliers runs it over events.
+    */
+  def outliers(df: DataFrame, key: String, x: Column): DataFrame = {
+    val o = df.withColumn("__xc", x.cast("decimal(38,0)"))
+    val stats = o.groupBy(key).agg(
+      count(lit(1)).cast("decimal(38,0)").as("__n"),
+      sum(col("__xc")).as("__sx"),
+      sum(col("__xc") * col("__xc")).as("__sxx"))
+    val dev = col("__n") * col("__xc") - col("__sx")
+    o.join(broadcast(stats), key)
+      .filter(dev * dev >
+        lit(9) * (col("__n") * col("__sxx") - col("__sx") * col("__sx")))
+      .drop("__xc", "__n", "__sx", "__sxx")
+  }
+
   /** Raw HyperLogLog estimates next to the exact distinct counts they
     * approximate — the production 100 TB shape is the two `hll_*` columns
     * alone (one pass, bounded memory). Shared by q_approx_distinct (which
@@ -882,6 +907,38 @@ object Relational {
                   END AS bin,
               COUNT(*) AS n, ${sqlSum("o_totalprice")} AS total
               FROM orders GROUP BY bin ORDER BY bin""")),
+
+    // ---- outlier detection (exact z-test) ---------------------------------
+    // Per-group 3-sigma outlier flag with ZERO floating point: the z-test
+    // |x−μ| > 3σ is algebraically cleared of divisions and square roots —
+    //   (n·x − S)² > 9·(n·Sxx − S²),  S = Σx, Sxx = Σx²
+    // — and evaluated on integer cents, so both engines do exact integer
+    // arithmetic (DECIMAL(38,0) here, HUGEINT in the oracle) and agree on
+    // every boundary case. Intermediates stay < 1e34 even at n = 1e9 rows
+    // per group. Target is events.value per event_type (exponential-ish,
+    // max z ≈ 9 — the uniform money columns never exceed z = √3 and would
+    // make any z-gate vacuous). Scale shape: one partial-aggregated pass
+    // for the per-type stats frame, broadcast back over the scan — the
+    // second pass is map-side only; the QC gate a pipeline runs on numeric
+    // columns before training.
+    Q("q_outliers",
+      (s, d) => outliers(
+        t(s, d, "events").select("event_id", "event_type", "value"),
+        "event_type", round(col("value") * 100, 0))
+        .select("event_type", "event_id", "value")
+        .orderBy("event_type", "event_id"),
+      Some("""WITH o AS (
+                SELECT event_id, event_type, value,
+                  CAST(ROUND(value * 100) AS HUGEINT) AS xc
+                FROM events),
+              st AS (
+                SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                  SUM(xc) AS sx, SUM(xc * xc) AS sxx
+                FROM o GROUP BY event_type)
+              SELECT o.event_type, o.event_id, o.value
+              FROM o JOIN st USING (event_type)
+              WHERE (n*xc - sx)*(n*xc - sx) > 9*(n*sxx - sx*sx)
+              ORDER BY event_type, event_id""")),
 
     // ---- ordered string aggregation (listagg) -----------------------------
     // collect_list carries NO intra-group order guarantee after a shuffle,

@@ -337,6 +337,107 @@ object TextOps {
               FROM toks JOIN cnt USING (word) CROSS JOIN tot
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- bigram language-model scoring ------------------------------------
+    // Mean bigram CONDITIONAL log-probability ln(c(w1,w2)/c(w1·)) per doc
+    // — one Markov order above q_unigram_logprob, the shape of a
+    // KenLM-style perplexity filter with the corpus as its own training
+    // set (so every bigram has count ≥ 1 and no smoothing is needed;
+    // c(w1·) counts bigram STARTS, making each row a true conditional).
+    // Scale: the bigram vocabulary is corpus-sized → per-term logprobs
+    // join back by SHUFFLE join on the bigram key; both count tables come
+    // from one pass over the same exploded pairs. Per-doc sums follow the
+    // Arith discipline (round 6dp → DECIMAL(38,6)) so hundreds of doubles
+    // sum order-independently; ln() of a ratio of small integers is
+    // ulp-identical in both engines (pinned green, same as unigram).
+    Q("q_bigram_lm",
+      (s, d) => {
+        val pairs = docs(s, d)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+          .select(col("doc_id"), explode(arrays_zip(
+            slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+            slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2")))
+            .as("p"))
+          .filter(col("p.w1") =!= "" && col("p.w2") =!= "")
+          .select(col("doc_id"),
+            concat_ws(" ", col("p.w1"), col("p.w2")).as("bg"),
+            col("p.w1").as("w1"))
+        val c2 = pairs.groupBy("bg").agg(count(lit(1)).as("c2"))
+        val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+        pairs.join(c2, "bg").join(c1, "w1")
+          .withColumn("lp",
+            round(log(col("c2").cast("double") / col("c1")), 6)
+              .cast("decimal(38,6)"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+              .as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS toks
+                FROM documents),
+              u AS (
+                SELECT doc_id, unnest(toks) AS w,
+                  generate_subscripts(toks, 1) AS i
+                FROM t),
+              pairs AS (
+                SELECT a.doc_id, a.w || ' ' || b.w AS bg, a.w AS w1
+                FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                WHERE a.w <> '' AND b.w <> ''),
+              c2 AS (SELECT bg, COUNT(*) AS c2 FROM pairs GROUP BY bg),
+              c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1)
+              SELECT doc_id, COUNT(*) AS n_bigrams,
+                ROUND(CAST(SUM(CAST(ROUND(ln(CAST(c2 AS DOUBLE) / c1), 6)
+                           AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+                  AS avg_logprob
+              FROM pairs JOIN c2 USING (bg) JOIN c1 USING (w1)
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- hashed linear-model inference ------------------------------------
+    // The fastText-shaped quality classifier at its 100 TB execution
+    // shape: bag-of-tokens → hashing-trick features → linear margin. The
+    // "model" is a weight per hash bucket; because the bucket weight is
+    // derived from the hash itself (md5 → first 4 hex chars → signed
+    // 16-bit integer), there is NO weight table to broadcast and the
+    // whole scorer is one codegen'd per-row fold over the token array —
+    // zero shuffles, zero joins, exact LONG arithmetic (a real trained
+    // model swaps in a broadcast map lookup; the plan shape is identical).
+    // Margin > 0 is the keep gate; output stays sorted for the hash
+    // compare.
+    Q("q_quality_classifier",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), " "), t => t =!= "").as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          aggregate(col("toks"), lit(0L), (acc, t) =>
+            acc + (conv(substring(md5(concat(lit("w_"), t)), 1, 4), 16, 10)
+              .cast("long") - 32768L)).as("margin"))
+        .withColumn("keep", col("margin") > 0)
+        .orderBy("doc_id"),
+      // hex → int spelled per char (no conv() in DuckDB):
+      // d1*4096 + d2*256 + d3*16 + d4, digits via strpos (1-based, so −1)
+      Some("""WITH t AS (
+                SELECT doc_id,
+                  [x FOR x IN string_split(lower(text), ' ') IF x <> '']
+                    AS toks
+                FROM documents)
+              SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(COALESCE(list_sum([
+                    (strpos('0123456789abcdef', substr(md5('w_' || x), 1, 1)) - 1) * 4096
+                  + (strpos('0123456789abcdef', substr(md5('w_' || x), 2, 1)) - 1) * 256
+                  + (strpos('0123456789abcdef', substr(md5('w_' || x), 3, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(md5('w_' || x), 4, 1)) - 1)
+                  - 32768
+                  FOR x IN toks]), 0) AS BIGINT) AS margin,
+                COALESCE(list_sum([
+                    (strpos('0123456789abcdef', substr(md5('w_' || x), 1, 1)) - 1) * 4096
+                  + (strpos('0123456789abcdef', substr(md5('w_' || x), 2, 1)) - 1) * 256
+                  + (strpos('0123456789abcdef', substr(md5('w_' || x), 3, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(md5('w_' || x), 4, 1)) - 1)
+                  - 32768
+                  FOR x IN toks]), 0) > 0 AS keep
+              FROM t ORDER BY doc_id""")),
+
     // ---- text normalization / scrubbing ----------------------------------
     // The cheap cleaning pass in front of dedup/training: lowercase, mask
     // digit runs, collapse whitespace, trim. All regexp_replace — codegen'd,

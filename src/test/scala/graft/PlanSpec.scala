@@ -171,6 +171,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
   }
 
+  test("q_quality_classifier shuffles only for the output sort") {
+    // the hashed linear model has no weight table: the margin is a
+    // per-row fold over the token array, so the plan must be one scan,
+    // no join, and the only Exchange the determinism sort's range
+    // partitioning
+    val p = plan("q_quality_classifier")
+    assert(!p.contains("Join"), s"classifier plans a join:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    val exch = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exch.forall(_.contains("rangepartitioning")),
+      s"non-sort exchange in classifier plan:\n$p")
+  }
+
+  test("q_outliers broadcasts the stats frame back over the scan") {
+    // pass 1 partial-aggregates per-type stats; pass 2 must be a
+    // broadcast join + map-side filter, not a shuffle of the fact rows
+    val p = plan("q_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"outliers shuffle-joins:\n$p")
+  }
+
   test("q_ann_kmeans broadcasts centroids and partial-aggregates buffers") {
     val p = plan("q_ann_kmeans")
     // both the seeding pass and the reassignment pass broadcast the tiny

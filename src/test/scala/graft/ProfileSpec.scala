@@ -6,9 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import operators.Relational
 
-/** Profiling operator semantics (Relational.profile) on a planted frame —
-  * the testdata has no NULLs, so the q_profile oracle row never exercises
-  * the null-counting path; this does.
+/** Data-QC operator semantics on planted frames: Relational.profile (the
+  * testdata has no NULLs, so the q_profile oracle row never exercises the
+  * null-counting path) and Relational.outliers (the oracle row pins the
+  * events answer but not WHICH rows ought to be outliers; here the answer
+  * is known by construction).
   */
 class ProfileSpec extends AnyFunSuite {
 
@@ -33,5 +35,24 @@ class ProfileSpec extends AnyFunSuite {
     // output is one row per profiled column, ordered by name
     assert(Relational.profile(df, cols).collect()
       .map(_.getString(0)).toSeq == Seq("k", "v"))
+  }
+
+  test("outliers flags exactly the planted >3-sigma point per group") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // group a: ten 0s and one 100 — for the 100: (n·x−S)² = (11·100−100)²
+    // = 1e6 > 9·(n·Sxx−S²) = 9·(11·10000−10000) = 9e5; for each 0:
+    // (0−100)² = 1e4 < 9e5. Group b is constant: rhs = 0 and 0 > 0 is
+    // false, so a zero-variance group must flag NOTHING.
+    val df = ((1 to 10).map(i => ("a", i.toLong, 0L)) ++
+      Seq(("a", 11L, 100L)) ++
+      (1 to 5).map(i => ("b", 100L + i, 7L)))
+      .toDF("g", "id", "x")
+    val got = Relational.outliers(df, "g", col("x"))
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 11L)))
+    // helper columns must not leak into the output schema
+    assert(Relational.outliers(df, "g", col("x")).columns.toSeq ==
+      Seq("g", "id", "x"))
   }
 }
