@@ -52,17 +52,20 @@ object Graph {
     * Returns (node STRING, r LONG) with r in micro-rank units.
     */
   def pagerank(s: SparkSession, edges0: DataFrame, iters: Int): DataFrame = {
-    // edges and degrees are read every round — materialize once; ranks
-    // are re-checkpointed per round and the superseded round freed
+    // The (edge, outdeg) frame is loop-invariant — materialize it ONCE
+    // with the degree already attached, so each round is a single join
+    // against the current ranks instead of two (outdeg is a per-src
+    // constant; attaching it before the loop changes no value). Ranks
+    // are re-checkpointed per round and the superseded round freed.
     val edges = edges0.select("src", "dst").localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
+    val contrib = edges.join(deg, "src").localCheckpoint()
     var ranks = deg.select(col("src").as("node"),
       lit(1000000L).as("r")).localCheckpoint()
+    Materialize.free(edges) // loop reads only contrib + ranks from here on
     var i = 0
     while (i < iters) {
-      val next = edges
-        .join(deg, "src")
+      val next = contrib
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"),
           floor(col("r").cast("double") / col("outdeg") + lit(0.5))
