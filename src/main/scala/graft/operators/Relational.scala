@@ -940,6 +940,39 @@ object Relational {
               WHERE (n*xc - sx)*(n*xc - sx) > 9*(n*sxx - sx*sx)
               ORDER BY event_type, event_id""")),
 
+    // ---- join-key skew diagnostics ----------------------------------------
+    // The pre-join profile a 100 TB pipeline runs on a candidate shuffle
+    // key BEFORE choosing plain vs salted vs broadcast: top-20 heaviest
+    // keys with their absolute count, parts-per-million share of all rows,
+    // and count-as-percent-of-mean (n·k/total — > ~1000% is the salting
+    // threshold q_join_salted exists for). Shares are floor integer
+    // division on longs, so both engines agree on every digit. One
+    // partial-aggregated groupBy + a 1-row broadcast of the totals; the
+    // top-20 is TakeOrderedAndProject, never a full sort.
+    Q("q_skew_profile",
+      (s, d) => {
+        val counts = t(s, d, "lineitem")
+          .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("n"))
+        val tot = counts.agg(sum(col("n")).cast("long").as("total"),
+          count(lit(1)).as("n_keys"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("key"), col("n"),
+            expr("n * 1000000L div total").as("share_ppm"),
+            expr("n * n_keys * 100L div total").as("pct_of_mean"))
+          .orderBy(col("n").desc, col("key"))
+          .limit(20)
+      },
+      Some("""WITH c AS (
+                SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+                FROM lineitem GROUP BY 1),
+              t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                      CAST(COUNT(*) AS BIGINT) AS n_keys FROM c)
+              SELECT key, n,
+                n * 1000000 // total AS share_ppm,
+                n * n_keys * 100 // total AS pct_of_mean
+              FROM c CROSS JOIN t
+              ORDER BY n DESC, key LIMIT 20""")),
+
     // ---- ordered string aggregation (listagg) -----------------------------
     // collect_list carries NO intra-group order guarantee after a shuffle,
     // so the canonical deterministic listagg is sort_array(collect_list)

@@ -37,6 +37,63 @@ object TextOps {
     * whole query (the r6 bench's slowest non-iterative text row). */
   private val stopWords = Seq("a", "the", "of", "and", "to", "in")
 
+  /** Overlapping token-window chunking of `(doc_id, text)` rows: windows
+    * of `window` tokens starting every `stride` tokens (stride < window ⇒
+    * `window − stride` tokens of overlap). Chunk count is the closed form
+    * 1 + ⌈max(n−window, 0)/stride⌉ — computed with `div` (truncating
+    * integer division, = floor on the non-negative operands here) so both
+    * engines do exact integer arithmetic — and the final chunk is clipped
+    * to the document end (`chunk_len ≤ window`, ≥ 1). Empty-token docs
+    * drop out. `chunk_md5` hashes the space-joined window so the compare
+    * pins the exact token slice, not just its coordinates.
+    */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame,
+      window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(0 < stride && stride <= window, s"bad window/stride $window/$stride")
+    df.select(col("doc_id"),
+        filter(split(lower(col("text")), " "), t => t =!= "").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("m",
+        lit(1L) + expr(s"(greatest(n - $window, 0L) + ${stride - 1}) div $stride"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("m") - 1)).as("chunk_id"))
+      .withColumn("start", col("chunk_id") * stride)
+      .withColumn("chunk_len",
+        least(lit(window.toLong), col("n") - col("start")))
+      .select(col("doc_id"), col("chunk_id"), col("start"), col("chunk_len"),
+        md5(concat_ws(" ", slice(col("toks"),
+          (col("start") + 1).cast("int"), col("chunk_len").cast("int"))))
+          .as("chunk_md5"))
+  }
+
+  /** Per-document Shannon character entropy in nats over `(doc_id, text)`
+    * rows: H = ln(n) − (Σ c·ln c)/n with c the per-character counts.
+    * Each c·ln c term is ln of a SMALL INTEGER rounded to 6dp and summed
+    * as DECIMAL(38,6) (the Arith discipline) so the per-doc sum is
+    * shuffle-order-independent; a single-character document scores
+    * exactly 0 (ln n − (round-off of n·ln n)/n rounds back to 0 at 6dp
+    * for any n ≤ ~1e6). Distinct-char state per doc is bounded by the
+    * alphabet, never the text length.
+    */
+  def charEntropy(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double")), 6)
+          .cast("decimal(38,6)")).as("sclog"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+        // + 0.0 normalizes a −0.0 (a single-char-class doc can round to
+        // −1e-7 before the 6dp round; Spark's HALF_UP yields +0.0 there
+        // but DuckDB keeps the sign — IEEE −0.0 + 0.0 = +0.0 on both)
+        (round(log(col("n_chars").cast("double")) -
+          col("sclog").cast("double") / col("n_chars"), 6) + lit(0.0))
+          .as("entropy"))
+
   /** Count of stop-word tokens in a token-array column (repeats count). */
   private def nStop(toks: org.apache.spark.sql.Column) =
     size(filter(toks, t => t.isin(stopWords: _*))).cast("long")
@@ -846,6 +903,68 @@ object TextOps {
                 COUNT(*) FILTER (uniq) AS n_unique,
                 CAST(SUM(CASE WHEN uniq THEN n_tokens ELSE 0 END)
                      AS BIGINT) AS n_tokens_kept
-              FROM s GROUP BY source ORDER BY source"""))
+              FROM s GROUP BY source ORDER BY source""")),
+
+    // ---- context-window chunking ------------------------------------------
+    // Overlapping sliding-window chunking into fixed token windows — the
+    // step that turns cleaned documents into training context windows
+    // (window 32, stride 24 ⇒ 8-token overlap so no boundary context is
+    // lost). Chunk COUNT is closed-form integer arithmetic
+    // (1 + ⌈max(n−w,0)/stride⌉ via truncating division on non-negatives),
+    // so the explode is a per-row `sequence` — one scan, no shuffle
+    // before the determinism sort, and the blob-free frame (`doc_id`,
+    // offsets, md5) is what downstream shuffles carry; the md5 of each
+    // chunk's joined text pins the slicing byte-exactly cross-engine.
+    Q("q_text_chunk",
+      (s, d) => chunkTokens(
+        docs(s, d).select(col("doc_id"), col("text")), 32, 24)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH t AS (
+                SELECT doc_id,
+                  [x FOR x IN string_split(lower(text), ' ') IF x <> '']
+                    AS toks
+                FROM documents),
+              n AS (
+                SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+                FROM t WHERE len(toks) > 0),
+              c AS (
+                SELECT doc_id, toks, n,
+                  1 + (GREATEST(n - 32, 0) + 23) // 24 AS m
+                FROM n)
+              SELECT doc_id, i AS chunk_id, i * 24 AS start,
+                LEAST(32, n - i * 24) AS chunk_len,
+                md5(array_to_string(list_slice(toks, i * 24 + 1,
+                  i * 24 + LEAST(32, n - i * 24)), ' ')) AS chunk_md5
+              FROM c, LATERAL unnest(generate_series(0, m - 1)) AS u(i)
+              ORDER BY doc_id, chunk_id""")),
+
+    // ---- character-entropy gibberish signal -------------------------------
+    // Per-document Shannon character entropy in nats — the model-free
+    // gibberish/boilerplate detector next to the heuristic gates
+    // (q_quality) and the statistical ones (q_unigram_logprob): random
+    // byte soup scores high, single-char runs score 0, natural English
+    // sits in a narrow band. H = ln(n) − (Σ c·ln c)/n over per-(doc,char)
+    // counts needs only ln of SMALL INTEGERS (ulp-identical cross-engine,
+    // same as the LM rows); each c·ln c term rounds to 6dp and sums as
+    // DECIMAL(38,6) — the Arith discipline — so the per-doc sum is
+    // shuffle-order-independent. Scale: explode to (doc, char) pairs,
+    // two partial-aggregated groupBys; distinct-char state per doc is
+    // bounded by the alphabet (~100), never the text.
+    Q("q_char_entropy",
+      (s, d) => charEntropy(docs(s, d).select(col("doc_id"), col("text")))
+        .orderBy("doc_id"),
+      Some("""WITH ch AS (
+                SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+                FROM documents,
+                  LATERAL unnest(generate_series(1, length(text))) AS r(i)),
+              cc AS (
+                SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch)
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+                COUNT(*) AS n_distinct,
+                ROUND(ln(CAST(SUM(c) AS DOUBLE)) -
+                  CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 6)
+                    AS DECIMAL(38,6))) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 6)
+                  + 0.0 AS entropy
+              FROM cc GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -192,6 +192,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"outliers shuffle-joins:\n$p")
   }
 
+  test("q_skew_profile broadcasts totals and top-20s without a global sort") {
+    // the per-key counts partial-aggregate; the 1-row totals frame joins
+    // back by broadcast (never a shuffle of the counts), and the top-20
+    // is TakeOrderedAndProject
+    val p = plan("q_skew_profile")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"skew profile shuffle-joins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_text_chunk and q_char_entropy shuffle only for determinism") {
+    // chunking is a per-row explode — no join, no aggregation before the
+    // output sort; entropy is two partial-aggregated groupBys, no join
+    val pc = plan("q_text_chunk")
+    assert(!pc.contains("Join"), pc)
+    val pe = plan("q_char_entropy")
+    assert(!pe.contains("Join"), pe)
+    assert(pe.contains("partial_"), pe)
+  }
+
   test("q_ann_kmeans broadcasts centroids and partial-aggregates buffers") {
     val p = plan("q_ann_kmeans")
     // both the seeding pass and the reassignment pass broadcast the tiny
