@@ -450,6 +450,66 @@ object TextOps {
               FROM pairs JOIN c2 USING (bg) JOIN c1 USING (w1)
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- PMI collocation mining -------------------------------------------
+    // Top-30 collocations by pointwise mutual information over adjacent
+    // token pairs: PMI = ln(c(w1,w2)·N / (c(w1·)·c(·w2))) with marginals
+    // counted over the SAME bigram events, so probabilities sum to 1 by
+    // construction. The corpus-analysis staple for finding multi-word
+    // units ("new york") before vocabulary building. A min-support gate
+    // (c ≥ 5) keeps the rare-pair noise PMI rewards out — and is applied
+    // BEFORE the marginal joins so only frequent pairs shuffle twice.
+    // All counts are longs; c·N and ca·cb stay < 2^53, so the one double
+    // division and ln are deterministic cross-engine (the LM-row
+    // discipline). Marginals are corpus-sized → shuffle joins on the
+    // word keys; the top-30 is TakeOrderedAndProject.
+    Q("q_cooccur_pmi",
+      (s, d) => {
+        val base = docs(s, d)
+          .select(split(lower(col("text")), " ").as("toks"))
+          .select(explode(arrays_zip(
+            slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+            slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2")))
+            .as("p"))
+          .filter(col("p.w1") =!= "" && col("p.w2") =!= "")
+          .select(concat_ws(" ", col("p.w1"), col("p.w2")).as("bg"),
+            col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val c2 = base.groupBy("bg", "w1", "w2")
+          .agg(count(lit(1)).as("c2")).filter(col("c2") >= 5)
+        val ca = base.groupBy("w1").agg(count(lit(1)).as("ca"))
+        val cb = base.groupBy("w2").agg(count(lit(1)).as("cb"))
+        val n2 = base.agg(count(lit(1)).as("n2"))
+        c2.join(ca, "w1").join(cb, "w2").crossJoin(broadcast(n2))
+          .select(col("bg"), col("c2"),
+            round(log((col("c2") * col("n2")).cast("double") /
+              (col("ca") * col("cb")).cast("double")), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("bg"))
+          .limit(30)
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS toks
+                FROM documents),
+              u AS (
+                SELECT doc_id, unnest(toks) AS w,
+                  generate_subscripts(toks, 1) AS i
+                FROM t),
+              pairs AS (
+                SELECT a.w || ' ' || b.w AS bg, a.w AS w1, b.w AS w2
+                FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                WHERE a.w <> '' AND b.w <> ''),
+              c2 AS (
+                SELECT bg, w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+                FROM pairs GROUP BY bg, w1, w2 HAVING COUNT(*) >= 5),
+              ca AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS ca
+                     FROM pairs GROUP BY w1),
+              cb AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cb
+                     FROM pairs GROUP BY w2),
+              n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM pairs)
+              SELECT bg, c2,
+                ROUND(ln(CAST(c2 * n2 AS DOUBLE) / CAST(ca * cb AS DOUBLE)), 6)
+                  AS pmi
+              FROM c2 JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN n2
+              ORDER BY pmi DESC, bg LIMIT 30""")),
+
     // ---- hashed linear-model inference ------------------------------------
     // The fastText-shaped quality classifier at its 100 TB execution
     // shape: bag-of-tokens → hashing-trick features → linear margin. The

@@ -44,6 +44,22 @@ class PlanSpec extends AnyFunSuite {
       "bm25 does a full global sort for its limit")
   }
 
+  test("q_cooccur_pmi gates on support before the marginal joins") {
+    // the c2 ≥ 5 filter must sit BELOW the w1/w2 marginal joins (only
+    // frequent pairs shuffle twice; parents print before children in the
+    // plan tree, so the join index must come first), and the top-30 is
+    // TakeOrderedAndProject, never a global sort
+    val p = plan("q_cooccur_pmi")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // strategy-agnostic: Catalyst broadcasts the tiny sf0.001 marginals
+    // (at corpus scale stats flip these to shuffle joins — not forced)
+    val joinPos = Seq(p.indexOf("SortMergeJoin"), p.indexOf("BroadcastHashJoin"))
+      .filter(_ >= 0).minOption.getOrElse(-1)
+    val gatePos = p.indexOf(">= 5)")
+    assert(joinPos >= 0 && gatePos >= 0, p)
+    assert(joinPos < gatePos, s"support gate above the joins:\n$p")
+  }
+
   test("cosine_sim participates in whole-stage codegen over a scan") {
     val s = spark
     import org.apache.spark.sql.functions.col
