@@ -20,29 +20,55 @@ object Tables {
       case n        => spark.read.parquet(s"$dir/$n.parquet")
     }
 
-  /** events.ts is parquet TIMESTAMP(NANOS); Spark has no nanosecond
-    * timestamp type, so we read it as raw nanos (legacy.parquet.nanosAsLong)
-    * and truncate to microseconds. `ts div 1000` keeps the arithmetic in
-    * exact integer space (a double division would lose precision at 1e18).
-    *
-    * nanosAsLong is a SESSION-LEVEL engine contract, not a per-read
-    * option (Spark consults SQLConf at schema conversion, so it cannot be
-    * scoped to one DataFrameReader): every nano-precision timestamp
-    * column in the session reads back as a raw BIGINT. The engine's own
-    * sessions (Bench/Verify/tests) pin it at build time; here it is
-    * FORCE-PINNED to true (nanosAsLong is a registered SQLConf, so
+  /** events.ts arrives in whichever parquet timestamp encoding the data
+    * generator chose — it has shipped BOTH `TIMESTAMP(NANOS)` and
+    * `timestamp[us]` at different times — so the loader dispatches on the
+    * schema Spark actually infers rather than hard-coding either contract
+    * (see [[normalizeTs]]). The nanos case needs the session-level
+    * nanosAsLong conf PRE-pinned (Spark consults SQLConf at footer schema
+    * conversion, so it cannot be scoped to one DataFrameReader): it is
+    * FORCE-PINNED to true here (nanosAsLong is a registered SQLConf, so
     * `getOption` surfaces the `false` default even when the user never
     * set it — "set only if unset" is undecidable from the conf API) and
-    * never toggled back, so concurrent readers in one session cannot
-    * race it, and oracle comparisons must truncate
-    * to microseconds wherever ts order/equality matters (they do — see
-    * the epoch_us(CAST(ts AS TIMESTAMP)) convention).
+    * never toggled back, so concurrent readers in one session cannot race
+    * it. Micros-encoded files are unaffected by the conf. Oracle
+    * comparisons truncate to microseconds wherever ts order/equality
+    * matters (the epoch_us(CAST(ts AS TIMESTAMP)) convention), which both
+    * encodings satisfy.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(key).contains("true"))
       spark.conf.set(key, "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Normalize the `ts` column to session-zone TimestampType, whatever
+    * encoding the parquet carried:
+    *  - LongType        → raw nanoseconds (TIMESTAMP(NANOS) read under
+    *    nanosAsLong): integer-truncate to micros (`ts div 1000` stays in
+    *    exact integer space — a double division would lose precision at
+    *    1e18) and reinterpret as a timestamp;
+    *  - TimestampNTZType → micros-encoded, isAdjustedToUTC=false: cast
+    *    reinterprets the wall-clock value in the session zone, which the
+    *    engine pins to UTC (Bench/Verify/tests), matching DuckDB's read
+    *    of the same file;
+    *  - TimestampType   → already the target type.
+    * Any other type is a generator contract change we must hear about
+    * loudly, not mask. Shared by the batch loader and the streaming
+    * file source so both arms can never diverge.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other; expected raw-nanos LONG, " +
+          "TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
 }

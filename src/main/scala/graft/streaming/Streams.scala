@@ -171,17 +171,18 @@ object Streams {
     *    input as ONE micro-batch: split batches would advance the
     *    watermark between them and drop "late" rows that the batch-twin
     *    oracles keep — correctness here must not depend on file layout;
-    *  - same nanos→micros truncation as the batch Tables.events reader.
+    *  - same ts normalization (nanos-as-long / NTZ / timestamp dispatch)
+    *    as the batch Tables.events reader, via Tables.normalizeTs.
     */
   private def eventsStream(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema // footer only
-    s.readStream.schema(schema)
-      .option("basePath", d)
-      .option("maxFilesPerTrigger", "1000000")
-      .parquet(s"$d/events*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(
+      s.readStream.schema(schema)
+        .option("basePath", d)
+        .option("maxFilesPerTrigger", "1000000")
+        .parquet(s"$d/events*.parquet"))
   }
 
   /** Per-JVM scratch root for streaming sink/checkpoint dirs, removed by a
