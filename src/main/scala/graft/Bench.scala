@@ -112,13 +112,19 @@ object Bench {
     // Catalyst prune projections/sorts and measure a cheaper query).
     // Two passes, min time: a single pass is dominated by whichever query
     // absorbs a GC pause / machine-noise spike.
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed run yields None, never its elapsed time: recording the
+    // ~60 ms it takes to THROW as if the query ran made 23 broken queries
+    // look like innocent fast rows for two rounds (r8-r9). Failures
+    // surface by name in the JSON line's "failed" list instead.
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
       }
-      (System.nanoTime() - t0) / 1e9
     }
     // Streaming rows run in their OWN phase after every batch row: a
     // streaming query leaves memory-sink tables and state-store maintenance
@@ -130,9 +136,13 @@ object Bench {
       .partition { case (n, _) => streamNames(n) }
     def minOf2(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) = {
       val pass1 = qs.map { case (n, f) => n -> once(n, f) }.toMap
-      qs.map { case (n, f) => n -> math.min(pass1(n), once(n, f)) }.toMap
+      qs.flatMap { case (n, f) =>
+        (pass1(n).toSeq ++ once(n, f)).minOption.map(n -> _)
+      }.toMap
     }
     val results = minOf2(batchQ) ++ minOf2(streamQ) ++ mrBaseline(spark)
+    val failed = (batchQ ++ streamQ).map(_._1)
+      .filterNot(results.contains).sorted
     def r3(v: Double) = math.rint(v * 1000) / 1000 // keep the line short
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -144,8 +154,9 @@ object Bench {
       prev.get(k).filter(_ > 0).map(p =>
         s"\"" + k + "\":" + math.rint(v / p * 100) / 100)
     }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"vs_prev":$vs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"vs_prev":$vs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(fullLine)
     // persist the complete line for next round's vs_prev (the driver's
     // 2000-char stdout tail truncates it)
@@ -154,7 +165,9 @@ object Bench {
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     // Short summary LAST: it always fits the driver's tail capture intact.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    // "failed" rides along here too — a breakage must be visible even when
+    // the long line is truncated.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
