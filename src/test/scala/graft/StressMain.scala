@@ -273,6 +273,106 @@ object StressMain {
         col("cos")).distinct(),
       origCos.unionByName(famCos))
 
+    // ---- events: batch sessionize + watermarked stream at ×copies --------
+    // Blow-up: copy k of user u is user u + k·uOff with event_ids shifted
+    // by k·eOff and ts UNCHANGED — a monotone event_id shift preserves the
+    // (ts, event_id) tiebreak order inside each copy, so every user copy
+    // sessionizes exactly like its sf0.1 original: the stress output
+    // mapped through user_id % uOff must BE the sf0.1 output (set-exact),
+    // with copies× the row count.
+    val ev0 = Tables(spark, src, "events")
+    val uOff = ev0.agg(max("user_id")).head.getLong(0) + 1
+    val eOff = ev0.agg(max("event_id")).head.getLong(0) + 1
+    val nEv = ev0.count()
+    val nUsers = ev0.select("user_id").distinct().count()
+    (0 until copies).map(k => ev0
+        .withColumn("user_id", col("user_id") + lit(k * uOff))
+        .withColumn("event_id", col("event_id") + lit(k * eOff)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    println(s"STRESS| events corpus: ${nEv * copies} rows, " +
+      s"${nUsers * copies} users ($copies× $src)")
+
+    timed("q_sessionize", s"$work/out", q("q_sessionize", work))
+    val sess = out("q_sessionize")
+    check("q_sessionize row count = sf0.1 × copies",
+      sess.count() == q("q_sessionize", src).count() * copies,
+      s"got ${sess.count()}")
+    sameSet("q_sessionize = sf0.1 sessions ×copies",
+      sess.select((col("user_id") % uOff).as("user_id"), col("session_id"),
+        col("n_events"), col("start_us"), col("end_us")).distinct(),
+      q("q_sessionize", src))
+
+    // Watermarked stateful stream over the same ×copies events, on the
+    // RocksDB state store (the 100 TB state path): feed the events in
+    // event-time order through chunked micro-batches so the watermark
+    // really advances and evicts state mid-run, then flush the open tail
+    // with per-user far-future sentinels. Asserts (a) RocksDB actually
+    // took effect, (b) the closed-session set equals the batch twin just
+    // verified above — streaming == batch at 10× — and (c) peak state is
+    // bounded by the USER count (one open session per user), not the 10×
+    // event count: the bounded-state scale contract, demonstrated.
+    {
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.Streams
+      import graft.streaming.Streams.{Ev, Session}
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+      val evs = spark.read.parquet(s"$work/events.parquet")
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id")
+        .orderBy("ts_us", "event_id").as[Ev].collect()
+      val maxUs = evs.last.ts_us
+      val sentinels = (0L until nUsers * copies)
+        .map(u => Ev(u, maxUs + 10 * Streams.GapUs, Long.MaxValue))
+      val input = MemoryStream[Ev](spark)
+      val sink = "stress_sessions"
+      val t0 = System.nanoTime()
+      val sq = Streams.sessionize(input.toDS()).writeStream
+        .format("memory").queryName(sink)
+        .option("checkpointLocation", s"$work/ckpt_sessionize")
+        .outputMode("append").start()
+      try {
+        // 20 event-time-ordered chunks ⇒ ≥ 20 micro-batches: the
+        // watermark advances between chunks, so mid-run state eviction is
+        // exercised, not just the final sentinel flush
+        evs.grouped(math.max(1, evs.length / 20)).foreach { chunk =>
+          input.addData(chunk.toSeq: _*)
+          sq.processAllAvailable()
+        }
+        input.addData(sentinels: _*)
+        sq.processAllAvailable()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val progress = sq.recentProgress.flatMap(_.stateOperators)
+        val usedRocks = progress.exists(
+          _.customMetrics.keySet.asScala.exists(_.contains("rocksdb")))
+        check("stream sessionize ran on RocksDB state store", usedRocks,
+          "no rocksdb custom metrics in any progress event")
+        val peakState =
+          if (progress.isEmpty) 0L else progress.map(_.numRowsTotal).max
+        println(f"STRESS| stream_sessionize    $secs%7.2f s  peakState " +
+          f"$peakState%7d rows (${nEv * copies} events, " +
+          f"${nUsers * copies} users)")
+        check("stream state bounded by users, not events",
+          peakState <= nUsers * copies,
+          s"$peakState state rows > ${nUsers * copies} users")
+        val got = spark.table(sink).as[Session].toDF()
+          .select(col("user_id"), col("n_events"),
+            col("start_us"), col("end_us"))
+        // sentinel sessions never close, so `got` is exactly the batch
+        // twin's session set (which q_sessionize above already verified
+        // against the sf0.1 blow-up) — compare full multiset
+        sameSet("stream sessionize = batch q_sessionize at ×copies",
+          got, sess.select(col("user_id"), col("n_events"),
+            col("start_us"), col("end_us")))
+      } finally {
+        sq.stop()
+        spark.conf.unset(key)
+      }
+    }
+
     spark.stop()
     if (failures > 0) {
       System.err.println(s"STRESS| $failures invariant(s) failed")
