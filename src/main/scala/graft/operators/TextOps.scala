@@ -1025,6 +1025,99 @@ object TextOps {
                   CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 6)
                     AS DECIMAL(38,6))) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 6)
                   + 0.0 AS entropy
-              FROM cc GROUP BY doc_id ORDER BY doc_id"""))
+              FROM cc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- inverted index ---------------------------------------------------
+    // The retrieval-side primitive over the corpus: term → postings
+    // (sorted (doc_id, position) pairs), with document frequency and
+    // collection frequency. ONE shuffle on term with partial aggregation
+    // for the counts; the postings list itself is order-canonicalized
+    // (sort_array over (doc_id, i) structs) and emitted as an md5 so the
+    // output row stays small however long the list grows — the driver's
+    // hash compare then pins the EXACT postings byte string cross-engine.
+    // Positions are the 1-based ORIGINAL token subscripts (empty tokens
+    // filtered after numbering, same as the DuckDB zip-unnest), so
+    // adjacency queries over the index see the true text layout.
+    // Scale: at 100 TB a head term's postings list outgrows one row —
+    // the deployment shape shards the index key to (term, doc_id range)
+    // so each posting shard is bounded, and the phrase join below works
+    // unchanged because it joins on (term-filtered) doc_id, never on the
+    // assembled list. collect_list here is per-TERM state, bounded by the
+    // synthetic vocab (~31 terms), not corpus size.
+    Q("q_inverted_index",
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"),
+            posexplode(split(lower(col("text")), " ")).as(Seq("p0", "term")))
+          .filter(col("term") =!= "")
+          .select(col("doc_id"), (col("p0") + 1).cast("long").as("i"),
+            col("term"))
+        toks.groupBy("term")
+          .agg(countDistinct(col("doc_id")).as("df"),
+            count(lit(1)).as("cf"),
+            md5(array_join(transform(
+              sort_array(collect_list(struct(col("doc_id"), col("i")))),
+              x => concat(x("doc_id").cast("string"), lit(":"),
+                x("i").cast("string"))), ",")).as("postings_md5"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy("term")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS toks
+                FROM documents),
+              u AS (
+                SELECT doc_id, unnest(toks) AS term,
+                  CAST(generate_subscripts(toks, 1) AS BIGINT) AS i
+                FROM t),
+              f AS (SELECT * FROM u WHERE term <> '')
+              SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+                CAST(COUNT(*) AS BIGINT) AS cf,
+                md5(string_agg(doc_id || ':' || i, ','
+                  ORDER BY doc_id, i)) AS postings_md5,
+                MIN(doc_id) AS first_doc
+              FROM f GROUP BY term ORDER BY term""")),
+
+    // ---- positional phrase search -----------------------------------------
+    // Exact-phrase retrieval ("customer join") as the postings join it is
+    // at scale: filter each side of the phrase to its term's postings
+    // (term predicates push into the scan; against a materialized index
+    // they prune to two postings shards), then equi-join on
+    // (doc_id, i+1) = (doc_id, i) adjacency — Catalyst extracts the
+    // arithmetic join key, so this plans as a hash/merge join, NEVER a
+    // cartesian, and each doc's match count aggregates map-side. The
+    // phrase extends to k terms as a chain of k−1 adjacency joins, each
+    // bounded by the rarest term's postings.
+    Q("q_phrase_search",
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"),
+            posexplode(split(lower(col("text")), " ")).as(Seq("p0", "term")))
+          .filter(col("term") =!= "")
+          .select(col("doc_id"), (col("p0") + 1).cast("long").as("i"),
+            col("term"))
+        val a = toks.filter(col("term") === "customer")
+          .select(col("doc_id"), col("i"))
+        val b = toks.filter(col("term") === "join")
+          .select(col("doc_id").as("doc_id_b"), col("i").as("i_b"))
+        a.join(b, col("doc_id") === col("doc_id_b") &&
+            col("i_b") === col("i") + 1)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_matches"), min(col("i")).as("first_i"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS toks
+                FROM documents),
+              u AS (
+                SELECT doc_id, unnest(toks) AS term,
+                  CAST(generate_subscripts(toks, 1) AS BIGINT) AS i
+                FROM t),
+              f AS (SELECT * FROM u WHERE term <> '')
+              SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+                MIN(a.i) AS first_i
+              FROM f a JOIN f b
+                ON a.doc_id = b.doc_id AND b.i = a.i + 1
+              WHERE a.term = 'customer' AND b.term = 'join'
+              GROUP BY a.doc_id ORDER BY a.doc_id"""))
   )
 }

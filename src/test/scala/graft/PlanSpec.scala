@@ -84,6 +84,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"q_pipeline plans a join:\n$p")
   }
 
+  test("q_phrase_search is an adjacency equi-join, never a cartesian") {
+    // Catalyst must extract (doc_id, i+1) = (doc_id_b, i_b) as equi keys;
+    // a nested-loop here would scan |postings(a)| × |postings(b)| at
+    // corpus scale
+    val p = plan("q_phrase_search")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"phrase adjacency join degenerated:\n$p")
+    assert(p.contains("Join"), s"no join planned:\n$p")
+  }
+
+  test("q_inverted_index partial-aggregates postings map-side") {
+    assert(plan("q_inverted_index").contains("partial_"),
+      "inverted index has no map-side partial aggregation")
+  }
+
   test("q_cosine_pairs never plans a cartesian product") {
     assert(!plan("q_cosine_pairs").contains("CartesianProduct"))
     assert(!plan("q_dedup_embed").contains("CartesianProduct"))
