@@ -1360,6 +1360,128 @@ object Similarity {
               FROM (SELECT COUNT(*) AS n_true,
                       ${Arith.sqlAvg("cos")} AS avg_cos FROM truth) t,
                    (SELECT COUNT(*) AS n_recalled FROM truth
-                    JOIN cand USING (a_id, b_id)) r"""))
+                    JOIN cand USING (a_id, b_id)) r""")),
+
+    // ---- covariance / Gram matrix (the distributed-PCA building block) ---
+    // Population covariance of the 64-dim embedding corpus: the reduction
+    // every PCA / whitening / Mahalanobis pipeline runs first. Two passes:
+    //  1. per-dimension means via the micro-fixed-point discipline (long
+    //     sums are shuffle-order-independent; round6 like VecCentroid),
+    //     collapsed to ONE broadcast row;
+    //  2. per-row centering (zip_with) and the d² pair expansion via two
+    //     chained posexplodes — the blowup is PIPELINE-LOCAL (scan →
+    //     explode → partial hash-agg in one stage): only the 64×64/2
+    //     running sums per task ever reach the shuffle, so corpus size
+    //     never multiplies shuffle bytes. Upper triangle only (cov is
+    //     symmetric). Products round to 6dp and sum as DECIMAL(38,6)
+    //     (Arith), so the result is exact cross-engine; output is
+    //     micro-fixed-point LONGs, immune to double formatting.
+    // At 100 TB this is the textbook shape: one scan, one 2080-group
+    // shuffle, a driver-side 64×64 eigensolve after (O(d³), data-free).
+    Q("q_pca_cov",
+      (s, d) => {
+        val e = embs(s, d).select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        val u = e.select(col("vec_id"),
+            posexplode(col("v")).as(Seq("p0", "x")))
+          .select((col("p0") + 1).cast("long").as("i"), col("x"))
+        val means = u.groupBy("i")
+          .agg(round(sum(floor(col("x") * 1e6 + 0.5).cast("long"))
+            .cast("double") / (count(lit(1)) * 1e6), 6).as("mu"))
+        val meansRow = means
+          .agg(sort_array(collect_list(struct(col("i"), col("mu")))).as("ms"))
+          .select(transform(col("ms"), m => m("mu")).as("mus"))
+        val nRow = e.agg(count(lit(1)).as("n"))
+        e.crossJoin(broadcast(meansRow))
+          .select(zip_with(col("v"), col("mus"), (x, mu) => x - mu).as("c"))
+          .select(posexplode(col("c")).as(Seq("p0", "ci")), col("c"))
+          .select((col("p0") + 1).cast("long").as("i"), col("ci"),
+            posexplode(col("c")).as(Seq("q0", "cj")))
+          .filter(col("q0") + 1 >= col("i"))
+          .select(col("i"), (col("q0") + 1).cast("long").as("j"),
+            (col("ci") * col("cj")).as("t"))
+          .groupBy("i", "j")
+          .agg(dsum(col("t")).as("sp"))
+          .crossJoin(broadcast(nRow))
+          .select(col("i"), col("j"),
+            floor(col("sp") / col("n") * 1e6 + 0.5).cast("long")
+              .as("cov_micros"))
+          .orderBy("i", "j")
+      },
+      Some("""WITH u AS (
+                SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+              m AS (
+                SELECT i,
+                  ROUND(SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT))::DOUBLE
+                    / (COUNT(*) * 1000000.0), 6) AS mu
+                FROM u GROUP BY i),
+              c AS (
+                SELECT u.vec_id, u.i, u.x - m.mu AS cx
+                FROM u JOIN m USING (i)),
+              n AS (SELECT COUNT(*) AS n FROM embeddings)
+              SELECT a.i, b.i AS j,
+                CAST(FLOOR(
+                  CAST(SUM(CAST(ROUND(a.cx * b.cx, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) / (SELECT n FROM n) * 1000000 + 0.5)
+                  AS BIGINT) AS cov_micros
+              FROM c a JOIN c b ON a.vec_id = b.vec_id AND b.i >= a.i
+              GROUP BY a.i, b.i ORDER BY a.i, b.i""")),
+
+    // ---- int8 embedding quantization --------------------------------------
+    // The serving/storage compression pass: per-dimension min/max over the
+    // corpus (one tiny agg, collapsed to a broadcast row of arrays), then
+    // each vector quantizes to 0..255 codes in a single codegen'd
+    // projection — ZERO shuffles touch the vectors themselves, so the op
+    // is scan-bound at any corpus size (the asymmetric-distance tables of
+    // q_ann_pq are the query-side consumer of exactly these codes).
+    // Codes and the max reconstruction error are exact cross-engine: the
+    // double arithmetic is the same IEEE expression tree on both engines,
+    // codes are integers, and the error ships as micro-fixed-point.
+    Q("q_embed_quantize",
+      (s, d) => {
+        val e = embs(s, d).select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        val u = e.select(col("vec_id"),
+            posexplode(col("v")).as(Seq("p0", "x")))
+          .select((col("p0") + 1).as("i"), col("x"))
+        val statsRow = u.groupBy("i")
+          .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+          .agg(sort_array(collect_list(
+            struct(col("i"), col("mn"), col("mx")))).as("st"))
+          .select(transform(col("st"), s => s("mn")).as("mns"),
+            transform(col("st"), s => s("mx") - s("mn")).as("rngs"))
+        e.crossJoin(broadcast(statsRow))
+          .select(col("vec_id"), col("v"), col("mns"), col("rngs"),
+            zip_with(zip_with(col("v"), col("mns"), (x, mn) => x - mn),
+              col("rngs"), (sx, r) => when(r === 0d, 0L)
+                .otherwise(floor(sx / r * 255 + 0.5).cast("long")))
+              .as("codes"))
+          .select(col("vec_id"),
+            md5(array_join(transform(col("codes"), c => c.cast("string")),
+              ",")).as("codes_md5"),
+            floor(array_max(transform(
+              arrays_zip(col("v"), col("codes"), col("rngs"), col("mns")),
+              z => abs(z("v") - (z("codes") * z("rngs") / 255d + z("mns")))))
+              * 1e6 + 0.5).cast("long").as("max_err_micros"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH u AS (
+                SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+              st AS (SELECT i, MIN(x) AS mn, MAX(x) - MIN(x) AS r
+                     FROM u GROUP BY i),
+              q AS (
+                SELECT u.vec_id, u.i, u.x, st.mn, st.r,
+                  CASE WHEN st.r = 0 THEN 0
+                       ELSE CAST(FLOOR((u.x - st.mn) / st.r * 255 + 0.5)
+                         AS BIGINT) END AS code
+                FROM u JOIN st USING (i))
+              SELECT vec_id,
+                md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY i))
+                  AS codes_md5,
+                CAST(FLOOR(MAX(ABS(x - (CAST(code AS DOUBLE) * r / 255 + mn)))
+                  * 1000000 + 0.5) AS BIGINT) AS max_err_micros
+              FROM q GROUP BY vec_id ORDER BY vec_id"""))
   )
 }

@@ -100,6 +100,18 @@ class PlanSpec extends AnyFunSuite {
       "inverted index has no map-side partial aggregation")
   }
 
+  test("q_pca_cov and q_embed_quantize broadcast stats, never shuffle-join") {
+    // the corpus-side data path must only ever meet the tiny stats row
+    // via broadcast: a SortMergeJoin/ShuffledHashJoin here would shuffle
+    // every vector at 100 TB for a 64-entry stats lookup
+    for (q <- Seq("q_pca_cov", "q_embed_quantize")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q shuffle-joins the stats side:\n$p")
+      assert(p.contains("partial_"), s"$q has no map-side partial aggregation")
+    }
+  }
+
   test("q_cosine_pairs never plans a cartesian product") {
     assert(!plan("q_cosine_pairs").contains("CartesianProduct"))
     assert(!plan("q_dedup_embed").contains("CartesianProduct"))
