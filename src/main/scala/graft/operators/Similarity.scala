@@ -32,6 +32,126 @@ object Similarity {
 
   private def embs(s: SparkSession, d: String) = Tables(s, d, "embeddings")
 
+  /** Upper-triangle population covariance of the embedding corpus as
+    * (i, j, cov_micros) rows — the distributed-PCA reduction shared by
+    * q_pca_cov and q_pca_power. Exactness recipe, mirrored verbatim in
+    * [[covSqlCtes]]:
+    *  - per-dimension means via micro-fixed-point long sums (round6, the
+    *    VecCentroid discipline), collapsed to ONE broadcast array row;
+    *  - per-row centering quantized to micro LONGS, so every pair term is
+    *    an exact 64-bit integer product (|x| < 1 ⇒ |cm| < 2e6 ⇒ product
+    *    < 4e12, far under 2^63) and the sums are order-independent
+    *    DECIMAL(38,0) integer sums — no per-term double rounding at all;
+    *  - the d² pair expansion is a chained posexplode whose second
+    *    generator runs on the SLICED tail (j ≥ i), so only the upper
+    *    triangle is ever produced, and the blowup stays pipeline-local
+    *    (scan → explode → partial hash-agg in one codegen stage): only
+    *    2080 running sums per task reach the shuffle at any corpus size.
+    */
+  private def covUpper(s: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val e = embs(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val u = e.select(col("vec_id"),
+        posexplode(col("v")).as(Seq("p0", "x")))
+      .select((col("p0") + 1).cast("long").as("i"), col("x"))
+    val means = u.groupBy("i")
+      .agg(round(sum(floor(col("x") * 1e6 + 0.5).cast("long"))
+        .cast("double") / (count(lit(1)) * 1e6), 6).as("mu"))
+    val meansRow = means
+      .agg(sort_array(collect_list(struct(col("i"), col("mu")))).as("ms"))
+      .select(transform(col("ms"), m => m("mu")).as("mus"))
+    val nRow = e.agg(count(lit(1)).as("n"))
+    e.crossJoin(broadcast(meansRow))
+      .select(zip_with(col("v"), col("mus"),
+        (x, mu) => floor((x - mu) * 1e6 + 0.5).cast("long")).as("cm"))
+      .select(posexplode(col("cm")).as(Seq("p0", "ci")), col("cm"))
+      .select(col("p0"), col("ci"),
+        posexplode(slice(col("cm"), col("p0") + 1, lit(dim) - col("p0")))
+          .as(Seq("q0", "cj")))
+      .select((col("p0") + 1).cast("long").as("i"),
+        (col("p0") + 1 + col("q0")).cast("long").as("j"),
+        (col("ci") * col("cj")).as("t"))
+      .groupBy("i", "j")
+      .agg(sum(col("t").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("sp"))
+      .crossJoin(broadcast(nRow))
+      .select(col("i"), col("j"),
+        floor(col("sp").cast("double") / (col("n") * 1e6) + 0.5)
+          .cast("long").as("cov_micros"))
+  }
+
+  /** DuckDB CTE chain ending in `cov(i, j, cov_micros)` — the oracle twin
+    * of [[covUpper]], shared by the q_pca_cov and q_pca_power oracles. */
+  private val covSqlCtes: String =
+    """u AS (
+         SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+         FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+       m AS (
+         SELECT i,
+           ROUND(SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT))::DOUBLE
+             / (COUNT(*) * 1000000.0), 6) AS mu
+         FROM u GROUP BY i),
+       cen AS (
+         SELECT u.vec_id, u.i,
+           CAST(FLOOR((u.x - m.mu) * 1000000 + 0.5) AS BIGINT) AS cm
+         FROM u JOIN m USING (i)),
+       nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       cov AS (
+         SELECT a.i, b.i AS j,
+           CAST(FLOOR(
+             CAST(SUM(CAST(a.cm * b.cm AS DECIMAL(38,0))) AS DOUBLE)
+               / ((SELECT n FROM nn) * 1000000.0) + 0.5)
+             AS BIGINT) AS cov_micros
+         FROM cen a JOIN cen b ON a.vec_id = b.vec_id AND b.i >= a.i
+         GROUP BY a.i, b.i)"""
+
+  /** Generated oracle for q_pca_power: the [[covSqlCtes]] covariance,
+    * mirrored to the full matrix, then 10 unrolled matvec+requantize
+    * rounds in exact micro-integer arithmetic (matching the Spark side
+    * term for term), ending in the micro eigenvector and Rayleigh-
+    * quotient eigenvalue. CTEs are MATERIALIZED: DuckDB inlines by
+    * default, and each round references its predecessor twice, which
+    * would otherwise double the plan per round. */
+  private def pcaPowerOracleSql: String = {
+    val rounds = (1 to 10).map { k =>
+      s"""mv$k AS MATERIALIZED (
+           SELECT f.i,
+             CAST(SUM(CAST(f.cov_micros * v${k - 1}.xm
+               AS DECIMAL(38,0))) AS DOUBLE) AS y
+           FROM covf f JOIN v${k - 1} ON f.j = v${k - 1}.j GROUP BY f.i),
+         nr$k AS MATERIALIZED (
+           SELECT sqrt(CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(38,6)))
+             AS DOUBLE)) AS nn FROM mv$k),
+         v$k AS MATERIALIZED (
+           SELECT i AS j,
+             CAST(FLOOR(y / (SELECT nn FROM nr$k) * 1000000 + 0.5)
+               AS BIGINT) AS xm
+           FROM mv$k)"""
+    }.mkString(",\n")
+    s"""WITH $covSqlCtes,
+        covf AS MATERIALIZED (
+          SELECT i, j, cov_micros FROM cov
+          UNION ALL
+          SELECT j AS i, i AS j, cov_micros FROM cov WHERE i <> j),
+        v0 AS (SELECT DISTINCT i AS j, CAST(125000 AS BIGINT) AS xm
+               FROM covf),
+        $rounds,
+        mv11 AS MATERIALIZED (
+          SELECT f.i,
+            CAST(SUM(CAST(f.cov_micros * v10.xm AS DECIMAL(38,0)))
+              AS DOUBLE) AS y
+          FROM covf f JOIN v10 ON f.j = v10.j GROUP BY f.i),
+        lam AS (
+          SELECT CAST(FLOOR(
+            CAST(SUM(CAST(v.xm * CAST(mv11.y AS BIGINT) AS DECIMAL(38,0)))
+              AS DOUBLE) / 1000000000000.0 + 0.5) AS BIGINT) AS eig_micros
+          FROM mv11 JOIN (SELECT j AS i, xm FROM v10) v USING (i))
+        SELECT v10.j AS i, v10.xm AS x_micros,
+          (SELECT eig_micros FROM lam) AS eig_micros
+        FROM v10 ORDER BY i"""
+  }
+
 
   private def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
@@ -1379,54 +1499,64 @@ object Similarity {
     // At 100 TB this is the textbook shape: one scan, one 2080-group
     // shuffle, a driver-side 64×64 eigensolve after (O(d³), data-free).
     Q("q_pca_cov",
+      (s, d) => covUpper(s, d).orderBy("i", "j"),
+      Some(s"""WITH $covSqlCtes
+              SELECT i, j, cov_micros FROM cov ORDER BY i, j""")),
+
+    // ---- top principal component (distributed power iteration) ------------
+    // The eigensolve HALF of PCA, kept distributed end-to-end: 10 rounds
+    // of matvec + normalize over the covariance matrix as (i, j, c) rows —
+    // each round is one 64-row join-aggregate and a 1-row broadcast of
+    // the L2 norm, never a driver-side collect. At d = 64 a driver solve
+    // would of course be fine (the matrix is O(d²), data-free); the point
+    // of the row-form is that the SAME plan runs when d is 4096 and the
+    // matrix itself is a distributed frame.
+    // Exactness: the vector RE-QUANTIZES to micro longs every round, so
+    // each matvec term is an exact 64-bit integer product (cov_micros ≤
+    // ~1e5 × xm ≤ 1e6 ⇒ « 2^63) summed as DECIMAL(38,0) — no ROUND()
+    // anywhere (round-half semantics differ cross-engine on exact-.5
+    // terms; integer sums have none). The only double ops are the cast,
+    // sqrt, and division — bit-identical IEEE on both engines — and the
+    // floor(x·1e6 + 0.5) requantization. Start vector is 1/√64 = 0.125
+    // exactly. Output: micro eigenvector + Rayleigh-quotient eigenvalue.
+    Q("q_pca_power",
       (s, d) => {
-        val e = embs(s, d).select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-        val u = e.select(col("vec_id"),
-            posexplode(col("v")).as(Seq("p0", "x")))
-          .select((col("p0") + 1).cast("long").as("i"), col("x"))
-        val means = u.groupBy("i")
-          .agg(round(sum(floor(col("x") * 1e6 + 0.5).cast("long"))
-            .cast("double") / (count(lit(1)) * 1e6), 6).as("mu"))
-        val meansRow = means
-          .agg(sort_array(collect_list(struct(col("i"), col("mu")))).as("ms"))
-          .select(transform(col("ms"), m => m("mu")).as("mus"))
-        val nRow = e.agg(count(lit(1)).as("n"))
-        e.crossJoin(broadcast(meansRow))
-          .select(zip_with(col("v"), col("mus"), (x, mu) => x - mu).as("c"))
-          .select(posexplode(col("c")).as(Seq("p0", "ci")), col("c"))
-          .select((col("p0") + 1).cast("long").as("i"), col("ci"),
-            posexplode(col("c")).as(Seq("q0", "cj")))
-          .filter(col("q0") + 1 >= col("i"))
-          .select(col("i"), (col("q0") + 1).cast("long").as("j"),
-            (col("ci") * col("cj")).as("t"))
-          .groupBy("i", "j")
-          .agg(dsum(col("t")).as("sp"))
-          .crossJoin(broadcast(nRow))
-          .select(col("i"), col("j"),
-            floor(col("sp") / col("n") * 1e6 + 0.5).cast("long")
-              .as("cov_micros"))
-          .orderBy("i", "j")
+        val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val covU = covUpper(s, d)
+        val covF = covU.unionByName(covU.filter(col("i") =!= col("j"))
+            .select(col("j").as("i"), col("i").as("j"), col("cov_micros")))
+          .localCheckpoint()
+        // matvec in micro² integer units: S_i = Σ_j covm_ij · xm_j, exact
+        def matvec(v: org.apache.spark.sql.DataFrame) =
+          covF.join(v, "j").groupBy("i")
+            .agg(sum((col("cov_micros") * col("xm")).cast(dec0)).as("sp"))
+            .select(col("i"), col("sp").cast("double").as("y"))
+        var v = covF.select(col("i").as("j")).distinct()
+          .select(col("j"), lit(125000L).as("xm"))
+        for (_ <- 1 to 10) {
+          // localCheckpoint per round: the norm subtree references mv a
+          // second time, so without cutting lineage the plan DOUBLES per
+          // round (2^10 subplans by round 10). 64 rows — free.
+          val mv = matvec(v).localCheckpoint()
+          // y are integers-as-doubles: round6 in dsum is the identity, so
+          // the norm is deterministic without half-rounding exposure
+          val nrm = mv.agg(sqrt(dsum(col("y") * col("y"))).as("nn"))
+          v = mv.crossJoin(broadcast(nrm))
+            .select(col("i").as("j"),
+              floor(col("y") / col("nn") * 1e6 + 0.5).cast("long").as("xm"))
+        }
+        // Rayleigh quotient in micro³: T = Σ xm_i · S_i (each term ≤
+        // 1e6 · 2e12 < 2^63), λ_micros = T / 1e12
+        val lam = matvec(v)
+          .join(v.select(col("j").as("i"), col("xm")), "i")
+          .agg(sum((col("xm") * col("y").cast("long")).cast(dec0)).as("t"))
+          .select(floor(col("t").cast("double") / 1e12 + 0.5).cast("long")
+            .as("eig_micros"))
+        v.select(col("j").as("i"), col("xm").as("x_micros"))
+          .crossJoin(broadcast(lam))
+          .orderBy("i")
       },
-      Some("""WITH u AS (
-                SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-                FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
-              m AS (
-                SELECT i,
-                  ROUND(SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT))::DOUBLE
-                    / (COUNT(*) * 1000000.0), 6) AS mu
-                FROM u GROUP BY i),
-              c AS (
-                SELECT u.vec_id, u.i, u.x - m.mu AS cx
-                FROM u JOIN m USING (i)),
-              n AS (SELECT COUNT(*) AS n FROM embeddings)
-              SELECT a.i, b.i AS j,
-                CAST(FLOOR(
-                  CAST(SUM(CAST(ROUND(a.cx * b.cx, 6) AS DECIMAL(38,6)))
-                    AS DOUBLE) / (SELECT n FROM n) * 1000000 + 0.5)
-                  AS BIGINT) AS cov_micros
-              FROM c a JOIN c b ON a.vec_id = b.vec_id AND b.i >= a.i
-              GROUP BY a.i, b.i ORDER BY a.i, b.i""")),
+      Some(pcaPowerOracleSql)),
 
     // ---- int8 embedding quantization --------------------------------------
     // The serving/storage compression pass: per-dimension min/max over the

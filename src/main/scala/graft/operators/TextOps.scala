@@ -1118,6 +1118,96 @@ object TextOps {
               FROM f a JOIN f b
                 ON a.doc_id = b.doc_id AND b.i = a.i + 1
               WHERE a.term = 'customer' AND b.term = 'join'
-              GROUP BY a.doc_id ORDER BY a.doc_id"""))
+              GROUP BY a.doc_id ORDER BY a.doc_id""")),
+
+    // ---- BPE vocabulary training (first 5 merges) --------------------------
+    // The tokenizer-training reduction: learn byte-pair-encoding merges
+    // over the corpus, char-level within words. Everything after the one
+    // corpus scan runs on the WORD-TYPE table (Zipf-bounded — ~10M types
+    // at 100 TB, never corpus-sized): each round is one tiny pair-count
+    // aggregation (map-side partial), a 1-row broadcast of the argmax
+    // pair, and a codegen'd per-word merge. The representation trick that
+    // makes rounds exact AND cross-engine: a word is the wrapped-symbol
+    // string `(d)(a)(t)(a)`, so applying merge (l,r) is the literal
+    // string replace `(l)(r)` → `(lr)` — left-to-right non-overlapping,
+    // which is exactly BPE's greedy merge semantics, with no shared
+    // boundary characters between adjacent matches (`(a)(a)(a)(a)` →
+    // `(aa)(aa)`, not `(aa)(a)(a)`). Both engines' replace() scan
+    // left-to-right non-overlapping, so five chained replaces are
+    // bit-identical. Ties break on the pair string, so the merge list is
+    // fully deterministic. The word-type table localCheckpoints once so
+    // the corpus is scanned once, not once per recomputed round.
+    Q("q_bpe_merges",
+      (s, d) => {
+        val words0 = docs(s, d)
+          .select(explode(filter(split(lower(col("text")), " "),
+            t => t =!= "")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .select(regexp_replace(col("word"), "(.)", "($1)").as("w"),
+            col("cnt"))
+          .localCheckpoint()
+        def bestPair(w: org.apache.spark.sql.DataFrame) = {
+          val syms = split(regexp_replace(col("w"), "^\\(|\\)$", ""),
+            "\\)\\(")
+          w.select(col("cnt"), syms.as("s"))
+            .select(col("cnt"), explode(arrays_zip(
+              slice(col("s"), lit(1), size(col("s")) - 1).as("l"),
+              slice(col("s"), lit(2), size(col("s")) - 1).as("r"))).as("p"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum(col("cnt")).as("n"))
+            .orderBy(col("n").desc, concat_ws(" ", col("l"), col("r")))
+            .limit(1)
+        }
+        var w = words0
+        val merges = (1 to 5).map { k =>
+          val best = bestPair(w)
+          w = w.crossJoin(broadcast(
+              best.select(col("l").as("ml"), col("r").as("mr"))))
+            .select(replace(col("w"),
+              concat(lit("("), col("ml"), lit(")("), col("mr"), lit(")")),
+              concat(lit("("), col("ml"), col("mr"), lit(")"))).as("w"),
+              col("cnt"))
+          best.select(lit(k.toLong).as("rank"), col("l"), col("r"),
+            col("n"))
+        }
+        merges.reduce(_ unionByName _).orderBy("rank")
+      },
+      Some(bpeOracleSql))
   )
+
+  /** The DuckDB twin of q_bpe_merges: the same wrapped-symbol replace
+    * trick, unrolled as a 5-level CTE chain (p_k = weighted adjacent-pair
+    * counts, b_k = argmax with the pair-string tie-break, w_k = the
+    * merged word table). Generated, not hand-written, so the round count
+    * can't drift from the Spark side. */
+  private def bpeOracleSql: String = {
+    val rounds = (1 to 5).map { k =>
+      s"""p$k AS (
+           SELECT s[i] AS l, s[i + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS n
+           FROM (SELECT string_split(trim(w, '()'), ')(') AS s, cnt
+                 FROM w${k - 1}),
+                LATERAL unnest(generate_series(1, len(s) - 1)) AS g(i)
+           GROUP BY 1, 2),
+         b$k AS (SELECT l, r, n FROM p$k
+                 ORDER BY n DESC, l || ' ' || r LIMIT 1),
+         w$k AS (SELECT replace(w,
+                   '(' || (SELECT l FROM b$k) || ')('
+                       || (SELECT r FROM b$k) || ')',
+                   '(' || (SELECT l FROM b$k)
+                       || (SELECT r FROM b$k) || ')') AS w, cnt
+                 FROM w${k - 1})"""
+    }.mkString(",\n")
+    val out = (1 to 5).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, l, r, n FROM b$k")
+      .mkString("\n UNION ALL ")
+    s"""WITH wd AS (
+          SELECT w AS word, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+          WHERE w <> '' GROUP BY w),
+        w0 AS (SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS w, cnt
+               FROM wd),
+        $rounds
+        SELECT * FROM ($out) ORDER BY rank"""
+  }
 }

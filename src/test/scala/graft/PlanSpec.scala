@@ -112,6 +112,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bpe_merges rounds broadcast the argmax pair, never shuffle-join") {
+    // each merge round must meet the 1-row best-pair frame via broadcast;
+    // the word-type table itself shuffles only for the tiny pair-count
+    // aggregations (which must partial-aggregate map-side)
+    val p = plan("q_bpe_merges")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"merge round shuffle-joins the argmax row:\n$p")
+    assert(p.contains("partial_"), "pair counts have no partial aggregation")
+  }
+
   test("q_cosine_pairs never plans a cartesian product") {
     assert(!plan("q_cosine_pairs").contains("CartesianProduct"))
     assert(!plan("q_dedup_embed").contains("CartesianProduct"))
