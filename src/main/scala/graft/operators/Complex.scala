@@ -532,6 +532,131 @@ object Complex {
               SELECT user_id, COUNT(*) AS n_events,
                 MIN(eus) AS start_us, MAX(eus) AS end_us
               FROM s GROUP BY user_id, session_id
-              ORDER BY user_id, start_us"""))
+              ORDER BY user_id, start_us""")),
+
+    // ---- ordered funnel analysis ------------------------------------------
+    // The product-analytics staple: how many users completed
+    // signup → click → purchase IN ORDER (strictly increasing event
+    // time). Stage k's earliest qualifying instant is a per-user MIN over
+    // events later than stage k−1's — three conditional aggregations
+    // chained by per-user joins, every shuffle on user_id with map-side
+    // partials, stage frames shrinking monotonically. The 1-row stage
+    // counts meet via broadcast. At 100 TB each stage is one
+    // user-partitioned agg over an already-filtered event slice — no
+    // windows over the full stream, no per-user state beyond one MIN.
+    Q("q_funnel",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val t1 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("us")).as("t1"))
+        val t2 = ev.filter(col("event_type") === "click")
+          .join(t1, "user_id").filter(col("us") > col("t1"))
+          .groupBy("user_id").agg(min(col("us")).as("t2"))
+        val t3 = ev.filter(col("event_type") === "purchase")
+          .join(t2, "user_id").filter(col("us") > col("t2"))
+          .groupBy("user_id").agg(min(col("us")).as("t3"))
+        t1.agg(count(lit(1)).as("n_signup"))
+          .crossJoin(broadcast(t2.agg(count(lit(1)).as("n_click"))))
+          .crossJoin(broadcast(t3.agg(count(lit(1)).as("n_purchase"))))
+      },
+      Some("""WITH ev AS (
+                SELECT user_id, event_type,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                FROM events),
+              t1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+                     WHERE event_type = 'signup' GROUP BY user_id),
+              t2 AS (SELECT ev.user_id, MIN(us) AS t2
+                     FROM ev JOIN t1 USING (user_id)
+                     WHERE event_type = 'click' AND us > t1
+                     GROUP BY ev.user_id),
+              t3 AS (SELECT ev.user_id, MIN(us) AS t3
+                     FROM ev JOIN t2 USING (user_id)
+                     WHERE event_type = 'purchase' AND us > t2
+                     GROUP BY ev.user_id)
+              SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n_signup,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n_click,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n_purchase""")),
+
+    // ---- cohort retention --------------------------------------------------
+    // Users cohorted by their FIRST active hour; retention = distinct
+    // users of cohort c active again exactly k hours later (k ≤ 5). Two
+    // user-keyed aggregations (first-seen, then distinct user-hours) and
+    // one join back — the classic retention triangle without any window
+    // over the event stream. Hour bucketing matches q_events_gapfill's
+    // floor-division discipline.
+    Q("q_cohort_retention",
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(col("user_id"),
+            expr("""(unix_micros(ts) - pmod(unix_micros(ts), 3600000000L))
+                    DIV 3600000000L""").as("hr"))
+        val uh = e.distinct()
+        val cohort = uh.groupBy("user_id").agg(min(col("hr")).as("c0"))
+        uh.join(cohort, "user_id")
+          .select(col("c0"), (col("hr") - col("c0")).as("offset_h"),
+            col("user_id"))
+          .filter(col("offset_h") <= 5)
+          .groupBy("c0", "offset_h")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("c0", "offset_h")
+      },
+      Some("""WITH us AS (
+                SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                FROM events),
+              uh AS (
+                SELECT DISTINCT user_id,
+                  (us - ((us % 3600000000) + 3600000000) % 3600000000)
+                    // 3600000000 AS hr
+                FROM us),
+              cohort AS (
+                SELECT user_id, MIN(hr) AS c0 FROM uh GROUP BY user_id)
+              SELECT c.c0, uh.hr - c.c0 AS offset_h,
+                CAST(COUNT(DISTINCT uh.user_id) AS BIGINT) AS n_users
+              FROM uh JOIN cohort c USING (user_id)
+              WHERE uh.hr - c.c0 <= 5
+              GROUP BY c.c0, offset_h ORDER BY c.c0, offset_h""")),
+
+    // ---- event transition matrix (first-order Markov) ----------------------
+    // P(next event type | current) from each user's time-ordered stream:
+    // one user-partitioned lag window (the only shuffle), then a tiny
+    // per-pair count with the row-probability as an exact single division
+    // shipped micro-fixed-point. The per-user window never materializes
+    // more than one preceding row; ties inside a microsecond break on
+    // event_id exactly like q_sessionize.
+    Q("q_event_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+        val pairs = Tables(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type").as("nxt"))
+          .withColumn("cur", lag(col("nxt"), 1).over(w))
+          .filter(col("cur").isNotNull)
+        val counts = pairs.groupBy("cur", "nxt")
+          .agg(count(lit(1)).as("n"))
+        val totals = counts.groupBy("cur").agg(sum(col("n")).as("tot"))
+        counts.join(totals, "cur")
+          .select(col("cur"), col("nxt"), col("n"),
+            floor(col("n").cast("double") / col("tot") * 1e6 + 0.5)
+              .cast("long").as("p_micros"))
+          .orderBy("cur", "nxt")
+      },
+      Some("""WITH p AS (
+                SELECT user_id,
+                  lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+                    AS cur,
+                  event_type AS nxt
+                FROM events),
+              c AS (
+                SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n FROM p
+                WHERE cur IS NOT NULL GROUP BY cur, nxt),
+              t AS (SELECT cur, SUM(n) AS tot FROM c GROUP BY cur)
+              SELECT c.cur, c.nxt, c.n,
+                CAST(FLOOR(CAST(c.n AS DOUBLE) / t.tot * 1000000 + 0.5)
+                  AS BIGINT) AS p_micros
+              FROM c JOIN t USING (cur) ORDER BY c.cur, c.nxt"""))
   )
 }

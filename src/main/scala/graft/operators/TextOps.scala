@@ -1120,6 +1120,40 @@ object TextOps {
               WHERE a.term = 'customer' AND b.term = 'join'
               GROUP BY a.doc_id ORDER BY a.doc_id""")),
 
+    // ---- weight-proportional sampling --------------------------------------
+    // Importance sampling: each document keeps with probability
+    // proportional to its size (n_chars / corpus max), decided by the
+    // same deterministic md5-unit-interval discipline as q_sample_hash —
+    // u(doc) = first 8 md5 hex digits / 16^8, an exact dyadic rational on
+    // both engines. The corpus max collapses to a 1-row broadcast;
+    // keep/drop is then a codegen'd per-row predicate, stable under
+    // corpus growth only via the max (documented: at 100 TB the max is a
+    // config constant, not a scan — here it is computed to stay
+    // self-contained). Zero data shuffles; the output sort is the
+    // determinism convention.
+    Q("q_sample_weighted",
+      (s, d) => {
+        val mx = docs(s, d).agg(max(col("n_chars")).as("mx"))
+        docs(s, d).crossJoin(broadcast(mx))
+          .withColumn("u",
+            conv(substring(md5(concat(lit("w_"), col("doc_id"))), 1, 8),
+              16, 10).cast("double") / 4294967296.0)
+          .filter(col("u") < col("n_chars").cast("double") / col("mx"))
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      // hex → int per char like q_quality_classifier (no conv() in DuckDB)
+      Some(s"""WITH mx AS (SELECT MAX(n_chars) AS mx FROM documents),
+              u AS (
+                SELECT doc_id, n_chars,
+                  (${(0 until 8).map(k =>
+                    s"(strpos('0123456789abcdef', substr(md5('w_' || doc_id), ${k + 1}, 1)) - 1) * ${math.pow(16, 7 - k).toLong}.0")
+                    .mkString(" + ")}) / 4294967296.0 AS u
+                FROM documents)
+              SELECT doc_id, n_chars FROM u, mx
+              WHERE u.u < CAST(n_chars AS DOUBLE) / mx.mx
+              ORDER BY doc_id""")),
+
     // ---- BPE vocabulary training (first 5 merges) --------------------------
     // The tokenizer-training reduction: learn byte-pair-encoding merges
     // over the corpus, char-level within words. Everything after the one
