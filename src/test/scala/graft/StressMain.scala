@@ -273,6 +273,32 @@ object StressMain {
         col("cos")).distinct(),
       origCos.unionByName(famCos))
 
+    // ---- new-op invariants at ×copies ------------------------------------
+    // Covariance/PCA: duplicating every vector ×copies changes NEITHER the
+    // per-dimension means NOR the population covariance (sums and counts
+    // scale by the same factor), so the stress output must be IDENTICAL to
+    // the sf0.1 run — the strongest possible invariant, checked exactly.
+    // Power iteration consumes only that matrix, so it inherits equality.
+    timed("q_pca_cov", s"$work/out", q("q_pca_cov", work))
+    sameSet("q_pca_cov invariant under corpus duplication",
+      out("q_pca_cov"), q("q_pca_cov", src))
+    timed("q_pca_power", s"$work/out", q("q_pca_power", work))
+    sameSet("q_pca_power invariant under corpus duplication",
+      out("q_pca_power"), q("q_pca_power", src))
+    // BPE: word-type counts scale ×copies uniformly, so the learned merge
+    // list is identical with counts ×copies.
+    timed("q_bpe_merges", s"$work/out", q("q_bpe_merges", work))
+    sameSet("q_bpe_merges = sf0.1 merges with counts ×copies",
+      out("q_bpe_merges").select(col("rank"), col("l"), col("r"),
+        (col("n") / copies).cast("long").as("n")),
+      q("q_bpe_merges", src))
+    // Phrase search: every copy of doc d matches exactly like d.
+    timed("q_phrase_search", s"$work/out", q("q_phrase_search", work))
+    sameSet("q_phrase_search = sf0.1 matches ×copies",
+      out("q_phrase_search").select((col("doc_id") % dOff).as("doc_id"),
+        col("n_matches"), col("first_i")).distinct(),
+      q("q_phrase_search", src))
+
     // ---- events: batch sessionize + watermarked stream at ×copies --------
     // Blow-up: copy k of user u is user u + k·uOff with event_ids shifted
     // by k·eOff and ts UNCHANGED — a monotone event_id shift preserves the
@@ -329,10 +355,15 @@ object StressMain {
         .map(u => Ev(u, maxUs + 10 * Streams.GapUs, Long.MaxValue))
       val input = MemoryStream[Ev](spark)
       val sink = "stress_sessions"
+      // fresh checkpoint every run: MemoryStream sources cannot recover
+      // from a checkpoint, so a leftover dir from a prior stress run
+      // fails the query at analysis ("does not support recovering")
+      val ckpt = new java.io.File(s"$work/ckpt_sessionize")
+      org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
       val t0 = System.nanoTime()
       val sq = Streams.sessionize(input.toDS()).writeStream
         .format("memory").queryName(sink)
-        .option("checkpointLocation", s"$work/ckpt_sessionize")
+        .option("checkpointLocation", ckpt.toString)
         .outputMode("append").start()
       try {
         // 20 event-time-ordered chunks ⇒ ≥ 20 micro-batches: the
