@@ -49,10 +49,13 @@ object Tables {
     *    nanosAsLong): integer-truncate to micros (`ts div 1000` stays in
     *    exact integer space — a double division would lose precision at
     *    1e18) and reinterpret as a timestamp;
-    *  - TimestampNTZType → micros-encoded, isAdjustedToUTC=false: cast
-    *    reinterprets the wall-clock value in the session zone, which the
-    *    engine pins to UTC (Bench/Verify/tests), matching DuckDB's read
-    *    of the same file;
+    *  - TimestampNTZType → micros-encoded, isAdjustedToUTC=false: the
+    *    wall-clock value must mean UTC in ANY session zone (DuckDB reads
+    *    the same file zone-agnostically), so epoch micros come from
+    *    `timestampdiff` against the NTZ epoch — NTZ−NTZ differences are
+    *    zone-independent, where a cast to TimestampType would shift by
+    *    the session offset. The engine's own sessions pin UTC anyway;
+    *    this keeps library users in other zones correct too;
     *  - TimestampType   → already the target type.
     * Any other type is a generator contract change we must hear about
     * loudly, not mask. Shared by the batch loader and the streaming
@@ -64,7 +67,8 @@ object Tables {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
-        df.withColumn("ts", col("ts").cast(TimestampType))
+        df.withColumn("ts", timestamp_micros(expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")))
       case TimestampType => df
       case other => throw new IllegalStateException(
         s"events.ts has unsupported type $other; expected raw-nanos LONG, " +

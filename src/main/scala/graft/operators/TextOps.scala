@@ -1062,20 +1062,48 @@ object TextOps {
             min(col("doc_id")).as("first_doc"))
           .orderBy("term")
       },
-      Some("""WITH t AS (
-                SELECT doc_id, string_split(lower(text), ' ') AS toks
-                FROM documents),
-              u AS (
-                SELECT doc_id, unnest(toks) AS term,
-                  CAST(generate_subscripts(toks, 1) AS BIGINT) AS i
-                FROM t),
-              f AS (SELECT * FROM u WHERE term <> '')
-              SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
-                CAST(COUNT(*) AS BIGINT) AS cf,
-                md5(string_agg(doc_id || ':' || i, ','
-                  ORDER BY doc_id, i)) AS postings_md5,
-                MIN(doc_id) AS first_doc
-              FROM f GROUP BY term ORDER BY term""")),
+      Some(invertedIndexOracleSql)),
+
+    // ---- sharded inverted index (the Zipf-head scale arm) ------------------
+    // The unsharded build holds a head term's FULL postings in one
+    // aggregation buffer — fine until a stop-ish term's list outgrows a
+    // task. This is the documented fix, demonstrated: postings first
+    // build per (term, doc_id-range shard) — per-buffer state bounded by
+    // the shard width, shard key contiguous in doc order — then one
+    // second-level merge per term concatenates the shard strings in
+    // shard order. Because shards partition the doc space contiguously,
+    // the concatenation IS the globally doc-ordered postings string and
+    // df/cf are plain sums (a doc lives in exactly one shard) — so the
+    // output is byte-identical to q_inverted_index and shares its
+    // oracle: the sharded arm is PROVEN equivalent by the same hash
+    // compare, the q_knn_join_scaledk pattern applied to indexing.
+    Q("q_inverted_index_shard",
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"),
+            posexplode(split(lower(col("text")), " ")).as(Seq("p0", "term")))
+          .filter(col("term") =!= "")
+          .select(col("doc_id"), (col("p0") + 1).cast("long").as("i"),
+            col("term"))
+        val shards = toks
+          .withColumn("shard", expr("doc_id div 128"))
+          .groupBy("term", "shard")
+          .agg(countDistinct(col("doc_id")).as("df_s"),
+            count(lit(1)).as("cf_s"),
+            array_join(transform(
+              sort_array(collect_list(struct(col("doc_id"), col("i")))),
+              x => concat(x("doc_id").cast("string"), lit(":"),
+                x("i").cast("string"))), ",").as("ps"),
+            min(col("doc_id")).as("fd_s"))
+        shards.groupBy("term")
+          .agg(sum(col("df_s")).as("df"), sum(col("cf_s")).as("cf"),
+            md5(array_join(transform(
+              sort_array(collect_list(struct(col("shard"), col("ps")))),
+              x => x("ps")), ",")).as("postings_md5"),
+            min(col("fd_s")).as("first_doc"))
+          .orderBy("term")
+      },
+      Some(invertedIndexOracleSql)),
 
     // ---- positional phrase search -----------------------------------------
     // Exact-phrase retrieval ("customer join") as the postings join it is
@@ -1208,6 +1236,27 @@ object TextOps {
       },
       Some(bpeOracleSql))
   )
+
+  /** Shared oracle for q_inverted_index AND q_inverted_index_shard: the
+    * sharded build must reproduce the unsharded index byte-for-byte
+    * (contiguous doc-range shards concatenate into the globally
+    * doc-ordered postings string), so one SQL serves both rows and the
+    * hash compare proves the equivalence. */
+  private def invertedIndexOracleSql: String =
+    """WITH t AS (
+         SELECT doc_id, string_split(lower(text), ' ') AS toks
+         FROM documents),
+       u AS (
+         SELECT doc_id, unnest(toks) AS term,
+           CAST(generate_subscripts(toks, 1) AS BIGINT) AS i
+         FROM t),
+       f AS (SELECT * FROM u WHERE term <> '')
+       SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(COUNT(*) AS BIGINT) AS cf,
+         md5(string_agg(doc_id || ':' || i, ','
+           ORDER BY doc_id, i)) AS postings_md5,
+         MIN(doc_id) AS first_doc
+       FROM f GROUP BY term ORDER BY term"""
 
   /** The DuckDB twin of q_bpe_merges: the same wrapped-symbol replace
     * trick, unrolled as a 5-level CTE chain (p_k = weighted adjacent-pair

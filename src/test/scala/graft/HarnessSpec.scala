@@ -38,6 +38,13 @@ class HarnessSpec extends AnyFunSuite {
       // compares against a dump that can never exist
       val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
       assert(orphans.isEmpty, s"oracleSql without a query: $orphans")
+      // and every oracle must be real SQL: a Scala object-initialization
+      // ordering slip (val referenced before definition) yields
+      // Some(null), which crashes Verify's oracle_sql.json write AFTER
+      // the dumps — invisible to the dump checks above
+      val nullSql = SparkEntry.oracleSql.collect {
+        case (k, v) if v == null || v.trim.isEmpty => k }
+      assert(nullSql.isEmpty, s"null/empty oracle SQL for: $nullSql")
     } finally org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(out))
   }
@@ -148,6 +155,26 @@ class HarnessSpec extends AnyFunSuite {
       assert(us.size == 3, s"expected 3 sessions, got: $us")
     } finally Seq(microsDir, nanosDir).foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
+  test("NTZ-encoded events load identically in a non-UTC session zone") {
+    // The engine pins UTC, but a library user might not: the NTZ arm of
+    // normalizeTs must read the wall-clock value AS UTC in any session
+    // zone (timestampdiff on NTZ is zone-independent; a plain cast to
+    // TimestampType would shift by the session offset).
+    val dir = Files.createTempDirectory("graft-ev-tz").toString
+    val key = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(key)
+    try {
+      writeMicrosNtz(dir)
+      val utc = sessions(dir)
+      spark.conf.set(key, "America/New_York")
+      val ny = sessions(dir)
+      assert(ny == utc, s"session zone leaked into NTZ load:\nUTC: $utc\nNY:  $ny")
+    } finally {
+      spark.conf.set(key, prev)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
   }
 
   test("normalizeTs rejects an unknown ts type loudly") {
