@@ -299,6 +299,20 @@ object StressMain {
         col("n_matches"), col("first_i")).distinct(),
       q("q_phrase_search", src))
 
+    // Inverted index: doc ids shift per copy so the postings hash differs,
+    // but document/collection frequencies scale exactly ×copies per term —
+    // and the sharded arm must agree with the unsharded one at 10× too.
+    timed("q_inverted_index", s"$work/out", q("q_inverted_index", work))
+    timed("q_inverted_index_shard", s"$work/out",
+      q("q_inverted_index_shard", work))
+    sameSet("q_inverted_index df/cf = sf0.1 ×copies",
+      out("q_inverted_index").select(col("term"),
+        (col("df") / copies).cast("long").as("df"),
+        (col("cf") / copies).cast("long").as("cf")),
+      q("q_inverted_index", src).select(col("term"), col("df"), col("cf")))
+    sameSet("sharded index = unsharded index at ×copies",
+      out("q_inverted_index_shard"), out("q_inverted_index"))
+
     // ---- events: batch sessionize + watermarked stream at ×copies --------
     // Blow-up: copy k of user u is user u + k·uOff with event_ids shifted
     // by k·eOff and ts UNCHANGED — a monotone event_id shift preserves the
@@ -318,6 +332,28 @@ object StressMain {
       .write.mode("overwrite").parquet(s"$work/events.parquet")
     println(s"STRESS| events corpus: ${nEv * copies} rows, " +
       s"${nUsers * copies} users ($copies× $src)")
+
+    // Analytics rows: user copies replay identical streams, so funnel
+    // stage counts and retention cells scale exactly ×copies, and the
+    // transition-pair counts scale ×copies with identical probabilities
+    // avoided in the law (n·10/tot·10 can differ from n/tot by one ulp).
+    timed("q_funnel", s"$work/out", q("q_funnel", work))
+    sameSet("q_funnel stage counts = sf0.1 ×copies",
+      out("q_funnel").select((col("n_signup") / copies).cast("long")
+          .as("n_signup"),
+        (col("n_click") / copies).cast("long").as("n_click"),
+        (col("n_purchase") / copies).cast("long").as("n_purchase")),
+      q("q_funnel", src))
+    timed("q_cohort_retention", s"$work/out", q("q_cohort_retention", work))
+    sameSet("q_cohort_retention = sf0.1 ×copies",
+      out("q_cohort_retention").select(col("c0"), col("offset_h"),
+        (col("n_users") / copies).cast("long").as("n_users")),
+      q("q_cohort_retention", src))
+    timed("q_event_transitions", s"$work/out", q("q_event_transitions", work))
+    sameSet("q_event_transitions counts = sf0.1 ×copies",
+      out("q_event_transitions").select(col("cur"), col("nxt"),
+        (col("n") / copies).cast("long").as("n")),
+      q("q_event_transitions", src).select(col("cur"), col("nxt"), col("n")))
 
     timed("q_sessionize", s"$work/out", q("q_sessionize", work))
     val sess = out("q_sessionize")
