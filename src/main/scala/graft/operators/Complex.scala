@@ -657,6 +657,47 @@ object Complex {
               SELECT c.cur, c.nxt, c.n,
                 CAST(FLOOR(CAST(c.n AS DOUBLE) / t.tot * 1000000 + 0.5)
                   AS BIGINT) AS p_micros
-              FROM c JOIN t USING (cur) ORDER BY c.cur, c.nxt"""))
+              FROM c JOIN t USING (cur) ORDER BY c.cur, c.nxt""")),
+
+    // ---- exponentially-weighted moving average ----------------------------
+    // Per-user EWMA of `value` over the last ≤20 events (time-ordered,
+    // event_id tiebreak): the time-series smoothing pass, α = 1/2.
+    // Exactness across engines without any rounding discipline: the
+    // bounded frame materializes as an ORDERED list (both engines build
+    // window lists in frame order) and the Horner fold
+    // acc·0.5 + v runs the IDENTICAL IEEE op sequence on both sides —
+    // multiplying by 0.5 is an exponent shift, exact for every double,
+    // and both folds seed with the frame's first element (DuckDB's
+    // list_reduce has no explicit zero, so the Spark side seeds
+    // element 1 and folds the tail). A plain windowed SUM of decayed
+    // terms would NOT be safe: DuckDB computes window sums with a
+    // segment tree, so double addition associates differently than
+    // Spark's running fold. Scale: one user-keyed shuffle, O(frame)
+    // state per row, horizon-bounded like any production EWMA.
+    Q("q_ewma",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+          .rowsBetween(-19, 0)
+        Tables(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("vs", collect_list(col("value")).over(w))
+          .select(col("user_id"), col("event_id"),
+            floor(aggregate(slice(col("vs"), lit(2), size(col("vs")) - 1),
+              element_at(col("vs"), 1),
+              (acc, v) => acc * lit(0.5) + v) * 1e6 + 0.5)
+              .cast("long").as("ewma_micros"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH o AS (
+                SELECT user_id, event_id,
+                  list(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vs
+                FROM events)
+              SELECT user_id, event_id,
+                CAST(FLOOR(list_reduce(vs, (a, b) -> a*0.5 + b)
+                  * 1000000 + 0.5) AS BIGINT) AS ewma_micros
+              FROM o ORDER BY user_id, event_id"""))
   )
 }

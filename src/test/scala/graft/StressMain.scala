@@ -355,6 +355,13 @@ object StressMain {
         (col("n") / copies).cast("long").as("n")),
       q("q_event_transitions", src).select(col("cur"), col("nxt"), col("n")))
 
+    timed("q_ewma", s"$work/out", q("q_ewma", work))
+    sameSet("q_ewma = sf0.1 values per copy",
+      out("q_ewma").select((col("user_id") % uOff).as("user_id"),
+        (col("event_id") % eOff).as("event_id"), col("ewma_micros"))
+        .distinct(),
+      q("q_ewma", src))
+
     timed("q_sessionize", s"$work/out", q("q_sessionize", work))
     val sess = out("q_sessionize")
     check("q_sessionize row count = sf0.1 × copies",
