@@ -36,12 +36,17 @@ object Similarity {
     * (i, j, cov_micros) rows — the distributed-PCA reduction shared by
     * q_pca_cov and q_pca_power. Exactness recipe, mirrored verbatim in
     * [[covSqlCtes]]:
-    *  - per-dimension means via micro-fixed-point long sums (round6, the
-    *    VecCentroid discipline), collapsed to ONE broadcast array row;
-    *  - per-row centering quantized to micro LONGS, so every pair term is
-    *    an exact 64-bit integer product (|x| < 1 ⇒ |cm| < 2e6 ⇒ product
-    *    < 4e12, far under 2^63) and the sums are order-independent
-    *    DECIMAL(38,0) integer sums — no per-term double rounding at all;
+    *  - per-dimension means in MICRO-LONG fixed point: floor of the exact
+    *    long-sum quotient (sum ≤ 1e15 « 2^53, so the double division is
+    *    IEEE-exact-rounded identically on both engines and the floor is
+    *    deterministic — no ROUND() half-mode exposure anywhere in the
+    *    path), collapsed to ONE broadcast array row;
+    *  - per-row centering as an exact integer difference of micro longs
+    *    (quantize x first, then subtract the micro mean), so every pair
+    *    term is an exact 64-bit integer product (|x| < 1 ⇒ |cm| < 2e6 ⇒
+    *    product < 4e12, far under 2^63) and the sums are
+    *    order-independent DECIMAL(38,0) integer sums — no per-term double
+    *    rounding at all;
     *  - the d² pair expansion is a chained posexplode whose second
     *    generator runs on the SLICED tail (j ≥ i), so only the upper
     *    triangle is ever produced, and the blowup stays pipeline-local
@@ -56,15 +61,15 @@ object Similarity {
         posexplode(col("v")).as(Seq("p0", "x")))
       .select((col("p0") + 1).cast("long").as("i"), col("x"))
     val means = u.groupBy("i")
-      .agg(round(sum(floor(col("x") * 1e6 + 0.5).cast("long"))
-        .cast("double") / (count(lit(1)) * 1e6), 6).as("mu"))
+      .agg(floor(sum(floor(col("x") * 1e6 + 0.5).cast("long"))
+        .cast("double") / count(lit(1))).cast("long").as("mu"))
     val meansRow = means
       .agg(sort_array(collect_list(struct(col("i"), col("mu")))).as("ms"))
       .select(transform(col("ms"), m => m("mu")).as("mus"))
     val nRow = e.agg(count(lit(1)).as("n"))
     e.crossJoin(broadcast(meansRow))
       .select(zip_with(col("v"), col("mus"),
-        (x, mu) => floor((x - mu) * 1e6 + 0.5).cast("long")).as("cm"))
+        (x, mu) => floor(x * 1e6 + 0.5).cast("long") - mu).as("cm"))
       .select(posexplode(col("cm")).as(Seq("p0", "ci")), col("cm"))
       .select(col("p0"), col("ci"),
         posexplode(slice(col("cm"), col("p0") + 1, lit(dim) - col("p0")))
@@ -89,12 +94,12 @@ object Similarity {
          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
        m AS (
          SELECT i,
-           ROUND(SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT))::DOUBLE
-             / (COUNT(*) * 1000000.0), 6) AS mu
+           CAST(FLOOR(SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT))::DOUBLE
+             / COUNT(*)) AS BIGINT) AS mu
          FROM u GROUP BY i),
        cen AS (
          SELECT u.vec_id, u.i,
-           CAST(FLOOR((u.x - m.mu) * 1000000 + 0.5) AS BIGINT) AS cm
+           CAST(FLOOR(u.x * 1000000 + 0.5) AS BIGINT) - m.mu AS cm
          FROM u JOIN m USING (i)),
        nn AS (SELECT COUNT(*) AS n FROM embeddings),
        cov AS (
@@ -144,7 +149,8 @@ object Similarity {
           FROM covf f JOIN v10 ON f.j = v10.j GROUP BY f.i),
         lam AS (
           SELECT CAST(FLOOR(
-            CAST(SUM(CAST(v.xm * CAST(mv11.y AS BIGINT) AS DECIMAL(38,0)))
+            CAST(SUM(CAST(v.xm AS DECIMAL(18,0))
+                   * CAST(CAST(mv11.y AS BIGINT) AS DECIMAL(18,0)))
               AS DOUBLE) / 1000000000000.0 + 0.5) AS BIGINT) AS eig_micros
           FROM mv11 JOIN (SELECT j AS i, xm FROM v10) v USING (i))
         SELECT v10.j AS i, v10.xm AS x_micros,
@@ -1485,17 +1491,18 @@ object Similarity {
     // ---- covariance / Gram matrix (the distributed-PCA building block) ---
     // Population covariance of the 64-dim embedding corpus: the reduction
     // every PCA / whitening / Mahalanobis pipeline runs first. Two passes:
-    //  1. per-dimension means via the micro-fixed-point discipline (long
-    //     sums are shuffle-order-independent; round6 like VecCentroid),
-    //     collapsed to ONE broadcast row;
-    //  2. per-row centering (zip_with) and the d² pair expansion via two
-    //     chained posexplodes — the blowup is PIPELINE-LOCAL (scan →
-    //     explode → partial hash-agg in one stage): only the 64×64/2
-    //     running sums per task ever reach the shuffle, so corpus size
-    //     never multiplies shuffle bytes. Upper triangle only (cov is
-    //     symmetric). Products round to 6dp and sum as DECIMAL(38,6)
-    //     (Arith), so the result is exact cross-engine; output is
-    //     micro-fixed-point LONGs, immune to double formatting.
+    //  1. per-dimension micro-long means (floor of the exact long-sum
+    //     quotient — integer fixed point end to end, no ROUND()
+    //     half-mode exposure), collapsed to ONE broadcast row;
+    //  2. per-row centering (zip_with, exact integer differences) and the
+    //     d² pair expansion via two chained posexplodes — the blowup is
+    //     PIPELINE-LOCAL (scan → explode → partial hash-agg in one
+    //     stage): only the 64×64/2 running sums per task ever reach the
+    //     shuffle, so corpus size never multiplies shuffle bytes. Upper
+    //     triangle only (cov is symmetric). Pair terms are exact 64-bit
+    //     integer products summed as DECIMAL(38,0), so the result is
+    //     exact cross-engine; output is micro-fixed-point LONGs, immune
+    //     to double formatting.
     // At 100 TB this is the textbook shape: one scan, one 2080-group
     // shuffle, a driver-side 64×64 eigensolve after (O(d³), data-free).
     Q("q_pca_cov",
@@ -1545,11 +1552,16 @@ object Similarity {
             .select(col("i").as("j"),
               floor(col("y") / col("nn") * 1e6 + 0.5).cast("long").as("xm"))
         }
-        // Rayleigh quotient in micro³: T = Σ xm_i · S_i (each term ≤
-        // 1e6 · 2e12 < 2^63), λ_micros = T / 1e12
+        // Rayleigh quotient in micro³: T = Σ xm_i · S_i. Both operands
+        // cast to DECIMAL(38,0) BEFORE the multiply: the Long×Long form
+        // peaked ~8e18, only ~13% under Long.MaxValue, and Spark
+        // (non-ANSI) wraps silently on overflow while DuckDB raises — a
+        // silent cross-engine divergence if the embedding bound ever
+        // loosens. Decimal products are exact at any realistic scale.
         val lam = matvec(v)
           .join(v.select(col("j").as("i"), col("xm")), "i")
-          .agg(sum((col("xm") * col("y").cast("long")).cast(dec0)).as("t"))
+          .agg(sum(col("xm").cast(dec0) * col("y").cast("long").cast(dec0))
+            .as("t"))
           .select(floor(col("t").cast("double") / 1e12 + 0.5).cast("long")
             .as("eig_micros"))
         v.select(col("j").as("i"), col("xm").as("x_micros"))
