@@ -579,6 +579,58 @@ object Complex {
                 (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n_click,
                 (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n_purchase""")),
 
+    // ---- funnel with a bounded conversion window ---------------------------
+    // The production form of q_funnel: a stage converts only within a
+    // horizon of the previous stage ("click within 48 h of signup,
+    // purchase within 48 h of that click"). Identical join-chained shape
+    // — one extra codegen'd predicate per stage — so the scale contract
+    // is unchanged: per-stage user-keyed MIN aggs over pre-filtered event
+    // slices, no windows over the full stream. Semantics are the standard
+    // sequential ones: stage k's clock starts at stage k−1's EARLIEST
+    // in-window instant. At sf0.01 the 48 h window genuinely binds
+    // (150/105/68 vs 150/150/150 unbounded).
+    Q("q_funnel_windowed",
+      (s, d) => {
+        val horizonUs = 172800000000L // 48 h
+        val ev = Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val t1 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("us")).as("t1"))
+        val t2 = ev.filter(col("event_type") === "click")
+          .join(t1, "user_id")
+          .filter(col("us") > col("t1") &&
+            col("us") - col("t1") <= horizonUs)
+          .groupBy("user_id").agg(min(col("us")).as("t2"))
+        val t3 = ev.filter(col("event_type") === "purchase")
+          .join(t2, "user_id")
+          .filter(col("us") > col("t2") &&
+            col("us") - col("t2") <= horizonUs)
+          .groupBy("user_id").agg(min(col("us")).as("t3"))
+        t1.agg(count(lit(1)).as("n_signup"))
+          .crossJoin(broadcast(t2.agg(count(lit(1)).as("n_click"))))
+          .crossJoin(broadcast(t3.agg(count(lit(1)).as("n_purchase"))))
+      },
+      Some("""WITH ev AS (
+                SELECT user_id, event_type,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                FROM events),
+              t1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+                     WHERE event_type = 'signup' GROUP BY user_id),
+              t2 AS (SELECT ev.user_id, MIN(us) AS t2
+                     FROM ev JOIN t1 USING (user_id)
+                     WHERE event_type = 'click' AND us > t1
+                       AND us - t1 <= 172800000000
+                     GROUP BY ev.user_id),
+              t3 AS (SELECT ev.user_id, MIN(us) AS t3
+                     FROM ev JOIN t2 USING (user_id)
+                     WHERE event_type = 'purchase' AND us > t2
+                       AND us - t2 <= 172800000000
+                     GROUP BY ev.user_id)
+              SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n_signup,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n_click,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n_purchase""")),
+
     // ---- cohort retention --------------------------------------------------
     // Users cohorted by their FIRST active hour; retention = distinct
     // users of cohort c active again exactly k hours later (k ≤ 5). Two

@@ -115,11 +115,27 @@ class PlanSpec extends AnyFunSuite {
   test("q_bpe_merges rounds broadcast the argmax pair, never shuffle-join") {
     // each merge round must meet the 1-row best-pair frame via broadcast;
     // the word-type table itself shuffles only for the tiny pair-count
-    // aggregations (which must partial-aggregate map-side)
-    val p = plan("q_bpe_merges")
+    // aggregations (which must partial-aggregate map-side). Pinned on a
+    // single un-checkpointed round (operators.TextOps.bpeRoundForTest):
+    // in the full query the per-round localCheckpoints — the fix for the
+    // K²/2 recomputation — hide the round plan from the final frame.
+    val p = graft.operators.TextOps.bpeRoundForTest(spark, sfDir)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"merge round shuffle-joins the argmax row:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"argmax pair does not arrive via broadcast:\n$p")
     assert(p.contains("partial_"), "pair counts have no partial aggregation")
+  }
+
+  test("q_sample_weighted_cfg plans no aggregate and no join") {
+    // the config-constant-normalizer arm must be pure scan → filter →
+    // sort: a planned aggregate or join means the corpus-max scan crept
+    // back in and the 100 TB scan-bound contract is gone
+    val p = plan("q_sample_weighted_cfg")
+    assert(!p.contains("Aggregate"), s"cfg arm aggregates the corpus:\n$p")
+    assert(!p.contains("Join"), s"cfg arm plans a join:\n$p")
   }
 
   test("q_cosine_pairs never plans a cartesian product") {
