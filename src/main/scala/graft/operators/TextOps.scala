@@ -451,6 +451,119 @@ object TextOps {
               FROM pairs JOIN c2 USING (bg) JOIN c1 USING (w1)
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- held-out perplexity filter (CCNet-style) -------------------------
+    // The LM quality gate production pipelines actually run: train the
+    // bigram LM on the TRAIN split only (the q_sample_split hash rule, so
+    // train membership is per-row decidable and stable under growth),
+    // then score EVERY document against it — held-out docs now contain
+    // bigrams the model never saw, which is the whole point: unlike
+    // q_bigram_lm's corpus-as-own-training-set, this needs real smoothing.
+    // Stupid backoff (Brants et al. 2007): lp = ln(c2/c1) when the bigram
+    // was seen in train, else ln(0.4·cu(w2)/tot) down to the OOV floor
+    // ln(0.4·1/tot) — no normalization pass, no extra shuffle, exactly
+    // the large-corpus trade the paper made. keep = avg lp ≥ τ; τ=-3.46
+    // is a config constant tuned per corpus exactly as CCNet tunes its
+    // per-language perplexity cutoffs (here the ~5th percentile at
+    // sf0.01, so the gate visibly drops the worst tail while the exact
+    // per-row decision is still oracle-hash-pinned). Scale: count
+    // tables are vocab-sized → LEFT
+    // shuffle joins on bg/w1/w2 (never broadcast), each built with
+    // map-side partial aggregation from one exploded pass; `tot` is a
+    // 1-row broadcast. Cross-engine exactness: every lp is ln of a ratio
+    // of exact integers (or 0.4·that — one IEEE multiply of identical
+    // doubles), rounded 6dp → DECIMAL(38,6) per the Arith discipline so
+    // per-doc sums are shuffle-order-independent.
+    Q("q_perplexity_filter",
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"),
+          (substring(md5(col("doc_id").cast("string")), 1, 2) >= "1a")
+            .as("is_train"),
+          split(lower(col("text")), " ").as("toks"))
+        val toks = base
+          .select(col("doc_id"), col("is_train"), explode(col("toks")).as("w"))
+          .filter(col("w") =!= "")
+        val pairs = base.select(col("doc_id"), col("is_train"),
+            explode(arrays_zip(
+              slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+              slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2")))
+              .as("p"))
+          .filter(col("p.w1") =!= "" && col("p.w2") =!= "")
+          .select(col("doc_id"), col("is_train"),
+            concat_ws(" ", col("p.w1"), col("p.w2")).as("bg"),
+            col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val c2 = pairs.filter(col("is_train"))
+          .groupBy("bg").agg(count(lit(1)).as("c2"))
+        val c1 = pairs.filter(col("is_train"))
+          .groupBy("w1").agg(count(lit(1)).as("c1"))
+        val cu = toks.filter(col("is_train"))
+          .groupBy("w").agg(count(lit(1)).as("cu"))
+          .withColumnRenamed("w", "w2")
+        val tot = toks.filter(col("is_train")).agg(count(lit(1)).as("tot"))
+        pairs.join(c2, Seq("bg"), "left")
+          .join(c1, Seq("w1"), "left")
+          .join(cu, Seq("w2"), "left")
+          .crossJoin(broadcast(tot))
+          .withColumn("lp", round(
+            when(col("c2").isNotNull,
+              log(col("c2").cast("double") / col("c1")))
+              .otherwise(log(lit(0.4) *
+                coalesce(col("cu"), lit(1L)).cast("double") /
+                col("tot").cast("double"))), 6).cast("decimal(38,6)"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            count_if(col("c2").isNull).as("n_backoff"),
+            round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+              .as("avg_logprob"))
+          .withColumn("held_out",
+            substring(md5(col("doc_id").cast("string")), 1, 2) < "1a")
+          .withColumn("keep", col("avg_logprob") >= -3.46)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                  substr(md5(doc_id::VARCHAR), 1, 2) >= '1a' AS is_train,
+                  string_split(lower(text), ' ') AS toks
+                FROM documents),
+              u AS (
+                SELECT doc_id, is_train, w FROM (
+                  SELECT doc_id, is_train, unnest(toks) AS w FROM t)
+                WHERE w <> ''),
+              up AS (
+                SELECT doc_id, is_train, unnest(toks) AS w,
+                  generate_subscripts(toks, 1) AS i
+                FROM t),
+              pairs AS (
+                SELECT a.doc_id, a.is_train, a.w || ' ' || b.w AS bg,
+                  a.w AS w1, b.w AS w2
+                FROM up a JOIN up b
+                  ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                WHERE a.w <> '' AND b.w <> ''),
+              c2 AS (SELECT bg, COUNT(*) AS c2 FROM pairs
+                     WHERE is_train GROUP BY bg),
+              c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs
+                     WHERE is_train GROUP BY w1),
+              cu AS (SELECT w AS w2, COUNT(*) AS cu FROM u
+                     WHERE is_train GROUP BY w),
+              tot AS (SELECT COUNT(*) AS tot FROM u WHERE is_train),
+              sc AS (
+                SELECT p.doc_id,
+                  CAST(ROUND(CASE WHEN c2.c2 IS NOT NULL
+                    THEN ln(CAST(c2.c2 AS DOUBLE) / c1.c1)
+                    ELSE ln(0.4 * CAST(COALESCE(cu.cu, 1) AS DOUBLE) /
+                            CAST(tot.tot AS DOUBLE)) END, 6)
+                    AS DECIMAL(38,6)) AS lp,
+                  (c2.c2 IS NULL) AS backoff
+                FROM pairs p LEFT JOIN c2 USING (bg)
+                LEFT JOIN c1 USING (w1) LEFT JOIN cu USING (w2)
+                CROSS JOIN tot)
+              SELECT doc_id, COUNT(*) AS n_bigrams,
+                COUNT(*) FILTER (backoff) AS n_backoff,
+                ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob,
+                substr(md5(doc_id::VARCHAR), 1, 2) < '1a' AS held_out,
+                (ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) >= -3.46)
+                  AS keep
+              FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- PMI collocation mining -------------------------------------------
     // Top-30 collocations by pointwise mutual information over adjacent
     // token pairs: PMI = ln(c(w1,w2)·N / (c(w1·)·c(·w2))) with marginals
@@ -841,6 +954,62 @@ object TextOps {
                        ELSE 'train' END AS split
                 FROM documents)
               GROUP BY split, lang ORDER BY split, lang""")),
+
+    // ---- temperature-scaled mixture sampling ------------------------------
+    // The multilingual rebalancing rule (the exponent-sampling move of
+    // mBERT / XLM-R): sample language i with probability ∝ n_i^α, α=½ —
+    // upsampling tail languages relative to their raw share. Per-doc keep
+    // probability p_i = B·√n_i / (Σ_j √n_j · n_i) with B the global doc
+    // budget (200, a config constant); the expected sample size is B and
+    // the expected per-language share is √n_i-proportional. α is ½ BY
+    // CHOICE of numeric discipline, not modeling: IEEE 754 requires sqrt
+    // to be correctly rounded, so √n is the SAME double in every engine —
+    // unlike pow(n, 0.7), which is libm-dependent. √n_i is then pinned to
+    // micro-units with floor (exact on identical doubles; NOT round(x,6),
+    // the documented cross-engine half-mode trap), the normalizer is an
+    // EXACT long sum of those micro-units, and the keep rate is a ratio
+    // of exact integers evaluated in two IEEE ops — so the per-row draw
+    // u < p (u = the md5 dyadic of q_sample_hash) is bit-deterministic.
+    // Plan: one tiny lang-count agg (#langs rows) broadcast back, a 1-row
+    // broadcast normalizer, then a codegen'd scan-wide predicate — zero
+    // data shuffles. Unlike the hash samplers a document's keep CAN flip
+    // when counts shift: that is inherent to any mixture TARGET (rates
+    // depend on the mix); pin rates from a frozen census at 100 TB for
+    // run-over-run stability.
+    Q("q_sample_temperature",
+      (s, d) => {
+        val counts = docs(s, d).groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("s_micro",
+            floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+        val z = counts.agg(sum(col("s_micro")).as("z_micro"))
+        docs(s, d).select(col("doc_id"), col("lang"))
+          .join(broadcast(counts), "lang")
+          .crossJoin(broadcast(z))
+          .withColumn("u",
+            conv(substring(md5(concat(lit("t_"), col("doc_id"))), 1, 8),
+              16, 10).cast("double") / 4294967296.0)
+          .filter(col("u") < (lit(200L) * col("s_micro")).cast("double") /
+            (col("z_micro").cast("double") * col("n_docs")))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH c AS (
+                SELECT lang, COUNT(*) AS n_docs,
+                  CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0)
+                       AS BIGINT) AS s_micro
+                FROM documents GROUP BY lang),
+              z AS (SELECT CAST(SUM(s_micro) AS BIGINT) AS z_micro FROM c),
+              u AS (
+                SELECT doc_id, lang,
+                  (${(0 until 8).map(k =>
+                    s"(strpos('0123456789abcdef', substr(md5('t_' || doc_id), ${k + 1}, 1)) - 1) * ${math.pow(16, 7 - k).toLong}.0")
+                    .mkString(" + ")}) / 4294967296.0 AS u
+                FROM documents)
+              SELECT doc_id, lang FROM u JOIN c USING (lang) CROSS JOIN z
+              WHERE u.u < CAST(200 * s_micro AS DOUBLE) /
+                          (CAST(z_micro AS DOUBLE) * n_docs)
+              ORDER BY doc_id""")),
 
     // ---- bigram vocabulary (LM preprocessing) -----------------------------
     // Top-50 adjacent-token bigrams with counts. Bigrams form WITHOUT an

@@ -138,6 +138,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"cfg arm plans a join:\n$p")
   }
 
+  test("q_sample_temperature meets its mixture stats only via broadcast") {
+    // the lang-count frame and 1-row normalizer must reach the corpus
+    // scan as broadcasts — a shuffle join here moves every document for
+    // a #langs-row lookup
+    val p = plan("q_sample_temperature")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"mixture stats arrive via shuffle join:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"mixture stats not broadcast:\n$p")
+  }
+
+  test("q_perplexity_filter joins counts by shuffle, never cartesian") {
+    // the LM count tables are vocab-sized BY DESIGN (shuffle joins are
+    // the contract); what must never appear is an all-pairs join, and
+    // the count aggregations must partial-aggregate map-side
+    val p = plan("q_perplexity_filter")
+    assert(!p.contains("CartesianProduct"),
+      s"LM scoring planned a cartesian:\n$p")
+    assert(p.contains("partial_"), "count tables lack partial aggregation")
+  }
+
   test("q_cosine_pairs never plans a cartesian product") {
     assert(!plan("q_cosine_pairs").contains("CartesianProduct"))
     assert(!plan("q_dedup_embed").contains("CartesianProduct"))

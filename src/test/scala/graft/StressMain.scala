@@ -112,8 +112,9 @@ object StressMain {
         }
       }
     })
-    if (mode == "text") {
-      textStress(spark, src, copies, work)
+    if (mode == "text" || mode == "embed") {
+      if (mode == "text") textStress(spark, src, copies, work)
+      else embedStress(spark, src, copies, work)
       spark.stop()
       if (failures > 0) {
         System.err.println(s"STRESS| $failures invariant(s) failed")
@@ -494,6 +495,93 @@ object StressMain {
     * streaming twin collects the event log driver-side and the forced
     * GEMM arm is quadratic in blocks — both by design of their harnesses,
     * not the operators. */
+  /** 100×-scale embedding-path stress (`mode=embed`, run as
+    * `runMain graft.StressMain <src> 100 <work> embed`): the vector
+    * operators whose scale story must survive a genuine 10× step taken
+    * at the 100× point (×(copies/10) and ×copies corpora, 500k vectors
+    * at ×100 over sf0.1).
+    *
+    *  - kNN-join under its scale CONTRACT (buckets ∝ corpus, 8·copies):
+    *    identical copies share a k-means bucket (argmax of identical
+    *    vectors is identical) while the 5k DISTINCT values spread over
+    *    8·copies centroids, so per-bucket occupancy — and with it peak
+    *    task memory and per-bucket pair work — stays at the sf0.1 level
+    *    as both grow 100×. Laws: row count 3·nRanked·copies, rank-1
+    *    neighbor an exact copy (cos 1.0) at both scales, shuffle bytes
+    *    ~linear over the step, peak task memory bounded.
+    *  - q_embed_quantize: per-dim min/max are duplication-invariant, so
+    *    every copy's int8 codes equal its original's — the ×copies
+    *    output maps (vec_id % vOff) exactly onto the sf0.1 output. The
+    *    op is scan-bound (zero vector shuffles) at any size.
+    *  - q_pca_cov: micro-long means floor(Σ/n) and second moments are
+    *    invariant when Σ and n scale together — the ×copies covariance
+    *    must be IDENTICAL to sf0.1, checked exactly at 100×.
+    * The LSH/banded families are deliberately NOT metric-stressed on
+    * this corpus: ×copies of IDENTICAL vectors makes every band bucket
+    * quadratic in copies BY CONSTRUCTION (c·(c−1)/2 true-dup pairs per
+    * family is the right answer, not a flaw), so a linear-shuffle law
+    * would reject correct behavior; their laws live in the ×10 suite. */
+  private def embedStress(spark: SparkSession, src: String, copies: Int,
+      work: String): Unit = {
+    val embs0 = spark.read.parquet(s"$src/embeddings.parquet")
+    val vOff = embs0.agg(max("vec_id")).head.getLong(0) + 1
+    val nVecs = embs0.count()
+    val lo = math.max(copies / 10, 1)
+    def build(c: Int, dir: String): Unit =
+      (0 until c).map(k =>
+          embs0.withColumn("vec_id", col("vec_id") + lit(k * vOff)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    build(lo, s"$work/x$lo")
+    build(copies, s"$work/x$copies")
+    println(s"STRESS| embed corpora: ${nVecs * lo} vectors at ×$lo, " +
+      s"${nVecs * copies} vectors at ×$copies ($src)")
+    def q(name: String, dir: String): DataFrame =
+      SparkEntry.queries(name)(spark, dir)
+    def out(name: String): DataFrame =
+      spark.read.parquet(s"$work/out/$name")
+    def knnAt(c: Int): DataFrame = operators.Similarity.knnJoin(spark,
+      spark.read.parquet(s"$work/x$c/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")), 3, 8 * c)
+    val mLo = timed(s"q_knn_join_x$lo", s"$work/out", knnAt(lo))
+    val mHi = timed(s"q_knn_join_x$copies", s"$work/out", knnAt(copies))
+    val nRanked = operators.Similarity.dropZeroNorm(spark, embs0).count()
+
+    // ---- correctness laws at both scales ---------------------------------
+    for ((c, m) <- Seq(lo -> mLo, copies -> mHi)) {
+      val knn = out(s"q_knn_join_x$c")
+      check(s"×$c kNN row count = 3 × nonzero-norm corpus",
+        knn.count() == 3L * nRanked * c, s"got ${knn.count()}")
+      check(s"×$c kNN rank-1 = identical copy (cos 1.0)",
+        knn.filter(col("rk") === 1).agg(min("cos")).head.getDouble(0) == 1.0,
+        "a rank-1 neighbor below 1.0")
+    }
+
+    // ---- metric laws over the 10× step at the 100× point -----------------
+    val step = copies.toDouble / lo
+    val ratio = mHi._2.toDouble / math.max(mLo._2, 1L)
+    check(f"scaled-bucket kNN shuffle bytes ~linear (×$lo→×$copies)",
+      ratio >= step * 0.6 && ratio <= step * 1.5,
+      f"shufW ratio $ratio%.2f vs step $step%.0f " +
+        s"(${mb(mLo._2)} MB → ${mb(mHi._2)} MB)")
+    check(s"scaled-bucket kNN peak task memory bounded (×$lo→×$copies)",
+      mHi._1 <= math.max(mLo._1, 64L << 20) * 2,
+      s"peak ${mb(mHi._1)} MB at ×$copies vs ${mb(mLo._1)} MB at ×$lo")
+
+    // ---- duplication-invariance laws at ×copies --------------------------
+    timed(s"q_embed_quantize_x$copies", s"$work/out",
+      q("q_embed_quantize", s"$work/x$copies"))
+    sameSet(s"q_embed_quantize codes per copy = sf0.1 at ×$copies",
+      out(s"q_embed_quantize_x$copies")
+        .select((col("vec_id") % vOff).as("vec_id"), col("codes_md5"),
+          col("max_err_micros")).distinct(),
+      q("q_embed_quantize", src))
+    timed(s"q_pca_cov_x$copies", s"$work/out",
+      q("q_pca_cov", s"$work/x$copies"))
+    sameSet(s"q_pca_cov invariant under duplication at ×$copies",
+      out(s"q_pca_cov_x$copies"), q("q_pca_cov", src))
+  }
+
   private def textStress(spark: SparkSession, src: String, copies: Int,
       work: String): Unit = {
     val docs0 = spark.read.parquet(s"$src/documents.parquet")
