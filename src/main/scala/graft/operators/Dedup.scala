@@ -1021,6 +1021,136 @@ object Dedup {
                 (SELECT COUNT(*)
                  FROM p e1 JOIN p e2 ON e1.b_id = e2.a_id
                  JOIN p e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id)
-                  AS n_triangles"""))
+                  AS n_triangles""")),
+
+    // ---- end-to-end corpus curation pipeline -------------------------------
+    // The flagship COMPOSITION: the stage chain a training-corpus build
+    // actually runs — min-length gate → heuristic quality filter (the
+    // q_quality rule verbatim) → exact dedup (first doc_id per content
+    // hash) → near-dup drop (a doc falls if it is a verified jac ≥ 0.5
+    // near-dup of a LOWER-id survivor — the pair-drop rule; the CC
+    // variants are the clustering rows above) → per-source token-budget
+    // sample (the q_sample_budget hash-priority rule) — emitting the
+    // per-stage attrition table every pipeline report starts with.
+    // Each stage consumes the previous stage's SURVIVORS (order matters:
+    // dedup after quality, budget last), so the oracle must recompute the
+    // same chain — its near-dup stage brute-forces pairs within the s3
+    // survivor set, which bets on band recall at jac ≥ 0.5 exactly like
+    // q_dedup_minhash (any s3-internal pair is a corpus pair, and
+    // subsetting cannot lose a band collision). Plan discipline: d0 and
+    // the two frames every later stage re-reads (s3, s4) localCheckpoint
+    // — six stage counts would otherwise re-run the LSH chain once per
+    // count (the q_bpe_merges lesson); stage counts are 1-row aggs
+    // union'd, each a map-side partial over a checkpointed frame.
+    Q("q_corpus_pipeline",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val stop = Seq("a", "the", "of", "and", "to", "in")
+        val d0 = docs(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+          .withColumn("toks", split(lower(col("text")), " "))
+          .withColumn("n_tokens", size(col("toks")).cast("long"))
+          .localCheckpoint()
+        val s1 = d0.filter(col("n_tokens") >= 12)
+        val s2 = s1
+          .withColumn("mean_word_len",
+            round((col("n_chars") - col("n_tokens") + 1).cast("double") /
+              col("n_tokens"), 6))
+          .withColumn("stop_ratio",
+            round(size(filter(col("toks"), t => t.isin(stop: _*)))
+              .cast("double") / col("n_tokens"), 6))
+          .withColumn("quality", round(
+            least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.5 +
+              when(col("mean_word_len").between(3.0, 10.0), 0.3)
+                .otherwise(0.0) +
+              when(col("stop_ratio") > 0.02, 0.2).otherwise(0.0), 6))
+          .filter(col("quality") >= 0.5)
+          .select("doc_id", "source", "n_chars", "text")
+        val s3 = s2
+          .withColumn("first_id", min(col("doc_id"))
+            .over(Window.partitionBy(sha2(col("text"), 256))))
+          .filter(col("doc_id") === col("first_id"))
+          .drop("first_id").localCheckpoint()
+        val sh3 = shingled(s3).localCheckpoint()
+        val nearDrop = lshCandidates(minhashBands(s, sh3))
+          .join(sh3.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+            "a_id")
+          .join(sh3.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+            "b_id")
+          .filter(jaccard(col("a_sh"), col("b_sh")) >= 0.5)
+          .select(col("b_id").as("doc_id")).distinct()
+        val s4 = s3.join(nearDrop, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        val w = Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val s5 = s4
+          .withColumn("prior", sum(col("n_chars")).over(w) - col("n_chars"))
+          .filter(col("prior") < 5000L)
+        def cnt(ord: Int, name: String, df: DataFrame): DataFrame =
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+              col("n_docs"))
+        cnt(0, "input", d0)
+          .unionByName(cnt(1, "minlen", s1))
+          .unionByName(cnt(2, "quality", s2))
+          .unionByName(cnt(3, "exact_dedup", s3))
+          .unionByName(cnt(4, "near_dedup", s4))
+          .unionByName(cnt(5, "token_budget", s5))
+          .orderBy("stage_ord")
+      },
+      Some(s"""WITH d0 AS (
+                SELECT doc_id, source, n_chars, text,
+                  CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                    AS n_tokens
+                FROM documents),
+              s1 AS (SELECT * FROM d0 WHERE n_tokens >= 12),
+              s2 AS (
+                SELECT doc_id, source, n_chars, text FROM (
+                  SELECT *,
+                    ROUND((n_chars - n_tokens + 1)::DOUBLE / n_tokens, 6)
+                      AS mwl,
+                    ROUND(len([t FOR t IN string_split(lower(text), ' ')
+                        IF regexp_matches(t, '^(a|the|of|and|to|in)$$')])
+                      ::DOUBLE / n_tokens, 6) AS sr
+                  FROM s1)
+                WHERE ROUND(least(n_tokens::DOUBLE / 100, 1.0) * 0.5 +
+                  CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END +
+                  CASE WHEN sr > 0.02 THEN 0.2 ELSE 0.0 END, 6) >= 0.5),
+              s3 AS (
+                SELECT doc_id, source, n_chars, text FROM s2
+                QUALIFY doc_id = MIN(doc_id)
+                  OVER (PARTITION BY sha256(text))),
+              sh AS (${sqlShingled("s3")}),
+              drops AS (
+                SELECT DISTINCT b.doc_id
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                      len(list_distinct(list_concat(a.sh, b.sh))), 6)
+                  >= 0.5),
+              s4 AS (SELECT * FROM s3
+                     WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+              s5 AS (
+                SELECT * FROM (
+                  SELECT doc_id, source, n_chars,
+                    SUM(n_chars) OVER (PARTITION BY source
+                      ORDER BY md5(doc_id::VARCHAR), doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_chars AS prior
+                  FROM s4)
+                WHERE prior < 5000)
+              SELECT 0 AS stage_ord, 'input' AS stage,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM d0) AS n_docs
+              UNION ALL SELECT 1, 'minlen',
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM s1)
+              UNION ALL SELECT 2, 'quality',
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+              UNION ALL SELECT 3, 'exact_dedup',
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
+              UNION ALL SELECT 4, 'near_dedup',
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM s4)
+              UNION ALL SELECT 5, 'token_budget',
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM s5)
+              ORDER BY stage_ord"""))
   )
 }

@@ -608,15 +608,39 @@ object Similarity {
   def ivfAssign(s: SparkSession, e: DataFrame, nCentroids: Int): DataFrame = {
     val cents = e.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_v"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("c_cos", cosine(s, col("embedding"), col("c_v")))
-      .groupBy("vec_id")
-      .agg(
-        max_by(col("c_id"), struct(col("c_cos"), -col("c_id")))
-          .as("bucket"),
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("embedding"), col("bucket"))
+    assignByArray(s, e, cents)
   }
+
+  /** Centroid argmax as a per-row ARRAY expression: the k centroids
+    * collapse to ONE broadcast row holding the sorted (c_id, c_v) array,
+    * and each vector picks its bucket via transform + array_max — struct
+    * ordering (c_cos, −c_id, c_id) is exactly max_by's
+    * (c_cos, −c_id) key, ties to the LOWER c_id, NaN-is-largest and all.
+    *
+    * This replaces a groupBy-argmax over the vector×centroid crossJoin.
+    * That shape was measured catastrophic at scale by the ×100 embed
+    * stress: the aggregation buffer carries the embedding array, so
+    * Spark plans ObjectHashAggregate, whose 128-distinct-key fallback
+    * SORT-AGGREGATES the n×k intermediate — at 200k vectors × 800
+    * centroids that sorted 160M kilobyte-rows (116 GB spill, 2.4 GB peak
+    * task). The array form streams the scan with zero extra rows and
+    * zero aggregation: per-task state is the k×d broadcast (~0.4 MB at
+    * k=800), scan-bound at any corpus size — and one 10× step measured
+    * 13.4× wall vs the old form's 33×.
+    *
+    * `extra` carries pass-through columns (the trackPrev prev_bucket)
+    * that previously rode the aggregation as first(). */
+  private def assignByArray(s: SparkSession, e: DataFrame, cents: DataFrame,
+      extra: Seq[String] = Seq.empty): DataFrame =
+    e.crossJoin(broadcast(cents
+        .agg(sort_array(collect_list(struct(col("c_id"), col("c_v"))))
+          .as("cs"))))
+      .withColumn("bucket", array_max(transform(col("cs"), c =>
+        struct(cosine(s, col("embedding"), c.getField("c_v")).as("c_cos"),
+          (-c.getField("c_id")).as("neg"),
+          c.getField("c_id").as("c_id"))))
+        .getField("c_id"))
+      .select((Seq("vec_id", "embedding", "bucket") ++ extra).map(col): _*)
 
   /** DuckDB twin of [[ivfAssign]] as CTE text: defines `e` (typed vectors),
     * `cents`, `ac` (all vector×centroid cosines) and `assigned`
@@ -677,18 +701,12 @@ object Similarity {
   private def lloydRoundImpl(s: SparkSession, corpus: DataFrame,
       assigned: DataFrame, trackPrev: Boolean): DataFrame = {
     val cents1 = centroidsOf(assigned)
-    val carry: Seq[Column] =
-      if (trackPrev) Seq(first(col("bucket")).as("prev_bucket")) else Seq.empty
-    corpus.select(col("vec_id") +: col("embedding") +:
-        (if (trackPrev) Seq(col("bucket")) else Seq.empty): _*)
-      .crossJoin(broadcast(cents1))
-      .withColumn("c_cos", cosine(s, col("embedding"), col("c_v")))
-      .groupBy("vec_id")
-      .agg(
-        max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("bucket"),
-        (first(col("embedding")).as("embedding") +: carry): _*)
-      .select(col("vec_id") +: col("embedding") +: col("bucket") +:
-        (if (trackPrev) Seq(col("prev_bucket")) else Seq.empty): _*)
+    val in =
+      if (trackPrev) corpus.select(col("vec_id"), col("embedding"),
+        col("bucket").as("prev_bucket"))
+      else corpus.select(col("vec_id"), col("embedding"))
+    assignByArray(s, in, cents1,
+      if (trackPrev) Seq("prev_bucket") else Seq.empty)
   }
 
   /** One Lloyd refinement round over the IVF seeding — the single-round

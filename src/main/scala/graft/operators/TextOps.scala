@@ -669,6 +669,83 @@ object TextOps {
                   FOR x IN toks]), 0) > 0 AS keep
               FROM t ORDER BY doc_id""")),
 
+    // ---- trained Naive Bayes classifier -----------------------------------
+    // A classifier that is actually TRAINED in the engine (the
+    // q_quality_classifier row above scores against fixed hash weights):
+    // multinomial Naive Bayes over words with add-1 smoothing, fit on the
+    // hash-split train set, predicting `lang` for every document —
+    // the fastText-style supervised lang-id shape, chosen because NB
+    // training IS counting, so the whole fit is two aggregations and the
+    // model stays exact: score(doc, l) = ln(d_l/D) + Σ_w tf_w ·
+    // ln((c_wl+1)/(n_l+V)). Every term is ln of a ratio of exact
+    // integers (the LM-row discipline), rounded 6dp into DECIMAL
+    // arithmetic — tf·lp as DECIMAL(12,0)×DECIMAL(24,6), order-
+    // independent decimal sums — so the argmax is bit-deterministic
+    // cross-engine, ties broken on the lang string. Unseen (w,l) pairs
+    // coalesce to c=0 and OOV words fall through the same formula: no
+    // dense vocab×lang table is ever materialized. Scale: the scored
+    // frame is (doc × DISTINCT word) × L — the per-doc tf aggregation
+    // runs BEFORE the ×L broadcast expansion, so the token stream itself
+    // never multiplies; the (w,l) count join is vocab-sized → one
+    // shuffle join; priors/totals are an L-row broadcast; top-1 per doc
+    // is a window over L rows per doc.
+    // Honesty note on the measured number: the synthetic corpus draws
+    // every document's text from ONE shared vocabulary regardless of
+    // `lang`, so the label is independent of the features and accuracy
+    // lands at the class prior (~44% at sf0.01) BY CONSTRUCTION of the
+    // data, not the model. The oracle row pins the training/scoring
+    // arithmetic exactly; MixLmSpec pins that the same [[nbClassify]]
+    // kernel reaches 100% held-out accuracy on a planted frame whose
+    // labels actually correlate with the text.
+    Q("q_nb_classifier",
+      (s, d) => nbClassify(docs(s, d).select(col("doc_id"),
+        col("lang").as("label"),
+        (substring(md5(col("doc_id").cast("string")), 1, 2) >= "1a")
+          .as("is_train"),
+        split(lower(col("text")), " ").as("toks"))),
+      Some("""WITH t AS (
+                SELECT doc_id, lang,
+                  substr(md5(doc_id::VARCHAR), 1, 2) >= '1a' AS is_train,
+                  string_split(lower(text), ' ') AS toks
+                FROM documents),
+              u AS (
+                SELECT doc_id, lang, is_train, w FROM (
+                  SELECT doc_id, lang, is_train, unnest(toks) AS w FROM t)
+                WHERE w <> ''),
+              cwl AS (SELECT w, lang AS l, COUNT(*) AS c FROM u
+                      WHERE is_train GROUP BY w, lang),
+              dl AS (SELECT lang AS l, COUNT(*) AS dl FROM t
+                     WHERE is_train GROUP BY lang),
+              nl AS (SELECT lang AS l, COUNT(*) AS nl FROM u
+                     WHERE is_train GROUP BY lang),
+              vv AS (SELECT COUNT(DISTINCT w) AS v FROM u WHERE is_train),
+              dt AS (SELECT COUNT(*) AS dtot FROM t WHERE is_train),
+              ls AS (SELECT dl.l, dl.dl, nl.nl, vv.v, dt.dtot
+                     FROM dl JOIN nl USING (l) CROSS JOIN vv CROSS JOIN dt),
+              tf AS (SELECT doc_id, lang, w,
+                       CAST(COUNT(*) AS DECIMAL(12,0)) AS tf
+                     FROM u GROUP BY doc_id, lang, w),
+              sc AS (
+                SELECT tf.doc_id, tf.lang, ls.l, ls.dl, ls.dtot,
+                  SUM(tf.tf * CAST(ROUND(ln((COALESCE(cwl.c, 0) + 1.0) /
+                    (ls.nl + ls.v)), 6) AS DECIMAL(24,6))) AS lk
+                FROM tf CROSS JOIN ls
+                LEFT JOIN cwl ON cwl.w = tf.w AND cwl.l = ls.l
+                GROUP BY tf.doc_id, tf.lang, ls.l, ls.dl, ls.dtot),
+              fin AS (
+                SELECT doc_id, lang, l,
+                  CAST(ROUND(ln(CAST(dl AS DOUBLE) / dtot), 6)
+                    AS DECIMAL(38,6)) + lk AS score
+                FROM sc),
+              rk AS (
+                SELECT doc_id, lang, l,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, l) AS rk
+                FROM fin)
+              SELECT doc_id, lang AS actual, l AS pred,
+                (l = lang) AS correct
+              FROM rk WHERE rk = 1 ORDER BY doc_id""")),
+
     // ---- text normalization / scrubbing ----------------------------------
     // The cheap cleaning pass in front of dedup/training: lowercase, mask
     // digit runs, collapse whitespace, trim. All regexp_replace — codegen'd,
@@ -1544,6 +1621,52 @@ object TextOps {
            ORDER BY doc_id, i)) AS postings_md5,
          MIN(doc_id) AS first_doc
        FROM f GROUP BY term ORDER BY term"""
+
+  /** Multinomial Naive Bayes fit + score kernel of q_nb_classifier (and
+    * MixLmSpec's planted-frame accuracy pin). Input frame: (doc_id LONG,
+    * label STRING, is_train BOOLEAN, toks ARRAY<STRING>). Fits add-1-
+    * smoothed per-(word, label) likelihoods and label priors on the
+    * is_train rows, scores EVERY row, returns (doc_id, actual, pred,
+    * correct) with the argmax tie-broken on the label string. All score
+    * arithmetic is exact decimal over ln of integer ratios — see the
+    * q_nb_classifier scaladoc for the discipline and the plan shape. */
+  private[graft] def nbClassify(base: DataFrame): DataFrame = {
+    val rkw = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("l"))
+    val toks = base.select(col("doc_id"), col("label"), col("is_train"),
+        explode(col("toks")).as("w"))
+      .filter(col("w") =!= "")
+    val train = toks.filter(col("is_train"))
+    val cwl = train.groupBy(col("w"), col("label").as("l"))
+      .agg(count(lit(1)).as("c"))
+    val langStats = base.filter(col("is_train")).groupBy("label")
+      .agg(count(lit(1)).as("dl"))
+      .join(train.groupBy("label").agg(count(lit(1)).as("nl")), "label")
+      .crossJoin(broadcast(train.select("w").distinct()
+        .agg(count(lit(1)).as("v"))))
+      .crossJoin(broadcast(base.filter(col("is_train"))
+        .agg(count(lit(1)).as("dtot"))))
+      .select(col("label").as("l"), col("dl"), col("nl"), col("v"),
+        col("dtot"))
+    val tf = toks.groupBy("doc_id", "label", "w")
+      .agg(count(lit(1)).cast("decimal(12,0)").as("tf"))
+    tf.crossJoin(broadcast(langStats))
+      .join(cwl, Seq("w", "l"), "left")
+      .withColumn("term", (col("tf") *
+        round(log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (col("nl") + col("v"))), 6).cast("decimal(24,6)"))
+        .cast("decimal(38,6)"))
+      .groupBy("doc_id", "label", "l", "dl", "dtot")
+      .agg(sum(col("term")).as("lk"))
+      .withColumn("score",
+        (round(log(col("dl").cast("double") / col("dtot")), 6)
+          .cast("decimal(38,6)") + col("lk")).cast("decimal(38,6)"))
+      .withColumn("rk", row_number().over(rkw))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("label").as("actual"),
+        col("l").as("pred"), (col("l") === col("label")).as("correct"))
+      .orderBy("doc_id")
+  }
 
   /** Shared keep/drop kernel of the two q_sample_weighted arms: the
     * deterministic md5-unit-interval draw u(doc) compared against

@@ -46,6 +46,31 @@ class MixLmSpec extends AnyFunSuite {
       s"per-lang keep rates not flattened: $rate")
   }
 
+  test("nbClassify learns a planted label-vocabulary correlation") {
+    // the q_nb_classifier row's oracle pins the ARITHMETIC exactly, but
+    // the synthetic corpus draws text independently of `lang`, so its
+    // accuracy sits at the class prior by construction. This plants a
+    // frame where labels DO correlate with vocabulary (disjoint word
+    // sets + shared noise words) and asserts the same kernel reaches
+    // 100% held-out accuracy — i.e. it actually learns.
+    val s = spark
+    import s.implicits._
+    val mk: Int => (Long, String, Boolean, Seq[String]) = i => {
+      val label = if (i % 2 == 0) "cat" else "dog"
+      val core = if (label == "cat") Seq("purr", "whisker", "meow")
+                 else Seq("bark", "fetch", "tail")
+      (i.toLong, label, i >= 20, core ++ Seq("the", "a", s"noise$i"))
+    }
+    val base = (0 until 100).map(mk)
+      .toDF("doc_id", "label", "is_train", "toks")
+    val out = operators.TextOps.nbClassify(base).collect()
+    assert(out.length == 100)
+    val heldOut = out.filter(_.getAs[Long]("doc_id") < 20)
+    assert(heldOut.length == 20)
+    assert(heldOut.forall(_.getAs[Boolean]("correct")),
+      "held-out prediction missed on separable planted vocab")
+  }
+
   test("q_perplexity_filter backs off only on held-out documents") {
     val out = SparkEntry.queries("q_perplexity_filter")(spark, sfDir)
       .collect()

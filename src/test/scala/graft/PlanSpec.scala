@@ -152,11 +152,15 @@ class PlanSpec extends AnyFunSuite {
   test("q_perplexity_filter joins counts by shuffle, never cartesian") {
     // the LM count tables are vocab-sized BY DESIGN (shuffle joins are
     // the contract); what must never appear is an all-pairs join, and
-    // the count aggregations must partial-aggregate map-side
-    val p = plan("q_perplexity_filter")
-    assert(!p.contains("CartesianProduct"),
-      s"LM scoring planned a cartesian:\n$p")
-    assert(p.contains("partial_"), "count tables lack partial aggregation")
+    // the count aggregations must partial-aggregate map-side. Same
+    // contract for the NB classifier's (w,l) likelihood join — its only
+    // nested-loop joins are the broadcast L-row stats expansions.
+    for (q <- Seq("q_perplexity_filter", "q_nb_classifier")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q planned a cartesian:\n$p")
+      assert(p.contains("partial_"), s"$q lacks partial aggregation")
+    }
   }
 
   test("q_cosine_pairs never plans a cartesian product") {
