@@ -351,6 +351,79 @@ object Streams {
       Some("""SELECT DISTINCT user_id, event_type FROM events
               ORDER BY user_id, event_type""")),
 
+    // The custom-state operator as a driver row: flatMapGroupsWithState
+    // sessionization over the events stream (the only row exercising
+    // arbitrary stateful logic rather than built-in stateful operators —
+    // the batch twin q_sessionize uses a lag window, so the two
+    // formulations cross-check each other). AvailableNow drains the data
+    // as ONE micro-batch (every gap-closed session emits), then the
+    // no-data batch advances the watermark to max−30min and fires the
+    // EVENT-TIME TIMEOUTS: an idle final session flushes iff its timeout
+    // (end+gap, in watermark MILLISECONDS — Spark tracks event-time
+    // state in ms) lies strictly below that watermark. The oracle
+    // recomputes exactly that: all lag-window sessions, minus each
+    // user's last UNLESS ⌊max⌋ms − ⌊end⌋ms > 3,600,000 (delay + gap) —
+    // so the row pins the timeout arithmetic, ms flooring and strict
+    // inequality included, cross-engine.
+    Q("q_stream_sessionize",
+      (s, d) => {
+        import s.implicits._
+        val stream = eventsStream(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"))
+          .as[Ev]
+        val sink = "q_stream_sessionize_sink"
+        // state stores track user cardinality, not core count (the
+        // q_stream_join rationale); value restored after query start
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try sessionize(stream).writeStream
+            .format("memory").queryName(sink)
+            .outputMode(OutputMode.Append)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        q.awaitTermination()
+        s.table(sink)
+          .select(col("user_id"), col("n_events"), col("start_us"),
+            col("end_us"))
+          .orderBy("user_id", "start_us")
+      },
+      Some("""WITH g AS (
+                SELECT user_id, event_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS eus,
+                  epoch_us(CAST(ts AS TIMESTAMP)) -
+                    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                      (PARTITION BY user_id
+                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+                      AS gap_us
+                FROM events),
+              sid AS (
+                SELECT user_id, eus,
+                  CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                                THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY eus, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+                FROM g),
+              sess AS (
+                SELECT user_id, session_id, COUNT(*) AS n_events,
+                  MIN(eus) AS start_us, MAX(eus) AS end_us
+                FROM sid GROUP BY user_id, session_id),
+              wm AS (
+                SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+                FROM events),
+              lastflag AS (
+                SELECT s.*, row_number() OVER (PARTITION BY user_id
+                    ORDER BY start_us DESC) = 1 AS is_last
+                FROM sess s)
+              SELECT user_id, n_events, start_us, end_us
+              FROM lastflag, wm
+              WHERE NOT is_last
+                 OR (max_us // 1000) - (end_us // 1000) > 3600000
+              ORDER BY user_id, start_us""")),
+
     // Stream-stream join as a driver row: two file-source streams over the
     // same events data (clicks / purchases), joined with watermarks and an
     // event-time range, drained via AvailableNow. The oracle is the plain
