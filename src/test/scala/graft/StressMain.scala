@@ -112,9 +112,10 @@ object StressMain {
         }
       }
     })
-    if (mode == "text" || mode == "embed") {
+    if (mode == "text" || mode == "embed" || mode == "events") {
       if (mode == "text") textStress(spark, src, copies, work)
-      else embedStress(spark, src, copies, work)
+      else if (mode == "embed") embedStress(spark, src, copies, work)
+      else eventsStress(spark, src, copies, work)
       spark.stop()
       if (failures > 0) {
         System.err.println(s"STRESS| $failures invariant(s) failed")
@@ -608,6 +609,104 @@ object StressMain {
       q("q_pca_cov", s"$work/x$copies"))
     sameSet(s"q_pca_cov invariant under duplication at ×$copies",
       out(s"q_pca_cov_x$copies"), q("q_pca_cov", src))
+  }
+
+  /** 100×-scale events/analytics stress (`mode=events`, run as
+    * `runMain graft.StressMain <src> 100 <work> events`): the product-
+    * analytics family at ×(copies/10) and ×copies (10M events at ×100
+    * over sf0.1), under the same user-copy blow-up as the ×10 suite
+    * (copy k of user u = u + k·uOff, event_ids shifted, ts unchanged —
+    * every user copy replays an identical stream, so every per-user
+    * computation is exactly replicated). Correctness laws at ×copies:
+    * funnel and windowed-funnel stage counts ×copies, retention cells
+    * ×copies, transition counts ×copies, EWMA values identical per
+    * copy, sessionize sessions set-exact ×copies. Metric law: the
+    * sessionize window shuffle scales ~linearly over the 10× step
+    * (two-sided band like the text suite — user_ids are distinct per
+    * copy so nothing compresses away; measured 10.1×), with shuffle
+    * partitions grown ∝ corpus so per-task volume is the config a real
+    * cluster runs. The STREAMING twin stays in the ×10 suite by
+    * harness design (it collects the event log driver-side to feed
+    * MemoryStream). */
+  private def eventsStress(spark: SparkSession, src: String, copies: Int,
+      work: String): Unit = {
+    val ev0 = Tables(spark, src, "events")
+    val uOff = ev0.agg(max("user_id")).head.getLong(0) + 1
+    val eOff = ev0.agg(max("event_id")).head.getLong(0) + 1
+    val nEv = ev0.count()
+    val lo = math.max(copies / 10, 1)
+    def build(c: Int, dir: String): Unit =
+      (0 until c).map(k => ev0
+          .withColumn("user_id", col("user_id") + lit(k * uOff))
+          .withColumn("event_id", col("event_id") + lit(k * eOff)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    build(lo, s"$work/x$lo")
+    build(copies, s"$work/x$copies")
+    println(s"STRESS| events corpora: ${nEv * lo} rows at ×$lo, " +
+      s"${nEv * copies} rows at ×$copies ($src)")
+    def q(name: String, dir: String): DataFrame =
+      SparkEntry.queries(name)(spark, dir)
+    def out(name: String): DataFrame =
+      spark.read.parquet(s"$work/out/$name")
+
+    // sessionize at both scales for the metric law, partitions ∝ corpus
+    val pKey = "spark.sql.shuffle.partitions"
+    val pBase = spark.conf.get(pKey)
+    val mLo = timed(s"q_sessionize_x$lo", s"$work/out",
+      q("q_sessionize", s"$work/x$lo"))
+    spark.conf.set(pKey,
+      (pBase.toInt * (copies.toDouble / lo)).toInt.toString)
+    val mHi = timed(s"q_sessionize_x$copies", s"$work/out",
+      q("q_sessionize", s"$work/x$copies"))
+    spark.conf.set(pKey, pBase)
+    val step = copies.toDouble / lo
+    val ratio = mHi._2.toDouble / math.max(mLo._2, 1L)
+    // two-sided like the text suite: measured 10.1× for the 10× step —
+    // user_ids are distinct across copies so the window shuffle does
+    // not compress away (unlike the duplicated-vector embed corpus)
+    check(f"sessionize shuffle bytes scale ~linearly (×$lo→×$copies)",
+      ratio >= step * 0.6 && ratio <= step * 1.5,
+      f"shufW ratio $ratio%.2f vs step $step%.0f " +
+        s"(${mb(mLo._2)} MB → ${mb(mHi._2)} MB)")
+    check(s"sessionize peak task memory sub-linear (×$lo→×$copies)",
+      mHi._1 <= math.max(mLo._1, 64L << 20) * 4,
+      s"peak ${mb(mHi._1)} MB at ×$copies vs ${mb(mLo._1)} MB at ×$lo")
+    sameSet(s"q_sessionize = sf0.1 sessions ×$copies",
+      out(s"q_sessionize_x$copies")
+        .select((col("user_id") % uOff).as("user_id"), col("session_id"),
+          col("n_events"), col("start_us"), col("end_us")).distinct(),
+      q("q_sessionize", src))
+
+    // analytics rows at ×copies: per-user replication laws, all exact
+    for ((name, law) <- Seq[(String, DataFrame => DataFrame)](
+        "q_funnel" -> (df => df.select(
+          (col("n_signup") / copies).cast("long").as("n_signup"),
+          (col("n_click") / copies).cast("long").as("n_click"),
+          (col("n_purchase") / copies).cast("long").as("n_purchase"))),
+        "q_funnel_windowed" -> (df => df.select(
+          (col("n_signup") / copies).cast("long").as("n_signup"),
+          (col("n_click") / copies).cast("long").as("n_click"),
+          (col("n_purchase") / copies).cast("long").as("n_purchase"))),
+        "q_cohort_retention" -> (df => df.select(col("c0"),
+          col("offset_h"),
+          (col("n_users") / copies).cast("long").as("n_users"))),
+        "q_event_transitions" -> (df => df.select(col("cur"), col("nxt"),
+          (col("n") / copies).cast("long").as("n")))
+      )) {
+      timed(s"${name}_x$copies", s"$work/out", q(name, s"$work/x$copies"))
+      val src0 = q(name, src)
+      val cols = law(out(s"${name}_x$copies"))
+      sameSet(s"$name = sf0.1 ×$copies",
+        cols, src0.select(cols.columns.map(col): _*))
+    }
+    timed(s"q_ewma_x$copies", s"$work/out", q("q_ewma", s"$work/x$copies"))
+    sameSet(s"q_ewma = sf0.1 values per copy at ×$copies",
+      out(s"q_ewma_x$copies")
+        .select((col("user_id") % uOff).as("user_id"),
+          (col("event_id") % eOff).as("event_id"), col("ewma_micros"))
+        .distinct(),
+      q("q_ewma", src))
   }
 
   private def textStress(spark: SparkSession, src: String, copies: Int,
