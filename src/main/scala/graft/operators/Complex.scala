@@ -432,6 +432,56 @@ object Complex {
                 ON g.hr = a.hr AND g.event_type = a.event_type
               ORDER BY hour_no, g.event_type""")),
 
+    // ---- hourly OHLC bars (argmin/argmax aggregation) ----------------------
+    // The time-series bar aggregation (open/high/low/close per hour ×
+    // event_type): open/close are the FIRST/LAST value under the total
+    // event order, i.e. min_by/max_by — the argmin/argmax aggregation
+    // family, which is only deterministic if the ordering key is a TOTAL
+    // order. Events can share a microsecond, so the key is the
+    // zero-padded (ts_us, event_id) string — fixed-width decimal, so
+    // lexicographic = numeric order, identical in both engines (DuckDB's
+    // arg_min/arg_max compare the same strings). high/low are plain
+    // min/max; no sums anywhere, so every output double is an exact pick
+    // from the input, not an accumulation. One partial-aggregated
+    // shuffle on (hour, type); min_by carries (value, key) per group —
+    // O(1) state, the same map-side combine story as any min.
+    Q("q_events_ohlc",
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(
+            expr("""(unix_micros(ts) - pmod(unix_micros(ts), 3600000000L))
+                    DIV 3600000000L""").as("hr"),
+            col("event_type"), col("value"),
+            concat(
+              lpad(expr("unix_micros(ts)").cast("string"), 20, "0"),
+              lpad(col("event_id").cast("string"), 10, "0")).as("ok"))
+        e.groupBy("hr", "event_type")
+          .agg(min_by(col("value"), col("ok")).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max_by(col("value"), col("ok")).as("close"),
+            count(lit(1)).as("n"))
+          .orderBy("hr", "event_type")
+      },
+      Some("""WITH us AS (
+                SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type,
+                  value, event_id
+                FROM events),
+              e AS (
+                SELECT (us - ((us % 3600000000) + 3600000000) % 3600000000)
+                    // 3600000000 AS hr, event_type, value,
+                  lpad(CAST(us AS VARCHAR), 20, '0') ||
+                    lpad(CAST(event_id AS VARCHAR), 10, '0') AS ok
+                FROM us)
+              SELECT hr, event_type,
+                arg_min(value, ok) AS open,
+                MAX(value) AS high,
+                MIN(value) AS low,
+                arg_max(value, ok) AS close,
+                COUNT(*) AS n
+              FROM e GROUP BY hr, event_type
+              ORDER BY hr, event_type""")),
+
     // ---- Z-order layout (multi-dimensional clustering) --------------------
     // The data-layout story behind Delta/Iceberg OPTIMIZE ZORDER: interleave
     // the bits of two dimensions (10 bits each here — user bucket × time

@@ -163,6 +163,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("centroid assignment is a per-row array argmax, not an n×k aggregation") {
+    // the ×100 embed stress measured the old groupBy-over-crossJoin
+    // argmax at 116 GB of sort-fallback spill (ObjectHashAggregate's
+    // 128-key threshold); the array form streams the scan. Pin the
+    // form: array_max present, the max_by aggregation gone.
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val p = operators.Similarity.ivfAssign(spark, e, 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("array_max"),
+      s"assignment lost the array-argmax form:\n$p")
+    assert(!p.contains("max_by"),
+      s"assignment reverted to the n×k aggregation:\n$p")
+  }
+
   test("q_cosine_pairs never plans a cartesian product") {
     assert(!plan("q_cosine_pairs").contains("CartesianProduct"))
     assert(!plan("q_dedup_embed").contains("CartesianProduct"))
