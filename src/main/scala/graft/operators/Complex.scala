@@ -372,6 +372,41 @@ object Complex {
               SELECT o_orderkey, o_custkey, o_totalprice FROM chg
               ORDER BY o_orderkey""")),
 
+    // ---- SCD type-2 history build ------------------------------------------
+    // The dimension-versioning pattern (slowly-changing-dimension type 2)
+    // built from a changelog: each (user_id, event_type) version gets a
+    // half-open validity interval [valid_from, valid_to) with valid_to =
+    // the next version's instant, NULL on the current version — the
+    // effective-dated history a warehouse keeps next to the keep-latest
+    // snapshot (q_dedup_latest is exactly this query's is_current slice).
+    // One shuffle on the version key, one lead() pass; ties inside a
+    // microsecond totalize on event_id, the q_sessionize discipline, so
+    // the interval chain is deterministic. A degenerate chain (two
+    // versions at one microsecond) yields an EMPTY half-open interval for
+    // the earlier one — the correct statement that it was never current.
+    Q("q_scd2",
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("valid_from"), col("event_id"))
+        Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("value"), unix_micros(col("ts")).as("valid_from"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+          .withColumn("is_current", col("valid_to").isNull)
+          .orderBy("user_id", "event_type", "valid_from", "event_id")
+      },
+      Some("""WITH v AS (
+                SELECT user_id, event_type, event_id, value,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from
+                FROM events)
+              SELECT user_id, event_type, event_id, value, valid_from,
+                lead(valid_from) OVER (PARTITION BY user_id, event_type
+                  ORDER BY valid_from, event_id) AS valid_to,
+                (lead(valid_from) OVER (PARTITION BY user_id, event_type
+                  ORDER BY valid_from, event_id) IS NULL) AS is_current
+              FROM v
+              ORDER BY user_id, event_type, valid_from, event_id""")),
+
     // ---- time-series gap filling (resample to a dense grid) ---------------
     // Hourly counts per event type with EVERY hour present — silent gaps
     // poison downstream window math (a 7-day moving average over sparse
