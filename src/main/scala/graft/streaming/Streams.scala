@@ -385,6 +385,15 @@ object Streams {
             .start()
           finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         q.awaitTermination()
+        // the oracle's timeout rule assumes ONE data micro-batch (the
+        // watermark must not advance mid-data, or within-horizon late
+        // rows drop and the batch-twin comparison silently diverges) —
+        // enforced loudly rather than assumed: a future file layout
+        // that splits the drain fails here, not in a hash mismatch
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        if (dataBatches > 1) throw new IllegalStateException(
+          s"q_stream_sessionize drained in $dataBatches data batches; " +
+            "the single-batch oracle contract is void")
         s.table(sink)
           .select(col("user_id"), col("n_events"), col("start_us"),
             col("end_us"))
