@@ -770,9 +770,16 @@ object Similarity {
     * SQL oracle. Zero-norm vectors (no defined cosine) are dropped;
     * vectors alone in their bucket emit no rows. */
   def knnJoin(s: SparkSession, e: DataFrame, k: Int, buckets: Int,
-      rounds: Int = 2): DataFrame = {
+      rounds: Int = 2): DataFrame =
+    rankWithinBuckets(s, kmeansIterate(s, dropZeroNorm(s, e), buckets,
+      rounds), k)
+
+  /** knnJoin's ranking half over an existing (vec_id, embedding, bucket)
+    * assignment — exposed so the stress harness can time/attribute the
+    * clustering and ranking stages separately. */
+  def rankWithinBuckets(s: SparkSession, assigned: DataFrame,
+      k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = kmeansIterate(s, dropZeroNorm(s, e), buckets, rounds)
     val b = assigned.select(col("bucket"), col("vec_id").as("nn_id"),
       col("embedding").as("nn_v"))
     val w = Window.partitionBy("vec_id")

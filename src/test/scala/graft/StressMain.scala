@@ -580,10 +580,13 @@ object StressMain {
     //    is 100 identical copies lz4 compresses those runs SUB-linearly
     //    (measured 3.9× for the 10× step), so only the super-linear
     //    (cross-product ≈ step²) direction is a defect signal;
-    //  - peak: per-task input is held flat by partitions ∝ corpus, but
-    //    Spark's sorters grab execution memory greedily in page-sized
-    //    steps, so the observable peak wobbles with partition layout
-    //    (136 → 353 MB measured); ≤ 4× over a 10× step still rejects
+    //  - peak: attributed per stage below — the whole-query peak is the
+    //    RANK stage's window sort (kmeans stage: 32 MB flat). AQE
+    //    coalesces the window exchange toward the 64 MB advisory
+    //    partition size, so per-task sort input is CONFIG-governed at
+    //    any corpus size; the observable peak is that input times a
+    //    small sorter-overhead constant and wobbles with the coalesced
+    //    layout (136 → 353 MB measured). ≤ 4× over a 10× step rejects
     //    linear growth (→ 1.4 GB) and the ObjectHashAggregate fallback
     //    this law originally caught (2.4 GB, 116 GB spill — see the
     //    assignByArray scaladoc).
@@ -596,6 +599,26 @@ object StressMain {
     check(s"scaled-bucket kNN peak task memory sub-linear (×$lo→×$copies)",
       mHi._1 <= math.max(mLo._1, 64L << 20) * 4,
       s"peak ${mb(mHi._1)} MB at ×$copies vs ${mb(mLo._1)} MB at ×$lo")
+
+    // ---- peak attribution: the two kNN stages timed separately -----------
+    // Evidence rows (no law): which stage owns the whole-query peak.
+    // Stage A = k-means iterate (scan-bound assignment + tiny centroid
+    // aggs); stage B = bucket self-join + per-vector window rank over a
+    // MATERIALIZED assignment, at the same scaled partition count as
+    // the whole-query ×copies run.
+    spark.conf.set(pKey,
+      (pBase.toInt * (copies.toDouble / lo)).toInt.toString)
+    val aPeak = timed(s"knn_stageA_kmeans_x$copies", s"$work/out",
+      operators.Similarity.kmeansIterate(spark,
+        operators.Similarity.dropZeroNorm(spark,
+          spark.read.parquet(s"$work/x$copies/embeddings.parquet")
+            .select(col("vec_id"), col("embedding"))), 8 * copies, 2))._1
+    val bPeak = timed(s"knn_stageB_rank_x$copies", s"$work/out",
+      operators.Similarity.rankWithinBuckets(spark,
+        spark.read.parquet(s"$work/out/knn_stageA_kmeans_x$copies"), 3))._1
+    spark.conf.set(pKey, pBase)
+    println(s"STRESS| peak attribution: kmeans stage ${mb(aPeak)} MB, " +
+      s"rank stage ${mb(bPeak)} MB (whole query ${mb(mHi._1)} MB)")
 
     // ---- duplication-invariance laws at ×copies --------------------------
     timed(s"q_embed_quantize_x$copies", s"$work/out",
