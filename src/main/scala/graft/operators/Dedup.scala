@@ -508,6 +508,70 @@ object Dedup {
       (col("id") === col("label")).as("keep"))
     .orderBy("doc_id")
 
+  /** q_corpus_pipeline's stage chain over an arbitrary
+    * (doc_id, source, n_chars, text) frame — parameterized so DedupSpec
+    * can run it on a PLANTED frame and watch the exact-dedup stage drop
+    * duplicates in composition (the driver corpus has no exact dups, so
+    * that stage never binds in the registry row itself). */
+  private[graft] def corpusPipeline(s: SparkSession,
+      in: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = Seq("a", "the", "of", "and", "to", "in")
+    val d0 = in
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .localCheckpoint()
+    val s1 = d0.filter(col("n_tokens") >= 12)
+    val s2 = s1
+      .withColumn("mean_word_len",
+        round((col("n_chars") - col("n_tokens") + 1).cast("double") /
+          col("n_tokens"), 6))
+      .withColumn("stop_ratio",
+        round(size(filter(col("toks"), t => t.isin(stop: _*)))
+          .cast("double") / col("n_tokens"), 6))
+      .withColumn("quality", round(
+        least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.5 +
+          when(col("mean_word_len").between(3.0, 10.0), 0.3)
+            .otherwise(0.0) +
+          when(col("stop_ratio") > 0.02, 0.2).otherwise(0.0), 6))
+      .filter(col("quality") >= 0.5)
+      .select("doc_id", "source", "n_chars", "text")
+    val s3 = s2
+      .withColumn("first_id", min(col("doc_id"))
+        .over(Window.partitionBy(sha2(col("text"), 256))))
+      .filter(col("doc_id") === col("first_id"))
+      .drop("first_id").localCheckpoint()
+    val sh3 = shingled(s3).localCheckpoint()
+    val nearDrop = lshCandidates(minhashBands(s, sh3))
+      .join(sh3.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+        "a_id")
+      .join(sh3.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+        "b_id")
+      .filter(jaccard(col("a_sh"), col("b_sh")) >= 0.5)
+      .select(col("b_id").as("doc_id")).distinct()
+    val s4 = s3.join(nearDrop, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s5 = s4
+      .withColumn("prior", sum(col("n_chars")).over(w) - col("n_chars"))
+      .filter(col("prior") < 5000L)
+    def cnt(ord: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          col("n_docs"))
+    cnt(0, "input", d0)
+      .unionByName(cnt(1, "minlen", s1))
+      .unionByName(cnt(2, "quality", s2))
+      .unionByName(cnt(3, "exact_dedup", s3))
+      .unionByName(cnt(4, "near_dedup", s4))
+      .unionByName(cnt(5, "token_budget", s5))
+      .orderBy("stage_ord")
+
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- keep-latest-version dedup ---------------------------------------
@@ -1043,62 +1107,7 @@ object Dedup {
     // count (the q_bpe_merges lesson); stage counts are 1-row aggs
     // union'd, each a map-side partial over a checkpointed frame.
     Q("q_corpus_pipeline",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val stop = Seq("a", "the", "of", "and", "to", "in")
-        val d0 = docs(s, d)
-          .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
-          .withColumn("toks", split(lower(col("text")), " "))
-          .withColumn("n_tokens", size(col("toks")).cast("long"))
-          .localCheckpoint()
-        val s1 = d0.filter(col("n_tokens") >= 12)
-        val s2 = s1
-          .withColumn("mean_word_len",
-            round((col("n_chars") - col("n_tokens") + 1).cast("double") /
-              col("n_tokens"), 6))
-          .withColumn("stop_ratio",
-            round(size(filter(col("toks"), t => t.isin(stop: _*)))
-              .cast("double") / col("n_tokens"), 6))
-          .withColumn("quality", round(
-            least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.5 +
-              when(col("mean_word_len").between(3.0, 10.0), 0.3)
-                .otherwise(0.0) +
-              when(col("stop_ratio") > 0.02, 0.2).otherwise(0.0), 6))
-          .filter(col("quality") >= 0.5)
-          .select("doc_id", "source", "n_chars", "text")
-        val s3 = s2
-          .withColumn("first_id", min(col("doc_id"))
-            .over(Window.partitionBy(sha2(col("text"), 256))))
-          .filter(col("doc_id") === col("first_id"))
-          .drop("first_id").localCheckpoint()
-        val sh3 = shingled(s3).localCheckpoint()
-        val nearDrop = lshCandidates(minhashBands(s, sh3))
-          .join(sh3.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
-            "a_id")
-          .join(sh3.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
-            "b_id")
-          .filter(jaccard(col("a_sh"), col("b_sh")) >= 0.5)
-          .select(col("b_id").as("doc_id")).distinct()
-        val s4 = s3.join(nearDrop, Seq("doc_id"), "left_anti")
-          .localCheckpoint()
-        val w = Window.partitionBy("source")
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val s5 = s4
-          .withColumn("prior", sum(col("n_chars")).over(w) - col("n_chars"))
-          .filter(col("prior") < 5000L)
-        def cnt(ord: Int, name: String, df: DataFrame): DataFrame =
-          df.agg(count(lit(1)).as("n_docs"))
-            .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
-              col("n_docs"))
-        cnt(0, "input", d0)
-          .unionByName(cnt(1, "minlen", s1))
-          .unionByName(cnt(2, "quality", s2))
-          .unionByName(cnt(3, "exact_dedup", s3))
-          .unionByName(cnt(4, "near_dedup", s4))
-          .unionByName(cnt(5, "token_budget", s5))
-          .orderBy("stage_ord")
-      },
+      (s, d) => corpusPipeline(s, docs(s, d)),
       Some(s"""WITH d0 AS (
                 SELECT doc_id, source, n_chars, text,
                   CAST(len(string_split(lower(text), ' ')) AS BIGINT)

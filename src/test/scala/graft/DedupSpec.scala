@@ -351,4 +351,33 @@ class DedupSpec extends AnyFunSuite {
       (20L, "kept", true), (25L, "near_batch", false),
       (30L, "kept", true), (35L, "exact_batch", false)))
   }
+
+  test("corpus pipeline's exact-dedup stage drops planted dups in composition") {
+    // the driver corpus has NO exact duplicate texts, so the registry
+    // row's exact stage never binds; this plants copies and checks the
+    // COMPOSED chain drops them at exactly that stage. A copy shares
+    // its donor's text, so it survives minlen/quality iff the donor
+    // does — therefore quality grows by the surviving copies while
+    // exact_dedup (and every later stage) is UNCHANGED: the copies all
+    // died at the exact stage, nowhere else.
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val base = Tables(s, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "source", "n_chars", "text")
+    val maxId = base.agg(max("doc_id")).head.getLong(0)
+    val copies = base.orderBy(col("n_chars").desc).limit(3)
+      .withColumn("doc_id", col("doc_id") + lit(maxId + 1))
+    def counts(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      Dedup.corpusPipeline(s, df).collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val a = counts(base)
+    val b = counts(base.unionByName(copies))
+    assert(b("input") == a("input") + 3)
+    assert(b("quality") > a("quality"),
+      "no planted copy survived to the exact stage — donors too short")
+    assert(b("exact_dedup") == a("exact_dedup"),
+      s"exact stage failed to drop the planted copies: $a vs $b")
+    assert(b("near_dedup") == a("near_dedup"))
+    assert(b("token_budget") == a("token_budget"))
+  }
 }
