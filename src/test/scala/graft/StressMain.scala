@@ -112,10 +112,12 @@ object StressMain {
         }
       }
     })
-    if (mode == "text" || mode == "embed" || mode == "events") {
+    if (mode == "text" || mode == "embed" || mode == "events" ||
+        mode == "stream") {
       if (mode == "text") textStress(spark, src, copies, work)
       else if (mode == "embed") embedStress(spark, src, copies, work)
-      else eventsStress(spark, src, copies, work)
+      else if (mode == "events") eventsStress(spark, src, copies, work)
+      else streamStress(spark, src, copies, work)
       spark.stop()
       if (failures > 0) {
         System.err.println(s"STRESS| $failures invariant(s) failed")
@@ -730,6 +732,172 @@ object StressMain {
           (col("event_id") % eOff).as("event_id"), col("ewma_micros"))
         .distinct(),
       q("q_ewma", src))
+  }
+
+  /** 100×-scale STREAMING sessionize (`mode=stream`, run as
+    * `runMain graft.StressMain <src> 100 <work> stream`): lifts the
+    * streaming stress ceiling from the ×10 suite, whose MemoryStream feed
+    * collects the whole event log driver-side and so caps the corpus at
+    * driver memory. Here nothing is ever materialized on the driver: the
+    * ×copies corpus is staged as event-time-RANGE-chunked parquet files
+    * (chunk = ts bucket, one file per chunk, file modification times in
+    * chunk order) and fed through a real FILE SOURCE with
+    * `maxFilesPerTrigger=1` — the oldest-first file queue turns each
+    * chunk into its own micro-batch, so the watermark advances ~nChunks
+    * times across the run and RocksDB state is evicted MID-STREAM, not
+    * just at the final flush. A last far-future sentinel file (one event
+    * per distinct user, built with `spark.range`-style frames, again no
+    * collect) closes every open tail session.
+    *
+    * Asserts, at ×copies (10M events / 1.5M users at ×100 over sf0.1):
+    * (a) the query really ran on the RocksDB state store, (b) peak state
+    * rows ≤ distinct users — state scales with ACTIVE USERS, not events:
+    * the 100 TB contract, now demonstrated at 10× the previous ceiling,
+    * (c) the streamed closed-session set is EXACTLY the batch
+    * q_sessionize output on the same corpus (sentinel sessions never
+    * close, so the file-sink multiset must equal the batch twin). */
+  private def streamStress(spark: SparkSession, src: String, copies: Int,
+      work: String): Unit = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.Streams
+    import graft.streaming.Streams.Ev
+
+    val ev0 = Tables(spark, src, "events")
+    val uOff = ev0.agg(max("user_id")).head.getLong(0) + 1
+    val eOff = ev0.agg(max("event_id")).head.getLong(0) + 1
+    val nEv = ev0.count()
+    val nUsers = ev0.select("user_id").distinct().count()
+    (0 until copies).map(k => ev0
+        .withColumn("user_id", col("user_id") + lit(k * uOff))
+        .withColumn("event_id", col("event_id") + lit(k * eOff)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$work/x$copies/events.parquet")
+    println(s"STRESS| stream corpus: ${nEv * copies} events, " +
+      s"${nUsers * copies} users ($copies× $src)")
+    def q(name: String, dir: String): DataFrame =
+      SparkEntry.queries(name)(spark, dir)
+
+    // batch twin on the same corpus — the comparison target
+    timed(s"q_sessionize_x$copies", s"$work/out",
+      q("q_sessionize", s"$work/x$copies"))
+    val batch = spark.read.parquet(s"$work/out/q_sessionize_x$copies")
+
+    // ---- stage the feed: ts-range chunks, one parquet file each ----------
+    val evs = spark.read.parquet(s"$work/x$copies/events.parquet")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+    val mm = evs.agg(min("ts_us"), max("ts_us")).head
+    val minUs = mm.getLong(0)
+    val maxUs = mm.getLong(1)
+    val nChunks = 24
+    val span = (maxUs - minUs) / nChunks + 1
+    val stage = s"$work/feed_stage"
+    evs.withColumn("chunk",
+        ((col("ts_us") - lit(minUs)) / lit(span)).cast("int"))
+      .repartition(nChunks, col("chunk"))
+      .write.mode("overwrite").partitionBy("chunk").parquet(stage)
+    val feed = new java.io.File(s"$work/feed")
+    org.apache.commons.io.FileUtils.deleteQuietly(feed)
+    feed.mkdirs()
+    val t0ms = System.currentTimeMillis() - 3600000L
+    def moveChunk(k: Int): Unit = {
+      val dir = new java.io.File(s"$stage/chunk=$k")
+      val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+      parts.zipWithIndex.foreach { case (f, i) =>
+        val to = new java.io.File(feed, f"b$k%03d-$i.parquet")
+        java.nio.file.Files.move(f.toPath, to.toPath)
+        to.setLastModified(t0ms + k * 1000L)
+      }
+    }
+    // sentinel: one far-future event per DISTINCT user (covers every open
+    // session), staged now and moved in after the last chunk
+    evs.select(col("user_id")).distinct()
+      .select(col("user_id"), lit(maxUs + 10 * Streams.GapUs).as("ts_us"),
+        lit(Long.MaxValue).as("event_id"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$work/sentinel_stage")
+    def moveSentinel(): Unit = Option(
+        new java.io.File(s"$work/sentinel_stage").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        val to = new java.io.File(feed, s"zz-sentinel-$i.parquet")
+        java.nio.file.Files.move(f.toPath, to.toPath)
+        to.setLastModified(t0ms + nChunks * 1000L)
+      }
+
+    // ---- drive the stream on RocksDB state, with a mid-feed restart ------
+    // The feed arrives in two phases with a full query STOP between them:
+    // phase 1 sees the first half of the chunks, then the query is torn
+    // down and a new one recovers from the checkpoint — RocksDB state
+    // (every session open at the cut, including all sessions that SPAN
+    // the restart boundary) must be restored for the final output to
+    // match the batch twin. The parquet sink + checkpoint pair is Spark's
+    // exactly-once contract; the multiset equality below proves it held.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    val sessDir = s"$work/stream_sessions"
+    val ckpt = new java.io.File(s"$work/ckpt_stream")
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(sessDir))
+    def drive(): (Long, Int, Boolean) = {
+      val sq = Streams.sessionize(spark.readStream
+          .schema("user_id BIGINT, ts_us BIGINT, event_id BIGINT")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(feed.toString)
+          .as[Ev]).writeStream
+        .format("parquet").option("path", sessDir)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try {
+        sq.processAllAvailable()
+        val progress = sq.recentProgress.flatMap(_.stateOperators)
+        val rocks = progress.exists(_.customMetrics.keySet.asScala
+          .exists(_.contains("rocksdb")))
+        val peakState =
+          if (progress.isEmpty) 0L else progress.map(_.numRowsTotal).max
+        (peakState, sq.recentProgress.count(_.numInputRows > 0), rocks)
+      } finally sq.stop()
+    }
+    val half = nChunks / 2
+    val t0 = System.nanoTime()
+    (0 until half).foreach(moveChunk)
+    val (peak1, batches1, rocks1) = drive()
+    println(f"STRESS| phase 1 stopped after $batches1 micro-batches, " +
+      f"state at cut ≈ $peak1 rows — restarting from checkpoint")
+    (half until nChunks).foreach(moveChunk)
+    moveSentinel()
+    val (peak2, batches2, rocks2) = drive()
+    spark.conf.unset(key)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val peakState = math.max(peak1, peak2)
+    val nBatches = batches1 + batches2
+    check("stream sessionize ran on RocksDB state store (both phases)",
+      rocks1 && rocks2, s"rocksdb metrics phase1=$rocks1 phase2=$rocks2")
+    check(s"feed really chunked into micro-batches (≥ $nChunks)",
+      nBatches >= nChunks, s"only $nBatches non-empty micro-batches")
+    println(f"STRESS| stream_sessionize_x$copies $secs%8.2f s  " +
+      f"peakState $peakState%9d rows  " +
+      f"(${nEv * copies} events, ${nUsers * copies} users, " +
+      f"$nBatches batches, restart after $batches1)")
+    check("stream state bounded by users, not events",
+      peakState <= nUsers * copies,
+      s"$peakState state rows > ${nUsers * copies} users")
+    check("restart really recovered live state (sessions span the cut)",
+      peak1 > 0, "phase 1 ended with empty state")
+    val got = spark.read.parquet(sessDir)
+      .select(col("user_id"), col("n_events"), col("start_us"),
+        col("end_us"))
+    sameSet(s"stream sessionize (with mid-feed restart) = batch " +
+      s"q_sessionize at ×$copies",
+      got, batch.select(col("user_id"), col("n_events"), col("start_us"),
+        col("end_us")))
   }
 
   private def textStress(spark: SparkSession, src: String, copies: Int,
