@@ -1117,6 +1117,44 @@ object Similarity {
               SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
               FROM a4 GROUP BY bucket ORDER BY bucket""")),
 
+    // ---- cluster-balanced diversity sampling ------------------------------
+    // The SemDeDup-family curation move: embedding-cluster the corpus,
+    // then cap each cluster's contribution — dense regions (near-duplicate
+    // content, boilerplate) are downsampled toward the cap while sparse
+    // regions survive whole, flattening the semantic density of the
+    // training mix. Selection within a cluster is the repo's deterministic
+    // md5-priority order (reproducible on any cluster size, unbiased
+    // w.r.t. vec_id order), not RNG. Shape at scale: the trained
+    // assignment is the same sample-trained kmeansIterate every ANN row
+    // uses; the cap is ONE row_number window partitioned by bucket — and
+    // since the scale contract grows `buckets` ∝ corpus (the q_knn_join
+    // argument), per-task sort input stays at cap·O(1) while total kept
+    // rows stay ≈ buckets·cap, i.e. the sampled corpus size is directly
+    // budgeted by config. Oracle unrolls the identical 2 Lloyd rounds.
+    Q("q_diversity_sample",
+      (s, d) => {
+        val e = Similarity.dropZeroNorm(s,
+          embs(s, d).select(col("vec_id"), col("embedding")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket")
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        kmeansIterate(s, e, 8, 2)
+          .select(col("vec_id"), col("bucket"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 40)
+          .select(col("bucket"), col("vec_id"))
+          .orderBy("bucket", "vec_id")
+      },
+      Some(s"""WITH ${sqlIvfAssign(8, sqlZeroNormWhere)},
+              ${sqlKmeansRounds(2)},
+              r AS (
+                SELECT vec_id, bucket,
+                  row_number() OVER (PARTITION BY bucket
+                    ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+                FROM a2)
+              SELECT bucket, vec_id FROM r WHERE rn <= 40
+              ORDER BY bucket, vec_id""")),
+
     // ---- product-quantization ANN (the compressed-index family) ----------
     // PQ completes the index triad: brute force (exact), IVF (partition),
     // PQ (compression). 8 subspaces × 8 codewords squeeze each 64-float

@@ -979,6 +979,39 @@ object TextOps {
                      AS BIGINT) AS chars_kept
               FROM r GROUP BY source ORDER BY source""")),
 
+    // ---- balanced output sharding + manifest ------------------------------
+    // The corpus-export step: every document is assigned a deterministic
+    // shard (first md5 hex digit of a salted id hash ⇒ 16 uniform shards,
+    // the same no-RNG reproducibility contract as q_sample_hash — a doc's
+    // shard never changes when the corpus grows), and the row emits the
+    // write MANIFEST a downstream loader consumes: per-shard doc count,
+    // byte volume, and id range. The physical write is
+    // `.write.partitionBy("shard")` over exactly this column (the
+    // mechanics q_partitioned_roundtrip already exercises); at 100 TB
+    // the shard count is a config constant sized to target file sizes,
+    // and the manifest agg is one map-side-combined shuffle of 16
+    // partial rows per task — nothing scales with the corpus but the
+    // scan. Uniformity is pinned by the spec (max/min shard occupancy).
+    Q("q_shard_manifest",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          conv(substring(md5(concat(lit("s_"), col("doc_id"))), 1, 1),
+            16, 10).cast("long").as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("shard"),
+      Some("""SELECT
+                CAST(strpos('0123456789abcdef',
+                  substr(md5('s_' || doc_id::VARCHAR), 1, 1)) - 1
+                  AS BIGINT) AS shard,
+                COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+                MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+              FROM documents GROUP BY 1 ORDER BY shard""")),
+
     // ---- sequence packing ------------------------------------------------
     // Training-batch assembly: documents are concatenated in a stable
     // order within each source and cut into fixed-budget packs (here 4096
@@ -1571,7 +1604,7 @@ object TextOps {
     * At true corpus scale the K retained type tables would instead be
     * written round-by-round to a side table and superseded ones freed;
     * here they are 31-row local RDDs. */
-  private def bpeTrain(s: SparkSession, d: String)
+  private def bpeTrainOnce(s: SparkSession, d: String)
       : (DataFrame, Seq[DataFrame]) = {
     var w = bpeWords0(s, d)
     val merges = (1 to bpeK).map { k =>
@@ -1580,6 +1613,32 @@ object TextOps {
       best.select(lit(k.toLong).as("rank"), col("l"), col("r"), col("n"))
     }
     (w, merges)
+  }
+
+  /** Train-once surface over [[bpeTrainOnce]]: the trained merge table is
+    * memoized per (session, corpus dir), so the three dependent rows
+    * (q_bpe_merges / q_bpe_encode / q_seq_pack_bpe) share ONE training run
+    * per harness session instead of retraining the identical K rounds
+    * three times — the materialized-intermediate production shape (train
+    * once, every consumer reads the trained table). Rows stay
+    * self-contained: each still declares its full plan and its DuckDB
+    * oracle retrains independently, so the cache can only ever skip
+    * byte-identical work (bpeWords0 + the K rounds are deterministic in
+    * (corpus, K)). Entries hold K+1 tiny localCheckpointed type tables;
+    * a stopped session's entry is never reused because the key is the
+    * session object itself. */
+  private val bpeTrained = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, Seq[DataFrame])]
+  private def bpeTrain(s: SparkSession, d: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    val key = (s, d)
+    val hit = bpeTrained.get(key)
+    if (hit != null) hit
+    else {
+      val v = bpeTrainOnce(s, d) // idempotent: a concurrent race just
+      bpeTrained.put(key, v)     // trains twice and keeps the later one
+      v
+    }
   }
 
   /** Per-document token accounting under the trained tokenizer:

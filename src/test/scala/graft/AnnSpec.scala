@@ -162,4 +162,37 @@ class AnnSpec extends AnyFunSuite {
     assert(assigned.count() == e.count())
     assert(assigned.select("vec_id").distinct().count() == e.count())
   }
+
+  test("diversity sample caps each cluster and keeps the md5-lowest ids") {
+    // q_diversity_sample's selection semantics, recomputed independently
+    // from the same assignment: per cluster, kept = min(|cluster|, 40)
+    // and the kept set is exactly the cap-lowest ids in
+    // (md5(vec_id), vec_id) order — dense clusters are downsampled to
+    // the cap, sparse ones survive whole. Also pins that the cap BINDS
+    // at this SF (some cluster exceeds 40) so the row never degrades
+    // into an identity sample.
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val s = spark
+    val e = Similarity.dropZeroNorm(s,
+      Tables(s, sfDir, "embeddings").select(col("vec_id"), col("embedding")))
+    val assigned = Similarity.kmeansIterate(s, e, 8, 2)
+      .select(col("vec_id"), col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def md5hex(v: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(v.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want = assigned.groupBy(_._2).toSeq.flatMap { case (b, members) =>
+      members.map(_._1).sortBy(v => (md5hex(v), v)).take(40)
+        .map(v => (b, v)).toSeq
+    }.toSet
+    val got = SparkEntry.queries("q_diversity_sample")(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"${(got -- want).size} unexpected, ${(want -- got).size} missing")
+    val sizes = assigned.groupBy(_._2).map(_._2.length)
+    assert(sizes.exists(_ > 40),
+      s"no cluster exceeds the cap at this SF (sizes: $sizes) — " +
+        "the test would not exercise the downsampling branch")
+  }
 }

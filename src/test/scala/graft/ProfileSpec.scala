@@ -37,6 +37,26 @@ class ProfileSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq == Seq("k", "v"))
   }
 
+  test("shard manifest covers the corpus with balanced md5 shards") {
+    // q_shard_manifest's usefulness claims, which the oracle row can't
+    // express: the 16 deterministic shards PARTITION the corpus (counts
+    // sum back to the doc count — no doc dropped or double-assigned) and
+    // the md5 assignment is uniform enough to size output files by
+    // (loose 2× occupancy band; the md5 hex digit is uniform, so a big
+    // imbalance means the salt or digit extraction regressed).
+    val s = TestSpark.spark
+    val d = "/root/testdata/sf0.001"
+    val m = SparkEntry.queries("q_shard_manifest")(s, d).collect()
+    val nDocs = Tables(s, d, "documents").count()
+    assert(m.map(_.getLong(0)).toSet == (0L until 16L).toSet,
+      "expected exactly shards 0..15")
+    assert(m.map(_.getLong(1)).sum == nDocs,
+      s"shard counts must sum to the $nDocs corpus docs")
+    val occ = m.map(_.getLong(1))
+    assert(occ.max <= 2 * occ.min,
+      s"shard occupancy imbalance: min=${occ.min} max=${occ.max}")
+  }
+
   test("outliers flags exactly the planted >3-sigma point per group") {
     val s = TestSpark.spark
     import s.implicits._
