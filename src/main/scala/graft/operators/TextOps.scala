@@ -1539,7 +1539,46 @@ object TextOps {
               / 256).as("pack_id"))
           .orderBy("source", "doc_id")
       },
-      Some(bpeSeqPackOracleSql))
+      Some(bpeSeqPackOracleSql)),
+
+    // ---- per-language tokenizer fertility ---------------------------------
+    // THE multilingual tokenizer health metric: tokens-per-word
+    // (fertility) per language under the TRAINED merges, plus the share
+    // of word occurrences the tokenizer still encodes as a single symbol
+    // sequence of length 1 (fully-merged words — the complement of the
+    // over-segmentation a mismatched vocabulary causes). A mix spec uses
+    // exactly this table to detect languages the tokenizer punishes
+    // before committing a sampling ratio. Fertility ships as exact
+    // integer micros (tokens·10⁶ div words — floor division of exact
+    // longs, so both engines agree on every digit; at a 10¹³-token corpus
+    // promote the product to decimal first). Scale shape: training is
+    // the memoized once-per-session table; the corpus collapses to
+    // (lang, word-type) counts at the scan before the type-table join —
+    // the q_bpe_encode discipline with lang instead of doc_id as the key,
+    // so the join is vocabulary-sized, never corpus-sized.
+    Q("q_bpe_fertility",
+      (s, d) => {
+        val (w, _) = bpeTrain(s, d)
+        val toks = w.select(col("word"),
+          size(split(regexp_replace(col("w"), "^\\(|\\)$", ""), "\\)\\("))
+            .cast("long").as("n_tok"))
+        docs(s, d).select(col("lang"),
+            explode(filter(split(lower(col("text")), " "),
+              t => t =!= "")).as("word"))
+          .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+          .join(toks, "word")
+          .groupBy("lang")
+          .agg(sum(col("c")).as("n_words"),
+            sum(col("c") * col("n_tok")).as("n_bpe_tokens"),
+            sum(when(col("n_tok") === 1L, col("c")).otherwise(0L))
+              .as("n_single"))
+          .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+            expr("(n_bpe_tokens * 1000000) div n_words")
+              .as("fertility_micros"),
+            col("n_single"))
+          .orderBy("lang")
+      },
+      Some(bpeFertilityOracleSql))
   )
 
   // ---- BPE machinery (shared by q_bpe_merges / q_bpe_encode /
@@ -1826,4 +1865,26 @@ object TextOps {
             - dt.bpe_tokens) / 256.0) AS BIGINT) AS pack_id
         FROM documents d JOIN dt ON d.doc_id = dt.doc_id
         ORDER BY d.source, d.doc_id"""
+
+  /** q_bpe_fertility's twin: same trained type table, lang-keyed term
+    * counts, and the exact integer-micros floor division (`//` in DuckDB,
+    * `div` in Spark — both floor division of exact positive longs). */
+  private def bpeFertilityOracleSql: String =
+    s"""WITH $bpeRoundsSqlCtes,
+        tok AS (SELECT word,
+             CAST(len(string_split(${bpeStripSql("w")}, ')(')) AS BIGINT)
+               AS n_tok
+           FROM w$bpeK),
+        tfl AS (SELECT lang, word, COUNT(*) AS c FROM (
+                 SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+                 FROM documents)
+               WHERE word <> '' GROUP BY lang, word)
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n_words,
+          CAST(SUM(c * tok.n_tok) AS BIGINT) AS n_bpe_tokens,
+          CAST((SUM(c * tok.n_tok) * 1000000) // SUM(c) AS BIGINT)
+            AS fertility_micros,
+          CAST(SUM(CASE WHEN tok.n_tok = 1 THEN c ELSE 0 END) AS BIGINT)
+            AS n_single
+        FROM tfl JOIN tok USING (word)
+        GROUP BY lang ORDER BY lang"""
 }

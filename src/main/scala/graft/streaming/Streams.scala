@@ -81,6 +81,12 @@ object Streams {
   case class SessionState(startUs: Long, endUs: Long, n: Long)
   case class Session(user_id: Long, n_events: Long, start_us: Long,
       end_us: Long)
+  case class FEv(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String)
+  /** Per-user funnel clocks; −1 = stage not reached. */
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+  case class FunnelUser(user_id: Long, s1: Boolean, s2: Boolean,
+      s3: Boolean)
 
   /** 30-minute session gap, in microseconds. */
   val GapUs: Long = 1800L * 1000000
@@ -147,6 +153,57 @@ object Streams {
                   state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming ordered-funnel state machine: one [[FunnelState]] of three
+    * stage clocks per user, advanced per event, SNAPSHOT-emitted when the
+    * watermark overtakes the user (event-time timeout just above the
+    * current watermark — the "emit the funnel as of the watermark"
+    * pattern; on a live deployment every advancing watermark re-arms the
+    * timeout, so each user re-emits at most once per idle period).
+    * Batch-equivalent: q_funnel (operators.Complex) — stage k's earliest
+    * qualifying instant is a MIN over events strictly later than stage
+    * k−1's clock, and processing the group in (ts_us, event_id) order
+    * makes the running first-match EXACTLY that MIN: when a click is
+    * examined, every earlier-ts signup has already set t1, and no later
+    * event can lower t1 below the click's ts. Cross-batch exactness
+    * therefore needs event-time-ordered batches — the registered row
+    * drains AvailableNow in ONE batch and enforces that loudly, the
+    * q_stream_sessionize contract. State is three longs per user, bounded
+    * by ACTIVE USERS and reclaimed at emission. */
+  def funnelSnapshot(events: Dataset[FEv]): Dataset[FunnelUser] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.toDF()
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", "30 minutes")
+      .as[FEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUser](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[FEv], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              FunnelUser(userId, s.t1 >= 0, s.t2 >= 0, s.t3 >= 0))
+            state.remove()
+            out.iterator
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              e.event_type match {
+                case "signup" if s.t1 < 0 => s = s.copy(t1 = e.ts_us)
+                case "click" if s.t1 >= 0 && e.ts_us > s.t1 && s.t2 < 0 =>
+                  s = s.copy(t2 = e.ts_us)
+                case "purchase" if s.t2 >= 0 && e.ts_us > s.t2 && s.t3 < 0 =>
+                  s = s.copy(t3 = e.ts_us)
+                case _ =>
+              }
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            Iterator.empty
           }
       }
   }
@@ -432,6 +489,58 @@ object Streams {
               WHERE NOT is_last
                  OR (max_us // 1000) - (end_us // 1000) > 3600000
               ORDER BY user_id, start_us""")),
+
+    // Streaming funnel snapshot: the per-user three-stage state machine
+    // ([[funnelSnapshot]]) flushed by the watermark timeout in the no-data
+    // batch, then the per-user flags aggregated to the same three counts
+    // as the batch twin — whose oracle SQL this row reuses VERBATIM: on a
+    // single-data-batch drain the snapshot sees every event, so streaming
+    // must equal batch exactly. The single-batch contract is enforced
+    // loudly (q_stream_sessionize's posture).
+    Q("q_stream_funnel",
+      (s, d) => {
+        import s.implicits._
+        val stream = eventsStream(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("event_type"))
+          .as[FEv]
+        val sink = "q_stream_funnel_sink"
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try funnelSnapshot(stream).writeStream
+            .format("memory").queryName(sink)
+            .outputMode(OutputMode.Append)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        q.awaitTermination()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        if (dataBatches > 1) throw new IllegalStateException(
+          s"q_stream_funnel drained in $dataBatches data batches; " +
+            "the single-batch oracle contract is void")
+        s.table(sink).agg(
+          count_if(col("s1")).as("n_signup"),
+          count_if(col("s2")).as("n_click"),
+          count_if(col("s3")).as("n_purchase"))
+      },
+      Some("""WITH ev AS (
+                SELECT user_id, event_type,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                FROM events),
+              t1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+                     WHERE event_type = 'signup' GROUP BY user_id),
+              t2 AS (SELECT ev.user_id, MIN(us) AS t2
+                     FROM ev JOIN t1 USING (user_id)
+                     WHERE event_type = 'click' AND us > t1
+                     GROUP BY ev.user_id),
+              t3 AS (SELECT ev.user_id, MIN(us) AS t3
+                     FROM ev JOIN t2 USING (user_id)
+                     WHERE event_type = 'purchase' AND us > t2
+                     GROUP BY ev.user_id)
+              SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n_signup,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n_click,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n_purchase""")),
 
     // Stream-stream join as a driver row: two file-source streams over the
     // same events data (clicks / purchases), joined with watermarks and an

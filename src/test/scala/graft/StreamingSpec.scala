@@ -412,6 +412,46 @@ class StreamingSpec extends AnyFunSuite {
       s"expected both idle sessions closed by timeout, got $got")
   }
 
+  test("funnel snapshot: strict ordering, ties excluded, flushed by timeout") {
+    // The q_stream_funnel state machine on a planted frame, fed
+    // deliberately OUT of time order within the batch (the group sorts by
+    // (ts_us, event_id) first):
+    //  user 1: clean signup→click→purchase        → (T, T, T)
+    //  user 2: a click BEFORE any signup is ignored; a click AT exactly
+    //          t1 is excluded (strict >); a purchase before t2 exists is
+    //          ignored; then a real click — and a purchase AT exactly t2
+    //          is excluded again                    → (T, T, F)
+    //  user 3: activity but never a signup          → (F, F, F)
+    // A far-future sentinel advances the watermark; every planted user
+    // must flush via event-time timeout. The sentinel flushes too: its
+    // timeout was armed at (then-current watermark)+1 during its own
+    // batch, and the trailing no-data batch's advanced watermark fires
+    // it — every user with state emits exactly once per drain.
+    val s = spark
+    import s.implicits._
+    val m = 60L * 1000000
+    val input = MemoryStream[Streams.FEv](s)
+    input.addData(
+      Streams.FEv(1, 30 * m, 13, "purchase"), Streams.FEv(1, 10 * m, 11, "signup"),
+      Streams.FEv(1, 20 * m, 12, "click"),
+      Streams.FEv(2, 15 * m, 25, "click"), Streams.FEv(2, 5 * m, 21, "click"),
+      Streams.FEv(2, 10 * m, 22, "signup"), Streams.FEv(2, 10 * m, 23, "click"),
+      Streams.FEv(2, 12 * m, 24, "purchase"), Streams.FEv(2, 15 * m, 26, "purchase"),
+      Streams.FEv(3, 11 * m, 31, "click"), Streams.FEv(3, 13 * m, 32, "purchase"))
+    val q = Streams.funnelSnapshot(input.toDS()).writeStream
+      .format("memory").queryName("funnel_snap").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      input.addData(Streams.FEv(99, 5000 * m, 99, "signup"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s.table("funnel_snap").as[Streams.FunnelUser].collect()
+      .map(x => (x.user_id, x.s1, x.s2, x.s3)).toSet
+    assert(got == Set((1L, true, true, true), (2L, true, true, false),
+      (3L, false, false, false), (99L, true, false, false)),
+      s"funnel snapshot mismatch: $got")
+  }
+
   test("sessionize: a within-watermark late event cannot regress a session") {
     // the watermark bounds lateness to 30 min — it does NOT prevent a
     // within-horizon late event from arriving after the session advanced.
