@@ -335,6 +335,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "centroid agg has no partial phase")
   }
 
+  test("q_shard_manifest is one pruned scan with a partial manifest agg") {
+    val p = plan("q_shard_manifest")
+    // the manifest is 16 partial rows per task meeting one exchange —
+    // nothing else: no join anywhere, and the scan must not read the
+    // text/lang/source columns for a (doc_id, n_chars)-derived output
+    assert(p.contains("partial_"), "manifest agg has no partial phase")
+    assert(!p.contains("Join"), s"unexpected join in the manifest plan:\n$p")
+    assert(!p.contains("text"), "manifest scan reads the text column")
+  }
+
+  test("q_bpe_fertility joins the vocabulary, never the token stream") {
+    // the corpus must collapse to (lang, word-type) counts BEFORE meeting
+    // the trained type table: a partial aggregate sits under the join, so
+    // what shuffles is vocabulary-sized — at 100 TB the join input is the
+    // Zipf-bounded type table, not the corpus token stream
+    val p = plan("q_bpe_fertility")
+    assert(p.contains("partial_count"), "term counts have no partial phase")
+    val joinPos = Seq(p.indexOf("SortMergeJoin"), p.indexOf("BroadcastHashJoin"),
+      p.indexOf("ShuffledHashJoin")).filter(_ >= 0).minOption.getOrElse(-1)
+    assert(joinPos >= 0, s"no equi-join with the type table:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_diversity_sample caps via one bucket window, no cartesian") {
+    // after the (eagerly-trained) assignment, the cap is a single
+    // row_number window partitioned by bucket — per-task sort input is
+    // bucket-bounded, and nothing all-pairs ever appears
+    val p = plan("q_diversity_sample")
+    assert(p.contains("Window"), s"no window in the cap plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_sample_hash scans only the projected columns") {
     val p = plan("q_sample_hash")
     // the md5 filter is compute-on-read (not parquet-pushable), but the
