@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Crash-recovery proof for the stateful streaming path, run in a forked
+  * JVM by StreamingSpec (graceful-stop recovery is already covered there;
+  * this is the HARD-crash variant the graceful tests cannot express).
+  *
+  * Phase `kill`: stage the sf0.001 events as 8 event-time-range-chunked
+  * feed files plus a far-future per-user sentinel file (the mode=stream
+  * stress recipe at unit scale), start sessionize on the RocksDB state
+  * store with `maxFilesPerTrigger=1` into a parquet sink + checkpoint,
+  * and HALT the JVM (`Runtime.halt` — no graceful stop, no shutdown
+  * hooks, no sink/state finalization) from the progress listener after
+  * the third micro-batch, i.e. mid-drain and possibly mid-commit of the
+  * fourth.
+  *
+  * Phase `resume`: start the SAME query from the SAME checkpoint in a
+  * fresh JVM. The file-source log replays the uncommitted batch, RocksDB
+  * state restores from the checkpointed snapshot, and the parquet sink's
+  * `_spark_metadata` log admits each batch's files exactly once. Exits 0
+  * iff the sink's closed-session multiset EQUALS the batch q_sessionize
+  * answer on the same events — exactly-once across a hard crash.
+  */
+object StreamKillMain {
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("stream-kill")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state" +
+          ".RocksDBStateStoreProvider")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def stageFeed(spark: SparkSession, src: String,
+      work: String): Unit = {
+    import graft.streaming.Streams
+    val evs = Tables(spark, src, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+    val mm = evs.agg(min("ts_us"), max("ts_us")).head
+    val minUs = mm.getLong(0)
+    val maxUs = mm.getLong(1)
+    val nChunks = 8
+    val span = (maxUs - minUs) / nChunks + 1
+    val stage = s"$work/feed_stage"
+    evs.withColumn("chunk",
+        ((col("ts_us") - lit(minUs)) / lit(span)).cast("int"))
+      .repartition(nChunks, col("chunk"))
+      .write.mode("overwrite").partitionBy("chunk").parquet(stage)
+    val feed = new java.io.File(s"$work/feed")
+    org.apache.commons.io.FileUtils.deleteQuietly(feed)
+    feed.mkdirs()
+    val t0ms = System.currentTimeMillis() - 3600000L
+    for (k <- 0 until nChunks) {
+      val dir = new java.io.File(s"$stage/chunk=$k")
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          val to = new java.io.File(feed, f"b$k%03d-$i.parquet")
+          java.nio.file.Files.move(f.toPath, to.toPath)
+          to.setLastModified(t0ms + k * 1000L)
+        }
+    }
+    evs.select(col("user_id")).distinct()
+      .select(col("user_id"), lit(maxUs + 10 * Streams.GapUs).as("ts_us"),
+        lit(Long.MaxValue).as("event_id"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$work/sentinel_stage")
+    Option(new java.io.File(s"$work/sentinel_stage").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        val to = new java.io.File(feed, s"zz-sentinel-$i.parquet")
+        java.nio.file.Files.move(f.toPath, to.toPath)
+        to.setLastModified(t0ms + nChunks * 1000L)
+      }
+  }
+
+  private def startQuery(spark: SparkSession, work: String) = {
+    import spark.implicits._
+    import graft.streaming.Streams
+    Streams.sessionize(spark.readStream
+        .schema("user_id BIGINT, ts_us BIGINT, event_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$work/feed")
+        .as[Streams.Ev]).writeStream
+      .format("parquet").option("path", s"$work/sessions")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append").start()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val work = args(1)
+    val phase = args(2)
+    val spark = session()
+
+    if (phase == "kill") {
+      stageFeed(spark, src, work)
+      // HALT, not stop: the listener thread pulls the plug after the
+      // third completed micro-batch with the drain still in flight —
+      // halt skips shutdown hooks, so neither sink nor state finalize
+      spark.streams.addListener(new StreamingQueryListener {
+        private var seen = 0
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          if (e.progress.numInputRows > 0) seen += 1
+          if (seen >= 3) Runtime.getRuntime.halt(42)
+        }
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+      startQuery(spark, work).awaitTermination()
+      // unreachable on the intended path: the halt exits with 42 first
+      System.err.println("KILL| query drained before the halt fired")
+      sys.exit(3)
+    }
+
+    // ---- resume: same checkpoint, fresh JVM ------------------------------
+    val sq = startQuery(spark, work)
+    sq.processAllAvailable()
+    sq.stop()
+    val got: DataFrame = spark.read.parquet(s"$work/sessions")
+      .select(col("user_id"), col("n_events"), col("start_us"),
+        col("end_us"))
+    val want = SparkEntry.queries("q_sessionize")(spark, src)
+      .select(col("user_id"), col("n_events"), col("start_us"),
+        col("end_us"))
+    val extra = got.exceptAll(want).count()
+    val missing = want.exceptAll(got).count()
+    if (extra == 0 && missing == 0) {
+      println("KILL| resume exactly-once: sink == batch twin")
+      spark.stop()
+      sys.exit(0)
+    } else {
+      System.err.println(s"KILL| MISMATCH after resume: $extra unexpected " +
+        s"rows (duplicated batch?), $missing missing rows (lost batch?)")
+      spark.stop()
+      sys.exit(1)
+    }
+  }
+}

@@ -412,6 +412,27 @@ class StreamingSpec extends AnyFunSuite {
       s"expected both idle sessions closed by timeout, got $got")
   }
 
+  test("sessionize survives a hard JVM kill mid-drain (exactly-once resume)") {
+    // The crash-grade variant of the graceful checkpoint-recovery tests:
+    // StreamKillMain phase `kill` HALTS its JVM (no shutdown hooks, no
+    // sink/state finalization) after the third micro-batch of a chunked
+    // file-source drain on RocksDB state; phase `resume` restarts the
+    // same query from the same checkpoint in a fresh JVM and exits 0 iff
+    // the parquet sink equals the batch twin — exactly-once across a
+    // crash the graceful tests cannot express.
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-streamkill").toString
+    try {
+      val killed = ForkedJvm.run("graft.StreamKillMain", "2g",
+        Seq(sfDir, work, "kill"))
+      assert(killed == 42, s"kill phase exited $killed, not the halt's 42")
+      val resumed = ForkedJvm.run("graft.StreamKillMain", "2g",
+        Seq(sfDir, work, "resume"))
+      assert(resumed == 0, s"resume phase exited $resumed — sink != batch twin")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(work))
+  }
+
   test("funnel snapshot: strict ordering, ties excluded, flushed by timeout") {
     // The q_stream_funnel state machine on a planted frame, fed
     // deliberately OUT of time order within the batch (the group sorts by

@@ -634,6 +634,24 @@ object StressMain {
       q("q_pca_cov", s"$work/x$copies"))
     sameSet(s"q_pca_cov invariant under duplication at ×$copies",
       out(s"q_pca_cov_x$copies"), q("q_pca_cov", src))
+
+    // ---- diversity sample at ×copies -------------------------------------
+    // Duplication-invariant centroids ⇒ the same 8 clusters with sizes
+    // ×copies, so the cap binds in EVERY bucket: the kept corpus is
+    // exactly buckets·cap rows — the "sampled size is budgeted by
+    // config" contract observed at 100×. The md5-priority selection is
+    // also rerun-deterministic (same rows on a second evaluation with a
+    // different partition layout).
+    timed(s"q_diversity_sample_x$copies", s"$work/out",
+      q("q_diversity_sample", s"$work/x$copies"))
+    val div = out(s"q_diversity_sample_x$copies")
+    check(s"diversity cap binds in every bucket at ×$copies",
+      div.count() == 8L * 40 &&
+        div.groupBy("bucket").count().filter(col("count") =!= 40)
+          .count() == 0,
+      s"per-bucket kept: ${div.groupBy("bucket").count().collect().toSeq}")
+    sameSet(s"diversity sample rerun-deterministic at ×$copies",
+      div, q("q_diversity_sample", s"$work/x$copies"))
   }
 
   /** 100×-scale events/analytics stress (`mode=events`, run as
