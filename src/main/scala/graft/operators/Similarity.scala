@@ -1687,6 +1687,81 @@ object Similarity {
                   AS codes_md5,
                 CAST(FLOOR(MAX(ABS(x - (CAST(code AS DOUBLE) * r / 255 + mn)))
                   * 1000000 + 0.5) AS BIGINT) AS max_err_micros
-              FROM q GROUP BY vec_id ORDER BY vec_id"""))
+              FROM q GROUP BY vec_id ORDER BY vec_id""")),
+
+    // ---- hybrid retrieval: reciprocal-rank fusion -------------------------
+    // The production RAG/retrieval composition: a lexical arm (the
+    // oracle-verified q_bm25 scorer, TextOps.bm25Scores) and a vector arm
+    // (exact cosine against a 1-row broadcast query embedding) each keep
+    // their top-50 by (score DESC, id) — a TakeOrderedAndProject, so each
+    // arm's candidate set is bounded by CONFIG (K=50), not corpus size —
+    // then fuse with reciprocal-rank fusion rrf = Σ 1/(60+rank)
+    // (Cormack et al. 2009's standard k=60). The rank windows run AFTER
+    // the top-K cut, over ≤50-row frames, so the global-order window is
+    // bounded; the only corpus-scale work is the two arms themselves,
+    // both already scale-audited (q_bm25's bounded-key shuffles, the
+    // q_ann_topk broadcast scan — at 100 TB the vector arm swaps to the
+    // IVF probe, same (doc_id, rank) contract). Exact cross-engine: each
+    // arm's rank is deterministic under its total order, and the fused
+    // score is ONE fixed IEEE expression tree — coalesce(1/(60+r_lex),0)
+    // + coalesce(1/(60+r_vec),0) in that order — rounded to 6 on both
+    // engines; ties break on doc_id. doc_id ≡ vec_id by testdata
+    // construction (embeddings are of the documents, TESTDATA.md).
+    Q("q_hybrid_rrf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 50
+        val lexW = Window.orderBy(col("score").desc, col("doc_id"))
+        val lex = TextOps.bm25Scores(s, d)
+          .orderBy(col("score").desc, col("doc_id")).limit(k)
+          .select(col("doc_id"), row_number().over(lexW).as("r_lex"))
+        val e = embs(s, d).select(col("vec_id"), col("embedding"))
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_v"))
+        val vecW = Window.orderBy(col("cos").desc, col("doc_id"))
+        val vec = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"),
+            cosine(s, col("embedding"), col("q_v")).as("cos"))
+          .orderBy(col("cos").desc, col("doc_id")).limit(k)
+          .select(col("doc_id"), row_number().over(vecW).as("r_vec"))
+        lex.join(vec, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("r_lex"), col("r_vec"),
+            round(
+              coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)),
+              6).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(15)
+      },
+      Some(s"""WITH ${TextOps.sqlBm25Ctes},
+              lex AS (
+                SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS INTEGER) AS r_lex
+                FROM bm25
+                QUALIFY row_number() OVER (ORDER BY score DESC, doc_id)
+                  <= 50),
+              e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+              qv AS (SELECT v AS q_v FROM e WHERE vec_id = 0),
+              vcand AS (
+                SELECT e.vec_id AS doc_id,
+                  ${sqlCosineCols("e.v", "qv.q_v")} AS cos
+                FROM e, qv WHERE e.vec_id <> 0),
+              vec AS (
+                SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                    AS INTEGER) AS r_vec
+                FROM vcand
+                QUALIFY row_number() OVER (ORDER BY cos DESC, doc_id)
+                  <= 50)
+              SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+                r_lex, r_vec,
+                ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + r_lex), 0.0) +
+                      COALESCE(CAST(1 AS DOUBLE) / (60 + r_vec), 0.0), 6)
+                  AS rrf
+              FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+              ORDER BY rrf DESC, doc_id LIMIT 15"""))
   )
 }

@@ -38,6 +38,72 @@ object TextOps {
     * whole query (the r6 bench's slowest non-iterative text row). */
   private val stopWords = Seq("a", "the", "of", "and", "to", "in")
 
+  /** Per-document Okapi BM25 scores (k1=1.2, b=0.75, +1 idf smoothing)
+    * for the fixed two-term query {spark, data} — the q_bm25 scorer,
+    * factored out so the hybrid-retrieval fusion (q_hybrid_rrf) ranks
+    * its lexical arm with exactly the oracle-verified formula. Returns
+    * (doc_id, score, n_terms_hit); see q_bm25's registration for the
+    * shape and exactness argument. */
+  private[operators] def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val dl = toks.groupBy("doc_id")
+      .agg(count(lit(1)).cast("double").as("dl"))
+    val stats = dl.agg(
+      avg(col("dl")).as("avgdl"),
+      count(lit(1)).cast("double").as("n_docs"))
+    val tf = toks.filter(col("word").isin("spark", "data"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("word")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(dfc, "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+          (col("df") + 0.5)))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * 2.2) /
+          (col("tf") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("term_score")), 6).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** DuckDB CTE chain ending in `bm25(doc_id, score, n_terms_hit)` —
+    * the oracle twin of [[bm25Scores]], shared by q_bm25 and
+    * q_hybrid_rrf. */
+  private[operators] val sqlBm25Ctes: String =
+    """toks AS (
+        SELECT doc_id, word FROM (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+          FROM documents)
+        WHERE word <> ''),
+      dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM toks
+             GROUP BY doc_id),
+      stats AS (SELECT avg(dl) AS avgdl, COUNT(*)::DOUBLE AS n_docs
+                FROM dl),
+      tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks
+             WHERE word IN ('spark', 'data') GROUP BY doc_id, word),
+      dfc AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf
+              GROUP BY word),
+      scored AS (
+        SELECT tf.doc_id,
+          ln(1.0 + (stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5)) *
+            (tf.tf * 2.2) /
+            (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+            AS term_score
+        FROM tf JOIN dfc ON tf.word = dfc.word
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats),
+      bm25 AS (
+        SELECT doc_id, ROUND(SUM(term_score), 6) AS score,
+          COUNT(*) AS n_terms_hit
+        FROM scored GROUP BY doc_id)"""
+
   /** Overlapping token-window chunking of `(doc_id, text)` rows: windows
     * of `window` tokens starting every `stride` tokens (stride < window ⇒
     * `window − stride` tokens of overlap). Chunk count is the closed form
@@ -296,63 +362,16 @@ object TextOps {
     // IEEE addition is commutative, so aggregation order cannot change
     // the result (at ≥3 terms you'd round per-term first or sum
     // decimals). Top-20 by (score, doc_id) is a TakeOrderedAndProject.
+    // Scoring is factored out ([[bm25Scores]]) so the hybrid-retrieval
+    // fusion arm (Similarity q_hybrid_rrf) ranks with the SAME lexical
+    // scorer this row verifies.
     Q("q_bm25",
-      (s, d) => {
-        val toks = docs(s, d)
-          .select(col("doc_id"),
-            explode(split(lower(col("text")), " ")).as("word"))
-          .filter(col("word") =!= "")
-        val dl = toks.groupBy("doc_id")
-          .agg(count(lit(1)).cast("double").as("dl"))
-        val stats = dl.agg(
-          avg(col("dl")).as("avgdl"),
-          count(lit(1)).cast("double").as("n_docs"))
-        val tf = toks.filter(col("word").isin("spark", "data"))
-          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-        val dfc = tf.groupBy("word")
-          .agg(countDistinct(col("doc_id")).as("df"))
-        tf.join(dfc, "word")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .withColumn("idf",
-            log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
-              (col("df") + 0.5)))
-          .withColumn("term_score",
-            col("idf") * (col("tf") * 2.2) /
-              (col("tf") +
-                lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-          .groupBy("doc_id")
-          .agg(round(sum(col("term_score")), 6).as("score"),
-            count(lit(1)).as("n_terms_hit"))
-          .orderBy(col("score").desc, col("doc_id"))
-          .limit(20)
-      },
-      Some("""WITH toks AS (
-                SELECT doc_id, word FROM (
-                  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
-                  FROM documents)
-                WHERE word <> ''),
-              dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM toks
-                     GROUP BY doc_id),
-              stats AS (SELECT avg(dl) AS avgdl, COUNT(*)::DOUBLE AS n_docs
-                        FROM dl),
-              tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks
-                     WHERE word IN ('spark', 'data') GROUP BY doc_id, word),
-              dfc AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf
-                      GROUP BY word),
-              scored AS (
-                SELECT tf.doc_id,
-                  ln(1.0 + (stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5)) *
-                    (tf.tf * 2.2) /
-                    (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
-                    AS term_score
-                FROM tf JOIN dfc ON tf.word = dfc.word
-                JOIN dl ON tf.doc_id = dl.doc_id
-                CROSS JOIN stats)
-              SELECT doc_id, ROUND(SUM(term_score), 6) AS score,
-                COUNT(*) AS n_terms_hit
-              FROM scored GROUP BY doc_id
-              ORDER BY score DESC, doc_id LIMIT 20""")),
+      (s, d) => bm25Scores(s, d)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20),
+      Some(s"""WITH $sqlBm25Ctes
+              SELECT doc_id, score, n_terms_hit
+              FROM bm25 ORDER BY score DESC, doc_id LIMIT 20""")),
 
     // ---- unigram language-model scoring -----------------------------------
     // Mean unigram log-probability per document against the corpus's own

@@ -87,6 +87,11 @@ object Streams {
   case class FunnelState(t1: Long, t2: Long, t3: Long)
   case class FunnelUser(user_id: Long, s1: Boolean, s2: Boolean,
       s3: Boolean)
+  /** [[FunnelState]] plus the live-stream bookkeeping of the retained
+    * arm: last activity instant (drives the TTL) and whether the clocks
+    * changed since the last emission (drives delta emission). */
+  case class FunnelStateR(t1: Long, t2: Long, t3: Long, lastUs: Long,
+      dirty: Boolean)
 
   /** 30-minute session gap, in microseconds. */
   val GapUs: Long = 1800L * 1000000
@@ -192,14 +197,87 @@ object Streams {
           } else {
             var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
             it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-              e.event_type match {
-                case "signup" if s.t1 < 0 => s = s.copy(t1 = e.ts_us)
-                case "click" if s.t1 >= 0 && e.ts_us > s.t1 && s.t2 < 0 =>
-                  s = s.copy(t2 = e.ts_us)
-                case "purchase" if s.t2 >= 0 && e.ts_us > s.t2 && s.t3 < 0 =>
-                  s = s.copy(t3 = e.ts_us)
-                case _ =>
-              }
+              s = advanceFunnel(s, e)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** One event against the three stage clocks — strict ordering (each
+    * stage's instant must be strictly later than the previous stage's),
+    * first qualifying instant wins. Shared by [[funnelSnapshot]] and
+    * [[funnelRetained]] so the two arms cannot drift apart. */
+  private def advanceFunnel(s: FunnelState, e: FEv): FunnelState =
+    e.event_type match {
+      case "signup" if s.t1 < 0 => s.copy(t1 = e.ts_us)
+      case "click" if s.t1 >= 0 && e.ts_us > s.t1 && s.t2 < 0 =>
+        s.copy(t2 = e.ts_us)
+      case "purchase" if s.t2 >= 0 && e.ts_us > s.t2 && s.t3 < 0 =>
+        s.copy(t3 = e.ts_us)
+      case _ => s
+    }
+
+  /** The LIVE-deployment arm of [[funnelSnapshot]] (the r11 self-review
+    * follow-up): where the snapshot arm emits-and-REMOVES on each idle
+    * flush — correct for a single-drain registered row, but a user who
+    * returns after an idle period restarts a fresh funnel — this arm
+    * RETAINS state across idle periods, so a signup→click user who
+    * purchases a week later still completes the funnel. Live-stream
+    * semantics that come with retention:
+    *  - delta emission: an idle flush emits a user's snapshot only if
+    *    the stage clocks CHANGED since the last emission (first flush
+    *    always emits), so consecutive no-progress flushes are silent and
+    *    a user emits at most once per idle period with progress.
+    *    Downstream consumers therefore see an append-only snapshot
+    *    HISTORY per user and must dedupe by keeping the latest row per
+    *    user (in event-time order of arrival);
+    *  - TTL reclaim: once the watermark passes last activity + `ttlUs`
+    *    the user's state is dropped (with a final emission if dirty), so
+    *    state is bounded by users ACTIVE WITHIN THE TTL window, not by
+    *    all users ever seen — the retention/boundedness trade is an
+    *    explicit config knob instead of the snapshot arm's
+    *    reset-on-flush;
+    *  - while retained, every timeout re-arms at watermark+1 — one
+    *    state read per retained user per watermark advance is the
+    *    bookkeeping cost of TTL expiry without a timer index.
+    */
+  def funnelRetained(events: Dataset[FEv], ttlUs: Long): Dataset[FunnelUser] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.toDF()
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", "30 minutes")
+      .as[FEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelStateR, FunnelUser](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[FEv], state: GroupState[FunnelStateR]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            val out =
+              if (s.dirty)
+                Iterator.single(FunnelUser(userId, s.t1 >= 0, s.t2 >= 0,
+                  s.t3 >= 0))
+              else Iterator.empty
+            val expired = state.getCurrentWatermarkMs() >=
+              s.lastUs / 1000 + ttlUs / 1000
+            if (expired) state.remove()
+            else {
+              state.update(s.copy(dirty = false))
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            }
+            out
+          } else {
+            var s = state.getOption.getOrElse(
+              FunnelStateR(-1L, -1L, -1L, Long.MinValue, dirty = true))
+            it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              val adv = advanceFunnel(FunnelState(s.t1, s.t2, s.t3), e)
+              s = FunnelStateR(adv.t1, adv.t2, adv.t3,
+                math.max(s.lastUs, e.ts_us),
+                s.dirty || (adv.t1, adv.t2, adv.t3) != (s.t1, s.t2, s.t3))
             }
             state.update(s)
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)

@@ -367,6 +367,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_hybrid_rrf: top-K'd arms, broadcast query vector, no cartesian") {
+    // each arm must cut to its K=50 candidates with a TakeOrderedAndProject
+    // BEFORE the rank window — the global-order windows then run over
+    // config-bounded frames, so nothing corpus-sized reaches a single
+    // partition; the query embedding reaches the scan as a broadcast
+    // (1-row nested-loop is the crossJoin of a broadcast singleton)
+    val p = plan("q_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"arms not top-K'd before ranking:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"query vector not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_sample_hash scans only the projected columns") {
     val p = plan("q_sample_hash")
     // the md5 filter is compute-on-read (not parquet-pushable), but the

@@ -473,6 +473,66 @@ class StreamingSpec extends AnyFunSuite {
       s"funnel snapshot mismatch: $got")
   }
 
+  test("retained funnel: survives idle periods, delta-emits, TTL-reclaims") {
+    // The live-deployment arm: user 1 signs up and clicks, goes idle (a
+    // flush emits the partial funnel and RETAINS state), then purchases
+    // after the idle period — the retained clocks complete the funnel
+    // (the snapshot arm would have reset and emitted all-false). Users
+    // 2/3 flush once and then stay silent across later watermark
+    // advances (delta emission: clean state emits nothing). Finally a
+    // far-future event pushes the watermark past everyone's
+    // last-activity + TTL: expired users are reclaimed silently (clean)
+    // and the state store ends with ONLY the sentinel user live.
+    val s = spark
+    import s.implicits._
+    val m = 60L * 1000000 // one minute, in micros
+    val ttl = 200 * m
+    val input = MemoryStream[Streams.FEv](s)
+    // batch 1: user 1 = signup→click, user 2 = signup only
+    input.addData(
+      Streams.FEv(1, 10 * m, 11, "signup"), Streams.FEv(1, 20 * m, 12, "click"),
+      Streams.FEv(2, 15 * m, 21, "signup"))
+    val q = Streams.funnelRetained(input.toDS(), ttl).writeStream
+      .format("memory").queryName("funnel_ret").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: user 3 advances the watermark to 70m → users 1/2 flush
+      // their first snapshots and are RETAINED (200m TTL not reached)
+      input.addData(Streams.FEv(3, 100 * m, 31, "signup"))
+      q.processAllAvailable()
+      val afterFlush = s.table("funnel_ret").as[Streams.FunnelUser]
+        .collect().map(x => (x.user_id, x.s1, x.s2, x.s3)).toSeq
+      assert(afterFlush.sorted == Seq((1L, true, true, false),
+        (2L, true, false, false), (3L, true, false, false)),
+        s"first-flush snapshots wrong: $afterFlush")
+      // batch 3: user 1 returns AFTER the idle flush and purchases at
+      // 150m — retained t1/t2 make it stage 3 (the snapshot arm would
+      // restart at stage 0 and ignore the purchase). Watermark → 120m:
+      // user 1 re-emits (dirty), users 2/3 are clean → silent.
+      input.addData(Streams.FEv(1, 150 * m, 13, "purchase"))
+      q.processAllAvailable()
+      val afterReturn = s.table("funnel_ret").as[Streams.FunnelUser]
+        .collect().map(x => (x.user_id, x.s1, x.s2, x.s3)).toSeq
+      assert(afterReturn.sorted == Seq((1L, true, true, false),
+        (1L, true, true, true), (2L, true, false, false),
+        (3L, true, false, false)),
+        s"post-return emissions wrong: $afterReturn")
+      // batch 4: watermark → 370m, past every last-activity + 200m TTL
+      // (user 1: 150+200=350, user 2: 215, user 3: 300) → all reclaimed,
+      // silently (clean). The sentinel flushes its own first snapshot.
+      input.addData(Streams.FEv(9, 400 * m, 91, "signup"))
+      q.processAllAvailable()
+      val fin = s.table("funnel_ret").as[Streams.FunnelUser]
+        .collect().map(x => (x.user_id, x.s1, x.s2, x.s3)).toSeq
+      assert(fin.sorted == afterReturn.sorted :+ ((9L, true, false, false)),
+        s"TTL reclaim emitted spurious rows: $fin")
+      val liveState = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators(0).numRowsTotal
+      assert(liveState == 1,
+        s"expected only the sentinel user live after TTL, got $liveState")
+    } finally q.stop()
+  }
+
   test("sessionize: a within-watermark late event cannot regress a session") {
     // the watermark bounds lateness to 30 min — it does NOT prevent a
     // within-horizon late event from arriving after the session advanced.
