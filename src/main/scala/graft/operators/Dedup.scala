@@ -480,9 +480,12 @@ object Dedup {
   /** Shared oracle for both clustering rows — brute-forced pairs + a
     * recursive transitive closure; the component minimum is the label, so
     * min-label propagation and large-star/small-star both match it. */
-  private lazy val ClustersOracleSql: String =
-    s"""WITH RECURSIVE
-       sh AS (${sqlShingled("documents")}),
+  /** The recursive transitive-closure CTE chain ending in
+    * `labels(doc_id, cluster_id)` — shared by the clustering rows and
+    * the quality-aware representative row (must follow a
+    * `WITH RECURSIVE`). */
+  private lazy val sqlClusterLabelCtes: String =
+    s"""sh AS (${sqlShingled("documents")}),
        pairs AS (
          SELECT a.doc_id AS a_id, b.doc_id AS b_id
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -495,11 +498,16 @@ object Dedup {
          SELECT src, dst FROM edges
          UNION
          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-         WHERE r.src <> e.dst)
-       SELECT src AS doc_id,
-         CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id,
-         (src = LEAST(src, MIN(dst))) AS keep
-       FROM reach GROUP BY src ORDER BY doc_id"""
+         WHERE r.src <> e.dst),
+       labels AS (
+         SELECT src AS doc_id,
+           CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
+         FROM reach GROUP BY src)"""
+
+  private lazy val ClustersOracleSql: String =
+    s"""WITH RECURSIVE $sqlClusterLabelCtes
+       SELECT doc_id, cluster_id, (doc_id = cluster_id) AS keep
+       FROM labels ORDER BY doc_id"""
 
   /** The clustering rows' shared back half: components → (doc_id,
     * cluster_id, keep) with the cluster minimum as the survivor. */
@@ -653,6 +661,45 @@ object Dedup {
     Q("q_dedup_clusters_star",
       (s, d) => clusterOutput(connectedComponentsStar(nearDupPairs(s, d))),
       Some(ClustersOracleSql)),
+
+    // ---- quality-aware cluster representative ----------------------------
+    // Survivor selection a production dedup actually wants: instead of
+    // the min-id convention, each near-dup cluster keeps its HIGHEST-
+    // QUALITY member (the oracle-verified q_quality composite,
+    // TextOps.qualityScores; ties → lower doc_id). Shapes: same CC as
+    // q_dedup_clusters, quality joins by doc_id equi-join, and the
+    // representative is a max_by AGGREGATE over (quality, −doc_id) — a
+    // map-side-partial argmax, chosen over a per-cluster rank window so
+    // a Zipf-giant cluster contributes one partial row per task instead
+    // of a cluster-sized window sort. The exactness is structural: the
+    // struct max is a total order, so both engines pick the same rep.
+    Q("q_dedup_quality_rep",
+      (s, d) => {
+        val labeled = connectedComponents(nearDupPairs(s, d))
+          .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+          .join(TextOps.qualityScores(s, d)
+            .select(col("doc_id"), col("quality")), "doc_id")
+        val rep = labeled.groupBy("cluster_id")
+          .agg(max_by(col("doc_id"),
+            struct(col("quality"), (-col("doc_id")).as("nid"))).as("rep_id"))
+        labeled.join(rep, "cluster_id")
+          .select(col("doc_id"), col("cluster_id"), col("quality"),
+            (col("doc_id") === col("rep_id")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $sqlClusterLabelCtes,
+              ${TextOps.sqlQualityCtes},
+              j AS (
+                SELECT l.doc_id, l.cluster_id, q.quality
+                FROM labels l JOIN qual q USING (doc_id)),
+              rep AS (
+                SELECT cluster_id, doc_id AS rep_id FROM j
+                QUALIFY row_number() OVER (PARTITION BY cluster_id
+                  ORDER BY quality DESC, doc_id) = 1)
+              SELECT j.doc_id, j.cluster_id, j.quality,
+                (j.doc_id = rep.rep_id) AS keep
+              FROM j JOIN rep USING (cluster_id)
+              ORDER BY doc_id""")),
 
     // ---- SimHash signatures ----------------------------------------------
     // Per-row computation only (no shuffle before the determinism sort);

@@ -1762,6 +1762,68 @@ object Similarity {
                       COALESCE(CAST(1 AS DOUBLE) / (60 + r_vec), 0.0), 6)
                   AS rrf
               FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
-              ORDER BY rrf DESC, doc_id LIMIT 15"""))
+              ORDER BY rrf DESC, doc_id LIMIT 15""")),
+
+    // ---- retrieval evaluation: MRR / precision@k --------------------------
+    // The index-evaluation op every retrieval/embedding pipeline runs
+    // before shipping an index: per query, rank the corpus by exact
+    // cosine (the q_ann_topk machinery), mark a neighbor RELEVANT iff it
+    // shares the query's label, and reduce to the standard quality
+    // numbers — first-hit rank, reciprocal rank (MRR's per-query term),
+    // hits and precision in the top-10. Shapes: ONE corpus scan against
+    // the broadcast 10-query set, per-query rank window (candidate sets
+    // are per-query top-10 cuts), labels join back from the same scan by
+    // equi-join. Exact cross-engine: ranks are deterministic under
+    // (cos DESC, vec_id), rr = 1/rank and p = hits/10 are single IEEE
+    // divisions, and hit counts are integers. At 100 TB the ranked arm
+    // swaps to the IVF probe (same (q_id, rk, nn_id) contract) and the
+    // eval reduces per query exactly as here — evaluation cost scales
+    // with queries × k, not corpus.
+    Q("q_rank_eval",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = embs(s, d)
+          .select(col("vec_id"), col("embedding"), col("label"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_v"),
+            col("label").as("q_label"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id"))
+        val top = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosine(s, col("embedding"), col("q_v")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .withColumn("hit", (col("label") === col("q_label")).cast("int"))
+        top.groupBy("q_id", "q_label")
+          .agg(
+            min(when(col("hit") === 1, col("rk"))).as("first_hit"),
+            sum(col("hit")).as("n_hits"),
+            coalesce(round(lit(1.0) /
+              min(when(col("hit") === 1, col("rk"))), 6), lit(0.0)).as("rr"),
+            (sum(col("hit")) / lit(10.0)).as("p_at_10"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                    FROM embeddings),
+              q AS (SELECT vec_id AS q_id, v AS q_v, label AS q_label
+                    FROM e WHERE vec_id < 10),
+              ranked AS (
+                SELECT q.q_id, q.q_label, e.label,
+                  row_number() OVER (PARTITION BY q.q_id ORDER BY
+                    ${sqlCosineCols("e.v", "q.q_v")} DESC, e.vec_id) AS rk
+                FROM e JOIN q ON e.vec_id <> q.q_id),
+              top AS (
+                SELECT q_id, q_label,
+                  CASE WHEN label = q_label THEN 1 ELSE 0 END AS hit, rk
+                FROM ranked WHERE rk <= 10)
+              SELECT q_id, q_label,
+                CAST(MIN(CASE WHEN hit = 1 THEN rk END) AS INTEGER)
+                  AS first_hit,
+                CAST(SUM(hit) AS BIGINT) AS n_hits,
+                COALESCE(ROUND(CAST(1 AS DOUBLE) /
+                  MIN(CASE WHEN hit = 1 THEN rk END), 6), 0.0) AS rr,
+                CAST(SUM(hit) AS BIGINT) / CAST(10 AS DOUBLE) AS p_at_10
+              FROM top GROUP BY q_id, q_label ORDER BY q_id"""))
   )
 }

@@ -73,6 +73,51 @@ object TextOps {
         count(lit(1)).as("n_terms_hit"))
   }
 
+  /** Per-document composite quality scores — the q_quality scorer
+    * (length + mean-word-length + stopword-ratio), factored out so the
+    * quality-aware dedup representative (Dedup q_dedup_quality_rep)
+    * selects survivors with exactly the oracle-verified score. Returns
+    * (doc_id, n_tokens, mean_word_len, stop_ratio, quality, keep),
+    * unsorted. */
+  private[operators] def qualityScores(s: SparkSession,
+      d: String): DataFrame = docs(s, d)
+    .withColumn("toks", split(lower(col("text")), " "))
+    .withColumn("n_tokens", size(col("toks")).cast("long"))
+    .withColumn("mean_word_len",
+      round((col("n_chars") - col("n_tokens") + 1).cast("double") /
+        col("n_tokens"), 6))
+    .withColumn("stop_ratio",
+      round(nStop(col("toks")).cast("double") / col("n_tokens"), 6))
+    .withColumn("quality",
+      round(least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.5 +
+        when(col("mean_word_len").between(3.0, 10.0), 0.3).otherwise(0.0) +
+        when(col("stop_ratio") > 0.02, 0.2).otherwise(0.0), 6))
+    .withColumn("keep", col("quality") >= 0.5)
+    .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+      col("stop_ratio"), col("quality"), col("keep"))
+
+  /** DuckDB CTE chain ending in `qual(doc_id, n_tokens, mean_word_len,
+    * stop_ratio, quality, keep)` — the oracle twin of [[qualityScores]],
+    * shared by q_quality and q_dedup_quality_rep. */
+  private[operators] val sqlQualityCtes: String =
+    """f AS (
+        SELECT doc_id, len(string_split(lower(text),' ')) AS n_tokens,
+          ROUND((n_chars - len(string_split(lower(text),' ')) + 1)::DOUBLE
+                / len(string_split(lower(text),' ')), 6) AS mean_word_len,
+          ROUND(len([t FOR t IN string_split(lower(text),' ')
+                     IF regexp_matches(t, '^(a|the|of|and|to|in)$')])::DOUBLE
+                / len(string_split(lower(text),' ')), 6) AS stop_ratio
+        FROM documents),
+      qual AS (
+        SELECT doc_id, n_tokens, mean_word_len, stop_ratio,
+          ROUND(least(n_tokens::DOUBLE / 100, 1.0) * 0.5 +
+            CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END +
+            CASE WHEN stop_ratio > 0.02 THEN 0.2 ELSE 0.0 END, 6) AS quality,
+          (ROUND(least(n_tokens::DOUBLE / 100, 1.0) * 0.5 +
+            CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END +
+            CASE WHEN stop_ratio > 0.02 THEN 0.2 ELSE 0.0 END, 6) >= 0.5) AS keep
+        FROM f)"""
+
   /** DuckDB CTE chain ending in `bm25(doc_id, score, n_terms_hit)` —
     * the oracle twin of [[bm25Scores]], shared by q_bm25 and
     * q_hybrid_rrf. */
@@ -251,38 +296,11 @@ object TextOps {
     // Length + mean-word-length + stopword-ratio composite, the standard
     // cheap pre-filter in front of expensive model-based quality scoring.
     Q("q_quality",
-      (s, d) => docs(s, d)
-        .withColumn("toks", split(lower(col("text")), " "))
-        .withColumn("n_tokens", size(col("toks")).cast("long"))
-        .withColumn("mean_word_len",
-          round((col("n_chars") - col("n_tokens") + 1).cast("double") /
-            col("n_tokens"), 6))
-        .withColumn("stop_ratio",
-          round(nStop(col("toks")).cast("double") / col("n_tokens"), 6))
-        .withColumn("quality",
-          round(least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.5 +
-            when(col("mean_word_len").between(3.0, 10.0), 0.3).otherwise(0.0) +
-            when(col("stop_ratio") > 0.02, 0.2).otherwise(0.0), 6))
-        .withColumn("keep", col("quality") >= 0.5)
-        .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
-          col("stop_ratio"), col("quality"), col("keep"))
-        .orderBy("doc_id"),
-      Some("""WITH f AS (
-                SELECT doc_id, len(string_split(lower(text),' ')) AS n_tokens,
-                  ROUND((n_chars - len(string_split(lower(text),' ')) + 1)::DOUBLE
-                        / len(string_split(lower(text),' ')), 6) AS mean_word_len,
-                  ROUND(len([t FOR t IN string_split(lower(text),' ')
-                             IF regexp_matches(t, '^(a|the|of|and|to|in)$')])::DOUBLE
-                        / len(string_split(lower(text),' ')), 6) AS stop_ratio
-                FROM documents)
+      (s, d) => qualityScores(s, d).orderBy("doc_id"),
+      Some(s"""WITH $sqlQualityCtes
               SELECT doc_id, n_tokens, mean_word_len, stop_ratio,
-                ROUND(least(n_tokens::DOUBLE / 100, 1.0) * 0.5 +
-                  CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END +
-                  CASE WHEN stop_ratio > 0.02 THEN 0.2 ELSE 0.0 END, 6) AS quality,
-                (ROUND(least(n_tokens::DOUBLE / 100, 1.0) * 0.5 +
-                  CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END +
-                  CASE WHEN stop_ratio > 0.02 THEN 0.2 ELSE 0.0 END, 6) >= 0.5) AS keep
-              FROM f ORDER BY doc_id""")),
+                quality, keep
+              FROM qual ORDER BY doc_id""")),
 
     // ---- token counting (BPE-ish regex tokenizer) -------------------------
     // Pre-tokenizer regex in the GPT-2 spirit: words | digit runs | other.

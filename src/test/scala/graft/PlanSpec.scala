@@ -381,6 +381,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_rank_eval broadcasts the query set and partial-aggregates") {
+    // the corpus meets the 10-query set as a broadcast (one scan, no
+    // shuffle of the corpus for candidate generation); the per-query
+    // reduction does map-side partial aggregation
+    val p = plan("q_rank_eval")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"query set not broadcast:\n$p")
+    assert(p.contains("partial_"), "eval reduction has no partial phase")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_dedup_quality_rep picks reps via partial max_by, not a window") {
+    // the representative is an argmax AGGREGATE over (quality, −doc_id):
+    // map-side partials mean a Zipf-giant cluster contributes one row
+    // per task, where a per-cluster rank window would sort the whole
+    // cluster on one task
+    val p = plan("q_dedup_quality_rep")
+    assert(p.contains("partial_max_by"),
+      s"rep selection is not a partial max_by aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_sample_hash scans only the projected columns") {
     val p = plan("q_sample_hash")
     // the md5 filter is compute-on-read (not parquet-pushable), but the
