@@ -940,6 +940,57 @@ object Relational {
               WHERE (n*xc - sx)*(n*xc - sx) > 9*(n*sxx - sx*sx)
               ORDER BY event_type, event_id""")),
 
+    // ---- robust (median/MAD) volume anomaly detection ---------------------
+    // The monitoring twin of q_outliers: z-scores break on the very
+    // anomalies being hunted (a spike inflates the mean AND the stddev),
+    // so volume monitoring uses the breakdown-resistant pair —
+    // per-(event_type, hour) counts flagged when |n − median| >
+    // 4.4478·MAD (3σ-equivalent under the 1.4826 consistency constant,
+    // one literal so both engines compare the same double). Exactness:
+    // counts are integers; median/MAD are linear interpolations of
+    // integers (dyadic — exactly representable, both engines use
+    // quantile_cont semantics); the compare is one fixed expression
+    // tree. Scale shape: the hourly rollup is ONE partial-aggregated
+    // shuffle on bounded (type, hour) keys; medians run over the rollup
+    // (∝ types × hours, time-bounded — NOT corpus-sized) and broadcast
+    // back over it, so the flagging pass is map-side only.
+    Q("q_events_anomaly",
+      (s, d) => {
+        val hourly = t(s, d, "events")
+          .withColumn("hour_ts",
+            unix_timestamp(date_trunc("hour", col("ts"))))
+          .groupBy("event_type", "hour_ts")
+          .agg(count(lit(1)).as("n"))
+        val med = hourly.groupBy("event_type")
+          .agg(median(col("n")).as("med"))
+        val mad = hourly.join(med, "event_type")
+          .groupBy("event_type")
+          .agg(median(abs(col("n") - col("med"))).as("mad"))
+        hourly.join(broadcast(med), "event_type")
+          .join(broadcast(mad), "event_type")
+          .filter(abs(col("n") - col("med")) > lit(4.4478) * col("mad"))
+          .select(col("event_type"), col("hour_ts"), col("n"),
+            col("med"), col("mad"))
+          .orderBy("event_type", "hour_ts")
+      },
+      Some("""WITH h AS (
+                SELECT event_type,
+                  CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                    AS BIGINT) AS hour_ts,
+                  COUNT(*) AS n
+                FROM events GROUP BY 1, 2),
+              med AS (
+                SELECT event_type, CAST(MEDIAN(n) AS DOUBLE) AS med
+                FROM h GROUP BY event_type),
+              mad AS (
+                SELECT h.event_type,
+                  CAST(MEDIAN(ABS(n - med)) AS DOUBLE) AS mad
+                FROM h JOIN med USING (event_type) GROUP BY h.event_type)
+              SELECT h.event_type, hour_ts, n, med, mad
+              FROM h JOIN med USING (event_type) JOIN mad USING (event_type)
+              WHERE ABS(n - med) > CAST(4.4478 AS DOUBLE) * mad
+              ORDER BY event_type, hour_ts""")),
+
     // ---- join-key skew diagnostics ----------------------------------------
     // The pre-join profile a 100 TB pipeline runs on a candidate shuffle
     // key BEFORE choosing plain vs salted vs broadcast: top-20 heaviest

@@ -1824,6 +1824,43 @@ object Similarity {
                 COALESCE(ROUND(CAST(1 AS DOUBLE) /
                   MIN(CASE WHEN hit = 1 THEN rk END), 6), 0.0) AS rr,
                 CAST(SUM(hit) AS BIGINT) / CAST(10 AS DOUBLE) AS p_at_10
-              FROM top GROUP BY q_id, q_label ORDER BY q_id"""))
+              FROM top GROUP BY q_id, q_label ORDER BY q_id""")),
+
+    // ---- ANN index health report -----------------------------------------
+    // The index-build observability op: after training the IVF buckets
+    // (same iterated k-means as q_ann_ivf), report per-bucket occupancy
+    // and compaction — member count, mean and minimum cosine to the
+    // bucket's own centroid. The numbers an index operator watches
+    // before serving: skewed occupancy → probe imbalance, low
+    // mean/min compaction → bad recall at fixed probes. Shapes: the
+    // trained centroids are a broadcast k-row frame; ONE corpus scan
+    // computes each member's centroid cosine; the report is a k-row
+    // aggregate with map-side partials. Mean cosine follows the Arith
+    // discipline (round-6 terms, decimal sum, then divide) so the
+    // bucket mean is shuffle-order-independent and exact cross-engine.
+    Q("q_ann_index_stats",
+      (s, d) => {
+        val e = dropZeroNorm(s,
+          embs(s, d).select(col("vec_id"), col("embedding")))
+        val bucketed = kmeansIterate(s, e, 8, 2)
+        val cents = centroidsOf(bucketed)
+        bucketed.join(broadcast(cents), col("bucket") === col("c_id"))
+          .withColumn("cos", cosine(s, col("embedding"), col("c_v")))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_vecs"),
+            round(dsum(col("cos")) / count(lit(1)), 6).as("mean_cos"),
+            min(col("cos")).as("min_cos"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH ${sqlIvfAssign(8, sqlZeroNormWhere)},
+              ${sqlKmeansRounds(2)},
+              ${sqlCentroids("a2", "p")},
+              m AS (
+                SELECT a.bucket, ${sqlCosineCols("a.v", "c.c_v")} AS cos
+                FROM a2 a JOIN centsp c ON a.bucket = c.c_id)
+              SELECT bucket, COUNT(*) AS n_vecs,
+                ROUND(${sqlSum("cos")} / COUNT(*), 6) AS mean_cos,
+                MIN(cos) AS min_cos
+              FROM m GROUP BY bucket ORDER BY bucket"""))
   )
 }

@@ -403,6 +403,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_ann_index_stats: broadcast centroids, partial-aggregated report") {
+    // the trained k-row centroid frame joins the corpus as a broadcast
+    // (one scan computes every member's centroid cosine) and the k-row
+    // report aggregates with map-side partials
+    val p = plan("q_ann_index_stats")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), s"centroids not broadcast:\n$p")
+    assert(p.contains("partial_"), "report agg has no partial phase")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_events_anomaly: partial hourly rollup, broadcast stats") {
+    // the corpus-sized work is ONE partial-aggregated rollup on (type,
+    // hour); the median/MAD frames are rollup-sized and join back as
+    // broadcasts so the flagging pass never shuffles the rollup again
+    val p = plan("q_events_anomaly")
+    assert(p.contains("partial_count"), "hourly rollup has no partial phase")
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_sample_hash scans only the projected columns") {
     val p = plan("q_sample_hash")
     // the md5 filter is compute-on-read (not parquet-pushable), but the

@@ -987,5 +987,30 @@ object StressMain {
       s"fixed at 128 docs (second-level assembly per oracle contract): " +
       s"${mb(mLo("q_inverted_index_shard")._1)} → " +
       s"${mb(mHi("q_inverted_index_shard")._1)} MB")
+
+    // ---- the composed corpus pipeline at ×copies -------------------------
+    // The flagship composition under the blow-up law: the per-doc gates
+    // (input/minlen/quality) scale ×copies exactly, and the exact-dedup
+    // stage collapses every copy family to its min-id member — the BASE
+    // corpus with its original ids — so every later stage (the LSH
+    // near-dup chain, the token budget) is IDENTICAL to the sf0.1 run:
+    // the expensive shingle/minhash work never sees the blown-up corpus.
+    // The whole attrition table is therefore derivable from the base run
+    // and asserted exactly; wall time should grow only with the scans.
+    val baseAttrition = q("q_corpus_pipeline", src).collect()
+      .map(r => r.getAs[Int]("stage_ord") ->
+        (r.getAs[String]("stage"), r.getAs[Long]("n_docs"))).toMap
+    for (c <- Seq(lo, copies)) {
+      timed(s"q_corpus_pipeline_x$c", s"$work/out",
+        q("q_corpus_pipeline", s"$work/x$c"))
+      val got = out(s"q_corpus_pipeline_x$c").collect()
+        .map(r => r.getAs[Int]("stage_ord") ->
+          (r.getAs[String]("stage"), r.getAs[Long]("n_docs"))).toMap
+      val want = baseAttrition.map { case (ord, (name, n)) =>
+        ord -> (name, if (ord <= 2) n * c else n)
+      }
+      check(s"corpus pipeline attrition derivable from base at ×$c",
+        got == want, s"got $got, want $want")
+    }
   }
 }
