@@ -1024,6 +1024,94 @@ object Relational {
               FROM c CROSS JOIN t
               ORDER BY n DESC, key LIMIT 20""")),
 
+    // ---- data-contract expectation checks ---------------------------------
+    // The ingestion gate a production pipeline runs before data reaches
+    // training or BI: declared expectations evaluated in one pass each,
+    // reported as (rule, n_checked, n_violations, viol_ppm) — never a
+    // row dump, so the report is rule-count-sized at any corpus size.
+    // Rule shapes: per-row range/sign checks fold into their table scan
+    // (count + conditional sum, partial-aggregated); referential
+    // integrity is a LEFT join against the broadcast key side; the
+    // cross-table temporal rule (lineitem shipped before its order
+    // existed — the driver generator draws the two dates independently,
+    // so this rule FIRES on real data) is an equi-join on the natural
+    // key, bucketing/co-partition territory at 100 TB. ppm is floor
+    // integer division on longs so both engines agree on every digit.
+    Q("q_data_contract",
+      (s, d) => {
+        def rule(name: String, df: DataFrame, viol: Column): DataFrame =
+          df.agg(count(lit(1)).as("n_checked"),
+              sum(when(viol, 1L).otherwise(0L)).as("n_violations"))
+            .select(lit(name).as("rule"), col("n_checked"),
+              col("n_violations"),
+              expr("n_violations * 1000000L div n_checked").as("viol_ppm"))
+        val li = t(s, d, "lineitem")
+        val ord = t(s, d, "orders")
+        rule("c_acctbal_nonneg", t(s, d, "customer"), col("c_acctbal") < 0)
+          .unionByName(rule("ev_value_nonneg", t(s, d, "events"),
+            col("value") < 0))
+          .unionByName(rule("l_discount_range", li,
+            !col("l_discount").between(0.0, 0.1)))
+          .unionByName(rule("l_quantity_range", li,
+            !col("l_quantity").between(1.0, 50.0)))
+          .unionByName(rule("l_ship_after_order",
+            li.select(col("l_orderkey"), col("l_shipdate"))
+              .join(ord.select(col("o_orderkey"), col("o_orderdate")),
+                col("l_orderkey") === col("o_orderkey")),
+            col("l_shipdate") < col("o_orderdate")))
+          .unionByName(rule("o_custkey_fk",
+            ord.select(col("o_custkey"))
+              .join(broadcast(t(s, d, "customer")
+                .select(col("c_custkey"))),
+                col("o_custkey") === col("c_custkey"), "left"),
+            col("c_custkey").isNull))
+          .orderBy("rule")
+      },
+      Some("""SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+                CAST(n_violations AS BIGINT) AS n_violations,
+                CAST(viol_ppm AS BIGINT) AS viol_ppm
+              FROM (
+                SELECT 'c_acctbal_nonneg' AS rule,
+                  COUNT(*) AS n_checked,
+                  SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+                    AS n_violations,
+                  SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS viol_ppm
+                FROM customer
+                UNION ALL
+                SELECT 'ev_value_nonneg', COUNT(*),
+                  SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END),
+                  SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*)
+                FROM events
+                UNION ALL
+                SELECT 'l_discount_range', COUNT(*),
+                  SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
+                      THEN 1 ELSE 0 END),
+                  SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
+                      THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_quantity_range', COUNT(*),
+                  SUM(CASE WHEN l_quantity NOT BETWEEN 1.0 AND 50.0
+                      THEN 1 ELSE 0 END),
+                  SUM(CASE WHEN l_quantity NOT BETWEEN 1.0 AND 50.0
+                      THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_ship_after_order', COUNT(*),
+                  SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END),
+                  SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*)
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                UNION ALL
+                SELECT 'o_custkey_fk', COUNT(*),
+                  SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END),
+                  SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*)
+                FROM orders LEFT JOIN customer ON o_custkey = c_custkey)
+              ORDER BY rule""")),
+
     // ---- ordered string aggregation (listagg) -----------------------------
     // collect_list carries NO intra-group order guarantee after a shuffle,
     // so the canonical deterministic listagg is sort_array(collect_list)

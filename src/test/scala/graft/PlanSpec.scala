@@ -424,6 +424,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_data_contract folds checks into scans, report is rule-sized") {
+    // every expectation is a count + conditional sum folded into its
+    // table scan (partial-aggregated — no row dump reaches the union);
+    // the referential rule joins, nothing goes cartesian
+    val p = plan("q_data_contract")
+    assert(p.contains("partial_"), "contract checks have no partial phase")
+    assert(p.contains("Union"), s"rule report is not a union:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_sample_hash scans only the projected columns") {
     val p = plan("q_sample_hash")
     // the md5 filter is compute-on-read (not parquet-pushable), but the
