@@ -1861,6 +1861,75 @@ object Similarity {
               SELECT bucket, COUNT(*) AS n_vecs,
                 ROUND(${sqlSum("cos")} / COUNT(*), 6) AS mean_cos,
                 MIN(cos) AS min_cos
-              FROM m GROUP BY bucket ORDER BY bucket"""))
+              FROM m GROUP BY bucket ORDER BY bucket""")),
+
+    // ---- contrastive triplet sampling -------------------------------------
+    // The training-data op for embedding/contrastive models: per anchor,
+    // one (anchor, positive, negative) triplet — positive = the hardest
+    // confirmation (highest-cosine same-label vector, ties to lower id),
+    // negative = a DETERMINISTIC pseudo-random different-label vector
+    // (min md5(anchor‖vec) — the hash-priority convention every sampling
+    // row here uses, so the draw is reproducible across runs and cluster
+    // sizes). Shapes: the 20-anchor set broadcasts; each arm is ONE
+    // corpus scan reduced per anchor by max_by/min_by aggregates with
+    // map-side partials — no window over corpus-sized frames, no
+    // cartesian. max(cos) is the argmax's cosine because ties share the
+    // value. At scale the positive arm narrows to label-bucketed
+    // candidates and the negative arm to any hash-stratified slice; both
+    // keep the per-anchor-aggregate contract.
+    Q("q_triplet_sample",
+      (s, d) => {
+        val e = dropZeroNorm(s, embs(s, d)
+          .select(col("vec_id"), col("embedding"), col("label")))
+        val a = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("a_id"), col("embedding").as("a_v"),
+            col("label").as("a_label"))
+        val pos = e.join(broadcast(a),
+            col("label") === col("a_label") &&
+              col("vec_id") =!= col("a_id"))
+          .withColumn("cos", cosine(s, col("embedding"), col("a_v")))
+          .groupBy("a_id")
+          .agg(max_by(col("vec_id"),
+              struct(col("cos"), (-col("vec_id")).as("nid"))).as("pos_id"),
+            max(col("cos")).as("pos_cos"))
+        val neg = e.join(broadcast(a), col("label") =!= col("a_label"))
+          .withColumn("h",
+            md5(concat_ws("_", col("a_id"), col("vec_id"))))
+          .groupBy("a_id")
+          .agg(min_by(col("vec_id"),
+              struct(col("h"), col("vec_id"))).as("neg_id"),
+            min_by(col("label"),
+              struct(col("h"), col("vec_id"))).as("neg_label"))
+        a.select(col("a_id"), col("a_label"))
+          .join(pos, "a_id").join(neg, "a_id")
+          .orderBy("a_id")
+      },
+      Some(s"""WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v, label
+                FROM embeddings WHERE $sqlZeroNormWhere),
+              a AS (SELECT vec_id AS a_id, v AS a_v, label AS a_label
+                    FROM e WHERE vec_id < 20),
+              pos AS (
+                SELECT a_id, vec_id AS pos_id, cos AS pos_cos FROM (
+                  SELECT a.a_id, e.vec_id,
+                    ${sqlCosineCols("e.v", "a.a_v")} AS cos,
+                    row_number() OVER (PARTITION BY a.a_id ORDER BY
+                      ${sqlCosineCols("e.v", "a.a_v")} DESC, e.vec_id)
+                      AS rn
+                  FROM e JOIN a ON e.label = a.a_label
+                    AND e.vec_id <> a.a_id)
+                WHERE rn = 1),
+              neg AS (
+                SELECT a_id, vec_id AS neg_id, label AS neg_label FROM (
+                  SELECT a.a_id, e.vec_id, e.label,
+                    row_number() OVER (PARTITION BY a.a_id ORDER BY
+                      md5(CAST(a.a_id AS VARCHAR) || '_' ||
+                          CAST(e.vec_id AS VARCHAR)), e.vec_id) AS rn
+                  FROM e JOIN a ON e.label <> a.a_label)
+                WHERE rn = 1)
+              SELECT a.a_id, a.a_label, pos.pos_id, pos.pos_cos,
+                neg.neg_id, neg.neg_label
+              FROM a JOIN pos USING (a_id) JOIN neg USING (a_id)
+              ORDER BY a_id"""))
   )
 }

@@ -238,6 +238,56 @@ object TextOps {
                 FROM documents)
               WHERE word <> '' GROUP BY word ORDER BY word""")),
 
+    // ---- vocabulary head-coverage table -----------------------------------
+    // The tokenizer-design table: rank the word vocabulary by frequency
+    // and report, for the top-50 head, each type's cumulative corpus
+    // coverage in ppm — how much of the token stream the first k types
+    // explain (the curve that sizes a vocabulary and predicts OOV/
+    // fertility trade-offs; the head is where Zipf puts all the mass).
+    // Shapes: the corpus-sized work is q_wordcount's partial-aggregated
+    // type table; the top-50 cut is a TakeOrderedAndProject; the
+    // cumulative window then runs over FIFTY rows (config-bounded, not
+    // vocabulary-sized) against a 1-row broadcast total. Coverage is
+    // floor long division — exact on both engines.
+    Q("q_vocab_coverage",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = docs(s, d)
+          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // consumed twice: total + head
+        val tot = counts.agg(sum(col("cnt")).cast("long").as("total"))
+        val w = Window.orderBy(col("cnt").desc, col("word"))
+        counts.orderBy(col("cnt").desc, col("word")).limit(50)
+          .crossJoin(broadcast(tot))
+          .withColumn("rank", row_number().over(w))
+          .withColumn("cum_ppm", expr(
+            "sum(cnt) over (order by cnt desc, word " +
+              "rows between unbounded preceding and current row) " +
+              "* 1000000L div total"))
+          .select(col("rank"), col("word"), col("cnt"), col("cum_ppm"))
+          .orderBy("rank")
+      },
+      Some("""WITH c AS (
+                SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+                  SELECT unnest(string_split(lower(text), ' ')) AS word
+                  FROM documents)
+                WHERE word <> '' GROUP BY word),
+              t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+              head AS (
+                SELECT word, cnt FROM c
+                ORDER BY cnt DESC, word LIMIT 50)
+              SELECT
+                CAST(row_number() OVER (ORDER BY cnt DESC, word)
+                  AS INTEGER) AS rank,
+                word, cnt,
+                CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  * 1000000 // total AS BIGINT) AS cum_ppm
+              FROM head CROSS JOIN t
+              ORDER BY rank""")),
+
     // ---- grep (Q5/Q6: case-insensitive substring filter + project) -------
     Q("q_grep",
       (s, d) => docs(s, d)

@@ -434,6 +434,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_vocab_coverage cuts to the head before the cumulative window") {
+    // corpus-sized work is the partial-aggregated type table; the top-50
+    // cut is a TakeOrderedAndProject so the cumulative window runs over
+    // a config-bounded frame, never the vocabulary
+    // (the type table itself is behind a localCheckpoint boundary — its
+    // partial-aggregated shape is q_wordcount's, pinned above)
+    val p = plan("q_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"head cut is a full sort:\n$p")
+    assert(p.contains("partial_sum"), "total agg has no partial phase")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_triplet_sample: broadcast anchors, per-anchor aggregate arms") {
+    // both arms reduce the corpus scan per anchor with max_by/min_by
+    // aggregates (map-side partials) — no corpus-sized window sort, no
+    // cartesian; anchors reach the scans as broadcasts
+    val p = plan("q_triplet_sample")
+    assert(p.contains("partial_max_by") || p.contains("partial_min_by"),
+      s"triplet arms are not partial argmax aggregates:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), s"anchors not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_sample_hash scans only the projected columns") {
     val p = plan("q_sample_hash")
     // the md5 filter is compute-on-read (not parquet-pushable), but the
