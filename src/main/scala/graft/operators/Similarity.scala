@@ -864,6 +864,60 @@ object Similarity {
               ORDER BY c_cos DESC, c_id) = 1)"""
     }.mkString(",\n")
 
+  /** Parameterized hybrid retrieval over a QUERY BATCH — the API arm the
+    * q_hybrid_rrf row's fixed constants instantiate. `qTerms(q_id LONG,
+    * word)` carries each query's lexical terms, `qVecs(q_id LONG, q_v)`
+    * its embedding; per query, the lexical arm ranks the corpus by the
+    * oracle-verified batch BM25 ([[TextOps.bm25ScoresBatch]]), the vector
+    * arm by exact cosine against the broadcast query vectors, each arm
+    * cuts to its per-query top-`kArm`, and reciprocal-rank fusion
+    * (Cormack et al. 2009, k=60) keeps the per-query top-`kOut`.
+    *
+    * Shapes: BOTH arms are one corpus scan regardless of batch size (the
+    * query batch broadcasts; per-query ranks are windows PARTITIONED BY
+    * q_id, so adding queries adds partitions, not scans); the fusion
+    * joins two ≤ batch×kArm frames. `excludeSelf` drops the corpus vector
+    * whose vec_id equals q_id — the convention when queries ARE corpus
+    * members (this testdata, q_rank_eval). At 100 TB the vector arm swaps
+    * to the IVF probe and the lexical window to per-term impact-ordered
+    * posting cuts; the (q_id, doc_id, r_lex, r_vec, rrf) contract holds.
+    *
+    * Exact cross-engine for ≤ 2-term queries (see bm25ScoresBatch) with
+    * the same one-expression-tree rrf as the fixed row. */
+  def retrieveBatch(s: SparkSession, d: String, qTerms: DataFrame,
+      qVecs: DataFrame, kArm: Int, kOut: Int,
+      excludeSelf: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lexW = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = TextOps.bm25ScoresBatch(s, d, qTerms)
+      .withColumn("r_lex", row_number().over(lexW))
+      .filter(col("r_lex") <= kArm)
+      .select(col("q_id"), col("doc_id"), col("r_lex"))
+    val e = embs(s, d).select(col("vec_id"), col("embedding"))
+    val vecW = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("doc_id"))
+    val cand = e.crossJoin(broadcast(qVecs))
+    val vec = (if (excludeSelf) cand.filter(col("vec_id") =!= col("q_id"))
+               else cand)
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        cosine(s, col("embedding"), col("q_v")).as("cos"))
+      .withColumn("r_vec", row_number().over(vecW))
+      .filter(col("r_vec") <= kArm)
+      .select(col("q_id"), col("doc_id"), col("r_vec"))
+    val outW = Window.partitionBy("q_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"), col("r_lex"), col("r_vec"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)),
+          6).as("rrf"))
+      .withColumn("rn", row_number().over(outW))
+      .filter(col("rn") <= kOut).drop("rn")
+      .orderBy(col("q_id"), col("rrf").desc, col("doc_id"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- per-label embedding statistics ----------------------------------
@@ -1930,6 +1984,65 @@ object Similarity {
               SELECT a.a_id, a.a_label, pos.pos_id, pos.pos_cos,
                 neg.neg_id, neg.neg_label
               FROM a JOIN pos USING (a_id) JOIN neg USING (a_id)
-              ORDER BY a_id"""))
+              ORDER BY a_id""")),
+
+    // ---- batch-parameterized hybrid retrieval -----------------------------
+    // The q_hybrid_rrf kernels behind a query-batch API ([[retrieveBatch]]):
+    // three queries — each a 2-term lexical query plus a corpus query
+    // vector — retrieved in ONE pass (one corpus scan per arm for the
+    // whole batch, per-query rank windows, per-query top-10 fusion). The
+    // batch here is a row-local constant so the row stays oracle-self-
+    // contained; the kernel takes any (q_id, word) / (q_id, q_v) frames.
+    Q("q_hybrid_rrf_batch",
+      (s, d) => {
+        import s.implicits._
+        val qTerms = Seq(
+          (0L, "spark"), (0L, "data"), (1L, "the"), (1L, "of"),
+          (2L, "merge"), (2L, "sort")).toDF("q_id", "word")
+        val qVecs = embs(s, d).filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+        retrieveBatch(s, d, qTerms, qVecs, kArm = 50, kOut = 10,
+          excludeSelf = true)
+      },
+      Some(s"""WITH qt AS (
+                SELECT CAST(q_id AS BIGINT) AS q_id, word
+                FROM (VALUES (0, 'spark'), (0, 'data'), (1, 'the'),
+                  (1, 'of'), (2, 'merge'), (2, 'sort')) t(q_id, word)),
+              ${TextOps.sqlBm25BatchCtes},
+              lex AS (
+                SELECT q_id, doc_id,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, doc_id) AS INTEGER) AS r_lex
+                FROM lexs
+                QUALIFY row_number() OVER (PARTITION BY q_id
+                  ORDER BY score DESC, doc_id) <= 50),
+              e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+              qv AS (SELECT vec_id AS q_id, v AS q_v FROM e
+                     WHERE vec_id < 3),
+              vcand AS (
+                SELECT qv.q_id, e.vec_id AS doc_id,
+                  ${sqlCosineCols("e.v", "qv.q_v")} AS cos
+                FROM e, qv WHERE e.vec_id <> qv.q_id),
+              vec AS (
+                SELECT q_id, doc_id,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, doc_id) AS INTEGER) AS r_vec
+                FROM vcand
+                QUALIFY row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, doc_id) <= 50),
+              fused AS (
+                SELECT COALESCE(lex.q_id, vec.q_id) AS q_id,
+                  COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+                  r_lex, r_vec,
+                  ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + r_lex), 0.0) +
+                        COALESCE(CAST(1 AS DOUBLE) / (60 + r_vec), 0.0), 6)
+                    AS rrf
+                FROM lex FULL OUTER JOIN vec
+                  ON lex.q_id = vec.q_id AND lex.doc_id = vec.doc_id)
+              SELECT q_id, doc_id, r_lex, r_vec, rrf FROM fused
+              QUALIFY row_number() OVER (PARTITION BY q_id
+                ORDER BY rrf DESC, doc_id) <= 10
+              ORDER BY q_id, rrf DESC, doc_id"""))
   )
 }

@@ -149,6 +149,87 @@ object TextOps {
           COUNT(*) AS n_terms_hit
         FROM scored GROUP BY doc_id)"""
 
+  /** Batch-parameterized BM25 — [[bm25Scores]] generalized from the fixed
+    * {spark, data} query to an arbitrary QUERY BATCH `qTerms(q_id LONG,
+    * word STRING)`: per (query, document), the Okapi score (k1=1.2,
+    * b=0.75, +1 idf smoothing) summed over that query's terms, with the
+    * SAME expression tree term-for-term as the oracle-verified fixed
+    * scorer. Returns (q_id, doc_id, score).
+    *
+    * Scale shape: the corpus is scanned ONCE for the union of all
+    * queries' terms — dl/avgdl are query-independent, tf filters the
+    * token stream through a broadcast of the distinct term set, df is
+    * per-word corpus df (query-independent, so shared across queries that
+    * repeat a term) — and the (q_id, word) fan-out joins the tf table
+    * against the broadcast query batch, so work scales with
+    * (matched postings × queries-per-term), never corpus × queries.
+    *
+    * Exactness: per-(q_id, doc_id) the score sums ≤ 2 doubles for the
+    * 2-term queries used by the oracle rows — IEEE addition is
+    * commutative, so the sum is shuffle-order-proof; queries with ≥ 3
+    * terms would need the Arith round-6/decimal-sum discipline. */
+  private[operators] def bm25ScoresBatch(s: SparkSession, d: String,
+      qTerms: DataFrame): DataFrame = {
+    val toks = docs(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val dl = toks.groupBy("doc_id")
+      .agg(count(lit(1)).cast("double").as("dl"))
+    val stats = dl.agg(
+      avg(col("dl")).as("avgdl"),
+      count(lit(1)).cast("double").as("n_docs"))
+    val words = qTerms.select(col("word")).distinct()
+    val tf = toks.join(broadcast(words), "word")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("word")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(dfc), "word")
+      .join(broadcast(qTerms), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+          (col("df") + 0.5)))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * 2.2) /
+          (col("tf") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum(col("term_score")), 6).as("score"))
+  }
+
+  /** DuckDB CTE chain ending in `lexs(q_id, doc_id, score)` — the oracle
+    * twin of [[bm25ScoresBatch]] against the query batch held in a CTE
+    * named `qt(q_id BIGINT, word)` that the caller prepends. */
+  private[operators] val sqlBm25BatchCtes: String =
+    """btoks AS (
+        SELECT doc_id, word FROM (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+          FROM documents)
+        WHERE word <> ''),
+      bdl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM btoks
+              GROUP BY doc_id),
+      bstats AS (SELECT avg(dl) AS avgdl, COUNT(*)::DOUBLE AS n_docs
+                 FROM bdl),
+      btf AS (SELECT doc_id, word, COUNT(*) AS tf FROM btoks
+              WHERE word IN (SELECT word FROM qt) GROUP BY doc_id, word),
+      bdfc AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM btf
+               GROUP BY word),
+      bscored AS (
+        SELECT qt.q_id, btf.doc_id,
+          ln(1.0 + (bstats.n_docs - bdfc.df + 0.5) / (bdfc.df + 0.5)) *
+            (btf.tf * 2.2) /
+            (btf.tf + 1.2 * (0.25 + 0.75 * bdl.dl / bstats.avgdl))
+            AS term_score
+        FROM btf JOIN bdfc ON btf.word = bdfc.word
+        JOIN qt ON btf.word = qt.word
+        JOIN bdl ON btf.doc_id = bdl.doc_id
+        CROSS JOIN bstats),
+      lexs AS (
+        SELECT q_id, doc_id, ROUND(SUM(term_score), 6) AS score
+        FROM bscored GROUP BY q_id, doc_id)"""
+
   /** Overlapping token-window chunking of `(doc_id, text)` rows: windows
     * of `window` tokens starting every `stride` tokens (stride < window ⇒
     * `window − stride` tokens of overlap). Chunk count is the closed form

@@ -381,6 +381,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_hybrid_rrf_batch: broadcast query batch, per-query rank windows") {
+    // the batch kernel replaces the fixed row's global top-K with windows
+    // PARTITIONED BY q_id — adding queries adds partitions, never scans —
+    // and the whole query batch (terms + vectors) reaches the corpus
+    // scans as broadcasts; nothing all-pairs appears, and the BM25
+    // reductions keep their map-side partial phase
+    val p = plan("q_hybrid_rrf_batch")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"query batch not broadcast:\n$p")
+    assert(p.contains("Window"), s"no per-query rank window:\n$p")
+    assert(p.contains("partial_"), "BM25 reduction has no partial phase")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_rank_eval broadcasts the query set and partial-aggregates") {
     // the corpus meets the 10-query set as a broadcast (one scan, no
     // shuffle of the corpus for candidate generation); the per-query

@@ -79,4 +79,27 @@ class SimilaritySpec extends AnyFunSuite {
       assert(got == want, s"mismatch at blocks=$blocks")
     }
   }
+
+  test("retrieveBatch on the fixed row's query reproduces q_hybrid_rrf") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // the fixed row = retrieveBatch instantiated at ONE query: terms
+    // {spark, data}, query vector = corpus vec 0, kArm=50, kOut=15.
+    // Same (doc_id, r_lex, r_vec, rrf) rows in the same order proves the
+    // batch kernel and the oracle-verified constant row cannot drift.
+    val want = SparkEntry.queries("q_hybrid_rrf")(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.getDouble(3)))
+      .toSeq
+    assert(want.nonEmpty)
+    val qTerms = Seq((0L, "spark"), (0L, "data")).toDF("q_id", "word")
+    val qVecs = Tables(s, sfDir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+    val got = Similarity.retrieveBatch(s, sfDir, qTerms, qVecs,
+        kArm = 50, kOut = 15, excludeSelf = true)
+      .select("doc_id", "r_lex", "r_vec", "rrf")
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.getDouble(3)))
+      .toSeq
+    assert(got == want)
+  }
 }
