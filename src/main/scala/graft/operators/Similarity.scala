@@ -918,6 +918,47 @@ object Similarity {
       .orderBy(col("q_id"), col("rrf").desc, col("doc_id"))
   }
 
+  /** Contrastive-triplet kernel shared by q_triplet_sample (negWhere =
+    * None: negatives drawn from the whole corpus) and q_triplet_stratum
+    * (negWhere = a hash-stratum predicate: negatives drawn from a fixed
+    * 1/8 slice of the corpus — the pre-slice a 100 TB run does so the
+    * different-label join touches a bounded candidate set instead of
+    * every row). Per 20-anchor batch: positive = hardest same-label
+    * confirmation (max cosine, ties to lower id), negative = the
+    * hash-priority draw (min md5(anchor‖vec)) over the (possibly
+    * stratum-restricted) different-label candidates. Both arms are ONE
+    * candidate scan reduced per anchor by max_by/min_by partials; the
+    * per-anchor-aggregate contract is identical on both arms, so the
+    * stratum changes WHICH rows are scanned, never the plan shape. */
+  private def tripletFrame(s: SparkSession, d: String,
+      negWhere: Option[Column]): DataFrame = {
+    val e = dropZeroNorm(s, embs(s, d)
+      .select(col("vec_id"), col("embedding"), col("label")))
+    val a = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_v"),
+        col("label").as("a_label"))
+    val pos = e.join(broadcast(a),
+        col("label") === col("a_label") &&
+          col("vec_id") =!= col("a_id"))
+      .withColumn("cos", cosine(s, col("embedding"), col("a_v")))
+      .groupBy("a_id")
+      .agg(max_by(col("vec_id"),
+          struct(col("cos"), (-col("vec_id")).as("nid"))).as("pos_id"),
+        max(col("cos")).as("pos_cos"))
+    val negCand = negWhere.map(e.filter).getOrElse(e)
+    val neg = negCand.join(broadcast(a), col("label") =!= col("a_label"))
+      .withColumn("h",
+        md5(concat_ws("_", col("a_id"), col("vec_id"))))
+      .groupBy("a_id")
+      .agg(min_by(col("vec_id"),
+          struct(col("h"), col("vec_id"))).as("neg_id"),
+        min_by(col("label"),
+          struct(col("h"), col("vec_id"))).as("neg_label"))
+    a.select(col("a_id"), col("a_label"))
+      .join(pos, "a_id").join(neg, "a_id")
+      .orderBy("a_id")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- per-label embedding statistics ----------------------------------
@@ -1932,32 +1973,7 @@ object Similarity {
     // candidates and the negative arm to any hash-stratified slice; both
     // keep the per-anchor-aggregate contract.
     Q("q_triplet_sample",
-      (s, d) => {
-        val e = dropZeroNorm(s, embs(s, d)
-          .select(col("vec_id"), col("embedding"), col("label")))
-        val a = e.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("a_id"), col("embedding").as("a_v"),
-            col("label").as("a_label"))
-        val pos = e.join(broadcast(a),
-            col("label") === col("a_label") &&
-              col("vec_id") =!= col("a_id"))
-          .withColumn("cos", cosine(s, col("embedding"), col("a_v")))
-          .groupBy("a_id")
-          .agg(max_by(col("vec_id"),
-              struct(col("cos"), (-col("vec_id")).as("nid"))).as("pos_id"),
-            max(col("cos")).as("pos_cos"))
-        val neg = e.join(broadcast(a), col("label") =!= col("a_label"))
-          .withColumn("h",
-            md5(concat_ws("_", col("a_id"), col("vec_id"))))
-          .groupBy("a_id")
-          .agg(min_by(col("vec_id"),
-              struct(col("h"), col("vec_id"))).as("neg_id"),
-            min_by(col("label"),
-              struct(col("h"), col("vec_id"))).as("neg_label"))
-        a.select(col("a_id"), col("a_label"))
-          .join(pos, "a_id").join(neg, "a_id")
-          .orderBy("a_id")
-      },
+      (s, d) => tripletFrame(s, d, negWhere = None),
       Some(s"""WITH e AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v, label
                 FROM embeddings WHERE $sqlZeroNormWhere),
@@ -1980,6 +1996,50 @@ object Similarity {
                       md5(CAST(a.a_id AS VARCHAR) || '_' ||
                           CAST(e.vec_id AS VARCHAR)), e.vec_id) AS rn
                   FROM e JOIN a ON e.label <> a.a_label)
+                WHERE rn = 1)
+              SELECT a.a_id, a.a_label, pos.pos_id, pos.pos_cos,
+                neg.neg_id, neg.neg_label
+              FROM a JOIN pos USING (a_id) JOIN neg USING (a_id)
+              ORDER BY a_id""")),
+
+    // ---- triplet sampling, stratum-restricted negatives -------------------
+    // The scale arm the q_triplet_sample scaladoc promised (the advisor's
+    // negStratum note): negatives are drawn from a FIXED hash stratum —
+    // first hex digit of md5(vec_id) in {0, 1}, a deterministic 1/8 slice
+    // both engines compute identically — so at 100 TB the different-label
+    // join scans ~12.5% of the corpus instead of all of it, trading
+    // negative-pool coverage for bounded candidate IO (the mirror of
+    // q_sample_weighted_cfg's config-arm pattern). Positives are
+    // unchanged; the draw stays the hash-priority min within the slice,
+    // reproducible across runs and cluster sizes.
+    Q("q_triplet_stratum",
+      (s, d) => tripletFrame(s, d, negWhere = Some(
+        substring(md5(col("vec_id").cast("string")), 1, 1)
+          .isin("0", "1"))),
+      Some(s"""WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v, label
+                FROM embeddings WHERE $sqlZeroNormWhere),
+              a AS (SELECT vec_id AS a_id, v AS a_v, label AS a_label
+                    FROM e WHERE vec_id < 20),
+              pos AS (
+                SELECT a_id, vec_id AS pos_id, cos AS pos_cos FROM (
+                  SELECT a.a_id, e.vec_id,
+                    ${sqlCosineCols("e.v", "a.a_v")} AS cos,
+                    row_number() OVER (PARTITION BY a.a_id ORDER BY
+                      ${sqlCosineCols("e.v", "a.a_v")} DESC, e.vec_id)
+                      AS rn
+                  FROM e JOIN a ON e.label = a.a_label
+                    AND e.vec_id <> a.a_id)
+                WHERE rn = 1),
+              neg AS (
+                SELECT a_id, vec_id AS neg_id, label AS neg_label FROM (
+                  SELECT a.a_id, e.vec_id, e.label,
+                    row_number() OVER (PARTITION BY a.a_id ORDER BY
+                      md5(CAST(a.a_id AS VARCHAR) || '_' ||
+                          CAST(e.vec_id AS VARCHAR)), e.vec_id) AS rn
+                  FROM e JOIN a ON e.label <> a.a_label
+                  WHERE substring(md5(CAST(e.vec_id AS VARCHAR)), 1, 1)
+                    IN ('0', '1'))
                 WHERE rn = 1)
               SELECT a.a_id, a.a_label, pos.pos_id, pos.pos_cos,
                 neg.neg_id, neg.neg_label

@@ -464,13 +464,25 @@ class PlanSpec extends AnyFunSuite {
   test("q_triplet_sample: broadcast anchors, per-anchor aggregate arms") {
     // both arms reduce the corpus scan per anchor with max_by/min_by
     // aggregates (map-side partials) — no corpus-sized window sort, no
-    // cartesian; anchors reach the scans as broadcasts
-    val p = plan("q_triplet_sample")
-    assert(p.contains("partial_max_by") || p.contains("partial_min_by"),
-      s"triplet arms are not partial argmax aggregates:\n$p")
-    assert(p.contains("BroadcastHashJoin") ||
-      p.contains("BroadcastNestedLoopJoin"), s"anchors not broadcast:\n$p")
-    assert(!p.contains("CartesianProduct"), p)
+    // cartesian; anchors reach the scans as broadcasts. The stratum arm
+    // must keep the identical shape (it only restricts the negative
+    // candidate scan) AND evaluate the hash-stratum predicate as a scan
+    // filter BEFORE the join, not after.
+    for (q <- Seq("q_triplet_sample", "q_triplet_stratum")) {
+      val p = plan(q)
+      assert(p.contains("partial_max_by") || p.contains("partial_min_by"),
+        s"$q arms are not partial argmax aggregates:\n$p")
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"), s"$q anchors not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+    // the stratum predicate must run as a Filter on the candidate scan
+    // (below the join in the printed tree), not as a join condition —
+    // that's what bounds the scanned candidate set at scale
+    val p = plan("q_triplet_stratum")
+    val filterLine = p.linesIterator
+      .find(l => l.contains("Filter") && l.contains("substring(md5("))
+    assert(filterLine.nonEmpty, s"stratum predicate is not a scan filter:\n$p")
   }
 
   test("q_sample_hash scans only the projected columns") {
