@@ -118,6 +118,71 @@ object Joins {
       .drop("__side", "__payload")
   }
 
+  /** Nearest as-of join: for each left row, the single right row with the
+    * same key whose time is CLOSEST to the left time within `toleranceUs`
+    * microseconds of it — the bidirectional completion of [[asof]] (sensor
+    * fusion, click↔purchase attribution, nearest-quote fills).
+    *
+    * Semantics: the backward candidate is the LATEST right row with
+    * time ≤ t (ties on time → max tiebreak), the forward candidate the
+    * EARLIEST with time ≥ t (ties → min tiebreak); the match is whichever
+    * lies closer, ties at equal distance to the backward side, and null
+    * when neither candidate is within tolerance.
+    *
+    * Shape: both sides union once and shuffle ONCE on `key`; the backward
+    * arm is [[asof]]'s carry-forward window, the forward arm the mirrored
+    * carry-backward window over the same partitioning (Spark reuses the
+    * exchange; each window adds only a sort). Nothing joins all-pairs, so
+    * tolerance does not affect cost — the canonical distributed nearest,
+    * same scale story as the as-of.
+    *
+    * `time` must be a TimestampType column; distances are computed in
+    * exact microsecond longs (`unix_micros`), so candidate choice never
+    * touches a float.
+    */
+  def asofNearest(
+      left: DataFrame, right: DataFrame,
+      key: String, time: String, tiebreak: String,
+      rightPayload: Seq[String],
+      toleranceUs: Long): DataFrame = {
+    val payloadCols = (Seq(time, tiebreak) ++ rightPayload).distinct
+    val payloadType = right.select(payloadCols.map(col): _*).schema
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(payloadType))
+    val r = right
+      .withColumn("__side", lit(0))
+      .withColumn("__payload", struct(payloadCols.map(col): _*))
+      .select(col(key), col(time), col(tiebreak), col("__side"),
+        col("__payload"))
+    val all = l.unionByName(r, allowMissingColumns = true)
+    // backward: right rows at tied time sort BEFORE left (side 0 < 1), so
+    // the ≤ −1 frame sees them; last() = max (time, tiebreak) right ≤ t
+    val wb = Window.partitionBy(col(key))
+      .orderBy(col(time), col("__side"), col(tiebreak))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // forward: right rows at tied time sort AFTER left (−side: 1 first),
+    // so the ≥ +1 frame sees them; first() = min (time, tiebreak) right ≥ t
+    val wf = Window.partitionBy(col(key))
+      .orderBy(col(time), -col("__side"), col(tiebreak))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val rp = when(col("__side") === 0, col("__payload"))
+    val lt = unix_micros(col(time))
+    val bOk = col("__b").isNotNull &&
+      lt - unix_micros(col("__b")(time)) <= toleranceUs
+    val fOk = col("__f").isNotNull &&
+      unix_micros(col("__f")(time)) - lt <= toleranceUs
+    all
+      .withColumn("__b", last(rp, ignoreNulls = true).over(wb))
+      .withColumn("__f", first(rp, ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+      .withColumn("__match",
+        when(bOk && (!fOk ||
+            lt - unix_micros(col("__b")(time)) <=
+              unix_micros(col("__f")(time)) - lt), col("__b"))
+          .when(fOk, col("__f")))
+      .drop("__side", "__payload", "__b", "__f")
+  }
+
   /** Bucketed interval join: pair each point with every interval that
     * contains it, planned as an EQUI-join.
     *
@@ -296,6 +361,58 @@ object Joins {
                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                 AS prev_event_id
               FROM events ORDER BY user_id, event_id""")),
+
+    // ---- nearest as-of join ----------------------------------------------
+    // Click→purchase attribution: for each click, the SAME USER's
+    // purchase closest in time within ±24 h, whichever side it falls on
+    // (ties to the earlier purchase). Exercises the bidirectional
+    // [[asofNearest]] kernel on two genuinely distinct inputs; the
+    // oracle is the brute-force per-pair argmin (fine at oracle scale),
+    // while the engine path is the single-shuffle two-window form whose
+    // cost is tolerance-independent. delta_us is the SIGNED purchase−click
+    // distance in exact microseconds (negative = attributed backward).
+    Q("q_join_asof_nearest",
+      (s, d) => {
+        val e = Tables(s, d, "events")
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        asofNearest(
+          left = clicks, right = purchases,
+          key = "user_id", time = "ts", tiebreak = "event_id",
+          rightPayload = Seq("event_id"),
+          toleranceUs = 24L * 3600 * 1000000)
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("__match.event_id").as("purchase_id"),
+            (unix_micros(col("__match.ts")) - unix_micros(col("ts")))
+              .as("delta_us"))
+          .orderBy("user_id", "click_id")
+      },
+      Some("""WITH l AS (
+                SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS lt,
+                  event_id FROM events WHERE event_type = 'click'),
+              r AS (
+                SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS rt,
+                  event_id FROM events WHERE event_type = 'purchase'),
+              c AS (
+                SELECT l.user_id, l.event_id AS click_id, l.lt,
+                  r.event_id AS purchase_id, r.rt
+                FROM l JOIN r ON l.user_id = r.user_id
+                WHERE abs(r.rt - l.lt) <= 86400000000),
+              pick AS (
+                SELECT user_id, click_id, purchase_id, rt - lt AS delta_us,
+                  row_number() OVER (PARTITION BY click_id ORDER BY
+                    abs(rt - lt),
+                    CASE WHEN rt <= lt THEN 0 ELSE 1 END,
+                    CASE WHEN rt <= lt THEN -purchase_id
+                         ELSE purchase_id END) AS rn
+                FROM c)
+              SELECT l.user_id, l.event_id AS click_id,
+                pick.purchase_id, pick.delta_us
+              FROM l LEFT JOIN pick
+                ON pick.click_id = l.event_id AND pick.rn = 1
+              ORDER BY l.user_id, click_id""")),
 
     // ---- bloom-filter runtime pre-filter join ----------------------------
     // The runtime-filter shape a 100 TB semi-join wants: build a Bloom

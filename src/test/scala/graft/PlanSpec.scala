@@ -381,6 +381,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_join_asof_nearest: one key shuffle feeds both direction windows") {
+    // the union shuffles ONCE on user_id; the backward and forward
+    // windows both consume that exchange (each adds only a sort), and
+    // nothing joins all-pairs — the property that makes nearest-match
+    // cost independent of tolerance at 100 TB
+    val p = plan("q_join_asof_nearest")
+    val keyShuffles = "hashpartitioning\\(user_id".r
+      .findAllIn(p).size
+    assert(keyShuffles == 1, s"expected exactly 1 key shuffle, got $keyShuffles:\n$p")
+    assert("\\bWindow\\b".r.findAllIn(p).size >= 2, s"missing a direction window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"all-pairs join appeared:\n$p")
+  }
+
   test("q_hybrid_rrf_batch: broadcast query batch, per-query rank windows") {
     // the batch kernel replaces the fixed row's global top-K with windows
     // PARTITIONED BY q_id — adding queries adds partitions, never scans —
