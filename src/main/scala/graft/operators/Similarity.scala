@@ -959,6 +959,47 @@ object Similarity {
       .orderBy("a_id")
   }
 
+  /** Greedy MMR selection over a candidate frame `(doc_id, embedding,
+    * rel)` — the kernel behind q_mmr_rerank: `k` driver-composed rounds,
+    * each keeping the argmax of round-6(λ·rel − μ·max_sim(selected))
+    * with ties to the lower doc_id (round 1: max_sim ≡ 0.0, so the pick
+    * is the most relevant candidate). μ is an EXPLICIT parameter, not
+    * computed as 1−λ: IEEE 1.0−0.7 is 0.30000000000000004, which would
+    * silently diverge from an oracle's literal 0.3 — the caller passes
+    * the exact decimal both engines parse. The candidate frame is
+    * expected to be config-bounded (a top-K cut); every round
+    * localCheckpoints so the composed plan stays flat in k. Returns
+    * (rank, doc_id, rel, max_sim, mmr) in selection order. */
+  def mmrSelect(s: SparkSession, candidates: DataFrame, lambda: Double,
+      mu: Double, k: Int): DataFrame = {
+    val cand = candidates.localCheckpoint()
+    var selected: DataFrame = null
+    for (i <- 1 to k) {
+      val remaining =
+        if (i == 1) cand
+        else cand.join(selected.select(col("doc_id").as("s_id")),
+          col("doc_id") === col("s_id"), "left_anti")
+      val scored =
+        if (i == 1) remaining.withColumn("max_sim", lit(0.0))
+        else remaining.crossJoin(broadcast(
+            selected.select(col("embedding").as("s_v"))))
+          .withColumn("sim", cosine(s, col("embedding"), col("s_v")))
+          .groupBy("doc_id").agg(max(col("sim")).as("max_sim"))
+          .join(remaining, "doc_id")
+      val pick = scored
+        .withColumn("mmr", round(
+          lit(lambda) * col("rel") - lit(mu) * col("max_sim"), 6))
+        .orderBy(col("mmr").desc, col("doc_id")).limit(1)
+        .select(lit(i).as("rank"), col("doc_id"), col("embedding"),
+          col("rel"), col("max_sim"), col("mmr"))
+      selected =
+        (if (i == 1) pick else selected.unionByName(pick))
+          .localCheckpoint()
+    }
+    selected.select(col("rank"), col("doc_id"), col("rel"),
+      col("max_sim"), col("mmr")).orderBy("rank")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- per-label embedding statistics ----------------------------------
@@ -2103,6 +2144,66 @@ object Similarity {
               SELECT q_id, doc_id, r_lex, r_vec, rrf FROM fused
               QUALIFY row_number() OVER (PARTITION BY q_id
                 ORDER BY rrf DESC, doc_id) <= 10
-              ORDER BY q_id, rrf DESC, doc_id"""))
+              ORDER BY q_id, rrf DESC, doc_id""")),
+
+    // ---- MMR diversity rerank --------------------------------------------
+    // Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98): from
+    // the query's top-15 cosine candidates, greedily keep 5 maximizing
+    // mmr = 0.7·rel − 0.3·max_sim(selected) — the rerank that stops a
+    // retrieval page (or a RAG context window) from filling with 5 copies
+    // of the same near-duplicate passage. Greedy is inherently
+    // sequential, so the loop runs as 5 driver-composed rounds over the
+    // CONFIG-BOUNDED candidate frame (15 rows, localCheckpointed — the
+    // corpus-scale work is only the candidate arm's TakeOrdered scan; at
+    // 100 TB that arm swaps to the IVF probe and the loop cost is
+    // unchanged). Exact cross-engine: rel and pairwise sims are round-6
+    // cosines, each round's mmr is ONE IEEE expression over them, and
+    // every argmax ties to the lower doc_id.
+    Q("q_mmr_rerank",
+      (s, d) => {
+        val e = dropZeroNorm(s,
+          embs(s, d).select(col("vec_id"), col("embedding")))
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_v"))
+        val cand = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"), col("embedding"),
+            cosine(s, col("embedding"), col("q_v")).as("rel"))
+          .orderBy(col("rel").desc, col("doc_id")).limit(15)
+        mmrSelect(s, cand, lambda = 0.7, mu = 0.3, k = 5)
+      },
+      Some {
+        val rounds = (2 to 5).map { k =>
+          s"""p$k AS (
+               SELECT c.doc_id, c.v, c.rel,
+                 MAX(${sqlCosineCols("c.v", "s.v")}) AS max_sim
+               FROM cand c, sel${k - 1} s
+               WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${k - 1})
+               GROUP BY c.doc_id, c.v, c.rel),
+             s$k AS (
+               SELECT CAST($k AS INTEGER) AS rank, doc_id, v, rel,
+                 max_sim, ROUND(0.7 * rel - 0.3 * max_sim, 6) AS mmr
+               FROM p$k ORDER BY mmr DESC, doc_id LIMIT 1),
+             sel$k AS (SELECT * FROM sel${k - 1}
+                       UNION ALL SELECT * FROM s$k)"""
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE $sqlZeroNormWhere),
+            qv AS (SELECT v AS q_v FROM e WHERE vec_id = 0),
+            cand AS (
+              SELECT e.vec_id AS doc_id, e.v,
+                ${sqlCosineCols("e.v", "qv.q_v")} AS rel
+              FROM e, qv WHERE e.vec_id <> 0
+              ORDER BY rel DESC, doc_id LIMIT 15),
+            s1 AS (
+              SELECT CAST(1 AS INTEGER) AS rank, doc_id, v, rel,
+                CAST(0.0 AS DOUBLE) AS max_sim,
+                ROUND(0.7 * rel - 0.3 * 0.0, 6) AS mmr
+              FROM cand ORDER BY mmr DESC, doc_id LIMIT 1),
+            sel1 AS (SELECT * FROM s1),
+            $rounds
+            SELECT rank, doc_id, rel, max_sim, mmr FROM sel5
+            ORDER BY rank"""
+      })
   )
 }

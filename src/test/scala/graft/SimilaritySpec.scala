@@ -102,4 +102,29 @@ class SimilaritySpec extends AnyFunSuite {
       .toSeq
     assert(got == want)
   }
+
+  test("mmrSelect skips near-duplicates that plain top-k would keep") {
+    val s = spark
+    import s.implicits._
+    // candidates: three near-identical high-relevance vectors (1,2,3 —
+    // tiny angular jitter), one orthogonal-ish lower-relevance vector
+    // (4), one diagonal (5). Plain top-3 by rel = {1,2,3}; MMR must take
+    // ONE of the duplicate family first, then prefer the diverse 4 and 5
+    // over the remaining duplicates despite their higher rel.
+    val cand = Seq(
+      (1L, Array(1.00f, 0.00f, 0.0f), 0.99),
+      (2L, Array(0.99f, 0.02f, 0.0f), 0.98),
+      (3L, Array(0.98f, 0.01f, 0.0f), 0.97),
+      (4L, Array(0.00f, 1.00f, 0.0f), 0.60),
+      (5L, Array(0.10f, 0.10f, 1.0f), 0.50)
+    ).toDF("doc_id", "embedding", "rel")
+    val got = Similarity.mmrSelect(s, cand, lambda = 0.5, mu = 0.5, k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 4L, 5L),
+      s"MMR did not diversify: picked $got")
+    // rank-1 is always the argmax relevance (max_sim is 0 in round 1)
+    val first = Similarity.mmrSelect(s, cand, lambda = 0.9, mu = 0.1, k = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(first == Seq(1L))
+  }
 }
