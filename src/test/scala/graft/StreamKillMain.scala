@@ -26,11 +26,11 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   */
 object StreamKillMain {
 
-  private def session(): SparkSession = {
+  private def session(threads: Int): SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master(s"local[$threads]")
       .appName("stream-kill")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", threads.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -42,8 +42,24 @@ object StreamKillMain {
     s
   }
 
-  private def stageFeed(spark: SparkSession, src: String,
+  /** Blow the source events up ×copies (disjoint user/event id ranges per
+    * copy — the streamStress recipe) into `<work>/x<copies>/events.parquet`
+    * so the kill/resume pair runs against a corpus 100× past the unit
+    * test's, with nothing ever collected on the driver. */
+  private def buildCorpus(spark: SparkSession, src: String, copies: Int,
       work: String): Unit = {
+    val ev0 = Tables(spark, src, "events")
+    val uOff = ev0.agg(max("user_id")).head.getLong(0) + 1
+    val eOff = ev0.agg(max("event_id")).head.getLong(0) + 1
+    (0 until copies).map(k => ev0
+        .withColumn("user_id", col("user_id") + lit(k * uOff))
+        .withColumn("event_id", col("event_id") + lit(k * eOff)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$work/x$copies/events.parquet")
+  }
+
+  private def stageFeed(spark: SparkSession, src: String,
+      work: String, nChunks: Int): Unit = {
     import graft.streaming.Streams
     val evs = Tables(spark, src, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
@@ -51,7 +67,6 @@ object StreamKillMain {
     val mm = evs.agg(min("ts_us"), max("ts_us")).head
     val minUs = mm.getLong(0)
     val maxUs = mm.getLong(1)
-    val nChunks = 8
     val span = (maxUs - minUs) / nChunks + 1
     val stage = s"$work/feed_stage"
     evs.withColumn("chunk",
@@ -106,10 +121,17 @@ object StreamKillMain {
     val src = args(0)
     val work = args(1)
     val phase = args(2)
-    val spark = session()
+    // optional ×copies blow-up (StressMain mode=streamkill passes 100):
+    // same kill/resume machinery, corpus and chunk count scaled so the
+    // halt lands mid-drain of a 10M-event feed instead of a 1k one
+    val copies = if (args.length > 3) args(3).toInt else 1
+    val spark = session(threads = if (copies > 1) 8 else 4)
+    val srcDir = if (copies > 1) s"$work/x$copies" else src
+    val nChunks = if (copies > 1) 16 else 8
 
     if (phase == "kill") {
-      stageFeed(spark, src, work)
+      if (copies > 1) buildCorpus(spark, src, copies, work)
+      stageFeed(spark, srcDir, work, nChunks)
       // HALT, not stop: the listener thread pulls the plug after the
       // third completed micro-batch with the drain still in flight —
       // halt skips shutdown hooks, so neither sink nor state finalize
@@ -138,7 +160,7 @@ object StreamKillMain {
     val got: DataFrame = spark.read.parquet(s"$work/sessions")
       .select(col("user_id"), col("n_events"), col("start_us"),
         col("end_us"))
-    val want = SparkEntry.queries("q_sessionize")(spark, src)
+    val want = SparkEntry.queries("q_sessionize")(spark, srcDir)
       .select(col("user_id"), col("n_events"), col("start_us"),
         col("end_us"))
     val extra = got.exceptAll(want).count()

@@ -101,6 +101,29 @@ object StressMain {
     val copies = if (args.length > 1) args(1).toInt else 10
     val work = if (args.length > 2) args(2) else "/tmp/graft_stress"
     val mode = if (args.length > 3) args(3) else "full"
+    if (mode == "streamkill") {
+      // crash-grade exactly-once AT SCALE: the StreamingSpec hard-kill
+      // proof (Runtime.halt mid-drain, checkpoint resume, sink == batch
+      // twin) re-run against the ×copies corpus — both phases fork their
+      // own JVMs (the halt must not take this one down), so no session is
+      // built here. Composes the two previously-separate proofs the r11
+      // advisor noted weren't run together: clean-stop restart at ×100
+      // (mode=stream) and hard kill at unit scale.
+      val killed = ForkedJvm.run("graft.StreamKillMain", "12g",
+        Seq(src, work, "kill", copies.toString))
+      check(s"kill phase halted mid-drain at ×$copies (exit 42)",
+        killed == 42, s"kill phase exited $killed")
+      val resumed = ForkedJvm.run("graft.StreamKillMain", "12g",
+        Seq(src, work, "resume", copies.toString))
+      check(s"hard-kill resume exactly-once at ×$copies (sink == batch twin)",
+        resumed == 0, s"resume phase exited $resumed")
+      if (failures > 0) {
+        System.err.println(s"STRESS| $failures invariant(s) failed")
+        sys.exit(1)
+      }
+      println("STRESS| all invariants passed")
+      return
+    }
     val spark = Bench.benchSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
