@@ -1095,6 +1095,84 @@ object Dedup {
               FROM w JOIN c USING (wh)
               GROUP BY w.doc_id ORDER BY doc_id""")),
 
+    // ---- duplicated-span REMOVAL (the rewrite q_substring_dup reports) ----
+    // Lee et al.'s pass doesn't stop at measuring duplication — it CUTS
+    // the repeated spans and ships the cleaned corpus. This is that
+    // rewrite at window granularity: every token covered by any 10-token
+    // window appearing in ≥ 2 documents is dropped, and each doc emits
+    // its cleaned text (as md5 — the compare pins the exact surviving
+    // token sequence) plus kept counts. Shapes: the window→dup-count
+    // join shuffles 32-char hashes (q_substring_dup's rule); covered
+    // positions collapse per doc via collect_set with map-side partials
+    // (bounded by doc LENGTH, not corpus); the rebuild is ONE codegen'd
+    // indexed-filter projection over the original token array — the text
+    // column itself never shuffles anywhere. Zero-kept docs emit
+    // md5('') on both engines.
+    Q("q_dedup_span_cut",
+      (s, d) => {
+        val t = docs(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val w = t.filter(size(col("toks")) >= 10)
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), size(col("toks")) - 10),
+              i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(10))))))
+              .as(Seq("i", "wh")))
+        val dup = w.select(col("doc_id"), col("wh")).distinct()
+          .groupBy("wh").agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= 2)
+        val cov = w.join(dup, "wh")
+          .select(col("doc_id"),
+            explode(sequence(col("i"), col("i") + 9)).as("p"))
+          .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
+        t.join(cov, Seq("doc_id"), "left")
+          .withColumn("kept", filter(col("toks"),
+            (_, idx) => !coalesce(
+              array_contains(col("cov"), idx), lit(false))))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(col("kept")).cast("long").as("n_kept"),
+            round(size(col("kept")).cast("double") / size(col("toks")), 6)
+              .as("kept_fraction"),
+            md5(concat_ws(" ", col("kept"))).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents),
+              w AS (
+                SELECT doc_id, unnest(whs) AS wh,
+                  CAST(generate_subscripts(whs, 1) AS BIGINT) AS i
+                FROM (
+                  SELECT doc_id,
+                    [md5(array_to_string(toks[i:i+9], ' '))
+                     FOR i IN generate_series(1, len(toks) - 9)] AS whs
+                  FROM t WHERE len(toks) >= 10)),
+              dup AS (
+                SELECT wh FROM (SELECT DISTINCT doc_id, wh FROM w)
+                GROUP BY wh HAVING COUNT(*) >= 2),
+              cov AS (
+                SELECT DISTINCT doc_id, unnest(generate_series(i, i + 9)) AS p
+                FROM w JOIN dup USING (wh)),
+              tok AS (
+                SELECT doc_id, unnest(toks) AS tk,
+                  CAST(generate_subscripts(toks, 1) AS BIGINT) AS p
+                FROM t),
+              kept AS (
+                SELECT tok.doc_id, tok.tk, tok.p
+                FROM tok LEFT JOIN cov
+                  ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+                WHERE cov.p IS NULL)
+              SELECT t.doc_id,
+                CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                CAST(COUNT(kept.tk) AS BIGINT) AS n_kept,
+                ROUND(COUNT(kept.tk)::DOUBLE / len(t.toks), 6)
+                  AS kept_fraction,
+                md5(COALESCE(string_agg(kept.tk, ' ' ORDER BY kept.p), ''))
+                  AS clean_md5
+              FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+              GROUP BY t.doc_id, t.toks
+              ORDER BY t.doc_id""")),
+
     // ---- triangle count over the near-dup graph ---------------------------
     // Graph analytics on the dedup edge list: triangles (3-cliques of
     // mutually-similar docs) witness TRANSITIVE similarity — a cluster
