@@ -1254,6 +1254,62 @@ object TextOps {
     // when counts shift: that is inherent to any mixture TARGET (rates
     // depend on the mix); pin rates from a frozen census at 100 TB for
     // run-over-run stability.
+    // ---- domain-mixture token budgeting -----------------------------------
+    // The training-mixture TABLE (the per-domain allocation every LLM run
+    // pins before launch — XLM-R/LLaMA-style α-weighted shares): per
+    // (source, lang) domain, its token mass, its α=½ temperature weight
+    // in ppm, its allocation out of a 10M-token budget (config constant),
+    // and the implied epochs over the domain's own data in micro-units
+    // (alloc/size > 1 ⇒ the domain repeats; the oversampling signal). The
+    // numeric discipline is q_sample_temperature's sqrt-micro-floor recipe
+    // (correctly-rounded IEEE sqrt, exact long sums, integer `div` ratios
+    // promoted through DECIMAL(38,0) so the 10¹³-token corpus can't
+    // overflow the products). Plan: the corpus collapses to one
+    // #domains-row aggregate at the scan (map-side partials over
+    // (source, lang)); everything after is arithmetic on that tiny frame
+    // against a 1-row broadcast normalizer — zero data shuffles.
+    Q("q_domain_mix",
+      (s, d) => {
+        val dom = docs(s, d)
+          .select(col("source"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("tk"))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"))
+          .withColumn("s_micro",
+            floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+        val z = dom.agg(sum(col("s_micro")).as("z_micro"))
+        dom.crossJoin(broadcast(z))
+          .withColumn("weight_ppm", expr(
+            "(CAST(s_micro AS DECIMAL(38,0)) * 1000000) div z_micro"))
+          .withColumn("alloc_tokens", expr(
+            "(CAST(s_micro AS DECIMAL(38,0)) * 10000000) div z_micro"))
+          .withColumn("epochs_micro", expr(
+            "(CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000) div n_tokens"))
+          .select(col("source"), col("lang"), col("n_docs"),
+            col("n_tokens"), col("weight_ppm"), col("alloc_tokens"),
+            col("epochs_micro"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH dom AS (
+                SELECT source, lang, COUNT(*) AS n_docs,
+                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                    AS n_tokens
+                FROM documents GROUP BY source, lang),
+              sm AS (
+                SELECT *, CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS s_micro
+                FROM dom),
+              z AS (SELECT CAST(SUM(s_micro) AS BIGINT) AS z_micro FROM sm)
+              SELECT source, lang, n_docs, n_tokens,
+                CAST((s_micro::HUGEINT * 1000000) // z_micro AS BIGINT)
+                  AS weight_ppm,
+                CAST((s_micro::HUGEINT * 10000000) // z_micro AS BIGINT)
+                  AS alloc_tokens,
+                CAST(((s_micro::HUGEINT * 10000000) // z_micro * 1000000)
+                  // n_tokens AS BIGINT) AS epochs_micro
+              FROM sm, z
+              ORDER BY source, lang""")),
+
     Q("q_sample_temperature",
       (s, d) => {
         val counts = docs(s, d).groupBy("lang")

@@ -381,6 +381,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_dedup_span_cut: partial-agg cover sets, no all-pairs anywhere") {
+    // covered positions must collapse via map-side partial collect_set
+    // (bounded by doc length per key), the window-dup join is an
+    // equi-join on the hash, and nothing all-pairs appears — the text
+    // column itself only ever feeds codegen'd projections
+    val p = plan("q_dedup_span_cut")
+    assert(p.contains("partial_collect_set"),
+      s"cover set has no partial phase:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"all-pairs join appeared:\n$p")
+  }
+
+  test("q_domain_mix collapses the corpus at the scan") {
+    // the only corpus-sized work is one partial-aggregated (source, lang)
+    // rollup; the ppm/allocation arithmetic runs on the #domains-row
+    // frame against a broadcast 1-row normalizer
+    val p = plan("q_domain_mix")
+    assert(p.contains("partial_"), s"domain rollup has no partial phase:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_join_asof_nearest: one key shuffle feeds both direction windows") {
     // the union shuffles ONCE on user_id; the backward and forward
     // windows both consume that exchange (each adds only a sort), and
