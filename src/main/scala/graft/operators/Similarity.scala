@@ -1186,6 +1186,98 @@ object Similarity {
                 FROM cand)
               WHERE rk <= 3 ORDER BY q_id, rk""")),
 
+    // ---- IVF recall measurement ------------------------------------------
+    // The number that decides whether the indexed path may serve: per
+    // query, recall@10 of the probe-2 IVF arm against the exact
+    // brute-force top-10 (q_lsh_recall's discipline applied to the IVF
+    // index — both arms are the oracle-verified q_ann_topk/q_ann_ivf
+    // machineries, so the measurement itself cannot silently rot). Shapes:
+    // the exact arm is one broadcast-query corpus scan; the IVF arm scans
+    // only the probed buckets; the comparison joins two ≤ queries×10
+    // frames. n_hits/10.0 is one exact IEEE division. At 100 TB the exact
+    // arm restricts to a sampled query panel — recall is estimated, never
+    // computed corpus-wide, and the per-query contract is unchanged.
+    Q("q_ann_ivf_recall",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = dropZeroNorm(s,
+          embs(s, d).select(col("vec_id"), col("embedding")))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+        val wq = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id"))
+        val exact = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosine(s, col("embedding"), col("q_v")))
+          .withColumn("rk", row_number().over(wq))
+          .filter(col("rk") <= 10)
+          .select(col("q_id"), col("vec_id").as("nn_id"))
+        val bucketed = kmeansIterate(s, e, 8, 2)
+        val cents = centroidsOf(bucketed)
+        val cw = Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_cos").desc, col("c_id"))
+        val qp = e.filter(col("vec_id") < 10)
+          .crossJoin(broadcast(cents))
+          .withColumn("c_cos", cosine(s, col("embedding"), col("c_v")))
+          .withColumn("c_rk", row_number().over(cw))
+          .filter(col("c_rk") <= 2)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_v"),
+            col("c_id").as("bucket"))
+        val ivf = bucketed.join(qp, Seq("bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosine(s, col("embedding"), col("q_v")))
+          .withColumn("rk", row_number().over(wq))
+          .filter(col("rk") <= 10)
+          .select(col("q_id"), col("vec_id").as("nn_id"), lit(1).as("m"))
+        exact.join(ivf, Seq("q_id", "nn_id"), "left")
+          .groupBy("q_id")
+          .agg(count(col("m")).as("n_hits"))
+          .select(col("q_id"), col("n_hits"),
+            (col("n_hits") / lit(10.0)).as("recall_at_10"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH ${sqlIvfAssign(8, sqlZeroNormWhere)},
+              ${sqlKmeansRounds(2)},
+              ${sqlCentroids("a2", "p")},
+              qs AS (SELECT vec_id AS q_id, v AS q_v FROM e
+                     WHERE vec_id < 10),
+              exact AS (
+                SELECT q_id, nn_id FROM (
+                  SELECT q.q_id, e.vec_id AS nn_id,
+                    row_number() OVER (PARTITION BY q.q_id ORDER BY
+                      ${sqlCosineCols("e.v", "q.q_v")} DESC, e.vec_id)
+                      AS rk
+                  FROM e JOIN qs q ON e.vec_id <> q.q_id)
+                WHERE rk <= 10),
+              qc AS (
+                SELECT e.vec_id, e.v, c.c_id,
+                  ${sqlCosineCols("e.v", "c.c_v")} AS c_cos
+                FROM e, centsp c WHERE e.vec_id < 10),
+              qprobe AS (
+                SELECT vec_id AS q_id, v AS q_v, c_id AS bucket FROM qc
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                  ORDER BY c_cos DESC, c_id) <= 2),
+              cand AS (
+                SELECT q.q_id, a.vec_id AS nn_id,
+                  ${sqlCosineCols("a.v", "q.q_v")} AS cos
+                FROM qprobe q JOIN a2 a ON a.bucket = q.bucket
+                WHERE a.vec_id <> q.q_id),
+              ivf AS (
+                SELECT q_id, nn_id FROM (
+                  SELECT q_id, nn_id,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos DESC, nn_id) AS rk
+                  FROM cand)
+                WHERE rk <= 10)
+              SELECT exact.q_id,
+                CAST(COUNT(ivf.nn_id) AS BIGINT) AS n_hits,
+                CAST(COUNT(ivf.nn_id) AS BIGINT) / CAST(10.0 AS DOUBLE)
+                  AS recall_at_10
+              FROM exact LEFT JOIN ivf
+                ON exact.q_id = ivf.q_id AND exact.nn_id = ivf.nn_id
+              GROUP BY exact.q_id
+              ORDER BY exact.q_id""")),
+
     // ---- kNN-join (per-corpus-row top-k neighbors) ------------------------
     // The retrieval-index-build shape: for EVERY corpus row, its k nearest
     // neighbors — not a fixed query set (q_ann_topk/q_ann_ivf) and not a

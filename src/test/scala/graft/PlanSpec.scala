@@ -381,6 +381,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_ann_ivf_recall: broadcast query panel, bucket-equi-join IVF arm") {
+    // the exact arm meets the corpus as a broadcast query panel, the IVF
+    // arm as an equi-join on the probed bucket; the hit reduction
+    // partial-aggregates and nothing all-pairs appears
+    val p = plan("q_ann_ivf_recall")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"query panel not broadcast:\n$p")
+    assert(p.contains("partial_count"), "hit reduction has no partial phase")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_dedup_span_cut: partial-agg cover sets, no all-pairs anywhere") {
     // covered positions must collapse via map-side partial collect_set
     // (bounded by doc length per key), the window-dup join is an
