@@ -405,6 +405,31 @@ object Dedup {
 
   /** Verified near-dup pairs (a_id, b_id): LSH candidates filtered by exact
     * Jaccard ≥ 0.5 — the shared front half of both clustering rows. */
+  /** Synchronous label propagation over an undirected edge list
+    * `edges(a_id, b_id)` starting from `nodes(v)` with lbl = v: each of
+    * `rounds` rounds reassigns every node the mode of its neighbors'
+    * labels, ties to the SMALLEST label, isolated nodes keeping their
+    * own. The q_graph_lpa kernel, factored so GraphSpec can pin the
+    * tie/split semantics on planted graphs. Returns (v, lbl). */
+  private[graft] def lpaRounds(nodes: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    val adj = edges.select(col("a_id").as("v"), col("b_id").as("u"))
+      .unionByName(edges.select(col("b_id").as("v"), col("a_id").as("u")))
+    var lab = nodes.select(col("v"), col("v").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val mode = adj
+        .join(lab.select(col("v").as("u"), col("lbl").as("u_lbl")), "u")
+        .groupBy("v", "u_lbl").agg(count(lit(1)).as("c"))
+        .groupBy("v")
+        .agg(max_by(col("u_lbl"),
+          struct(col("c"), (-col("u_lbl")).as("neg"))).as("new_lbl"))
+      lab = lab.join(mode, Seq("v"), "left")
+        .select(col("v"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    lab
+  }
+
   private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(docs(s, d)).localCheckpoint()
     lshCandidates(minhashBands(s, sh))
@@ -1211,6 +1236,58 @@ object Dedup {
                  FROM p e1 JOIN p e2 ON e1.b_id = e2.a_id
                  JOIN p e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id)
                   AS n_triangles""")),
+
+    // ---- label-propagation communities over the near-dup graph ------------
+    // Synchronous LPA (Raghavan et al. 2007) as the third graph op on the
+    // dedup edge list (CC via star contraction = q_dedup_clusters_star;
+    // triangles = q_triangles): labels start as node ids, and each of 3
+    // driver-unrolled rounds reassigns every node the MODE of its
+    // neighbors' labels (ties → the smallest label; isolated nodes keep
+    // their own). On a near-dup graph LPA converges in ~cluster-diameter
+    // rounds, so 3 sync rounds label these small clusters exactly;
+    // communities ≠ components in general — LPA can split a weakly-joined
+    // chain where CC cannot, which is why both ops exist. Shapes: per
+    // round ONE shuffle of (node, neighbor-label) pairs bounded by the
+    // EDGE list (never n²), the mode an argmax aggregate with map-side
+    // partials, each round localCheckpointed so lineage stays flat. The
+    // oracle brute-forces the same pair set and unrolls the same 3
+    // rounds — the LSH-recall bet is q_triangles', edge for edge.
+    Q("q_graph_lpa",
+      (s, d) => {
+        val pairs = nearDupPairs(s, d).localCheckpoint()
+        lpaRounds(
+          nodes = docs(s, d).select(col("doc_id").as("v")),
+          edges = pairs, rounds = 3)
+          .select(col("v").as("doc_id"), col("lbl").as("community"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val rounds = (1 to 3).map { k =>
+          s"""n$k AS (
+               SELECT adj.v, l${k - 1}.lbl AS u_lbl, COUNT(*) AS c
+               FROM adj JOIN l${k - 1} ON adj.u = l${k - 1}.v
+               GROUP BY adj.v, l${k - 1}.lbl),
+             b$k AS (
+               SELECT v, u_lbl AS new_lbl FROM n$k
+               QUALIFY row_number() OVER (PARTITION BY v
+                 ORDER BY c DESC, u_lbl) = 1),
+             l$k AS (
+               SELECT l${k - 1}.v, COALESCE(b$k.new_lbl, l${k - 1}.lbl)
+                 AS lbl
+               FROM l${k - 1} LEFT JOIN b$k ON l${k - 1}.v = b$k.v)"""
+        }.mkString(",\n")
+        s"""WITH sh AS (${sqlShingled("documents")}),
+            p AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                    len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
+            adj AS (SELECT a_id AS v, b_id AS u FROM p
+                    UNION ALL SELECT b_id, a_id FROM p),
+            l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents),
+            $rounds
+            SELECT v AS doc_id, lbl AS community FROM l3 ORDER BY v"""
+      }),
 
     // ---- end-to-end corpus curation pipeline -------------------------------
     // The flagship COMPOSITION: the stage chain a training-corpus build

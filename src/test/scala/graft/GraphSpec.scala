@@ -42,4 +42,34 @@ class GraphSpec extends AnyFunSuite {
     // every rank is at least the teleport floor
     assert(once.forall(_.getAs[Double]("rank") >= 0.15))
   }
+
+  test("LPA: clique absorbs, bridge splits, ties go to the min label") {
+    val s = spark
+    import s.implicits._
+    // two triangles {1,2,3} and {10,11,12} joined by ONE bridge edge
+    // 3–10, plus isolated node 99. Labels converge within each triangle
+    // to its min id; the single bridge never outvotes a node's two
+    // in-triangle neighbors, so LPA keeps the communities SPLIT — the
+    // behavior that distinguishes it from connected components (which
+    // would merge everything into one).
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (3L, 10L)).toDF("a_id", "b_id")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("v")
+    val got = operators.Dedup.lpaRounds(nodes, edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-simulated sync fixed point after 3 rounds (the bridge seeds
+    // label 3 into node 10 in round 1, so the right community converges
+    // to 3 — still a DIFFERENT label from the left's 1, i.e. split):
+    //   r1: 1→2 2→1 3→1 10→3 11→10 12→10
+    //   r2: 1→1 2→1 3→1 10→10 11→3 12→3
+    //   r3: 1→1 2→1 3→1 10→3  11→3 12→3
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L, 99L -> 99L),
+      s"LPA fixed point diverged: $got")
+    // the communities stayed split despite the bridge — the property that
+    // distinguishes LPA from connected components on this graph
+    assert(got(3L) != got(10L), s"bridge merged the triangles: $got")
+  }
 }
