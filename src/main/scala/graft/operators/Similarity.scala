@@ -1000,6 +1000,36 @@ object Similarity {
       col("max_sim"), col("mmr")).orderBy("rank")
   }
 
+  /** The q_hybrid_rrf candidate builder (fixed {spark, data} + corpus
+    * vec 0 query, kArm = 50), factored so q_rag_context composes the
+    * SAME fused candidate set the oracle-verified row emits — the two
+    * consumers cannot drift. Returns the full fused frame (doc_id,
+    * r_lex, r_vec, rrf), un-cut; callers apply their own top-N. */
+  private def fixedHybridFused(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 50
+    val lexW = Window.orderBy(col("score").desc, col("doc_id"))
+    val lex = TextOps.bm25Scores(s, d)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), row_number().over(lexW).as("r_lex"))
+    val e = embs(s, d).select(col("vec_id"), col("embedding"))
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_v"))
+    val vecW = Window.orderBy(col("cos").desc, col("doc_id"))
+    val vec = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        cosine(s, col("embedding"), col("q_v")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), row_number().over(vecW).as("r_vec"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_lex"), col("r_vec"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)),
+          6).as("rrf"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- per-label embedding statistics ----------------------------------
@@ -1936,32 +1966,9 @@ object Similarity {
     // engines; ties break on doc_id. doc_id ≡ vec_id by testdata
     // construction (embeddings are of the documents, TESTDATA.md).
     Q("q_hybrid_rrf",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val k = 50
-        val lexW = Window.orderBy(col("score").desc, col("doc_id"))
-        val lex = TextOps.bm25Scores(s, d)
-          .orderBy(col("score").desc, col("doc_id")).limit(k)
-          .select(col("doc_id"), row_number().over(lexW).as("r_lex"))
-        val e = embs(s, d).select(col("vec_id"), col("embedding"))
-        val qv = e.filter(col("vec_id") === 0)
-          .select(col("embedding").as("q_v"))
-        val vecW = Window.orderBy(col("cos").desc, col("doc_id"))
-        val vec = e.filter(col("vec_id") =!= 0)
-          .crossJoin(broadcast(qv))
-          .select(col("vec_id").as("doc_id"),
-            cosine(s, col("embedding"), col("q_v")).as("cos"))
-          .orderBy(col("cos").desc, col("doc_id")).limit(k)
-          .select(col("doc_id"), row_number().over(vecW).as("r_vec"))
-        lex.join(vec, Seq("doc_id"), "full_outer")
-          .select(col("doc_id"), col("r_lex"), col("r_vec"),
-            round(
-              coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
-                coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)),
-              6).as("rrf"))
-          .orderBy(col("rrf").desc, col("doc_id"))
-          .limit(15)
-      },
+      (s, d) => fixedHybridFused(s, d)
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(15),
       Some(s"""WITH ${TextOps.sqlBm25Ctes},
               lex AS (
                 SELECT doc_id,
@@ -2296,6 +2303,115 @@ object Similarity {
             $rounds
             SELECT rank, doc_id, rel, max_sim, mmr FROM sel5
             ORDER BY rank"""
+      }),
+
+    // ---- RAG context assembly (flagship retrieval composition) ------------
+    // The end-to-end context builder a RAG serving path runs per query,
+    // composed ENTIRELY from this file's oracle-verified kernels: hybrid
+    // RRF candidates (the exact q_hybrid_rrf fused set, top-10) → MMR
+    // diversification (mmrSelect, λ=0.7, keep 5, rel = exact cosine to
+    // the query) → greedy token-budget fill in MMR rank order (running
+    // whitespace-token sum, docs kept while cum ≤ 192). Output is the
+    // context manifest (ctx_rank, doc_id, n_tokens, cum_tokens) the
+    // prompt assembler consumes. Every stage after the two candidate-arm
+    // corpus scans runs on ≤ 10-row frames; the budget fill is a window
+    // over FIVE rows. The oracle recomputes the full chain — fused arms,
+    // the unrolled greedy, the running sum — so the composition's
+    // end-to-end exactness is pinned, not argued stage-by-stage.
+    Q("q_rag_context",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = embs(s, d).select(col("vec_id"), col("embedding"))
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_v"))
+        val cand = fixedHybridFused(s, d)
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+          .join(e, col("doc_id") === col("vec_id"))
+          .crossJoin(broadcast(qv))
+          .select(col("doc_id"), col("embedding"),
+            cosine(s, col("embedding"), col("q_v")).as("rel"))
+        val sel = mmrSelect(s, cand, lambda = 0.7, mu = 0.3, k = 5)
+        val tok = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val w = Window.orderBy("rank")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        sel.join(tok, "doc_id")
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .filter(col("cum_tokens") <= 192)
+          .select(col("rank").as("ctx_rank"), col("doc_id"),
+            col("n_tokens"), col("cum_tokens"))
+          .orderBy("ctx_rank")
+      },
+      Some {
+        val rounds = (2 to 5).map { k =>
+          s"""p$k AS (
+               SELECT c.doc_id, c.v, c.rel,
+                 MAX(${sqlCosineCols("c.v", "s.v")}) AS max_sim
+               FROM cand c, sel${k - 1} s
+               WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${k - 1})
+               GROUP BY c.doc_id, c.v, c.rel),
+             s$k AS (
+               SELECT CAST($k AS INTEGER) AS rank, doc_id, v, rel,
+                 max_sim, ROUND(0.7 * rel - 0.3 * max_sim, 6) AS mmr
+               FROM p$k ORDER BY mmr DESC, doc_id LIMIT 1),
+             sel$k AS (SELECT * FROM sel${k - 1}
+                       UNION ALL SELECT * FROM s$k)"""
+        }.mkString(",\n")
+        s"""WITH ${TextOps.sqlBm25Ctes},
+            lex AS (
+              SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                  AS INTEGER) AS r_lex
+              FROM bm25
+              QUALIFY row_number() OVER (ORDER BY score DESC, doc_id)
+                <= 50),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings),
+            qv AS (SELECT v AS q_v FROM e WHERE vec_id = 0),
+            vcand AS (
+              SELECT e.vec_id AS doc_id,
+                ${sqlCosineCols("e.v", "qv.q_v")} AS cos
+              FROM e, qv WHERE e.vec_id <> 0),
+            vec AS (
+              SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                  AS INTEGER) AS r_vec
+              FROM vcand
+              QUALIFY row_number() OVER (ORDER BY cos DESC, doc_id)
+                <= 50),
+            fused AS (
+              SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+                ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + r_lex), 0.0) +
+                      COALESCE(CAST(1 AS DOUBLE) / (60 + r_vec), 0.0), 6)
+                  AS rrf
+              FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id),
+            top10 AS (
+              SELECT doc_id FROM fused
+              ORDER BY rrf DESC, doc_id LIMIT 10),
+            cand AS (
+              SELECT t.doc_id, e.v,
+                ${sqlCosineCols("e.v", "qv.q_v")} AS rel
+              FROM top10 t JOIN e ON e.vec_id = t.doc_id, qv),
+            s1 AS (
+              SELECT CAST(1 AS INTEGER) AS rank, doc_id, v, rel,
+                CAST(0.0 AS DOUBLE) AS max_sim,
+                ROUND(0.7 * rel - 0.3 * 0.0, 6) AS mmr
+              FROM cand ORDER BY mmr DESC, doc_id LIMIT 1),
+            sel1 AS (SELECT * FROM s1),
+            $rounds,
+            tok AS (
+              SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+            ctx AS (
+              SELECT s.rank AS ctx_rank, s.doc_id, tok.n_tokens,
+                CAST(SUM(tok.n_tokens) OVER (ORDER BY s.rank
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+              FROM sel5 s JOIN tok USING (doc_id))
+            SELECT ctx_rank, doc_id, n_tokens, cum_tokens FROM ctx
+            WHERE cum_tokens <= 192 ORDER BY ctx_rank"""
       })
   )
 }

@@ -433,6 +433,40 @@ object TextOps {
                 quality, keep
               FROM qual ORDER BY doc_id""")),
 
+    // ---- curriculum staging ----------------------------------------------
+    // Curriculum construction over the quality scorer: rank the corpus by
+    // the oracle-verified q_quality score (best first, ties to lower
+    // doc_id), split into 4 equal-size stages with ntile, and report each
+    // stage's doc count, token mass, and quality range — the schedule
+    // table a curriculum-trained run consumes (stage 1 = cleanest docs
+    // first). The ntile here is a single global-order window; at 100 TB
+    // the same stages come from ONE quality histogram pass → 3 quantile
+    // cut points → a scan-wide CASE stage assignment (no global sort),
+    // with this row's stage table as the unchanged contract. Aggregates
+    // are exact longs over the round-6 kernel scores.
+    Q("q_curriculum",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("quality").desc, col("doc_id"))
+        qualityScores(s, d)
+          .withColumn("stage", ntile(4).over(w))
+          .groupBy("stage")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            min(col("quality")).as("min_q"),
+            max(col("quality")).as("max_q"))
+          .orderBy("stage")
+      },
+      Some(s"""WITH $sqlQualityCtes,
+              staged AS (
+                SELECT CAST(ntile(4) OVER (ORDER BY quality DESC, doc_id)
+                  AS INTEGER) AS stage, n_tokens, quality
+                FROM qual)
+              SELECT stage, COUNT(*) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                MIN(quality) AS min_q, MAX(quality) AS max_q
+              FROM staged GROUP BY stage ORDER BY stage""")),
+
     // ---- token counting (BPE-ish regex tokenizer) -------------------------
     // Pre-tokenizer regex in the GPT-2 spirit: words | digit runs | other.
     // regexp_extract_all is codegen'd; counts aggregate per source.

@@ -347,6 +347,45 @@ object Streams {
               event_type, COUNT(*) AS n, ${Arith.sqlSum("value")} AS sum_value
               FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""")),
 
+    // Streaming top-k: the serve-side leaderboard pattern. Structured
+    // Streaming cannot run a rank window over a streaming aggregate
+    // (non-time-window aggregation chains are unsupported), and the
+    // PRODUCTION shape doesn't want it to: the stream maintains the
+    // per-(hour, type) counts incrementally (state = active groups), and
+    // the rank is computed AT READ TIME over the materialized aggregate —
+    // here a row_number cut over the memory sink after the drain, at
+    // 100 TB the same query over the sink table. The oracle ranks the
+    // batch twin identically (ties → event_type asc).
+    Q("q_stream_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val stream = eventsStream(s, d)
+        val sink = "q_stream_topk_sink"
+        val q = hourlyCounts(stream).writeStream
+          .format("memory").queryName(sink)
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val w = Window.partitionBy("hour_ts")
+          .orderBy(col("n").desc, col("event_type"))
+        s.table(sink)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("hour_ts"), col("rk"), col("event_type"), col("n"))
+          .orderBy("hour_ts", "rk")
+      },
+      Some("""SELECT hour_ts, CAST(rk AS INTEGER) AS rk, event_type, n
+              FROM (
+                SELECT hour_ts, event_type, n,
+                  row_number() OVER (PARTITION BY hour_ts
+                    ORDER BY n DESC, event_type) AS rk
+                FROM (
+                  SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                    AS BIGINT) AS hour_ts, event_type, COUNT(*) AS n
+                  FROM events GROUP BY 1, 2))
+              WHERE rk <= 3 ORDER BY hour_ts, rk""")),
+
     // Sliding windows on the stream (Complete-mode memory sink like
     // q_stream_hourly, so ALL windows emit and the oracle is the plain
     // batch sliding aggregation — q_events_sliding's SQL verbatim).
