@@ -134,6 +134,72 @@ object Complex {
               FROM sid GROUP BY user_id, session_id
               ORDER BY user_id, session_id""")),
 
+    // ---- session attribution (first/last touch + conversion) -------------
+    // The marketing-analytics layer over sessionization: per 30-min-gap
+    // session, the FIRST-touch and LAST-touch event types (the two
+    // attribution models), purchase count, and attributed purchase value.
+    // Same session-index recipe as q_sessionize (gap lag + running sum —
+    // one user_id shuffle, two window passes); attribution itself is
+    // min_by/max_by argmins over the exact (eus, event_id) order, so the
+    // per-session reduction partial-aggregates — no third window pass,
+    // and Zipf-heavy users cost one partial row per task. Value sums run
+    // through the Arith round-6 decimal discipline; the argmin key packs
+    // to HUGEINT in the oracle (DuckDB arg_min takes no struct keys —
+    // the q_join_asof convention, valid while event_id < 10^12).
+    Q("q_session_attrib",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables(s, d, "events")
+          .withColumn("gap_us",
+            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_session",
+            when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_session")).over(
+              w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min_by(col("event_type"),
+              struct(unix_micros(col("ts")), col("event_id")))
+              .as("first_touch"),
+            max_by(col("event_type"),
+              struct(unix_micros(col("ts")), col("event_id")))
+              .as("last_touch"),
+            count_if(col("event_type") === "purchase").as("n_purchases"),
+            Arith.dsum(when(col("event_type") === "purchase", col("value"))
+              .otherwise(lit(0.0))).as("purchase_value"))
+          .orderBy("user_id", "session_id")
+      },
+      Some(s"""WITH g AS (
+                SELECT user_id, event_id, event_type, value,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS eus,
+                  epoch_us(CAST(ts AS TIMESTAMP)) -
+                    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                      (PARTITION BY user_id
+                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+                      AS gap_us
+                FROM events),
+              sid AS (
+                SELECT user_id, event_id, event_type, value, eus,
+                  eus::HUGEINT * 1000000000000 + event_id AS k,
+                  CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                    THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY eus, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+                FROM g)
+              SELECT user_id, session_id, COUNT(*) AS n_events,
+                arg_min(event_type, k) AS first_touch,
+                arg_max(event_type, k) AS last_touch,
+                CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+                  AS n_purchases,
+                ${Arith.sqlSum(
+                  "CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")}
+                  AS purchase_value
+              FROM sid GROUP BY user_id, session_id
+              ORDER BY user_id, session_id""")),
+
     // ---- pivot -----------------------------------------------------------
     // Event counts per user pivoted into one column per event type. Spark
     // plans pivot as a single groupBy with conditional aggregates — the

@@ -381,6 +381,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_session_attrib: attribution via partial argmin, no third window") {
+    // first/last touch must come from min_by/max_by AGGREGATES with
+    // map-side partials over the session-index window output — a rank
+    // window would sort a Zipf-heavy user's whole history on one task
+    val p = plan("q_session_attrib")
+    assert(p.contains("partial_min_by") && p.contains("partial_max_by"),
+      s"attribution is not a partial argmin aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_curriculum / q_rag_context: bounded frames after the corpus work") {
+    // curriculum: the corpus-sized work is the quality scan; the ntile
+    // runs once over its output and the stage rollup partial-aggregates.
+    // rag: candidate arms are the only corpus scans (top-K'd), the greedy
+    // and the budget window run over config-bounded frames; nothing
+    // all-pairs appears in either plan
+    val pc = plan("q_curriculum")
+    assert(pc.contains("partial_"), s"stage rollup has no partial phase:\n$pc")
+    assert(!pc.contains("CartesianProduct"), pc)
+    // the rag FINAL plan starts past mmrSelect's checkpointed 5-row
+    // frame (the candidate arms' TakeOrdered shape is q_hybrid_rrf's
+    // pin, shared via fixedHybridFused) — what's left to hold here is
+    // that the budget fill joins the token table by broadcast hash and
+    // nothing all-pairs appears
+    val pr = plan("q_rag_context")
+    assert(pr.contains("BroadcastHashJoin"),
+      s"budget fill does not broadcast the 5-row selection:\n$pr")
+    assert(!pr.contains("CartesianProduct"), pr)
+  }
+
   test("q_ann_ivf_recall: broadcast query panel, bucket-equi-join IVF arm") {
     // the exact arm meets the corpus as a broadcast query panel, the IVF
     // arm as an equi-join on the probed bucket; the hit reduction
