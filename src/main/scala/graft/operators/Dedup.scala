@@ -1145,14 +1145,19 @@ object Dedup {
         val dup = w.select(col("doc_id"), col("wh")).distinct()
           .groupBy("wh").agg(count(lit(1)).as("n_docs"))
           .filter(col("n_docs") >= 2)
+        // shuffle window STARTS only (the ×10 position expansion runs
+        // per-doc inside the rebuild projection, never through the
+        // shuffle): the first x100 stress run of the exploded-positions
+        // form spilled 10 GB; this form's aggregation input is exactly
+        // the dup-window rows
         val cov = w.join(dup, "wh")
-          .select(col("doc_id"),
-            explode(sequence(col("i"), col("i") + 9)).as("p"))
-          .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
+          .groupBy("doc_id").agg(collect_set(col("i")).as("starts"))
         t.join(cov, Seq("doc_id"), "left")
+          .withColumn("cov", array_distinct(flatten(transform(
+            coalesce(col("starts"), array().cast("array<int>")),
+            s0 => sequence(s0, s0 + 9)))))
           .withColumn("kept", filter(col("toks"),
-            (_, idx) => !coalesce(
-              array_contains(col("cov"), idx), lit(false))))
+            (_, idx) => !array_contains(col("cov"), idx)))
           .select(col("doc_id"),
             size(col("toks")).cast("long").as("n_tokens"),
             size(col("kept")).cast("long").as("n_kept"),

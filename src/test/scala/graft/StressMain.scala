@@ -985,6 +985,18 @@ object StressMain {
       subHi.select((col("doc_id") % dOff).as("doc_id"), col("n_windows"))
         .distinct(),
       q("q_substring_dup", src).select("doc_id", "n_windows"))
+    // span-cut law at ×copies: every ≥10-token doc's windows are all
+    // cross-doc duplicated (its exact copies exist), so the rewrite cuts
+    // it to ZERO tokens; <10-token docs emit no windows and stay intact
+    timed(s"q_dedup_span_cut_x$copies", s"$work/out",
+      q("q_dedup_span_cut", s"$work/x$copies"))
+    val spanHi = out(s"q_dedup_span_cut_x$copies")
+    check(s"q_dedup_span_cut ×$copies: long docs fully cut, short intact",
+      spanHi.filter(
+        (col("n_tokens") >= 10 && col("n_kept") =!= 0L) ||
+          (col("n_tokens") < 10 && col("n_kept") =!= col("n_tokens")))
+        .count() == 0,
+      "docs violating the full-duplication rewrite law exist")
 
     // ---- metric laws over the 10× step taken at the 100× point -----------
     // tolerance [0.6, 1.5]×step: shuffle compression ratios and AQE
