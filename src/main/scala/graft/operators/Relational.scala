@@ -688,6 +688,45 @@ object Relational {
               COUNT(DISTINCT user_id) AS n_users
               FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""")),
 
+    // ---- incremental rollup maintenance ----------------------------------
+    // The materialized-view algebra a 100 TB warehouse lives by: instead
+    // of rescanning the corpus to refresh an hourly rollup, keep the
+    // previous rollup's PARTIAL states (count + exact DECIMAL value sum)
+    // and merge the new delta's partials into them. This row splits the
+    // events at an in-plan cutoff (min ts + 15 days, a 1-row broadcast),
+    // rolls up each side to mergeable partials, merges — groups
+    // straddling the cutoff combine by count addition and exact decimal
+    // addition, both associative — and the ORACLE IS THE FULL RECOMPUTE:
+    // equality proves the maintenance algebra end-to-end, cross-engine.
+    // countDistinct deliberately absent: distinct is not mergeable — its
+    // incremental form needs the HLL sketch (q_approx_distinct's path).
+    Q("q_rollup_incremental",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+        val ev = t(s, d, "events")
+        val cut = ev.agg(
+          (min(unix_micros(col("ts"))) + 15L * 86400 * 1000000)
+            .as("cut_us"))
+        val tagged = ev.crossJoin(broadcast(cut))
+          .withColumn("hour_ts",
+            unix_timestamp(date_trunc("hour", col("ts"))))
+          .withColumn("is_prev", unix_micros(col("ts")) < col("cut_us"))
+        def partial(p: org.apache.spark.sql.DataFrame) =
+          p.groupBy("hour_ts", "event_type")
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("value"), 6).cast(dec)).as("dv"))
+        partial(tagged.filter(col("is_prev")))
+          .unionByName(partial(tagged.filter(!col("is_prev"))))
+          .groupBy("hour_ts", "event_type")
+          .agg(sum(col("n")).as("n"),
+            sum(col("dv")).cast("double").as("sum_value"))
+          .orderBy("hour_ts", "event_type")
+      },
+      Some(s"""SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                AS BIGINT) AS hour_ts,
+              event_type, COUNT(*) AS n, ${sqlSum("value")} AS sum_value
+              FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""")),
+
     // Left outer join with null-side aggregation: customers keep a row
     // even with zero orders (count(col) skips the nulls; the coalesced
     // total stays in the exact-decimal discipline).
