@@ -727,6 +727,41 @@ object Relational {
               event_type, COUNT(*) AS n, ${sqlSum("value")} AS sum_value
               FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""")),
 
+    // ---- mergeable distinct: the HLL-union half of incremental rollup ----
+    // q_rollup_incremental's scaladoc points here: countDistinct is not
+    // mergeable, its incremental form is the sketch. This row RUNS that
+    // path — per (event_type, side-of-cutoff) DataSketches HLL sketches
+    // (the same in-plan cutoff as the rollup row), hll_union_agg merge,
+    // estimate — and pins the merged estimate within 4σ of the exact
+    // per-type distinct-user count (the q_approx_distinct error-contract
+    // pattern: exact values + bounded booleans make the sketch row
+    // DuckDB-comparable). The production refresh never rescans: sketches
+    // are tiny, order-insensitive, and associative.
+    Q("q_approx_distinct_merge",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val cut = ev.agg(
+          (min(unix_micros(col("ts"))) + 15L * 86400 * 1000000)
+            .as("cut_us"))
+        val sketches = ev.crossJoin(broadcast(cut))
+          .withColumn("side",
+            (unix_micros(col("ts")) < col("cut_us")).cast("int"))
+          .groupBy("event_type", "side")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val merged = sketches.groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .join(merged, "event_type")
+          .select(col("event_type"), col("n_users"),
+            (abs(col("est") - col("n_users")) <=
+              lit(4 * 0.02) * col("n_users")).as("est_ok"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+              COUNT(DISTINCT user_id) AS n_users, true AS est_ok
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
     // Left outer join with null-side aggregation: customers keep a row
     // even with zero orders (count(col) skips the nulls; the coalesced
     // total stays in the exact-decimal discipline).
