@@ -961,7 +961,7 @@ object Similarity {
 
   /** Greedy MMR selection over a candidate frame `(doc_id, embedding,
     * rel)` — the kernel behind q_mmr_rerank: `k` driver-composed rounds,
-    * each keeping the argmax of round-6(λ·rel − μ·max_sim(selected))
+    * each keeping the argmax of floor-micro(λ·rel − μ·max_sim(selected))
     * with ties to the lower doc_id (round 1: max_sim ≡ 0.0, so the pick
     * is the most relevant candidate). μ is an EXPLICIT parameter, not
     * computed as 1−λ: IEEE 1.0−0.7 is 0.30000000000000004, which would
@@ -987,17 +987,18 @@ object Similarity {
           .groupBy("doc_id").agg(max(col("sim")).as("max_sim"))
           .join(remaining, "doc_id")
       val pick = scored
-        .withColumn("mmr", round(
-          lit(lambda) * col("rel") - lit(mu) * col("max_sim"), 6))
-        .orderBy(col("mmr").desc, col("doc_id")).limit(1)
+        .withColumn("mmr_micros", floor(
+          (lit(lambda) * col("rel") - lit(mu) * col("max_sim")) * 1e6
+            + 0.5).cast("long"))
+        .orderBy(col("mmr_micros").desc, col("doc_id")).limit(1)
         .select(lit(i).as("rank"), col("doc_id"), col("embedding"),
-          col("rel"), col("max_sim"), col("mmr"))
+          col("rel"), col("max_sim"), col("mmr_micros"))
       selected =
         (if (i == 1) pick else selected.unionByName(pick))
           .localCheckpoint()
     }
     selected.select(col("rank"), col("doc_id"), col("rel"),
-      col("max_sim"), col("mmr")).orderBy("rank")
+      col("max_sim"), col("mmr_micros")).orderBy("rank")
   }
 
   /** The q_hybrid_rrf candidate builder (fixed {spark, data} + corpus
@@ -1028,6 +1029,51 @@ object Similarity {
           coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
             coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)),
           6).as("rrf"))
+  }
+
+  /** [[mmrSelect]] generalized to a QUERY BATCH: candidates carry a q_id
+    * column, every round's argmax is a per-q_id rank window instead of a
+    * global limit(1), and the selected-set join keys on (q_id, doc_id) —
+    * so the WHOLE batch diversifies in k rounds total, not k×batch
+    * (rounds are the latency driver; adding queries adds window
+    * partitions, not rounds). Same numeric contract as mmrSelect
+    * (explicit μ, floor-micro mmr pinning, ties to lower doc_id).
+    * Returns (rank, q_id, doc_id, rel, max_sim, mmr). */
+  def mmrSelectBatch(s: SparkSession, candidates: DataFrame, lambda: Double,
+      mu: Double, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = candidates.localCheckpoint()
+    var selected: DataFrame = null
+    for (i <- 1 to k) {
+      val remaining =
+        if (i == 1) cand
+        else cand.join(selected
+            .select(col("q_id").as("sq"), col("doc_id").as("s_id")),
+          col("q_id") === col("sq") && col("doc_id") === col("s_id"),
+          "left_anti")
+      val scored =
+        if (i == 1) remaining.withColumn("max_sim", lit(0.0))
+        else remaining.join(broadcast(selected
+              .select(col("q_id").as("sq"), col("embedding").as("s_v"))),
+            col("q_id") === col("sq"))
+          .withColumn("sim", cosine(s, col("embedding"), col("s_v")))
+          .groupBy("q_id", "doc_id").agg(max(col("sim")).as("max_sim"))
+          .join(remaining, Seq("q_id", "doc_id"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("mmr_micros").desc, col("doc_id"))
+      val pick = scored
+        .withColumn("mmr_micros", floor(
+          (lit(lambda) * col("rel") - lit(mu) * col("max_sim")) * 1e6
+            + 0.5).cast("long"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(lit(i).as("rank"), col("q_id"), col("doc_id"),
+          col("embedding"), col("rel"), col("max_sim"), col("mmr_micros"))
+      selected =
+        (if (i == 1) pick else selected.unionByName(pick))
+          .localCheckpoint()
+    }
+    selected.select(col("rank"), col("q_id"), col("doc_id"), col("rel"),
+      col("max_sim"), col("mmr_micros")).orderBy("q_id", "rank")
   }
 
   val queries: Seq[Q] = Seq(
@@ -2256,8 +2302,12 @@ object Similarity {
     // corpus-scale work is only the candidate arm's TakeOrdered scan; at
     // 100 TB that arm swaps to the IVF probe and the loop cost is
     // unchanged). Exact cross-engine: rel and pairwise sims are round-6
-    // cosines, each round's mmr is ONE IEEE expression over them, and
-    // every argmax ties to the lower doc_id.
+    // cosines, each round's mmr pins to micro-longs with floor(x·1e6+½)
+    // — ONE IEEE expression both engines evaluate bit-identically (a
+    // round(x, 6) here diverged in practice: Spark rounds the shortest
+    // decimal rendering, DuckDB the binary value, and 0.7·rel landed on
+    // a .xxxxx49999… boundary at sf0.01) — and argmaxes tie to the
+    // lower doc_id.
     Q("q_mmr_rerank",
       (s, d) => {
         val e = dropZeroNorm(s,
@@ -2281,8 +2331,9 @@ object Similarity {
                GROUP BY c.doc_id, c.v, c.rel),
              s$k AS (
                SELECT CAST($k AS INTEGER) AS rank, doc_id, v, rel,
-                 max_sim, ROUND(0.7 * rel - 0.3 * max_sim, 6) AS mmr
-               FROM p$k ORDER BY mmr DESC, doc_id LIMIT 1),
+                 max_sim, CAST(FLOOR((0.7 * rel - 0.3 * max_sim)
+                   * 1000000 + 0.5) AS BIGINT) AS mmr_micros
+               FROM p$k ORDER BY mmr_micros DESC, doc_id LIMIT 1),
              sel$k AS (SELECT * FROM sel${k - 1}
                        UNION ALL SELECT * FROM s$k)"""
         }.mkString(",\n")
@@ -2297,12 +2348,118 @@ object Similarity {
             s1 AS (
               SELECT CAST(1 AS INTEGER) AS rank, doc_id, v, rel,
                 CAST(0.0 AS DOUBLE) AS max_sim,
-                ROUND(0.7 * rel - 0.3 * 0.0, 6) AS mmr
-              FROM cand ORDER BY mmr DESC, doc_id LIMIT 1),
+                CAST(FLOOR((0.7 * rel - 0.3 * 0.0)
+                  * 1000000 + 0.5) AS BIGINT) AS mmr_micros
+              FROM cand ORDER BY mmr_micros DESC, doc_id LIMIT 1),
             sel1 AS (SELECT * FROM s1),
             $rounds
-            SELECT rank, doc_id, rel, max_sim, mmr FROM sel5
+            SELECT rank, doc_id, rel, max_sim, mmr_micros FROM sel5
             ORDER BY rank"""
+      }),
+
+    // ---- batch MMR rerank --------------------------------------------------
+    // [[mmrSelectBatch]] over the q_hybrid_rrf_batch candidate sets: all
+    // three queries' per-q top-10 fused candidates diversify to 3 picks
+    // each in THREE greedy rounds total — the rounds (the latency driver)
+    // don't multiply by batch size; each round's argmax is a per-q_id
+    // rank window. rel = exact cosine to the owning query's vector. The
+    // oracle unrolls the same per-query greedy with NOT EXISTS
+    // anti-membership per round.
+    Q("q_mmr_rerank_batch",
+      (s, d) => {
+        import s.implicits._
+        val qTerms = Seq(
+          (0L, "spark"), (0L, "data"), (1L, "the"), (1L, "of"),
+          (2L, "merge"), (2L, "sort")).toDF("q_id", "word")
+        val e = embs(s, d).select(col("vec_id"), col("embedding"))
+        val qVecs = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+        val cand = retrieveBatch(s, d, qTerms, qVecs, kArm = 50, kOut = 10,
+            excludeSelf = true)
+          .select(col("q_id"), col("doc_id"))
+          .join(e, col("doc_id") === col("vec_id"))
+          .join(broadcast(qVecs), "q_id")
+          .select(col("q_id"), col("doc_id"), col("embedding"),
+            cosine(s, col("embedding"), col("q_v")).as("rel"))
+        mmrSelectBatch(s, cand, lambda = 0.7, mu = 0.3, k = 3)
+      },
+      Some {
+        val rounds = (2 to 3).map { k =>
+          s"""p$k AS (
+               SELECT c.q_id, c.doc_id, c.v, c.rel,
+                 MAX(${sqlCosineCols("c.v", "s.v")}) AS max_sim
+               FROM cand c JOIN sel${k - 1} s ON c.q_id = s.q_id
+               WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} x
+                 WHERE x.q_id = c.q_id AND x.doc_id = c.doc_id)
+               GROUP BY c.q_id, c.doc_id, c.v, c.rel),
+             s$k AS (
+               SELECT CAST($k AS INTEGER) AS rank, q_id, doc_id, v, rel,
+                 max_sim, CAST(FLOOR((0.7 * rel - 0.3 * max_sim)
+                   * 1000000 + 0.5) AS BIGINT) AS mmr_micros
+               FROM p$k
+               QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY
+                 CAST(FLOOR((0.7 * rel - 0.3 * max_sim) * 1000000 + 0.5)
+                   AS BIGINT) DESC, doc_id) = 1),
+             sel$k AS (SELECT * FROM sel${k - 1}
+                       UNION ALL SELECT * FROM s$k)"""
+        }.mkString(",\n")
+        s"""WITH qt AS (
+              SELECT CAST(q_id AS BIGINT) AS q_id, word
+              FROM (VALUES (0, 'spark'), (0, 'data'), (1, 'the'),
+                (1, 'of'), (2, 'merge'), (2, 'sort')) t(q_id, word)),
+            ${TextOps.sqlBm25BatchCtes},
+            lex AS (
+              SELECT q_id, doc_id,
+                CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY score DESC, doc_id) AS INTEGER) AS r_lex
+              FROM lexs
+              QUALIFY row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, doc_id) <= 50),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings),
+            qv AS (SELECT vec_id AS q_id, v AS q_v FROM e
+                   WHERE vec_id < 3),
+            vcand AS (
+              SELECT qv.q_id, e.vec_id AS doc_id,
+                ${sqlCosineCols("e.v", "qv.q_v")} AS cos
+              FROM e, qv WHERE e.vec_id <> qv.q_id),
+            vec AS (
+              SELECT q_id, doc_id,
+                CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, doc_id) AS INTEGER) AS r_vec
+              FROM vcand
+              QUALIFY row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, doc_id) <= 50),
+            fused AS (
+              SELECT COALESCE(lex.q_id, vec.q_id) AS q_id,
+                COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+                ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + r_lex), 0.0) +
+                      COALESCE(CAST(1 AS DOUBLE) / (60 + r_vec), 0.0), 6)
+                  AS rrf
+              FROM lex FULL OUTER JOIN vec
+                ON lex.q_id = vec.q_id AND lex.doc_id = vec.doc_id),
+            ftop AS (
+              SELECT q_id, doc_id FROM fused
+              QUALIFY row_number() OVER (PARTITION BY q_id
+                ORDER BY rrf DESC, doc_id) <= 10),
+            cand AS (
+              SELECT f.q_id, f.doc_id, e.v,
+                ${sqlCosineCols("e.v", "q.q_v")} AS rel
+              FROM ftop f JOIN e ON e.vec_id = f.doc_id
+              JOIN qv q ON q.q_id = f.q_id),
+            s1 AS (
+              SELECT CAST(1 AS INTEGER) AS rank, q_id, doc_id, v, rel,
+                CAST(0.0 AS DOUBLE) AS max_sim,
+                CAST(FLOOR((0.7 * rel - 0.3 * 0.0)
+                  * 1000000 + 0.5) AS BIGINT) AS mmr_micros
+              FROM cand
+              QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY
+                CAST(FLOOR((0.7 * rel - 0.3 * 0.0) * 1000000 + 0.5)
+                  AS BIGINT) DESC, doc_id) = 1),
+            sel1 AS (SELECT * FROM s1),
+            $rounds
+            SELECT rank, q_id, doc_id, rel, max_sim, mmr_micros FROM sel3
+            ORDER BY q_id, rank"""
       }),
 
     // ---- RAG context assembly (flagship retrieval composition) ------------
@@ -2353,8 +2510,9 @@ object Similarity {
                GROUP BY c.doc_id, c.v, c.rel),
              s$k AS (
                SELECT CAST($k AS INTEGER) AS rank, doc_id, v, rel,
-                 max_sim, ROUND(0.7 * rel - 0.3 * max_sim, 6) AS mmr
-               FROM p$k ORDER BY mmr DESC, doc_id LIMIT 1),
+                 max_sim, CAST(FLOOR((0.7 * rel - 0.3 * max_sim)
+                   * 1000000 + 0.5) AS BIGINT) AS mmr_micros
+               FROM p$k ORDER BY mmr_micros DESC, doc_id LIMIT 1),
              sel$k AS (SELECT * FROM sel${k - 1}
                        UNION ALL SELECT * FROM s$k)"""
         }.mkString(",\n")
@@ -2396,8 +2554,9 @@ object Similarity {
             s1 AS (
               SELECT CAST(1 AS INTEGER) AS rank, doc_id, v, rel,
                 CAST(0.0 AS DOUBLE) AS max_sim,
-                ROUND(0.7 * rel - 0.3 * 0.0, 6) AS mmr
-              FROM cand ORDER BY mmr DESC, doc_id LIMIT 1),
+                CAST(FLOOR((0.7 * rel - 0.3 * 0.0)
+                  * 1000000 + 0.5) AS BIGINT) AS mmr_micros
+              FROM cand ORDER BY mmr_micros DESC, doc_id LIMIT 1),
             sel1 AS (SELECT * FROM s1),
             $rounds,
             tok AS (
