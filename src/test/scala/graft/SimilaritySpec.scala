@@ -126,5 +126,19 @@ class SimilaritySpec extends AnyFunSuite {
     val first = Similarity.mmrSelect(s, cand, lambda = 0.9, mu = 0.1, k = 1)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(first == Seq(1L))
+    // the batch kernel instantiated at ONE query must reproduce the
+    // single-query kernel pick-for-pick (the retrieveBatch anti-drift
+    // discipline applied to the greedy)
+    val single = Similarity.mmrSelect(s, cand, lambda = 0.5, mu = 0.5, k = 3)
+      .select("rank", "doc_id", "mmr_micros").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = Similarity.mmrSelectBatch(s,
+        cand.withColumn(
+          "q_id", org.apache.spark.sql.functions.lit(7L)),
+        lambda = 0.5, mu = 0.5, k = 3)
+      .select("rank", "doc_id", "mmr_micros").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(batch == single,
+      s"batch kernel diverged from single: $batch vs $single")
   }
 }
