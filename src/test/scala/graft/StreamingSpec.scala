@@ -75,6 +75,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("dropDuplicatesWithinWatermark re-admits a key past the horizon") {
+    // The bounded-state production dedup (the semantics the
+    // q_stream_dedup scaladoc contrasts against): state for a key is
+    // EVICTED once the watermark passes its event time + delay, so a
+    // recurring key re-emits after the horizon — where plain
+    // dropDuplicates holds one state row per key forever and drops all
+    // recurrences. Batches: user 1 at t=0 admits; its duplicate at
+    // t=10min drops (within the 1h delay); an unrelated user 99 at
+    // t=4h advances the watermark to 3h, evicting user 1's state; user 1
+    // at t=5h then RE-ADMITS. Plain dropDuplicates on the same feed
+    // emits user 1 exactly once.
+    val s = spark
+    import s.implicits._
+    val m = 60L * 1000000 // one minute in micros
+    def run(within: Boolean, name: String): Seq[(Long, Long)] = {
+      val input = MemoryStream[(Long, Long)](s)
+      val df = input.toDF()
+        .select(timestamp_micros($"_1").as("ts"), $"_2".as("user_id"))
+        .withWatermark("ts", "1 hour")
+      val dd = if (within) df.dropDuplicatesWithinWatermark("user_id")
+               else df.dropDuplicates("user_id")
+      val q = dd.select(unix_micros($"ts").as("ts_us"), $"user_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData((0L, 1L), (10 * m, 1L)) // admit + in-horizon dup
+        q.processAllAvailable()
+        input.addData((240 * m, 99L)) // watermark → 3h; evicts user 1
+        q.processAllAvailable()
+        input.addData((300 * m, 1L)) // past the horizon
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).as[(Long, Long)].collect().toSeq.sorted
+    }
+    // WHICH of a key's in-batch duplicates is emitted is arrival-order-
+    // dependent (no sort precedes the state op), so assert the semantics
+    // that are contractual: exactly one batch-1 emission for user 1
+    // (either ts), the eviction-driven RE-ADMISSION at t=5h under
+    // within-watermark, and its absence under plain dropDuplicates
+    val within = run(within = true, "dedup_wm")
+    assert(within.count(_._2 == 1L) == 2 && within.contains((300 * m, 1L)),
+      s"within-watermark dedup must re-admit user 1 past the horizon: $within")
+    assert(within.count(r => r._2 == 1L && r._1 < 240 * m) == 1,
+      s"batch-1 duplicate not deduped: $within")
+    val plain = run(within = false, "dedup_plain")
+    assert(plain.count(_._2 == 1L) == 1 && plain.count(_._2 == 99L) == 1,
+      s"plain dedup must never re-admit: $plain")
+  }
+
   test("append sink emits exactly the watermark-closed windows (boundary ≤)") {
     // Constructed timestamps pin the eviction predicate: max event time =
     // 02:00:00 ⇒ watermark = 01:00:00; window [00:00,01:00) has end == wm
