@@ -1354,6 +1354,107 @@ object Similarity {
               GROUP BY exact.q_id
               ORDER BY exact.q_id""")),
 
+    // ---- IVF probe/recall curve ------------------------------------------
+    // The accuracy/cost knob measured: q_ann_ivf_recall's measurement
+    // swept over probes ∈ {1, 2, 4} (of 8 buckets), reduced to the total
+    // hit count and mean recall@10 across the 10-query panel — the curve
+    // that picks the serving probe count (recall rises with probes, scan
+    // cost rises linearly; the knee is the config). The trained buckets,
+    // centroids, and the exact arm compute ONCE and all three probe arms
+    // reuse them; each arm adds only its probe cut + candidate rank.
+    // mean_recall = total/100.0 is one exact IEEE division.
+    Q("q_ann_probe_curve",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = dropZeroNorm(s,
+          embs(s, d).select(col("vec_id"), col("embedding")))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+        val wq = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id"))
+        val exact = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosine(s, col("embedding"), col("q_v")))
+          .withColumn("rk", row_number().over(wq))
+          .filter(col("rk") <= 10)
+          .select(col("q_id"), col("vec_id").as("nn_id"))
+          .localCheckpoint()
+        val bucketed = kmeansIterate(s, e, 8, 2).localCheckpoint()
+        val cents = centroidsOf(bucketed).localCheckpoint()
+        val cw = Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_cos").desc, col("c_id"))
+        val ranked = e.filter(col("vec_id") < 10)
+          .crossJoin(broadcast(cents))
+          .withColumn("c_cos", cosine(s, col("embedding"), col("c_v")))
+          .withColumn("c_rk", row_number().over(cw))
+          .localCheckpoint()
+        def arm(probes: Int): DataFrame = {
+          val qp = ranked.filter(col("c_rk") <= probes)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_v"),
+              col("c_id").as("bucket"))
+          val ivf = bucketed.join(qp, Seq("bucket"))
+            .filter(col("vec_id") =!= col("q_id"))
+            .withColumn("cos", cosine(s, col("embedding"), col("q_v")))
+            .withColumn("rk", row_number().over(wq))
+            .filter(col("rk") <= 10)
+            .select(col("q_id"), col("vec_id").as("nn_id"),
+              lit(1).as("m"))
+          exact.join(ivf, Seq("q_id", "nn_id"), "left")
+            .agg(count(col("m")).as("n_hits_total"))
+            .select(lit(probes).as("probes"), col("n_hits_total"),
+              (col("n_hits_total") / lit(100.0)).as("mean_recall"))
+        }
+        arm(1).unionByName(arm(2)).unionByName(arm(4)).orderBy("probes")
+      },
+      Some {
+        val arms = Seq(1, 2, 4).map { p =>
+          s"""qprobe$p AS (
+               SELECT vec_id AS q_id, v AS q_v, c_id AS bucket FROM qc
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                 ORDER BY c_cos DESC, c_id) <= $p),
+             cand$p AS (
+               SELECT q.q_id, a.vec_id AS nn_id,
+                 ${sqlCosineCols("a.v", "q.q_v")} AS cos
+               FROM qprobe$p q JOIN a2 a ON a.bucket = q.bucket
+               WHERE a.vec_id <> q.q_id),
+             ivf$p AS (
+               SELECT q_id, nn_id FROM (
+                 SELECT q_id, nn_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, nn_id) AS rk
+                 FROM cand$p)
+               WHERE rk <= 10),
+             hit$p AS (
+               SELECT CAST($p AS INTEGER) AS probes,
+                 CAST(COUNT(ivf$p.nn_id) AS BIGINT) AS n_hits_total,
+                 CAST(COUNT(ivf$p.nn_id) AS BIGINT) /
+                   CAST(100.0 AS DOUBLE) AS mean_recall
+               FROM exact LEFT JOIN ivf$p
+                 ON exact.q_id = ivf$p.q_id
+                 AND exact.nn_id = ivf$p.nn_id)"""
+        }.mkString(",\n")
+        s"""WITH ${sqlIvfAssign(8, sqlZeroNormWhere)},
+            ${sqlKmeansRounds(2)},
+            ${sqlCentroids("a2", "p")},
+            qs AS (SELECT vec_id AS q_id, v AS q_v FROM e
+                   WHERE vec_id < 10),
+            exact AS (
+              SELECT q_id, nn_id FROM (
+                SELECT q.q_id, e.vec_id AS nn_id,
+                  row_number() OVER (PARTITION BY q.q_id ORDER BY
+                    ${sqlCosineCols("e.v", "q.q_v")} DESC, e.vec_id)
+                    AS rk
+                FROM e JOIN qs q ON e.vec_id <> q.q_id)
+              WHERE rk <= 10),
+            qc AS (
+              SELECT e.vec_id, e.v, c.c_id,
+                ${sqlCosineCols("e.v", "c.c_v")} AS c_cos
+              FROM e, centsp c WHERE e.vec_id < 10),
+            $arms
+            SELECT * FROM hit1 UNION ALL SELECT * FROM hit2
+            UNION ALL SELECT * FROM hit4 ORDER BY probes"""
+      }),
+
     // ---- kNN-join (per-corpus-row top-k neighbors) ------------------------
     // The retrieval-index-build shape: for EVERY corpus row, its k nearest
     // neighbors — not a fixed query set (q_ann_topk/q_ann_ivf) and not a

@@ -766,6 +766,30 @@ object StressMain {
       sameSet(s"$name = sf0.1 ×$copies",
         cols, src0.select(cols.columns.map(col): _*))
     }
+    // session attribution at ×copies: each copy's sessions are the base
+    // run's with offset ids (the argmin keys shift by a per-copy
+    // constant, preserving every pick), so the whole attribution table
+    // collapses to the base one under the modulo map
+    timed(s"q_session_attrib_x$copies", s"$work/out",
+      q("q_session_attrib", s"$work/x$copies"))
+    sameSet(s"q_session_attrib = sf0.1 attribution per copy at ×$copies",
+      out(s"q_session_attrib_x$copies")
+        .select((col("user_id") % uOff).as("user_id"), col("session_id"),
+          col("n_events"), col("first_touch"), col("last_touch"),
+          col("n_purchases"), col("purchase_value")).distinct(),
+      q("q_session_attrib", src))
+    // nearest as-of at ×copies: same per-copy identity — matches never
+    // cross copies (disjoint users) and the candidate order inside a
+    // copy is the base order shifted by a constant
+    timed(s"q_join_asof_nearest_x$copies", s"$work/out",
+      q("q_join_asof_nearest", s"$work/x$copies"))
+    sameSet(s"q_join_asof_nearest = sf0.1 matches per copy at ×$copies",
+      out(s"q_join_asof_nearest_x$copies")
+        .select((col("user_id") % uOff).as("user_id"),
+          (col("click_id") % eOff).as("click_id"),
+          (col("purchase_id") % eOff).as("purchase_id"),
+          col("delta_us")).distinct(),
+      q("q_join_asof_nearest", src))
     timed(s"q_ewma_x$copies", s"$work/out", q("q_ewma", s"$work/x$copies"))
     sameSet(s"q_ewma = sf0.1 values per copy at ×$copies",
       out(s"q_ewma_x$copies")
