@@ -2568,10 +2568,11 @@ object Similarity {
     // composed ENTIRELY from this file's oracle-verified kernels: hybrid
     // RRF candidates (the exact q_hybrid_rrf fused set, top-10) → MMR
     // diversification (mmrSelect, λ=0.7, keep 5, rel = exact cosine to
-    // the query) → greedy token-budget fill in MMR rank order (running
-    // whitespace-token sum, docs kept while cum ≤ 192). Output is the
-    // context manifest (ctx_rank, doc_id, n_tokens, cum_tokens) the
-    // prompt assembler consumes. Every stage after the two candidate-arm
+    // the query) → truncating token-budget fill in MMR rank order (a doc
+    // STARTING inside the 192-token budget is kept, clipped to the
+    // remaining tokens — ctx_tokens < n_tokens marks the final truncated
+    // doc). Output is the context manifest (ctx_rank, doc_id, n_tokens,
+    // ctx_tokens) the prompt assembler consumes. Every stage after the two candidate-arm
     // corpus scans runs on ≤ 10-row frames; the budget fill is a window
     // over FIVE rows. The oracle recomputes the full chain — fused arms,
     // the unrolled greedy, the running sum — so the composition's
@@ -2594,11 +2595,18 @@ object Similarity {
             size(split(col("text"), " ")).cast("long").as("n_tokens"))
         val w = Window.orderBy("rank")
           .rowsBetween(Window.unboundedPreceding, 0)
+        // truncating assembler: a doc whose START is inside the budget is
+        // kept, clipped to the remaining tokens (ctx_tokens < n_tokens ⇔
+        // this is the final, truncated context doc) — the real prompt-
+        // packing rule, not drop-on-overflow
         sel.join(tok, "doc_id")
           .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-          .filter(col("cum_tokens") <= 192)
+          .withColumn("prior", col("cum_tokens") - col("n_tokens"))
+          .filter(col("prior") < 192)
           .select(col("rank").as("ctx_rank"), col("doc_id"),
-            col("n_tokens"), col("cum_tokens"))
+            col("n_tokens"),
+            least(col("n_tokens"), lit(192L) - col("prior"))
+              .as("ctx_tokens"))
           .orderBy("ctx_rank")
       },
       Some {
@@ -2668,10 +2676,11 @@ object Similarity {
               SELECT s.rank AS ctx_rank, s.doc_id, tok.n_tokens,
                 CAST(SUM(tok.n_tokens) OVER (ORDER BY s.rank
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS BIGINT) AS cum_tokens
+                  AS BIGINT) - tok.n_tokens AS prior
               FROM sel5 s JOIN tok USING (doc_id))
-            SELECT ctx_rank, doc_id, n_tokens, cum_tokens FROM ctx
-            WHERE cum_tokens <= 192 ORDER BY ctx_rank"""
+            SELECT ctx_rank, doc_id, n_tokens,
+              least(n_tokens, 192 - prior) AS ctx_tokens
+            FROM ctx WHERE prior < 192 ORDER BY ctx_rank"""
       })
   )
 }
