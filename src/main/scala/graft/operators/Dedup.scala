@@ -407,14 +407,21 @@ object Dedup {
     * Jaccard ≥ 0.5 — the shared front half of both clustering rows. */
   /** Synchronous label propagation over an undirected edge list
     * `edges(a_id, b_id)` starting from `nodes(v)` with lbl = v: each of
-    * `rounds` rounds reassigns every node the mode of its neighbors'
-    * labels, ties to the SMALLEST label, isolated nodes keeping their
-    * own. The q_graph_lpa kernel, factored so GraphSpec can pin the
-    * tie/split semantics on planted graphs. Returns (v, lbl). */
+    * `rounds` rounds reassigns every node the mode over its neighbors'
+    * labels PLUS ITS OWN (self-inclusive voting — the standard
+    * deterministic damping: pure neighbor-voting sync LPA oscillates
+    * forever on any isolated 2-clique, the two nodes swapping labels
+    * each round, which the GraphSpec fixed-point pin caught live on the
+    * near-dup corpus), ties to the SMALLEST label; isolated nodes keep
+    * their own label (their self-vote is the whole electorate). The
+    * q_graph_lpa kernel, factored so GraphSpec can pin the
+    * tie/split/fixed-point semantics on planted graphs. Returns
+    * (v, lbl). */
   private[graft] def lpaRounds(nodes: DataFrame, edges: DataFrame,
       rounds: Int): DataFrame = {
     val adj = edges.select(col("a_id").as("v"), col("b_id").as("u"))
       .unionByName(edges.select(col("b_id").as("v"), col("a_id").as("u")))
+      .unionByName(nodes.select(col("v"), col("v").as("u")))
     var lab = nodes.select(col("v"), col("v").as("lbl"))
     for (_ <- 1 to rounds) {
       val mode = adj
@@ -429,6 +436,11 @@ object Dedup {
     }
     lab
   }
+
+  /** Test-only view of [[nearDupPairs]] (GraphSpec's LPA fixed-point pin
+    * needs the row's exact edge set). */
+  private[graft] def nearDupPairsForTest(s: SparkSession,
+      d: String): DataFrame = nearDupPairs(s, d)
 
   private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(docs(s, d)).localCheckpoint()
@@ -1246,10 +1258,13 @@ object Dedup {
     // Synchronous LPA (Raghavan et al. 2007) as the third graph op on the
     // dedup edge list (CC via star contraction = q_dedup_clusters_star;
     // triangles = q_triangles): labels start as node ids, and each of 3
-    // driver-unrolled rounds reassigns every node the MODE of its
-    // neighbors' labels (ties → the smallest label; isolated nodes keep
-    // their own). On a near-dup graph LPA converges in ~cluster-diameter
-    // rounds, so 3 sync rounds label these small clusters exactly;
+    // driver-unrolled rounds reassigns every node the MODE over its
+    // neighbors' labels plus its own (self-inclusive — the deterministic
+    // damping without which sync LPA oscillates forever on 2-cliques,
+    // caught live by the GraphSpec fixed-point pin; ties → the smallest
+    // label; isolated nodes keep their own). On a near-dup graph LPA
+    // converges in ~cluster-diameter rounds, and the corpus fixed point
+    // IS reached by round 3 (round 4 moves nothing — spec-pinned);
     // communities ≠ components in general — LPA can split a weakly-joined
     // chain where CC cannot, which is why both ops exist. Shapes: per
     // round ONE shuffle of (node, neighbor-label) pairs bounded by the
@@ -1288,7 +1303,8 @@ object Dedup {
               WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
                     len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
             adj AS (SELECT a_id AS v, b_id AS u FROM p
-                    UNION ALL SELECT b_id, a_id FROM p),
+                    UNION ALL SELECT b_id, a_id FROM p
+                    UNION ALL SELECT doc_id, doc_id FROM documents),
             l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents),
             $rounds
             SELECT v AS doc_id, lbl AS community FROM l3 ORDER BY v"""

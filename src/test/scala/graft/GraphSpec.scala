@@ -59,17 +59,50 @@ class GraphSpec extends AnyFunSuite {
     val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("v")
     val got = operators.Dedup.lpaRounds(nodes, edges, rounds = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // hand-simulated sync fixed point after 3 rounds (the bridge seeds
-    // label 3 into node 10 in round 1, so the right community converges
-    // to 3 — still a DIFFERENT label from the left's 1, i.e. split):
-    //   r1: 1→2 2→1 3→1 10→3 11→10 12→10
-    //   r2: 1→1 2→1 3→1 10→10 11→3 12→3
-    //   r3: 1→1 2→1 3→1 10→3  11→3 12→3
+    // hand-simulated SELF-INCLUSIVE sync rounds (each node votes its own
+    // label too — the anti-oscillation damping):
+    //   r1: 1→1 2→1 3→1 10→3  11→10 12→10  (bridge seeds 3 into 10)
+    //   r2: 1→1 2→1 3→1 10→10 11→10 12→10  (triangle outvotes the seed)
+    //   r3: fixed point — left community 1, right community 10
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      10L -> 3L, 11L -> 3L, 12L -> 3L, 99L -> 99L),
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L),
       s"LPA fixed point diverged: $got")
     // the communities stayed split despite the bridge — the property that
     // distinguishes LPA from connected components on this graph
     assert(got(3L) != got(10L), s"bridge merged the triangles: $got")
+  }
+
+  test("LPA without damping would oscillate: the pair converges with it") {
+    val s = spark
+    import s.implicits._
+    // an isolated 2-clique is the minimal sync-LPA oscillator (a swaps
+    // to b's label while b swaps to a's, period 2, forever). The
+    // self-inclusive vote makes it converge to the min label in one
+    // round and stay there — pinned across consecutive round counts.
+    val edges = Seq((7L, 9L)).toDF("a_id", "b_id")
+    val nodes = Seq(7L, 9L).toDF("v")
+    for (r <- 1 to 3) {
+      val got = operators.Dedup.lpaRounds(nodes, edges, rounds = r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(got == Map(7L -> 7L, 9L -> 7L),
+        s"pair not stable at rounds=$r: $got")
+    }
+  }
+
+  test("q_graph_lpa's 3 rounds reach the fixed point on the test corpus") {
+    // the registered row pins 3 rounds as the verified contract; this
+    // pins that on the near-dup graph those 3 rounds are ALSO the fixed
+    // point (a 4th sync round moves no label) — if a future corpus
+    // breaks this, the assertion localizes the convergence question
+    // instead of leaving it to the scaladoc
+    val s = spark
+    val docs = Tables(s, sfDir, "documents")
+      .select(col("doc_id").as("v"))
+    val edges = operators.Dedup.nearDupPairsForTest(s, sfDir)
+      .localCheckpoint()
+    def labels(rounds: Int) =
+      operators.Dedup.lpaRounds(docs, edges, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(3) == labels(4), "round 4 still moves labels")
   }
 }
