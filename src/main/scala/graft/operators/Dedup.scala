@@ -1243,7 +1243,9 @@ object Dedup {
         pairs.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
       },
       Some(s"""WITH sh AS (${sqlShingled("documents")}),
-              p AS (
+              p AS MATERIALIZED (
+                -- MATERIALIZED: referenced 4× below; inlined, the pair
+                -- Jaccard would brute-force 4 times over
                 SELECT a.doc_id AS a_id, b.doc_id AS b_id
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
                 WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
@@ -1297,12 +1299,16 @@ object Dedup {
                FROM l${k - 1} LEFT JOIN b$k ON l${k - 1}.v = b$k.v)"""
         }.mkString(",\n")
         s"""WITH sh AS (${sqlShingled("documents")}),
-            p AS (
+            p AS MATERIALIZED (
+              -- MATERIALIZED: DuckDB inlines CTEs by default, and adj
+              -- references p twice while every round references adj —
+              -- inlined, the brute-force pair Jaccard would re-run ~6×
               SELECT a.doc_id AS a_id, b.doc_id AS b_id
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
               WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
                     len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
-            adj AS (SELECT a_id AS v, b_id AS u FROM p
+            adj AS MATERIALIZED (
+                    SELECT a_id AS v, b_id AS u FROM p
                     UNION ALL SELECT b_id, a_id FROM p
                     UNION ALL SELECT doc_id, doc_id FROM documents),
             l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents),
