@@ -381,6 +381,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_rollup_incremental / q_approx_distinct_merge: broadcast cutoff") {
+    // both incremental-refresh rows split the corpus at a 1-row
+    // broadcast cutoff (never a driver-side collect), reduce each side
+    // with map-side partials, and merge without anything all-pairs
+    for (q <- Seq("q_rollup_incremental", "q_approx_distinct_merge")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"), s"$q cutoff not broadcast:\n$p")
+      assert(p.contains("partial_"), s"$q has no partial phase:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("q_session_attrib: attribution via partial argmin, no third window") {
     // first/last touch must come from min_by/max_by AGGREGATES with
     // map-side partials over the session-index window output — a rank
