@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, Trigger, ValueState}
 
 import graft.Q
 import graft.operators.Arith
@@ -160,6 +161,81 @@ object Streams {
             closed.result().iterator
           }
       }
+  }
+
+  /** [[sessionize]]'s exact semantics re-expressed on Spark 4's
+    * transformWithState API — the arbitrary-state operator that replaces
+    * flatMapGroupsWithState (SPARK-40434): explicit named ValueState
+    * instead of the single implicit GroupState, explicit event-time
+    * TIMERS instead of setTimeoutTimestamp (re-armed per batch: stale
+    * timers deleted, the new one clamped past the current watermark —
+    * the same clamp the fmgws arm needs), and a separate
+    * handleExpiredTimer callback instead of the hasTimedOut branch.
+    * Requires the RocksDB state-store provider (a transformWithState
+    * constraint — callers set it; the registered row does).
+    *
+    * Kept semantically IDENTICAL to [[sessionize]] — same in-batch
+    * (ts_us, event_id) sort, same min/max late-merge, same gap rule, same
+    * timer arithmetic — and held to it twice over: StreamingSpec drives
+    * both arms on one planted multi-batch feed, and the registered row
+    * q_stream_sessionize_tws verifies against q_stream_sessionize's
+    * DuckDB oracle VERBATIM, timeout boundary included. */
+  private class SessionTws extends StatefulProcessor[Long, Ev, Session] {
+    @transient private var open: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[SessionState]("open",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      val closed = Seq.newBuilder[Session]
+      var cur = if (open.exists()) Some(open.get()) else None
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts_us - s.endUs <= GapUs =>
+            cur = Some(SessionState(math.min(s.startUs, e.ts_us),
+              math.max(s.endUs, e.ts_us), s.n + 1))
+          case Some(s) =>
+            closed += Session(userId, s.n, s.startUs, s.endUs)
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+          case None =>
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(math.max(s.endUs / 1000 + GapUs / 1000,
+          tv.getCurrentWatermarkInMs() + 1))
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Session] = {
+      val out =
+        if (open.exists()) {
+          val s = open.get()
+          Iterator.single(Session(userId, s.n, s.startUs, s.endUs))
+        } else Iterator.empty
+      open.clear()
+      out
+    }
+  }
+
+  /** The transformWithState sessionizer — see [[SessionTws]]. */
+  def sessionizeTws(events: Dataset[Ev]): Dataset[Session] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.toDF()
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", "30 minutes")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTws, TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   /** Streaming ordered-funnel state machine: one [[FunnelState]] of three
