@@ -207,8 +207,15 @@ object Streams {
       cur.foreach { s =>
         open.update(s)
         getHandle.listTimers().foreach(getHandle.deleteTimer)
+        // +1: the two APIs disagree at the watermark BOUNDARY — fmgws
+        // fires a timeout iff ts < watermark (strict), but tws expires
+        // timers iff ts <= watermark (TimerStateImpl's expiry iterator
+        // stops only when ts > watermark). Registering at fmgwsTs + 1
+        // makes the tws firing rule (fmgwsTs + 1 <= wm) exactly the
+        // fmgws rule (fmgwsTs < wm), so both arms satisfy the shared
+        // oracle's strict-inequality timeout law at the boundary too.
         getHandle.registerTimer(math.max(s.endUs / 1000 + GapUs / 1000,
-          tv.getCurrentWatermarkInMs() + 1))
+          tv.getCurrentWatermarkInMs() + 1) + 1)
       }
       closed.result().iterator
     }
@@ -360,6 +367,78 @@ object Streams {
             Iterator.empty
           }
       }
+  }
+
+  /** [[funnelRetained]] re-expressed on transformWithState, the same
+    * dual-arm discipline as [[SessionTws]]/[[sessionizeTws]]: identical
+    * fold ([[advanceFunnel]] in (ts_us, event_id) order), identical
+    * delta-emission and TTL-reclaim rules, and the same +1 timer shift —
+    * fmgws fires a timeout iff ts < watermark while tws expires timers
+    * iff ts <= watermark, so every timer registers at fmgwsTs + 1 to land
+    * on the same boundary. StreamingSpec drives both arms through one
+    * planted 4-batch feed (idle flush → post-idle return → TTL reclaim)
+    * and requires emission-for-emission equality.
+    *
+    * With [[SessionTws]] this covers both arbitrary-state APIs production
+    * code meets on Spark 4 — session-style state (emit on close) and
+    * machine-style state (delta snapshots with TTL) — each checked
+    * against its flatMapGroupsWithState twin. */
+  private class FunnelRetainedTws(ttlUs: Long)
+      extends StatefulProcessor[Long, FEv, FunnelUser] {
+    @transient private var st: ValueState[FunnelStateR] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelStateR]("funnel",
+        Encoders.product[FunnelStateR], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[FEv],
+        tv: TimerValues): Iterator[FunnelUser] = {
+      var s = if (st.exists()) st.get()
+        else FunnelStateR(-1L, -1L, -1L, Long.MinValue, dirty = true)
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        val adv = advanceFunnel(FunnelState(s.t1, s.t2, s.t3), e)
+        s = FunnelStateR(adv.t1, adv.t2, adv.t3,
+          math.max(s.lastUs, e.ts_us),
+          s.dirty || (adv.t1, adv.t2, adv.t3) != (s.t1, s.t2, s.t3))
+      }
+      st.update(s)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(tv.getCurrentWatermarkInMs() + 1 + 1)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[FunnelUser] = {
+      val s = st.get()
+      val out =
+        if (s.dirty)
+          Iterator.single(FunnelUser(userId, s.t1 >= 0, s.t2 >= 0,
+            s.t3 >= 0))
+        else Iterator.empty
+      val expired = tv.getCurrentWatermarkInMs() >=
+        s.lastUs / 1000 + ttlUs / 1000
+      if (expired) st.clear()
+      else {
+        st.update(s.copy(dirty = false))
+        // the framework deletes the fired timer; re-arm for the next
+        // watermark advance (the fmgws wm+1 rule, +1-shifted)
+        getHandle.registerTimer(tv.getCurrentWatermarkInMs() + 1 + 1)
+      }
+      out
+    }
+  }
+
+  /** The transformWithState retained-funnel arm — see [[FunnelRetainedTws]]. */
+  def funnelRetainedTws(events: Dataset[FEv], ttlUs: Long): Dataset[FunnelUser] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.toDF()
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", "30 minutes")
+      .as[FEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelRetainedTws(ttlUs), TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   /** Driver-checkable streaming row: a real file-source STREAM over the
@@ -602,8 +681,8 @@ object Streams {
               ORDER BY user_id, event_type""")),
 
     // The custom-state operator as a driver row: flatMapGroupsWithState
-    // sessionization over the events stream (the only row exercising
-    // arbitrary stateful logic rather than built-in stateful operators —
+    // sessionization over the events stream (exercising arbitrary
+    // stateful logic rather than built-in stateful operators —
     // the batch twin q_sessionize uses a lag window, so the two
     // formulations cross-check each other). AvailableNow drains the data
     // as ONE micro-batch (every gap-closed session emits), then the
@@ -616,72 +695,32 @@ object Streams {
     // so the row pins the timeout arithmetic, ms flooring and strict
     // inequality included, cross-engine.
     Q("q_stream_sessionize",
+      (s, d) => runSessionizeRow(s, d, "q_stream_sessionize_sink",
+        "q_stream_sessionize", sessionize, requireRocks = false),
+      Some(sessionizeOracleSql)),
+
+    // [[sessionizeTws]] (the Spark 4 transformWithState rewrite of the
+    // arm above) held to the SAME DuckDB oracle VERBATIM — the timer
+    // arithmetic, ms flooring and strict watermark inequality must all
+    // survive the API translation (explicit registerTimer vs
+    // setTimeoutTimestamp) for this row to hash-match. Runs on the
+    // RocksDB state-store provider, a transformWithState requirement;
+    // the progress metrics are checked so a silent fallback to the
+    // default provider fails the row rather than passing vacuously.
+    Q("q_stream_sessionize_tws",
       (s, d) => {
-        import s.implicits._
-        val stream = eventsStream(s, d)
-          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-            col("event_id"))
-          .as[Ev]
-        val sink = "q_stream_sessionize_sink"
-        // state stores track user cardinality, not core count (the
-        // q_stream_join rationale); value restored after query start
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q =
-          try sessionize(stream).writeStream
-            .format("memory").queryName(sink)
-            .outputMode(OutputMode.Append)
-            .trigger(Trigger.AvailableNow())
-            .start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        q.awaitTermination()
-        // the oracle's timeout rule assumes ONE data micro-batch (the
-        // watermark must not advance mid-data, or within-horizon late
-        // rows drop and the batch-twin comparison silently diverges) —
-        // enforced loudly rather than assumed: a future file layout
-        // that splits the drain fails here, not in a hash mismatch
-        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-        if (dataBatches > 1) throw new IllegalStateException(
-          s"q_stream_sessionize drained in $dataBatches data batches; " +
-            "the single-batch oracle contract is void")
-        s.table(sink)
-          .select(col("user_id"), col("n_events"), col("start_us"),
-            col("end_us"))
-          .orderBy("user_id", "start_us")
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+          ".RocksDBStateStoreProvider")
+        try runSessionizeRow(s, d, "q_stream_sessionize_tws_sink",
+          "q_stream_sessionize_tws", sessionizeTws, requireRocks = true)
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
       },
-      Some("""WITH g AS (
-                SELECT user_id, event_id,
-                  epoch_us(CAST(ts AS TIMESTAMP)) AS eus,
-                  epoch_us(CAST(ts AS TIMESTAMP)) -
-                    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
-                      (PARTITION BY user_id
-                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
-                      AS gap_us
-                FROM events),
-              sid AS (
-                SELECT user_id, eus,
-                  CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
-                                THEN 1 ELSE 0 END)
-                    OVER (PARTITION BY user_id ORDER BY eus, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS session_id
-                FROM g),
-              sess AS (
-                SELECT user_id, session_id, COUNT(*) AS n_events,
-                  MIN(eus) AS start_us, MAX(eus) AS end_us
-                FROM sid GROUP BY user_id, session_id),
-              wm AS (
-                SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
-                FROM events),
-              lastflag AS (
-                SELECT s.*, row_number() OVER (PARTITION BY user_id
-                    ORDER BY start_us DESC) = 1 AS is_last
-                FROM sess s)
-              SELECT user_id, n_events, start_us, end_us
-              FROM lastflag, wm
-              WHERE NOT is_last
-                 OR (max_us // 1000) - (end_us // 1000) > 3600000
-              ORDER BY user_id, start_us""")),
+      Some(sessionizeOracleSql)),
 
     // Streaming funnel snapshot: the per-user three-stage state machine
     // ([[funnelSnapshot]]) flushed by the watermark timeout in the no-data
@@ -779,4 +818,88 @@ object Streams {
                 AND c.event_type = 'click' AND p.event_type = 'purchase'
                 AND p.us >= c.us AND p.us <= c.us + 1800000000
               ORDER BY c.user_id, click_id, purchase_id""")))
+
+  /** The shared drain recipe for both sessionizer rows: file-source
+    * stream → the given sessionizer arm → memory sink via AvailableNow,
+    * with the single-data-batch oracle contract enforced loudly. */
+  private def runSessionizeRow(s: org.apache.spark.sql.SparkSession,
+      d: String, sink: String, rowName: String,
+      arm: Dataset[Ev] => Dataset[Session],
+      requireRocks: Boolean): DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val stream = eventsStream(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+      .as[Ev]
+    // state stores track user cardinality, not core count (the
+    // q_stream_join rationale); value restored after query start
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try arm(stream).writeStream
+        .format("memory").queryName(sink)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    // the oracle's timeout rule assumes ONE data micro-batch (the
+    // watermark must not advance mid-data, or within-horizon late
+    // rows drop and the batch-twin comparison silently diverges) —
+    // enforced loudly rather than assumed: a future file layout
+    // that splits the drain fails here, not in a hash mismatch
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    if (dataBatches > 1) throw new IllegalStateException(
+      s"$rowName drained in $dataBatches data batches; " +
+        "the single-batch oracle contract is void")
+    if (requireRocks) {
+      val usedRocks = q.recentProgress.flatMap(_.stateOperators)
+        .exists(_.customMetrics.keySet.asScala.exists(_.contains("rocksdb")))
+      if (!usedRocks) throw new IllegalStateException(
+        s"$rowName: no rocksdb custom metrics in progress — the " +
+          "required state-store provider did not take effect")
+    }
+    s.table(sink)
+      .select(col("user_id"), col("n_events"), col("start_us"),
+        col("end_us"))
+      .orderBy("user_id", "start_us")
+  }
+
+  /** The q_stream_sessionize[_tws] oracle — see the registration comment
+    * for the timeout-rule derivation. Shared so the two API arms are held
+    * to ONE cross-engine contract, character for character. */
+  private lazy val sessionizeOracleSql: String = """WITH g AS (
+                SELECT user_id, event_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS eus,
+                  epoch_us(CAST(ts AS TIMESTAMP)) -
+                    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                      (PARTITION BY user_id
+                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+                      AS gap_us
+                FROM events),
+              sid AS (
+                SELECT user_id, eus,
+                  CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                                THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY eus, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+                FROM g),
+              sess AS (
+                SELECT user_id, session_id, COUNT(*) AS n_events,
+                  MIN(eus) AS start_us, MAX(eus) AS end_us
+                FROM sid GROUP BY user_id, session_id),
+              wm AS (
+                SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+                FROM events),
+              lastflag AS (
+                SELECT s.*, row_number() OVER (PARTITION BY user_id
+                    ORDER BY start_us DESC) = 1 AS is_last
+                FROM sess s)
+              SELECT user_id, n_events, start_us, end_us
+              FROM lastflag, wm
+              WHERE NOT is_last
+                 OR (max_us // 1000) - (end_us // 1000) > 3600000
+              ORDER BY user_id, start_us"""
 }

@@ -522,65 +522,90 @@ class StreamingSpec extends AnyFunSuite {
       s"funnel snapshot mismatch: $got")
   }
 
-  test("retained funnel: survives idle periods, delta-emits, TTL-reclaims") {
-    // The live-deployment arm: user 1 signs up and clicks, goes idle (a
-    // flush emits the partial funnel and RETAINS state), then purchases
-    // after the idle period — the retained clocks complete the funnel
-    // (the snapshot arm would have reset and emitted all-false). Users
-    // 2/3 flush once and then stay silent across later watermark
-    // advances (delta emission: clean state emits nothing). Finally a
-    // far-future event pushes the watermark past everyone's
-    // last-activity + TTL: expired users are reclaimed silently (clean)
-    // and the state store ends with ONLY the sentinel user live.
+  /** The 4-batch retained-funnel contract, parameterized over the arm so
+    * the flatMapGroupsWithState original and its transformWithState port
+    * are held to emission-for-emission identical behavior: idle flush
+    * retains state, a post-idle return completes the funnel, delta
+    * emission keeps clean users silent, and the TTL reclaims everyone
+    * but the sentinel. Returns the final emission sequence. */
+  private def driveRetainedFunnel(tag: String,
+      arm: (org.apache.spark.sql.Dataset[Streams.FEv], Long) =>
+        org.apache.spark.sql.Dataset[Streams.FunnelUser])
+      : Seq[(Long, Boolean, Boolean, Boolean)] = {
     val s = spark
     import s.implicits._
     val m = 60L * 1000000 // one minute, in micros
     val ttl = 200 * m
+    val sink = s"funnel_ret_$tag"
     val input = MemoryStream[Streams.FEv](s)
     // batch 1: user 1 = signup→click, user 2 = signup only
     input.addData(
       Streams.FEv(1, 10 * m, 11, "signup"), Streams.FEv(1, 20 * m, 12, "click"),
       Streams.FEv(2, 15 * m, 21, "signup"))
-    val q = Streams.funnelRetained(input.toDS(), ttl).writeStream
-      .format("memory").queryName("funnel_ret").outputMode("append").start()
+    val q = arm(input.toDS(), ttl).writeStream
+      .format("memory").queryName(sink).outputMode("append").start()
     try {
       q.processAllAvailable()
       // batch 2: user 3 advances the watermark to 70m → users 1/2 flush
       // their first snapshots and are RETAINED (200m TTL not reached)
       input.addData(Streams.FEv(3, 100 * m, 31, "signup"))
       q.processAllAvailable()
-      val afterFlush = s.table("funnel_ret").as[Streams.FunnelUser]
+      val afterFlush = s.table(sink).as[Streams.FunnelUser]
         .collect().map(x => (x.user_id, x.s1, x.s2, x.s3)).toSeq
       assert(afterFlush.sorted == Seq((1L, true, true, false),
         (2L, true, false, false), (3L, true, false, false)),
-        s"first-flush snapshots wrong: $afterFlush")
+        s"[$tag] first-flush snapshots wrong: $afterFlush")
       // batch 3: user 1 returns AFTER the idle flush and purchases at
       // 150m — retained t1/t2 make it stage 3 (the snapshot arm would
       // restart at stage 0 and ignore the purchase). Watermark → 120m:
       // user 1 re-emits (dirty), users 2/3 are clean → silent.
       input.addData(Streams.FEv(1, 150 * m, 13, "purchase"))
       q.processAllAvailable()
-      val afterReturn = s.table("funnel_ret").as[Streams.FunnelUser]
+      val afterReturn = s.table(sink).as[Streams.FunnelUser]
         .collect().map(x => (x.user_id, x.s1, x.s2, x.s3)).toSeq
       assert(afterReturn.sorted == Seq((1L, true, true, false),
         (1L, true, true, true), (2L, true, false, false),
         (3L, true, false, false)),
-        s"post-return emissions wrong: $afterReturn")
+        s"[$tag] post-return emissions wrong: $afterReturn")
       // batch 4: watermark → 370m, past every last-activity + 200m TTL
       // (user 1: 150+200=350, user 2: 215, user 3: 300) → all reclaimed,
       // silently (clean). The sentinel flushes its own first snapshot.
       input.addData(Streams.FEv(9, 400 * m, 91, "signup"))
       q.processAllAvailable()
-      val fin = s.table("funnel_ret").as[Streams.FunnelUser]
+      val fin = s.table(sink).as[Streams.FunnelUser]
         .collect().map(x => (x.user_id, x.s1, x.s2, x.s3)).toSeq
       assert(fin.sorted == afterReturn.sorted :+ ((9L, true, false, false)),
-        s"TTL reclaim emitted spurious rows: $fin")
+        s"[$tag] TTL reclaim emitted spurious rows: $fin")
       val liveState = q.recentProgress.reverse
         .find(_.stateOperators.nonEmpty).get.stateOperators(0).numRowsTotal
       assert(liveState == 1,
-        s"expected only the sentinel user live after TTL, got $liveState")
+        s"[$tag] expected only the sentinel user live after TTL, got $liveState")
+      fin.sorted
     } finally q.stop()
   }
+
+  test("retained funnel: survives idle periods, delta-emits, TTL-reclaims") {
+    driveRetainedFunnel("fmgws", Streams.funnelRetained)
+  }
+
+  test("retained funnel tws arm == fmgws arm on the planted 4-batch feed") {
+    // transformWithState requires RocksDB; run BOTH arms on it so the
+    // store is held constant, and require identical emission sequences
+    val s = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try {
+      val a = driveRetainedFunnel("fmgws_rocks", Streams.funnelRetained)
+      val b = driveRetainedFunnel("tws_rocks", Streams.funnelRetainedTws)
+      assert(a == b, s"arms diverged: fmgws=$a tws=$b")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
 
   test("sessionize: a within-watermark late event cannot regress a session") {
     // the watermark bounds lateness to 30 min — it does NOT prevent a
@@ -651,5 +676,75 @@ class StreamingSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), operators.Arith.dsum($"value").as("sum_value"))
       .collect().map(_.toSeq).toSet
     assert(got == want && got.nonEmpty)
+  }
+
+  test("sessionizeTws == sessionize on one planted multi-batch feed " +
+      "(timeout boundary included)") {
+    // The dual-arm contract the SessionTws scaladoc promises: the
+    // flatMapGroupsWithState arm and its Spark 4 transformWithState
+    // rewrite, driven over the SAME five planted micro-batches, must emit
+    // identical sessions. The feed exercises every cross-batch path:
+    //  b1  u1 {10m,39m} open; u2 later; boundary users planted in b4
+    //  b2  u1 15m LATE (above the 9m watermark -> admitted; min/max merge)
+    //      u2 20m
+    //  b3  u1 60m (21m gap -> same session [10,60] n=4)
+    //      u2 55m (35m gap -> closes [20,20] by GAP, opens [55,55])
+    //  b4  u3 240m, u4 239m -> watermark 210m; the no-data batch fires
+    //      u1/u2's timers (90m/85m < 210m) -> MID-FEED timeout emission
+    //  b5  sentinel u99 300m -> final watermark 270m. u4's timer sits at
+    //      269m < 270m -> flushes; u3's at EXACTLY 270m -> must NOT fire:
+    //      fmgws times out iff ts < watermark (strict), and the tws arm
+    //      registers at fmgwsTs+1 precisely so its ts <= watermark expiry
+    //      rule lands on the same strict boundary. A tws arm without the
+    //      +1 emits u3 here and fails this assertion.
+    val s = spark
+    import s.implicits._
+    val m = 60L * 1000000
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    // RocksDB: a transformWithState requirement; the fmgws arm runs on it
+    // too so the comparison holds store constant
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try {
+      def drive(tag: String,
+          arm: org.apache.spark.sql.Dataset[Ev] =>
+            org.apache.spark.sql.Dataset[Session]): Seq[(Long, Long, Long, Long)] = {
+        val input = MemoryStream[Ev](s)
+        val q = arm(input.toDS()).writeStream
+          .format("memory").queryName(s"tws_twin_$tag")
+          .outputMode("append").start()
+        try {
+          Seq(
+            Seq(Ev(1, 10 * m, 1), Ev(1, 39 * m, 2)),
+            Seq(Ev(1, 15 * m, 3), Ev(2, 20 * m, 4)),
+            Seq(Ev(1, 60 * m, 5), Ev(2, 55 * m, 6)),
+            Seq(Ev(3, 240 * m, 7), Ev(4, 239 * m, 8)),
+            Seq(Ev(99, 300 * m, 9))
+          ).foreach { batch =>
+            input.addData(batch: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(s"tws_twin_$tag").as[Session].collect()
+          .map(x => (x.user_id, x.n_events, x.start_us, x.end_us))
+          .sorted.toSeq
+      }
+      val fmgws = drive("fmgws", Streams.sessionize)
+      val tws = drive("tws", Streams.sessionizeTws)
+      val want = Seq(
+        (1L, 4L, 10 * m, 60 * m),   // late-merged, timeout after b4
+        (2L, 1L, 20 * m, 20 * m),   // closed by gap in b3
+        (2L, 1L, 55 * m, 55 * m),   // timeout after b4
+        (4L, 1L, 239 * m, 239 * m)  // timer 269m < 270m: flushes
+      ).sorted
+      assert(fmgws == want, s"fmgws arm diverged: $fmgws")
+      assert(tws == want, s"tws arm diverged: $tws")
+      assert(!tws.exists(_._1 == 3L),
+        "u3 (timer == watermark) must stay open under the strict rule")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 }
