@@ -165,16 +165,23 @@ object Similarity {
 
   /** Codegen'd native cosine (graft.functions.CosineSim) — same
     * left-to-right double accumulation as the HOF formulation and DuckDB's
-    * list functions, so oracle values match exactly at 6 decimals. */
+    * list functions — quantized to 6 decimals as floor(x·1e6 + ½)/1e6:
+    * one IEEE expression both engines evaluate bit-identically on the
+    * BINARY value. round(x, 6) is NOT that — Spark rounds the shortest
+    * decimal rendering while DuckDB rounds the binary value, and the two
+    * disagree on .xxxxxx5-boundary cosines (the exact half-mode
+    * divergence that bit the MMR row in r11; this helper migrated in
+    * r12 so every cosine consumer is boundary-proof, not observed-green). */
   private[operators] def cosine(s: SparkSession, a: Column, b: Column): Column =
-    round(CosineSim(s, a, b), 6)
+    floor(CosineSim(s, a, b) * 1e6 + 0.5) / 1e6
 
   /** DuckDB-side cosine over two list-column expressions, same accumulation
-    * order and rounding as [[cosine]]. */
+    * order and quantization as [[cosine]]. */
   private[operators] def sqlCosineCols(a: String, b: String): String =
-    s"""ROUND(list_sum([$a[i] * $b[i] FOR i IN generate_series(1, 64)]) /
+    s"""(CAST(FLOOR(list_sum([$a[i] * $b[i] FOR i IN generate_series(1, 64)]) /
        (sqrt(list_sum([x * x FOR x IN $a])) *
-        sqrt(list_sum([x * x FOR x IN $b]))), 6)"""
+        sqrt(list_sum([x * x FOR x IN $b]))) * 1000000 + 0.5) AS BIGINT)
+       / 1000000.0)"""
 
   /** DuckDB-side cosine between `<alias>.v` columns. */
   private def sqlCosine(a: String, b: String): String =
@@ -216,15 +223,25 @@ object Similarity {
     *                 paths drop them (`false` — cosinePairs filters
     *                 zero-norm rows on the broadcast arm too, so the arms
     *                 agree). The OPTIMIZER REWRITE passes `true`: the
-    *                 declarative plan it replaces evaluates
-    *                 `round(cosine_sim,6) >= t` under Spark's
-    *                 NaN-is-largest comparison, which PASSES NaN — the
-    *                 rewrite must not change which rows a query returns. */
+    *                 declarative plan it replaces evaluates the quantized
+    *                 cosine `>= t` under Spark's NaN-is-largest
+    *                 comparison, which PASSES NaN — the rewrite must not
+    *                 change which rows a query returns.
+    * @param sparkRound6  which 6-decimal quantization the kernel
+    *                 replicates. `false` (API paths): floor(x·1e6 + ½)
+    *                 / 1e6 — the boundary-proof cross-engine form that
+    *                 cosine()/cosinePairs use. `true` (the optimizer
+    *                 rewrite): Spark's round(x, 6) = HALF_UP on the
+    *                 shortest-decimal rendering, because the rule
+    *                 pattern-matches a user plan written with
+    *                 `round(cosine_sim(a,b), 6)` and must return
+    *                 bit-for-bit what that plan would have. */
   def blockedPairs(
       vecs: org.apache.spark.rdd.RDD[(Long, Array[Float])],
       threshold: Double,
       blocks: Int,
-      keepNaN: Boolean = false): org.apache.spark.rdd.RDD[(Long, Long, Double)] = {
+      keepNaN: Boolean = false,
+      sparkRound6: Boolean = false): org.apache.spark.rdd.RDD[(Long, Long, Double)] = {
     val bucketed = vecs
       // floorMod: a plain % would hand a negative vec_id a NEGATIVE
       // bucket, outside the 0..blocks-1 pair grid below — the broadcast
@@ -280,14 +297,19 @@ object Similarity {
               if (keepNaN) Double.NaN else Double.NegativeInfinity
             } else {
               val raw = dot / (sa * sb)
-              // HALF_UP at scale 6 moves a value by at most 5e-7, so a
-              // raw cosine more than 1e-6 below the threshold can never
-              // round up to it — skip the BigDecimal for the ~all of the
-              // n²/2 pairs that lose, paying it only near/above the bar
-              // (bit-identical survivors, no 200M-allocation hot path)
+              // floor(x·1e6 + ½)/1e6 — the same IEEE quantization as the
+              // declarative arms' cosine() and DuckDB's FLOOR formula, so
+              // all three paths are bit-identical INCLUDING on
+              // .xxxxxx5-boundary cosines (BigDecimal HALF_UP here would
+              // reproduce Spark's old shortest-decimal round(x,6), which
+              // DuckDB disagrees with at the boundary). Quantization
+              // moves a value up by at most 5e-7, so a raw cosine more
+              // than 1e-6 below the threshold can never reach it — skip
+              // the quantization for ~all of the n²/2 pairs that lose.
               if (raw < threshold - 1e-6) Double.NegativeInfinity
-              else BigDecimal(raw)
+              else if (sparkRound6) BigDecimal(raw)
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              else math.floor(raw * 1e6 + 0.5) / 1e6
             }
           }
           if r.isNaN || r >= threshold
@@ -347,9 +369,9 @@ object Similarity {
           .repartition(s.sparkContext.defaultParallelism)
         val b = side("b_id", "b_v", "b_norm")
         a.join(broadcast(b), col("a_id") < col("b_id"))
-          .withColumn("cos", round(
+          .withColumn("cos", floor(
             DotProduct(s, col("a_v"), col("b_v")) /
-              (col("a_norm") * col("b_norm")), 6))
+              (col("a_norm") * col("b_norm")) * 1e6 + 0.5) / 1e6)
           .filter(col("cos") >= threshold)
           .select("a_id", "b_id", "cos")
       } else {
@@ -1085,13 +1107,13 @@ object Similarity {
         .groupBy("label")
         .agg(count(lit(1)).as("n_vecs"),
           davg(col("nrm")).as("avg_norm"),
-          round(min(col("nrm")), 6).as("min_norm"),
-          round(max(col("nrm")), 6).as("max_norm"))
+          (floor(min(col("nrm")) * 1e6 + 0.5) / 1e6).as("min_norm"),
+          (floor(max(col("nrm")) * 1e6 + 0.5) / 1e6).as("max_norm"))
         .orderBy("label"),
       Some(s"""SELECT label, COUNT(*) AS n_vecs,
               ${sqlAvg("sqrt(list_sum([x * x FOR x IN (embedding::DOUBLE[])]))")} AS avg_norm,
-              ROUND(MIN(sqrt(list_sum([x * x FOR x IN (embedding::DOUBLE[])]))), 6) AS min_norm,
-              ROUND(MAX(sqrt(list_sum([x * x FOR x IN (embedding::DOUBLE[])]))), 6) AS max_norm
+              CAST(FLOOR(MIN(sqrt(list_sum([x * x FOR x IN (embedding::DOUBLE[])]))) * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS min_norm,
+              CAST(FLOOR(MAX(sqrt(list_sum([x * x FOR x IN (embedding::DOUBLE[])]))) * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS max_norm
               FROM embeddings GROUP BY label ORDER BY label""")),
 
     // ---- per-label centroid via typed Aggregator (UDAF) ------------------
@@ -1307,9 +1329,15 @@ object Similarity {
           .select(col("q_id"), col("vec_id").as("nn_id"), lit(1).as("m"))
         exact.join(ivf, Seq("q_id", "nn_id"), "left")
           .groupBy("q_id")
-          .agg(count(col("m")).as("n_hits"))
+          // denominator = this query's ACTUAL exact-neighbor count (the
+          // group size of the left join), not an assumed literal 10.0 —
+          // a sub-11-row corpus or zero-norm rows shrink the true top-k
+          // and a shared constant would deflate recall in both engines,
+          // invisible to the cross-check (r11 ADVICE)
+          .agg(count(col("m")).as("n_hits"),
+            count(lit(1)).cast("double").as("n_exact"))
           .select(col("q_id"), col("n_hits"),
-            (col("n_hits") / lit(10.0)).as("recall_at_10"))
+            (col("n_hits") / col("n_exact")).as("recall_at_10"))
           .orderBy("q_id")
       },
       Some(s"""WITH ${sqlIvfAssign(8, sqlZeroNormWhere)},
@@ -1347,7 +1375,7 @@ object Similarity {
                 WHERE rk <= 10)
               SELECT exact.q_id,
                 CAST(COUNT(ivf.nn_id) AS BIGINT) AS n_hits,
-                CAST(COUNT(ivf.nn_id) AS BIGINT) / CAST(10.0 AS DOUBLE)
+                CAST(COUNT(ivf.nn_id) AS BIGINT) / COUNT(*)::DOUBLE
                   AS recall_at_10
               FROM exact LEFT JOIN ivf
                 ON exact.q_id = ivf.q_id AND exact.nn_id = ivf.nn_id
@@ -1362,7 +1390,12 @@ object Similarity {
     // cost rises linearly; the knee is the config). The trained buckets,
     // centroids, and the exact arm compute ONCE and all three probe arms
     // reuse them; each arm adds only its probe cut + candidate rank.
-    // mean_recall = total/100.0 is one exact IEEE division.
+    // mean_recall divides by COUNT(*) of the exact arm — NOT a literal
+    // 100.0 (10 queries × 10 assumed neighbors): a zero-norm query
+    // vector or a query with < 10 exact neighbors shrinks the true
+    // denominator, and a shared hardcoded constant would deflate
+    // mean_recall identically in both engines, invisible to the
+    // cross-check (r11 ADVICE). One exact IEEE long/double division.
     Q("q_ann_probe_curve",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -1388,6 +1421,7 @@ object Similarity {
           .withColumn("c_cos", cosine(s, col("embedding"), col("c_v")))
           .withColumn("c_rk", row_number().over(cw))
           .localCheckpoint()
+        val denom = exact.agg(count(lit(1)).cast("double").as("n_exact"))
         def arm(probes: Int): DataFrame = {
           val qp = ranked.filter(col("c_rk") <= probes)
             .select(col("vec_id").as("q_id"), col("embedding").as("q_v"),
@@ -1401,8 +1435,9 @@ object Similarity {
               lit(1).as("m"))
           exact.join(ivf, Seq("q_id", "nn_id"), "left")
             .agg(count(col("m")).as("n_hits_total"))
+            .crossJoin(broadcast(denom))
             .select(lit(probes).as("probes"), col("n_hits_total"),
-              (col("n_hits_total") / lit(100.0)).as("mean_recall"))
+              (col("n_hits_total") / col("n_exact")).as("mean_recall"))
         }
         arm(1).unionByName(arm(2)).unionByName(arm(4)).orderBy("probes")
       },
@@ -1428,7 +1463,7 @@ object Similarity {
                SELECT CAST($p AS INTEGER) AS probes,
                  CAST(COUNT(ivf$p.nn_id) AS BIGINT) AS n_hits_total,
                  CAST(COUNT(ivf$p.nn_id) AS BIGINT) /
-                   CAST(100.0 AS DOUBLE) AS mean_recall
+                   (SELECT COUNT(*)::DOUBLE FROM exact) AS mean_recall
                FROM exact LEFT JOIN ivf$p
                  ON exact.q_id = ivf$p.q_id
                  AND exact.nn_id = ivf$p.nn_id)"""
@@ -2230,7 +2265,8 @@ object Similarity {
           .withColumn("cos", cosine(s, col("embedding"), col("c_v")))
           .groupBy("bucket")
           .agg(count(lit(1)).as("n_vecs"),
-            round(dsum(col("cos")) / count(lit(1)), 6).as("mean_cos"),
+            (floor(dsum(col("cos")) / count(lit(1)) * 1e6 + 0.5) / 1e6)
+              .as("mean_cos"),
             min(col("cos")).as("min_cos"))
           .orderBy("bucket")
       },
@@ -2241,7 +2277,8 @@ object Similarity {
                 SELECT a.bucket, ${sqlCosineCols("a.v", "c.c_v")} AS cos
                 FROM a2 a JOIN centsp c ON a.bucket = c.c_id)
               SELECT bucket, COUNT(*) AS n_vecs,
-                ROUND(${sqlSum("cos")} / COUNT(*), 6) AS mean_cos,
+                CAST(FLOOR(${sqlSum("cos")} / COUNT(*) * 1000000 + 0.5)
+                  AS BIGINT) / 1000000.0 AS mean_cos,
                 MIN(cos) AS min_cos
               FROM m GROUP BY bucket ORDER BY bucket""")),
 
@@ -2402,12 +2439,13 @@ object Similarity {
     // CONFIG-BOUNDED candidate frame (15 rows, localCheckpointed — the
     // corpus-scale work is only the candidate arm's TakeOrdered scan; at
     // 100 TB that arm swaps to the IVF probe and the loop cost is
-    // unchanged). Exact cross-engine: rel and pairwise sims are round-6
-    // cosines, each round's mmr pins to micro-longs with floor(x·1e6+½)
-    // — ONE IEEE expression both engines evaluate bit-identically (a
-    // round(x, 6) here diverged in practice: Spark rounds the shortest
-    // decimal rendering, DuckDB the binary value, and 0.7·rel landed on
-    // a .xxxxx49999… boundary at sf0.01) — and argmaxes tie to the
+    // unchanged). Exact cross-engine: rel and pairwise sims are
+    // floor-micro cosines (cosine() migrated off round(x, 6) in r12 —
+    // it diverged here in practice: Spark rounds the shortest decimal
+    // rendering, DuckDB the binary value, and 0.7·rel landed on a
+    // .xxxxx49999… boundary at sf0.01), each round's mmr pins to
+    // micro-longs with floor(x·1e6+½) — ONE IEEE expression both
+    // engines evaluate bit-identically — and argmaxes tie to the
     // lower doc_id.
     Q("q_mmr_rerank",
       (s, d) => {

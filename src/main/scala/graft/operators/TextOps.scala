@@ -69,7 +69,11 @@ object TextOps {
           (col("tf") +
             lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
       .groupBy("doc_id")
-      .agg(round(sum(col("term_score")), 6).as("score"),
+      // floor(x·1e6 + ½)/1e6, not round(x, 6): one IEEE expression both
+      // engines evaluate identically on the binary value — round(x, 6)
+      // is Spark's shortest-decimal half-up vs DuckDB's binary half-up,
+      // which diverge on .xxxxxx5-boundary scores (the r11 MMR lesson)
+      .agg((floor(sum(col("term_score")) * 1e6 + 0.5) / 1e6).as("score"),
         count(lit(1)).as("n_terms_hit"))
   }
 
@@ -145,7 +149,9 @@ object TextOps {
         JOIN dl ON tf.doc_id = dl.doc_id
         CROSS JOIN stats),
       bm25 AS (
-        SELECT doc_id, ROUND(SUM(term_score), 6) AS score,
+        SELECT doc_id,
+          CAST(FLOOR(SUM(term_score) * 1000000 + 0.5) AS BIGINT)
+            / 1000000.0 AS score,
           COUNT(*) AS n_terms_hit
         FROM scored GROUP BY doc_id)"""
 
@@ -196,7 +202,8 @@ object TextOps {
           (col("tf") +
             lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
       .groupBy("q_id", "doc_id")
-      .agg(round(sum(col("term_score")), 6).as("score"))
+      // same floor-micro quantization as [[bm25Scores]]
+      .agg((floor(sum(col("term_score")) * 1e6 + 0.5) / 1e6).as("score"))
   }
 
   /** DuckDB CTE chain ending in `lexs(q_id, doc_id, score)` — the oracle
@@ -227,7 +234,9 @@ object TextOps {
         JOIN bdl ON btf.doc_id = bdl.doc_id
         CROSS JOIN bstats),
       lexs AS (
-        SELECT q_id, doc_id, ROUND(SUM(term_score), 6) AS score
+        SELECT q_id, doc_id,
+          CAST(FLOOR(SUM(term_score) * 1000000 + 0.5) AS BIGINT)
+            / 1000000.0 AS score
         FROM bscored GROUP BY q_id, doc_id)"""
 
   /** Overlapping token-window chunking of `(doc_id, text)` rows: windows

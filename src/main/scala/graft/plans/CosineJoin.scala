@@ -23,7 +23,7 @@ import graft.operators.Similarity
   * A declarative cosine self-join
   * {{{
   *   a.join(b, $"a_id" < $"b_id")
-  *    .withColumn("cos", round(cosine_sim($"a_v", $"b_v"), 6))
+  *    .withColumn("cos", floor(cosine_sim($"a_v", $"b_v") * 1e6 + 0.5) / 1e6)
   *    .filter($"cos" >= t).select("a_id", "b_id", "cos")
   * }}}
   * plans as a BroadcastNestedLoopJoin — perfect up to the broadcast budget,
@@ -211,8 +211,12 @@ case class BlockedCosineJoinExec(
     val types = output.map(_.dataType).toArray
     // keepNaN: the declarative plan this exec replaces passes NaN cosines
     // through the threshold (Spark's NaN-is-largest comparison) — the
-    // rewrite must return the same rows for a corpus with zero-norm rows
-    Similarity.blockedPairs(vecs, threshold, blocks, keepNaN = true)
+    // rewrite must return the same rows for a corpus with zero-norm rows.
+    // sparkRound6: the matched pattern is round(cosine_sim, 6), so the
+    // kernel must replicate Spark's round (shortest-decimal HALF_UP),
+    // not the API paths' floor-micro quantization.
+    Similarity.blockedPairs(vecs, threshold, blocks, keepNaN = true,
+      sparkRound6 = true)
       .mapPartitions { it =>
         val proj = UnsafeProjection.create(types)
         it.map { case (a, b, c) => proj(InternalRow(a, b, c)) }

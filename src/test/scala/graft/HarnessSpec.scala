@@ -184,4 +184,32 @@ class HarnessSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException](Tables.normalizeTs(bogus))
     assert(e.getMessage.contains("unsupported"))
   }
+
+  test("events testdata satisfies the session_attrib key-packing invariant") {
+    // q_session_attrib's DuckDB oracle packs the argmin/argmax key as
+    // eus::HUGEINT * 10^12 + event_id while the Spark side orders by the
+    // true struct(eus, event_id) — the packing is order-isomorphic ONLY
+    // when 0 <= event_id < 10^12 and eus >= 0. That bound was previously
+    // stated in a comment but never enforced (r11 ADVICE); this pins it
+    // against every SF the driver verifies on, so a future testdata
+    // generator that violates it fails HERE, not as a silent oracle
+    // divergence.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(s"$dir/events.parquet").exists) {
+        val r = Tables(s, dir, "events")
+          .agg(max(col("event_id")).as("max_id"),
+            min(col("event_id")).as("min_id"),
+            min(unix_micros(col("ts"))).as("min_eus"))
+          .head()
+        assert(r.getLong(0) < 1000000000000L && r.getLong(1) >= 0L,
+          s"$sf: event_id outside [0, 10^12) — the oracle packing " +
+            s"eus*10^12 + event_id is no longer order-isomorphic")
+        assert(r.getLong(2) >= 0L,
+          s"$sf: negative epoch-micros ts — the HUGEINT packing breaks")
+      }
+    }
+  }
 }
