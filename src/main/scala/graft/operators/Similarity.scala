@@ -172,7 +172,7 @@ object Similarity {
     * disagree on .xxxxxx5-boundary cosines (the exact half-mode
     * divergence that bit the MMR row in r11; this helper migrated in
     * r12 so every cosine consumer is boundary-proof, not observed-green). */
-  private[operators] def cosine(s: SparkSession, a: Column, b: Column): Column =
+  private[graft] def cosine(s: SparkSession, a: Column, b: Column): Column =
     floor(CosineSim(s, a, b) * 1e6 + 0.5) / 1e6
 
   /** DuckDB-side cosine over two list-column expressions, same accumulation
@@ -712,6 +712,15 @@ object Similarity {
     * NaN-is-largest max_by would then capture EVERY vector while the
     * oracle's NULL sorts last (same guard as dropZeroNorm, centroid side).
     * Shared by the Lloyd rounds and the refined-IVF probe (q_ann_ivf). */
+  /** Assignment of `e` against a FIXED centroid frame — [[assignByArray]]
+    * exposed for the stress harness's frozen-centroid recall law, where
+    * k-means trains ONCE on a base corpus and the assignment runs on a
+    * scaled blow-up of it (the registered recall rows train on the
+    * corpus they query, so duplication changes seeding and no simple
+    * scale law holds for them; freezing restores one). */
+  def assignWithCentroids(s: SparkSession, e: DataFrame,
+      cents: DataFrame): DataFrame = assignByArray(s, e, cents)
+
   def centroidsOf(assigned: DataFrame): DataFrame = {
     val centroid = udaf(VecCentroid)
     assigned.groupBy(col("bucket").as("c_id"))

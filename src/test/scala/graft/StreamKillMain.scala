@@ -23,6 +23,14 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * `_spark_metadata` log admits each batch's files exactly once. Exits 0
   * iff the sink's closed-session multiset EQUALS the batch q_sessionize
   * answer on the same events — exactly-once across a hard crash.
+  *
+  * Phase `resumekill`: the DOUBLE-crash variant (r11 verdict item) —
+  * restart from the checkpoint exactly like `resume`, but halt AGAIN
+  * after two more data micro-batches, i.e. during the resume drain
+  * itself, while the recovery replay of the first crash may still be
+  * in flight. A subsequent `resume` phase must still converge to the
+  * batch twin: kill → resumekill → resume is two hard crashes, the
+  * second on a recovering query.
   */
 object StreamKillMain {
 
@@ -129,11 +137,9 @@ object StreamKillMain {
     val srcDir = if (copies > 1) s"$work/x$copies" else src
     val nChunks = if (copies > 1) 16 else 8
 
-    if (phase == "kill") {
-      if (copies > 1) buildCorpus(spark, src, copies, work)
-      stageFeed(spark, srcDir, work, nChunks)
+    def haltAfter(batches: Int): Unit = {
       // HALT, not stop: the listener thread pulls the plug after the
-      // third completed micro-batch with the drain still in flight —
+      // Nth completed data micro-batch with the drain still in flight —
       // halt skips shutdown hooks, so neither sink nor state finalize
       spark.streams.addListener(new StreamingQueryListener {
         private var seen = 0
@@ -142,7 +148,7 @@ object StreamKillMain {
         override def onQueryProgress(
             e: StreamingQueryListener.QueryProgressEvent): Unit = {
           if (e.progress.numInputRows > 0) seen += 1
-          if (seen >= 3) Runtime.getRuntime.halt(42)
+          if (seen >= batches) Runtime.getRuntime.halt(42)
         }
         override def onQueryTerminated(
             e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -151,6 +157,19 @@ object StreamKillMain {
       // unreachable on the intended path: the halt exits with 42 first
       System.err.println("KILL| query drained before the halt fired")
       sys.exit(3)
+    }
+
+    if (phase == "kill") {
+      if (copies > 1) buildCorpus(spark, src, copies, work)
+      stageFeed(spark, srcDir, work, nChunks)
+      haltAfter(3)
+    }
+
+    if (phase == "resumekill") {
+      // second hard crash DURING the recovery drain: same checkpoint,
+      // fresh JVM, two more data batches (batch 1 of which is the replay
+      // of the batch the first halt cut mid-commit), then halt again
+      haltAfter(2)
     }
 
     // ---- resume: same checkpoint, fresh JVM ------------------------------

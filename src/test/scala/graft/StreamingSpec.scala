@@ -482,6 +482,32 @@ class StreamingSpec extends AnyFunSuite {
       .deleteQuietly(new java.io.File(work))
   }
 
+  test("sessionize survives a SECOND hard kill during the resume drain") {
+    // Double-crash: halt mid-drain, restart from the checkpoint and halt
+    // AGAIN two data batches into the recovery (while the replay of the
+    // batch the first halt cut may be in flight), then a final resume.
+    // Exactly-once must hold across BOTH crashes — the second one
+    // exercises recovery-of-a-recovery: the file-source log, RocksDB
+    // snapshot and sink _spark_metadata all re-enter from a checkpoint
+    // that was itself written by a recovering query.
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-streamkill2").toString
+    try {
+      val killed = ForkedJvm.run("graft.StreamKillMain", "2g",
+        Seq(sfDir, work, "kill"))
+      assert(killed == 42, s"kill phase exited $killed, not the halt's 42")
+      val killed2 = ForkedJvm.run("graft.StreamKillMain", "2g",
+        Seq(sfDir, work, "resumekill"))
+      assert(killed2 == 42,
+        s"resumekill phase exited $killed2, not the halt's 42")
+      val resumed = ForkedJvm.run("graft.StreamKillMain", "2g",
+        Seq(sfDir, work, "resume"))
+      assert(resumed == 0,
+        s"resume after double crash exited $resumed — sink != batch twin")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(work))
+  }
+
   test("funnel snapshot: strict ordering, ties excluded, flushed by timeout") {
     // The q_stream_funnel state machine on a planted frame, fed
     // deliberately OUT of time order within the batch (the group sorts by

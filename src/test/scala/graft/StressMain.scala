@@ -101,6 +101,31 @@ object StressMain {
     val copies = if (args.length > 1) args(1).toInt else 10
     val work = if (args.length > 2) args(2) else "/tmp/graft_stress"
     val mode = if (args.length > 3) args(3) else "full"
+    if (mode == "streamkill2") {
+      // DOUBLE-crash exactly-once at scale (r12): hard kill mid-drain,
+      // then a SECOND hard kill during the recovery drain itself (the
+      // replay of the cut batch may be in flight), then a final resume —
+      // the sink must still equal the batch twin. Each phase forks its
+      // own JVM; the checkpoint + sink pair absorbs both crashes.
+      val killed = ForkedJvm.run("graft.StreamKillMain", "12g",
+        Seq(src, work, "kill", copies.toString))
+      check(s"kill phase halted mid-drain at ×$copies (exit 42)",
+        killed == 42, s"kill phase exited $killed")
+      val killed2 = ForkedJvm.run("graft.StreamKillMain", "12g",
+        Seq(src, work, "resumekill", copies.toString))
+      check(s"second kill halted mid-RECOVERY at ×$copies (exit 42)",
+        killed2 == 42, s"resumekill phase exited $killed2")
+      val resumed = ForkedJvm.run("graft.StreamKillMain", "12g",
+        Seq(src, work, "resume", copies.toString))
+      check(s"double-crash resume exactly-once at ×$copies (sink == batch twin)",
+        resumed == 0, s"resume phase exited $resumed")
+      if (failures > 0) {
+        System.err.println(s"STRESS| $failures invariant(s) failed")
+        sys.exit(1)
+      }
+      println("STRESS| all invariants passed")
+      return
+    }
     if (mode == "streamkill") {
       // crash-grade exactly-once AT SCALE: the StreamingSpec hard-kill
       // proof (Runtime.halt mid-drain, checkpoint resume, sink == batch
@@ -558,10 +583,13 @@ object StressMain {
     val vOff = embs0.agg(max("vec_id")).head.getLong(0) + 1
     val nVecs = embs0.count()
     val lo = math.max(copies / 10, 1)
+    // crossJoin a broadcast range — see textStress.build for why
     def build(c: Int, dir: String): Unit =
-      (0 until c).map(k =>
-          embs0.withColumn("vec_id", col("vec_id") + lit(k * vOff)))
-        .reduce(_ unionByName _)
+      embs0.crossJoin(broadcast(
+          spark.range(c).select(col("id").as("cpy"))))
+        .withColumn("vec_id", col("vec_id") + col("cpy") * lit(vOff))
+        .drop("cpy")
+        .repartition(math.max(32, c / 4))
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     build(lo, s"$work/x$lo")
     build(copies, s"$work/x$copies")
@@ -593,7 +621,9 @@ object StressMain {
       val knn = out(s"q_knn_join_x$c")
       check(s"×$c kNN row count = 3 × nonzero-norm corpus",
         knn.count() == 3L * nRanked * c, s"got ${knn.count()}")
-      check(s"×$c kNN rank-1 = identical copy (cos 1.0)",
+      // c = 1 has no identical copies (the lo tier when copies = 10),
+      // so the cos-1.0 law only applies from ×2 up
+      if (c > 1) check(s"×$c kNN rank-1 = identical copy (cos 1.0)",
         knn.filter(col("rk") === 1).agg(min("cos")).head.getDouble(0) == 1.0,
         "a rank-1 neighbor below 1.0")
     }
@@ -675,6 +705,94 @@ object StressMain {
       s"per-bucket kept: ${div.groupBy("bucket").count().collect().toSeq}")
     sameSet(s"diversity sample rerun-deterministic at ×$copies",
       div, q("q_diversity_sample", s"$work/x$copies"))
+
+    // ---- frozen-centroid ANN recall law at ×copies (r11 verdict #5) ------
+    // The REGISTERED recall rows train k-means on the corpus they query,
+    // so duplication changes seeding and no simple law holds for them.
+    // FREEZING the centroids from the base corpus restores an exact one:
+    // assignment is id-independent, so every blown bucket is the exact
+    // ×copies blow-up of its base bucket and each query's candidate
+    // stream is the blow-up of its base stream. Under (cos DESC, vec_id)
+    // ranking, any copy of a base vector outside a base arm's top-10 has
+    // ≥ 10 predecessors in the blown arm (the 10 better base vectors'
+    // k=0 copies), so the blown top-10 is EXACTLY the re-ranked ×copies
+    // blow-up of the base top-10 — for both the exact and the IVF arm.
+    // Copies of the query itself are excluded by id ≡ q_id (mod vOff):
+    // each query has `copies` cos-1.0 clones in the blown corpus, and
+    // keeping them would make every recall trivially 1.0.
+    {
+      import org.apache.spark.sql.expressions.Window
+      val Sim = operators.Similarity
+      val base = Sim.dropZeroNorm(spark,
+        embs0.select(col("vec_id"), col("embedding"))).localCheckpoint()
+      val cents = Sim.centroidsOf(Sim.kmeansIterate(spark, base, 8, 2))
+        .localCheckpoint() // FROZEN: trained on the base corpus only
+      val blown = Sim.dropZeroNorm(spark,
+        spark.read.parquet(s"$work/x$copies/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")))
+      val qs = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+        .localCheckpoint()
+      val wq = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      // both arms keep (q_id, nn_id, cos, rk); the blown runs are timed
+      // through the parquet dump, the base runs feed the prediction
+      def exactArm(corpus: DataFrame): DataFrame = corpus
+        .crossJoin(broadcast(qs))
+        .filter(col("vec_id") % lit(vOff) =!= col("q_id"))
+        .withColumn("cos", Sim.cosine(spark, col("embedding"), col("q_v")))
+        .withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= 10)
+        .select(col("q_id"), col("vec_id").as("nn_id"), col("cos"),
+          col("rk"))
+      def ivfArm(corpus: DataFrame): DataFrame = {
+        val cw = Window.partitionBy("q_id")
+          .orderBy(col("c_cos").desc, col("c_id"))
+        val qp = qs.crossJoin(broadcast(cents))
+          .withColumn("c_cos", Sim.cosine(spark, col("q_v"), col("c_v")))
+          .withColumn("c_rk", row_number().over(cw))
+          .filter(col("c_rk") <= 2)
+          .select(col("q_id"), col("q_v"), col("c_id").as("bucket"))
+        Sim.assignWithCentroids(spark, corpus, cents)
+          .join(qp, Seq("bucket"))
+          .filter(col("vec_id") % lit(vOff) =!= col("q_id"))
+          .withColumn("cos",
+            Sim.cosine(spark, col("embedding"), col("q_v")))
+          .withColumn("rk", row_number().over(wq))
+          .filter(col("rk") <= 10)
+          .select(col("q_id"), col("vec_id").as("nn_id"), col("cos"),
+            col("rk"))
+      }
+      // the blow-up law applied to a base arm: every copy of every
+      // member re-ranked by (cos, id), cut to 10. cos carries over from
+      // the base member (identical vectors ⇒ identical floor-micro
+      // cosine), so the prediction never touches the blown corpus.
+      def blowUp(baseArm: DataFrame): DataFrame = baseArm
+        .select(col("q_id"), col("nn_id"), col("cos"))
+        .crossJoin(broadcast(
+          spark.range(copies).select(col("id").as("k"))))
+        .select(col("q_id"),
+          (col("nn_id") + col("k") * lit(vOff)).as("vec_id"), col("cos"))
+        .withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= 10)
+        .select(col("q_id"), col("vec_id").as("nn_id"), col("cos"),
+          col("rk"))
+      timed(s"ann_recall_exact_x$copies", s"$work/out", exactArm(blown))
+      timed(s"ann_recall_ivf_x$copies", s"$work/out", ivfArm(blown))
+      sameSet(s"blown exact top-10 = blow-up law of base exact (×$copies)",
+        out(s"ann_recall_exact_x$copies"), blowUp(exactArm(base)))
+      sameSet(s"blown IVF top-10 = blow-up law of base IVF (×$copies)",
+        out(s"ann_recall_ivf_x$copies"), blowUp(ivfArm(base)))
+      // the measured recall, for the record: evidence the pinned
+      // measurement is non-degenerate (the 2-probe cut misses
+      // cross-bucket neighbors, so recall < 1 somewhere)
+      val hits = out(s"ann_recall_exact_x$copies").select("q_id", "nn_id")
+        .intersect(out(s"ann_recall_ivf_x$copies").select("q_id", "nn_id"))
+        .count()
+      val denom = out(s"ann_recall_exact_x$copies").count()
+      println(f"STRESS| frozen-centroid recall@10 at ×$copies: " +
+        f"$hits/$denom = ${hits.toDouble / denom}%.3f")
+    }
   }
 
   /** 100×-scale events/analytics stress (`mode=events`, run as
@@ -971,10 +1089,16 @@ object StressMain {
     val dOff = docs0.agg(max("doc_id")).head.getLong(0) + 1
     val nDocs = docs0.count()
     val lo = math.max(copies / 10, 1)
+    // crossJoin a broadcast range, not a c-way unionByName reduce: the
+    // union builds a c-node plan (minutes of analysis at ×1000); the
+    // join is one 3-node plan at any scale, same rows. Repartition so
+    // the write parallelizes and the readers see many splits.
     def build(c: Int, dir: String): Unit =
-      (0 until c).map(k =>
-          docs0.withColumn("doc_id", col("doc_id") + lit(k * dOff)))
-        .reduce(_ unionByName _)
+      docs0.crossJoin(broadcast(
+          spark.range(c).select(col("id").as("cpy"))))
+        .withColumn("doc_id", col("doc_id") + col("cpy") * lit(dOff))
+        .drop("cpy")
+        .repartition(math.max(32, c / 4))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     build(lo, s"$work/x$lo")
     build(copies, s"$work/x$copies")
