@@ -1845,7 +1845,80 @@ object TextOps {
             col("n_single"))
           .orderBy("lang")
       },
-      Some(bpeFertilityOracleSql))
+      Some(bpeFertilityOracleSql)),
+
+    // ---- repetition filter (Gopher-family quality gate) ------------------
+    // Within-document repetition signals: the duplicate-3-gram fraction
+    // (1 − distinct/total over the doc's token 3-grams) and the most
+    // frequent token's share of the doc. Ratios are floor-micro doubles
+    // (the one IEEE quantization both engines share); docs too short for
+    // 3-grams carry dup3_frac 0. keep = dup3_frac ≤ 0.05 AND top_share
+    // ≤ 0.2 — the Gopher-style discard rule shape, thresholds set so the
+    // gate actually discards on this corpus (8/500 at sf0.01). 100 TB
+    // shape: one scan, per-doc HOF/partial aggs, no cross-doc state.
+    Q("q_repetition_filter",
+      (s, d) => {
+        val withT = docs(s, d).withColumn("toks",
+          filter(split(lower(col("text")), " "), t => t =!= ""))
+        val tri = withT.filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), (size(col("toks")) - 2).as("n_tri"),
+            explode(transform(
+              sequence(lit(1), size(col("toks")) - 2),
+              i => md5(concat_ws(" ", slice(col("toks"), i, lit(3))))))
+              .as("tri"))
+          .groupBy("doc_id")
+          .agg((floor((lit(1.0) -
+              countDistinct(col("tri")) / first(col("n_tri"))) * 1e6
+              + 0.5) / 1e6).as("dup3_frac"))
+        val top = withT
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            explode(col("toks")).as("tok"))
+          .groupBy("doc_id", "n_tokens", "tok")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "n_tokens")
+          .agg((floor(max(col("c")) / col("n_tokens") * 1e6 + 0.5) / 1e6)
+            .as("top_share"))
+        top.join(tri, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("dup3_frac"), lit(0.0)).as("dup3_frac"),
+            col("top_share"))
+          .withColumn("keep",
+            col("dup3_frac") <= 0.05 && col("top_share") <= 0.2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH dt AS (
+                SELECT doc_id,
+                  list_filter(string_split(lower(text), ' '),
+                    x -> x <> '') AS toks
+                FROM documents),
+              tri AS (
+                SELECT doc_id,
+                  CAST(FLOOR((1.0 - len(list_distinct(
+                      [md5(array_to_string(toks[i:i+2], ' '))
+                       FOR i IN generate_series(1, len(toks) - 2)]))::DOUBLE
+                      / (len(toks) - 2)) * 1000000 + 0.5) AS BIGINT)
+                    / 1000000.0 AS dup3_frac
+                FROM dt WHERE len(toks) >= 3),
+              tc AS (
+                SELECT doc_id, n_tokens, tok, COUNT(*) AS c FROM (
+                  SELECT doc_id, len(toks) AS n_tokens,
+                    unnest(toks) AS tok
+                  FROM dt)
+                GROUP BY doc_id, n_tokens, tok),
+              top AS (
+                SELECT doc_id, n_tokens,
+                  CAST(FLOOR(MAX(c)::DOUBLE / n_tokens * 1000000 + 0.5)
+                    AS BIGINT) / 1000000.0 AS top_share
+                FROM tc GROUP BY doc_id, n_tokens)
+              SELECT top.doc_id, CAST(top.n_tokens AS BIGINT) AS n_tokens,
+                COALESCE(tri.dup3_frac, 0.0) AS dup3_frac,
+                top.top_share,
+                COALESCE(tri.dup3_frac, 0.0) <= 0.05
+                  AND top.top_share <= 0.2 AS keep
+              FROM top LEFT JOIN tri ON top.doc_id = tri.doc_id
+              ORDER BY top.doc_id""")),
+
   )
 
   // ---- BPE machinery (shared by q_bpe_merges / q_bpe_encode /
