@@ -657,6 +657,42 @@ object Streams {
     // once the watermark passes it, so its batch twin is windowed DISTINCT,
     // not global DISTINCT.) Emitted rows are exactly the distinct keys, so
     // the oracle is plain SELECT DISTINCT.
+    // The WithinWatermark dedup variant as a driver row: state is
+    // bounded by keys active in the watermark horizon (eviction at
+    // event time + delay) instead of global key cardinality — the shape
+    // an unbounded key domain needs at 100 TB. On an AvailableNow
+    // single-data-batch drain no key is ever evicted mid-stream, so the
+    // emitted rows are exactly the distinct keys and the oracle is the
+    // same DISTINCT as q_stream_dedup (contract enforced loudly below);
+    // the EVICTION + RE-ADMISSION semantics that need a multi-batch
+    // feed are pinned in StreamingSpec instead.
+    Q("q_stream_dedup_wm",
+      (s, d) => {
+        val stream = eventsStream(s, d)
+        val sink = "q_stream_dedup_wm_sink"
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try stream.select(col("user_id"), col("event_type"), col("ts"))
+            .withWatermark("ts", "30 minutes")
+            .dropDuplicatesWithinWatermark("user_id", "event_type")
+            .writeStream
+            .format("memory").queryName(sink)
+            .outputMode(OutputMode.Append)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        q.awaitTermination()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        if (dataBatches > 1) throw new IllegalStateException(
+          s"q_stream_dedup_wm drained in $dataBatches data batches; " +
+            "the single-batch DISTINCT oracle contract is void")
+        s.table(sink).select(col("user_id"), col("event_type"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+              ORDER BY user_id, event_type""")),
+
     Q("q_stream_dedup",
       (s, d) => {
         val stream = eventsStream(s, d)

@@ -773,4 +773,44 @@ class StreamingSpec extends AnyFunSuite {
       case None => s.conf.unset(key)
     }
   }
+
+  test("dropDuplicatesWithinWatermark: dedup state is reclaimed and keys re-admit") {
+    // The bounded-state streaming dedup (Spark 3.5+): global
+    // dropDuplicates keeps one state row per key FOREVER (state ∝ key
+    // cardinality — the q_stream_dedup shape); WithinWatermark evicts a
+    // key once the watermark passes its event time + delay, so state is
+    // bounded by keys ACTIVE IN THE HORIZON — the 100 TB shape for
+    // unbounded key domains (event ids, request ids). The trade is
+    // semantic: an evicted key RE-ADMITS. A single-batch registry drain
+    // cannot show eviction, so the semantics are pinned here on a
+    // planted 4-batch feed:
+    //   b1  u1@10m emits, u1@12m dropped (dup in live state), u2@11m emits
+    //   b2  u99@100m → watermark 70m > 10m+30m: u1/u2 state EVICTED
+    //   b3  u1@80m emits AGAIN (re-admission after eviction)
+    //   b4  u1@82m dropped (dup of the new live state)
+    val s = spark
+    import s.implicits._
+    val m = 60L * 1000000
+    val input = MemoryStream[Ev](s)
+    val deduped = input.toDS().toDF()
+      .withColumn("event_ts", timestamp_micros($"ts_us"))
+      .withWatermark("event_ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id")
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_wm").outputMode("append").start()
+    try {
+      Seq(
+        Seq(Ev(1, 10 * m, 1), Ev(1, 12 * m, 2), Ev(2, 11 * m, 3)),
+        Seq(Ev(99, 100 * m, 4)),
+        Seq(Ev(1, 80 * m, 5)),
+        Seq(Ev(1, 82 * m, 6))
+      ).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = s.table("dedup_wm").select($"user_id", $"ts_us")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10 * m), (2L, 11 * m), (99L, 100 * m),
+      (1L, 80 * m)),
+      s"expected u1 to emit twice (evicted then re-admitted) and both " +
+        s"in-horizon dups dropped, got $got")
+  }
 }

@@ -1155,20 +1155,49 @@ object StressMain {
       SparkEntry.queries(name)(spark, dir)
     def out(name: String): DataFrame =
       spark.read.parquet(s"$work/out/$name")
+    // The UNSHARDED index has a designed ceiling: its per-term postings
+    // buffer is a collect_list of size df, and at ×1000 (5M docs) the
+    // top term's df is the corpus — a multi-GB single aggregation group
+    // that OOMs by construction (measured: heap death in Collect.merge
+    // on the first ×1000 attempt). That ceiling is exactly why the
+    // SHARDED arm exists (first-level width fixed at 128 docs), so past
+    // ×100 only the sharded arm runs at the hi tier and the
+    // sharded==unsharded set equality holds at the lo tier instead.
+    val unshardedHi = copies <= 100
     val names =
       Seq("q_inverted_index", "q_inverted_index_shard", "q_substring_dup")
     val mLo = names.map(n =>
       n -> timed(s"${n}_x$lo", s"$work/out", q(n, s"$work/x$lo"))).toMap
-    val mHi = names.map(n =>
-      n -> timed(s"${n}_x$copies", s"$work/out", q(n, s"$work/x$copies")))
+    // hi tier runs with shuffle partitions ∝ corpus (the embedStress
+    // discipline): per-task shuffle volume then matches the lo tier,
+    // which is the configuration a 1000-executor cluster actually runs —
+    // with partitions FIXED the per-task sort input grows ×step and the
+    // peak law measures the harness, not the operator (observed: the
+    // ×1000 substring peak 5× from exactly this).
+    val pKeyT = "spark.sql.shuffle.partitions"
+    val pBaseT = spark.conf.get(pKeyT)
+    spark.conf.set(pKeyT,
+      (pBaseT.toInt * (copies.toDouble / lo)).toInt.toString)
+    val mHi = names
+      .filter(n => unshardedHi || n != "q_inverted_index").map(n =>
+        n -> timed(s"${n}_x$copies", s"$work/out", q(n, s"$work/x$copies")))
       .toMap
+    spark.conf.set(pKeyT, pBaseT)
 
     // ---- correctness laws at ×copies (same laws as the 10× suite) --------
-    sameSet(s"sharded index = unsharded index at ×$copies",
+    sameSet(s"sharded index = unsharded index at ×$lo",
+      out(s"q_inverted_index_shard_x$lo"),
+      out(s"q_inverted_index_x$lo"))
+    if (unshardedHi) sameSet(s"sharded index = unsharded index at ×$copies",
       out(s"q_inverted_index_shard_x$copies"),
       out(s"q_inverted_index_x$copies"))
-    sameSet(s"q_inverted_index df/cf = sf0.1 ×$copies",
-      out(s"q_inverted_index_x$copies").select(col("term"),
+    // df/cf scaling pinned on whichever arm runs at the hi tier (the
+    // sharded arm equals the unsharded one by the lo-tier law)
+    val hiIndex =
+      if (unshardedHi) s"q_inverted_index_x$copies"
+      else s"q_inverted_index_shard_x$copies"
+    sameSet(s"inverted index df/cf = sf0.1 ×$copies",
+      out(hiIndex).select(col("term"),
         (col("df") / copies).cast("long").as("df"),
         (col("cf") / copies).cast("long").as("cf")),
       q("q_inverted_index", src).select(col("term"), col("df"), col("cf")))
@@ -1212,8 +1241,10 @@ object StressMain {
       pHi <= math.max(pLo, 64L << 20) * 2,
       s"peak ${mb(pHi)} MB at ×$copies vs ${mb(pLo)} MB at ×$lo")
     println(s"STRESS| postings-buffer evidence: unsharded peak " +
-      s"${mb(mLo("q_inverted_index")._1)} → " +
-      s"${mb(mHi("q_inverted_index")._1)} MB, sharded first-level width " +
+      s"${mb(mLo("q_inverted_index")._1)} MB at ×$lo → " +
+      (if (unshardedHi) s"${mb(mHi("q_inverted_index")._1)} MB at ×$copies"
+       else s"OOM-by-design past ×100 (df-sized collect buffer)") +
+      s", sharded first-level width " +
       s"fixed at 128 docs (second-level assembly per oracle contract): " +
       s"${mb(mLo("q_inverted_index_shard")._1)} → " +
       s"${mb(mHi("q_inverted_index_shard")._1)} MB")
