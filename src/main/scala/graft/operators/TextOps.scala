@@ -1858,33 +1858,38 @@ object TextOps {
     // shape: one scan, per-doc HOF/partial aggs, no cross-doc state.
     Q("q_repetition_filter",
       (s, d) => {
-        val withT = docs(s, d).withColumn("toks",
-          filter(split(lower(col("text")), " "), t => t =!= ""))
-        val tri = withT.filter(size(col("toks")) >= 3)
-          .select(col("doc_id"), (size(col("toks")) - 2).as("n_tri"),
-            explode(transform(
-              sequence(lit(1), size(col("toks")) - 2),
-              i => md5(concat_ws(" ", slice(col("toks"), i, lit(3))))))
-              .as("tri"))
-          .groupBy("doc_id")
-          .agg((floor((lit(1.0) -
-              countDistinct(col("tri")) / first(col("n_tri"))) * 1e6
-              + 0.5) / 1e6).as("dup3_frac"))
-        val top = withT
-          .select(col("doc_id"),
-            size(col("toks")).cast("long").as("n_tokens"),
+        // dup3_frac is PER-ROW (array_distinct over the HOF-built 3-gram
+        // list — a linear hash distinct, no explode, no shuffle) and
+        // rides the token explode as a grouping constant, so the whole
+        // row is ONE explode + a two-level aggregation: no join, and
+        // only 32-char hashes ever widen the rows. top_share stays on
+        // the explode+agg path deliberately — a per-row HOF count would
+        // be O(distinct × n) per doc, quadratic on the 100k-token docs
+        // a real corpus has, while the agg is O(n) with map-side
+        // partials.
+        val withT = docs(s, d)
+          .withColumn("toks",
+            filter(split(lower(col("text")), " "), t => t =!= ""))
+          .withColumn("n_tokens", size(col("toks")).cast("long"))
+          .withColumn("dup3_frac", when(col("n_tokens") >= 3,
+            floor((lit(1.0) -
+              size(array_distinct(transform(
+                sequence(lit(1), size(col("toks")) - 2),
+                i => md5(concat_ws(" ", slice(col("toks"), i, lit(3)))))))
+                .cast("double") / (size(col("toks")) - 2)) * 1e6 + 0.5)
+              / 1e6).otherwise(lit(0.0)))
+        withT
+          .select(col("doc_id"), col("n_tokens"), col("dup3_frac"),
             explode(col("toks")).as("tok"))
-          .groupBy("doc_id", "n_tokens", "tok")
+          .groupBy("doc_id", "n_tokens", "dup3_frac", "tok")
           .agg(count(lit(1)).as("c"))
-          .groupBy("doc_id", "n_tokens")
+          .groupBy("doc_id", "n_tokens", "dup3_frac")
           .agg((floor(max(col("c")) / col("n_tokens") * 1e6 + 0.5) / 1e6)
             .as("top_share"))
-        top.join(tri, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens"),
-            coalesce(col("dup3_frac"), lit(0.0)).as("dup3_frac"),
-            col("top_share"))
           .withColumn("keep",
             col("dup3_frac") <= 0.05 && col("top_share") <= 0.2)
+          .select(col("doc_id"), col("n_tokens"), col("dup3_frac"),
+            col("top_share"), col("keep"))
           .orderBy("doc_id")
       },
       Some("""WITH dt AS (
@@ -1892,32 +1897,31 @@ object TextOps {
                   list_filter(string_split(lower(text), ' '),
                     x -> x <> '') AS toks
                 FROM documents),
-              tri AS (
-                SELECT doc_id,
-                  CAST(FLOOR((1.0 - len(list_distinct(
+              dr AS (
+                SELECT doc_id, len(toks) AS n_tokens, toks,
+                  CASE WHEN len(toks) >= 3 THEN
+                    CAST(FLOOR((1.0 - len(list_distinct(
                       [md5(array_to_string(toks[i:i+2], ' '))
                        FOR i IN generate_series(1, len(toks) - 2)]))::DOUBLE
                       / (len(toks) - 2)) * 1000000 + 0.5) AS BIGINT)
-                    / 1000000.0 AS dup3_frac
-                FROM dt WHERE len(toks) >= 3),
+                    / 1000000.0
+                  ELSE 0.0 END AS dup3_frac
+                FROM dt),
               tc AS (
-                SELECT doc_id, n_tokens, tok, COUNT(*) AS c FROM (
-                  SELECT doc_id, len(toks) AS n_tokens,
-                    unnest(toks) AS tok
-                  FROM dt)
-                GROUP BY doc_id, n_tokens, tok),
-              top AS (
-                SELECT doc_id, n_tokens,
+                SELECT doc_id, n_tokens, dup3_frac, tok, COUNT(*) AS c
+                FROM (SELECT doc_id, n_tokens, dup3_frac,
+                        unnest(toks) AS tok
+                      FROM dr)
+                GROUP BY doc_id, n_tokens, dup3_frac, tok)
+              SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                dup3_frac,
+                CAST(FLOOR(MAX(c)::DOUBLE / n_tokens * 1000000 + 0.5)
+                  AS BIGINT) / 1000000.0 AS top_share,
+                dup3_frac <= 0.05 AND
                   CAST(FLOOR(MAX(c)::DOUBLE / n_tokens * 1000000 + 0.5)
-                    AS BIGINT) / 1000000.0 AS top_share
-                FROM tc GROUP BY doc_id, n_tokens)
-              SELECT top.doc_id, CAST(top.n_tokens AS BIGINT) AS n_tokens,
-                COALESCE(tri.dup3_frac, 0.0) AS dup3_frac,
-                top.top_share,
-                COALESCE(tri.dup3_frac, 0.0) <= 0.05
-                  AND top.top_share <= 0.2 AS keep
-              FROM top LEFT JOIN tri ON top.doc_id = tri.doc_id
-              ORDER BY top.doc_id""")),
+                    AS BIGINT) / 1000000.0 <= 0.2 AS keep
+              FROM tc GROUP BY doc_id, n_tokens, dup3_frac
+              ORDER BY doc_id""")),
 
   )
 

@@ -666,4 +666,19 @@ class PlanSpec extends AnyFunSuite {
       big.contains("SerializeFromObject"),
       "oversized corpus should dispatch to blockedCosineJoin")
   }
+
+  test("q_repetition_filter is join-free: one explode, two-level agg") {
+    // dup3_frac is a per-row HOF (array_distinct over the 3-gram list)
+    // riding the token explode as a grouping constant — the row must
+    // plan as ONE scan with NO join: a second explode branch joined on
+    // doc_id (the naive formulation) costs a third exchange plus an SMJ
+    // of two full per-doc frames at corpus scale.
+    val p = plan("q_repetition_filter")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("BroadcastHashJoin"),
+      s"q_repetition_filter plans a join:\n$p")
+    assert(p.contains("Generate explode"), "token explode missing")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      "token counts not partially aggregated map-side")
+  }
 }
