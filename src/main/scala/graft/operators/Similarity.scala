@@ -222,11 +222,15 @@ object Similarity {
     * @param keepNaN  zero-norm pairs have no defined cosine. The API
     *                 paths drop them (`false` — cosinePairs filters
     *                 zero-norm rows on the broadcast arm too, so the arms
-    *                 agree). The OPTIMIZER REWRITE passes `true`: the
-    *                 declarative plan it replaces evaluates the quantized
-    *                 cosine `>= t` under Spark's NaN-is-largest
-    *                 comparison, which PASSES NaN — the rewrite must not
-    *                 change which rows a query returns.
+    *                 agree). The OPTIMIZER REWRITE passes `true`, and it
+    *                 only ever replaces ROUND-form plans
+    *                 (`round(cosine_sim, 6) >= t`) — there `round`
+    *                 preserves NaN and Spark's NaN-is-largest comparison
+    *                 PASSES it, so the rewrite must return those rows
+    *                 too. (A floor-form plan behaves differently — NaN
+    *                 floors to 0L — but the rule never matches that
+    *                 shape; the floor-form API paths guard zero-norms
+    *                 out before any kernel.)
     * @param sparkRound6  which 6-decimal quantization the kernel
     *                 replicates. `false` (API paths): floor(x·1e6 + ½)
     *                 / 1e6 — the boundary-proof cross-engine form that
@@ -352,12 +356,13 @@ object Similarity {
       if (bytes <= maxBroadcastBytes) {
         // norms are loop-invariant per row: precompute sqrt(dot(v,v)) once
         // per row so each of the n²/2 pairs pays ONE dot loop, not three.
-        // Bit-identical to round(cosine_sim(a,b), 6): same accumulation
-        // order, same sqrt(na)*sqrt(nb) product. Zero-norm vectors have
-        // no defined cosine and are dropped HERE — otherwise 0/0 → NaN,
-        // which Spark's NaN-is-largest comparison would PASS through the
-        // threshold while the oracle's NULL is excluded (and the blocked
-        // path guards the same case).
+        // Bit-identical to cosine() (floor(x·1e6+½)/1e6 on the same
+        // accumulation order, same sqrt(na)*sqrt(nb) product). Zero-norm
+        // vectors have no defined cosine and are dropped HERE — the
+        // guard is LOAD-BEARING for oracle parity: a NaN through Spark's
+        // floor() becomes 0L → 0.0 (floor of a double is a long cast),
+        // while DuckDB's CAST(FLOOR(NaN) AS BIGINT) raises a conversion
+        // error outright (and the blocked path sentinels the same case).
         def side(idName: String, vName: String, nName: String) = e.select(
           col("vec_id").as(idName), col("embedding").as(vName),
           sqrt(DotProduct(s, col("embedding"), col("embedding"))).as(nName))
@@ -712,6 +717,14 @@ object Similarity {
     * NaN-is-largest max_by would then capture EVERY vector while the
     * oracle's NULL sorts last (same guard as dropZeroNorm, centroid side).
     * Shared by the Lloyd rounds and the refined-IVF probe (q_ann_ivf). */
+  def centroidsOf(assigned: DataFrame): DataFrame = {
+    val centroid = udaf(VecCentroid)
+    assigned.groupBy(col("bucket").as("c_id"))
+      .agg(centroid(col("embedding")).as("c_v"))
+      .filter(aggregate(col("c_v"), lit(0.0d),
+        (acc, x) => acc + x * x) > 0.0)
+  }
+
   /** Assignment of `e` against a FIXED centroid frame — [[assignByArray]]
     * exposed for the stress harness's frozen-centroid recall law, where
     * k-means trains ONCE on a base corpus and the assignment runs on a
@@ -720,14 +733,6 @@ object Similarity {
     * scale law holds for them; freezing restores one). */
   def assignWithCentroids(s: SparkSession, e: DataFrame,
       cents: DataFrame): DataFrame = assignByArray(s, e, cents)
-
-  def centroidsOf(assigned: DataFrame): DataFrame = {
-    val centroid = udaf(VecCentroid)
-    assigned.groupBy(col("bucket").as("c_id"))
-      .agg(centroid(col("embedding")).as("c_v"))
-      .filter(aggregate(col("c_v"), lit(0.0d),
-        (acc, x) => acc + x * x) > 0.0)
-  }
 
   private def lloydRoundImpl(s: SparkSession, corpus: DataFrame,
       assigned: DataFrame, trackPrev: Boolean): DataFrame = {

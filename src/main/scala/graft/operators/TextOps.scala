@@ -1878,13 +1878,18 @@ object TextOps {
                 i => md5(concat_ws(" ", slice(col("toks"), i, lit(3)))))))
                 .cast("double") / (size(col("toks")) - 2)) * 1e6 + 0.5)
               / 1e6).otherwise(lit(0.0)))
+        // explode_outer: a token-less doc (empty/whitespace text) must
+        // still get a verdict row — plain explode would silently drop it
+        // from the table; its top_share is defined as 0.0
         withT
           .select(col("doc_id"), col("n_tokens"), col("dup3_frac"),
-            explode(col("toks")).as("tok"))
+            explode_outer(col("toks")).as("tok"))
           .groupBy("doc_id", "n_tokens", "dup3_frac", "tok")
           .agg(count(lit(1)).as("c"))
           .groupBy("doc_id", "n_tokens", "dup3_frac")
-          .agg((floor(max(col("c")) / col("n_tokens") * 1e6 + 0.5) / 1e6)
+          .agg(when(col("n_tokens") === 0, lit(0.0))
+            .otherwise(
+              floor(max(col("c")) / col("n_tokens") * 1e6 + 0.5) / 1e6)
             .as("top_share"))
           .withColumn("keep",
             col("dup3_frac") <= 0.05 && col("top_share") <= 0.2)
@@ -1910,18 +1915,20 @@ object TextOps {
               tc AS (
                 SELECT doc_id, n_tokens, dup3_frac, tok, COUNT(*) AS c
                 FROM (SELECT doc_id, n_tokens, dup3_frac,
-                        unnest(toks) AS tok
+                        unnest(CASE WHEN len(toks) = 0 THEN [NULL]
+                               ELSE toks END) AS tok
                       FROM dr)
-                GROUP BY doc_id, n_tokens, dup3_frac, tok)
+                GROUP BY doc_id, n_tokens, dup3_frac, tok),
+              ts AS (
+                SELECT doc_id, n_tokens, dup3_frac,
+                  CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+                    CAST(FLOOR(MAX(c)::DOUBLE / n_tokens * 1000000 + 0.5)
+                      AS BIGINT) / 1000000.0 END AS top_share
+                FROM tc GROUP BY doc_id, n_tokens, dup3_frac)
               SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-                dup3_frac,
-                CAST(FLOOR(MAX(c)::DOUBLE / n_tokens * 1000000 + 0.5)
-                  AS BIGINT) / 1000000.0 AS top_share,
-                dup3_frac <= 0.05 AND
-                  CAST(FLOOR(MAX(c)::DOUBLE / n_tokens * 1000000 + 0.5)
-                    AS BIGINT) / 1000000.0 <= 0.2 AS keep
-              FROM tc GROUP BY doc_id, n_tokens, dup3_frac
-              ORDER BY doc_id""")),
+                dup3_frac, top_share,
+                dup3_frac <= 0.05 AND top_share <= 0.2 AS keep
+              FROM ts ORDER BY doc_id""")),
 
   )
 

@@ -23,11 +23,16 @@ import graft.operators.Similarity
   * A declarative cosine self-join
   * {{{
   *   a.join(b, $"a_id" < $"b_id")
-  *    .withColumn("cos", floor(cosine_sim($"a_v", $"b_v") * 1e6 + 0.5) / 1e6)
+  *    .withColumn("cos", round(cosine_sim($"a_v", $"b_v"), 6))
   *    .filter($"cos" >= t).select("a_id", "b_id", "cos")
   * }}}
   * plans as a BroadcastNestedLoopJoin — perfect up to the broadcast budget,
-  * a guaranteed OOM past it. [[RewriteCosineSelfJoin]] recognizes the shape
+  * a guaranteed OOM past it. The rule matches exactly this
+  * `round(cosine_sim, 6)` form (the public SQL-facing spelling); the
+  * engine's own API paths quantize with floor(x·1e6+½)/1e6 and dispatch
+  * to the blocked GEMM by size in [[graft.operators.Similarity.cosinePairs]]
+  * directly, so they never need this rewrite.
+  * [[RewriteCosineSelfJoin]] recognizes the shape
   * in the optimizer and, when Catalyst's size estimate exceeds
   * `spark.graft.cosine.maxBroadcastBytes`, swaps the whole subtree for
   * [[CosineSelfJoin]], which [[CosineJoinStrategy]] plans into

@@ -212,4 +212,40 @@ class HarnessSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_repetition_filter gives token-less docs a verdict row") {
+    // A doc whose text is empty or whitespace-only has no tokens —
+    // plain explode/unnest would silently drop it from the verdict
+    // table (a consumer joining the corpus against keep verdicts then
+    // sees an ambiguous missing row). The row uses explode_outer (and
+    // the oracle a [NULL]-list CASE) so every input doc gets exactly
+    // one verdict; a token-less doc scores dup3_frac 0, top_share 0,
+    // keep = true (repetition gates measure repetition — emptiness is
+    // the length gate's job).
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-repfilter").toString
+    try {
+      Seq(
+        (0L, "the quick brown fox jumps over the lazy dog", "en", "s0"),
+        (1L, "", "en", "s0"),
+        (2L, "   ", "en", "s0")
+      ).toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length($"text"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("q_repetition_filter")(s, dir)
+        .select($"doc_id", $"n_tokens", $"dup3_frac", $"top_share",
+          $"keep")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getBoolean(4))).toList
+      assert(got.map(_._1) == List(0L, 1L, 2L),
+        s"expected all three docs to get verdict rows, got $got")
+      assert(got.filter(_._1 > 0).forall(x =>
+        x._2 == 0L && x._3 == 0.0 && x._4 == 0.0 && x._5),
+        s"token-less docs must score (0, 0.0, 0.0, keep=true): $got")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
 }
