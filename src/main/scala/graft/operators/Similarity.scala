@@ -507,7 +507,8 @@ object Similarity {
     * and a partial-aggregated argmin — codes are m small ints per vector,
     * a 64-float embedding compressed to 8 bytes. Distances use the dot
     * identity ‖a−b‖² = a·a − 2a·b + b·b with the SAME left-to-right
-    * kernel both engines run, rounded at 6dp so argmins tie-break
+    * kernel both engines run, floor-micro quantized at 6dp
+    * (boundary-proof, see [[Arith.micro6]]) so argmins tie-break
     * identically (ties fall to the lowest code id).
     */
   private def pqSubs(df: DataFrame, idCol: String, vecCol: String,
@@ -560,10 +561,10 @@ object Similarity {
           first(col("sv")).as("sv"))
       cb = assigned.groupBy("sub", "code")
         .agg(array((0 until subDim).map(i =>
-          round(
+          micro6(
             sum(floor(element_at(col("sv"), i + 1).cast("double") * 1e6
               + lit(0.5d))).cast("double")
-              / (count(lit(1)).cast("double") * 1e6), 6)): _*).as("cw"))
+              / (count(lit(1)).cast("double") * 1e6))): _*).as("cw"))
         .localCheckpoint()
     }
     cb
@@ -571,10 +572,10 @@ object Similarity {
 
   /** The pqD2 formula as DuckDB text over list columns `a`, `b`. */
   private def sqlPqD2(a: String, b: String, subDim: Int): String =
-    s"""ROUND(list_sum([$a[i] * $a[i] FOR i IN generate_series(1, $subDim)])
+    Arith.sqlMicro6(
+      s"""list_sum([$a[i] * $a[i] FOR i IN generate_series(1, $subDim)])
         - 2.0 * list_sum([$a[i] * $b[i] FOR i IN generate_series(1, $subDim)])
-        + list_sum([$b[i] * $b[i] FOR i IN generate_series(1, $subDim)]),
-        6)"""
+        + list_sum([$b[i] * $b[i] FOR i IN generate_series(1, $subDim)])""")
 
   /** DuckDB twin of [[pqTrain]] seeded by the first-k subvectors, as CTE
     * text over a `sv(vec_id, sub, sv)` CTE: defines `cb0` (seed) and
@@ -598,8 +599,9 @@ object Similarity {
               ORDER BY d2, code) = 1),
           pu$r AS (
             SELECT sub, code, i,
-              ROUND(SUM(CAST(FLOOR(sv[i] * 1000000 + 0.5) AS BIGINT))::DOUBLE
-                / (COUNT(*) * 1000000.0), 6) AS c
+              ${Arith.sqlMicro6(
+                """SUM(CAST(FLOOR(sv[i] * 1000000 + 0.5) AS BIGINT))::DOUBLE
+                / (COUNT(*) * 1000000.0)""")} AS c
             FROM pa$r, (SELECT unnest(generate_series(1, $subDim)) AS i)
             GROUP BY sub, code, i),
           cb$r AS (
@@ -610,8 +612,8 @@ object Similarity {
   }
 
   private def pqD2(s: SparkSession, a: Column, b: Column): Column =
-    round(DotProduct(s, a, a) - lit(2.0) * DotProduct(s, a, b)
-      + DotProduct(s, b, b), 6)
+    micro6(DotProduct(s, a, a) - lit(2.0) * DotProduct(s, a, b)
+      + DotProduct(s, b, b))
 
   /** (vec_id, sub, code): every vector's nearest codeword per subspace. */
   def pqEncode(s: SparkSession, e: DataFrame, cb: DataFrame, m: Int,
@@ -877,8 +879,9 @@ object Similarity {
   private[operators] def sqlCentroids(prev: String, tag: String): String =
     s"""u$tag AS (
           SELECT bucket, i,
-            ROUND(SUM(CAST(FLOOR(v[i] * 1000000 + 0.5) AS BIGINT))::DOUBLE
-              / (COUNT(*) * 1000000.0), 6) AS c
+            ${Arith.sqlMicro6(
+              """SUM(CAST(FLOOR(v[i] * 1000000 + 0.5) AS BIGINT))::DOUBLE
+              / (COUNT(*) * 1000000.0)""")} AS c
           FROM $prev, (SELECT unnest(generate_series(1, 64)) AS i)
           GROUP BY bucket, i),
         cents$tag AS (
@@ -945,10 +948,10 @@ object Similarity {
       .orderBy(col("rrf").desc, col("doc_id"))
     lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
       .select(col("q_id"), col("doc_id"), col("r_lex"), col("r_vec"),
-        round(
+        micro6(
           coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)),
-          6).as("rrf"))
+            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)))
+          .as("rrf"))
       .withColumn("rn", row_number().over(outW))
       .filter(col("rn") <= kOut).drop("rn")
       .orderBy(col("q_id"), col("rrf").desc, col("doc_id"))
@@ -1061,10 +1064,10 @@ object Similarity {
       .select(col("doc_id"), row_number().over(vecW).as("r_vec"))
     lex.join(vec, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("r_lex"), col("r_vec"),
-        round(
+        micro6(
           coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)),
-          6).as("rrf"))
+            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)))
+          .as("rrf"))
   }
 
   /** [[mmrSelect]] generalized to a QUERY BATCH: candidates carry a q_id
@@ -1154,8 +1157,10 @@ object Similarity {
       },
       // fixed-point micros sum, mirroring VecCentroid exactly: long sums
       // are order-independent, so both engines compute identical doubles
-      // in the same IEEE ops (micros/(cnt·1e6), round6, ·1e6, round0).
-      Some("""WITH u AS (
+      // in the same IEEE ops (micros/(cnt·1e6), floor-micro6, ·1e6,
+      // round0 — round0 is boundary-safe here because its operand is
+      // within ulps of an exact integer, never near a .5).
+      Some(s"""WITH u AS (
                 SELECT label, i,
                   SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
                       AS BIGINT)) AS micros,
@@ -1165,7 +1170,8 @@ object Similarity {
               c AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
               SELECT u.label,
                 string_agg(
-                  CAST(CAST(ROUND(ROUND(u.micros::DOUBLE / (u.cnt * 1000000.0), 6)
+                  CAST(CAST(ROUND(${Arith.sqlMicro6(
+                    "u.micros::DOUBLE / (u.cnt * 1000000.0)")}
                        * 1000000.0, 0) AS BIGINT) AS VARCHAR),
                   ',' ORDER BY u.i) AS centroid_micros,
                 MIN(c.n_vecs) AS n_vecs
@@ -1306,7 +1312,9 @@ object Similarity {
     // machineries, so the measurement itself cannot silently rot). Shapes:
     // the exact arm is one broadcast-query corpus scan; the IVF arm scans
     // only the probed buckets; the comparison joins two ≤ queries×10
-    // frames. n_hits/10.0 is one exact IEEE division. At 100 TB the exact
+    // frames. recall = n_hits/n_exact with the denominator a COUNT(*) of
+    // the exact arm's per-query rows (one exact IEEE long-ratio division
+    // in both engines, never a hardcoded constant). At 100 TB the exact
     // arm restricts to a sampled query panel — recall is estimated, never
     // computed corpus-wide, and the per-query contract is unchanged.
     Q("q_ann_ivf_recall",
@@ -1681,13 +1689,12 @@ object Similarity {
               enc AS (
                 SELECT vec_id, sub, code FROM (
                   SELECT sv.vec_id, sv.sub, cb.code,
-                    ROUND(
-                      list_sum([sv.sv[i] * sv.sv[i]
+                    ${Arith.sqlMicro6("""list_sum([sv.sv[i] * sv.sv[i]
                                 FOR i IN generate_series(1, 8)])
                       - 2.0 * list_sum([sv.sv[i] * cb.cw[i]
                                         FOR i IN generate_series(1, 8)])
                       + list_sum([cb.cw[i] * cb.cw[i]
-                                  FOR i IN generate_series(1, 8)]), 6) AS d2
+                                  FOR i IN generate_series(1, 8)])""")} AS d2
                   FROM sv JOIN cb2 cb ON sv.sub = cb.sub)
                 QUALIFY row_number() OVER (PARTITION BY vec_id, sub
                   ORDER BY d2, code) = 1),
@@ -1698,13 +1705,12 @@ object Similarity {
                 FROM q, subs s),
               lut AS (
                 SELECT q_id, qsub.sub, cb.code,
-                  ROUND(
-                    list_sum([qsub.qsv[i] * qsub.qsv[i]
+                  ${Arith.sqlMicro6("""list_sum([qsub.qsv[i] * qsub.qsv[i]
                               FOR i IN generate_series(1, 8)])
                     - 2.0 * list_sum([qsub.qsv[i] * cb.cw[i]
                                       FOR i IN generate_series(1, 8)])
                     + list_sum([cb.cw[i] * cb.cw[i]
-                                FOR i IN generate_series(1, 8)]), 6) AS qd2
+                                FOR i IN generate_series(1, 8)])""")} AS qd2
                 FROM qsub JOIN cb2 cb ON qsub.sub = cb.sub),
               adc AS (
                 SELECT l.q_id, enc.vec_id,
@@ -1845,13 +1851,12 @@ object Similarity {
               enc AS (
                 SELECT vec_id, bucket, sub, code FROM (
                   SELECT sv.vec_id, sv.bucket, sv.sub, cb.code,
-                    ROUND(
-                      list_sum([sv.sv[i] * sv.sv[i]
+                    ${Arith.sqlMicro6("""list_sum([sv.sv[i] * sv.sv[i]
                                 FOR i IN generate_series(1, 8)])
                       - 2.0 * list_sum([sv.sv[i] * cb.cw[i]
                                         FOR i IN generate_series(1, 8)])
                       + list_sum([cb.cw[i] * cb.cw[i]
-                                  FOR i IN generate_series(1, 8)]), 6) AS d2
+                                  FOR i IN generate_series(1, 8)])""")} AS d2
                   FROM sv JOIN cb2 cb ON sv.sub = cb.sub)
                 QUALIFY row_number() OVER (PARTITION BY vec_id, sub
                   ORDER BY d2, code) = 1),
@@ -1871,13 +1876,12 @@ object Similarity {
                 FROM qprobe, subs s),
               lut AS (
                 SELECT q_id, qsub.bucket, qsub.sub, cb.code,
-                  ROUND(
-                    list_sum([qsub.qsv[i] * qsub.qsv[i]
+                  ${Arith.sqlMicro6("""list_sum([qsub.qsv[i] * qsub.qsv[i]
                               FOR i IN generate_series(1, 8)])
                     - 2.0 * list_sum([qsub.qsv[i] * cb.cw[i]
                                       FOR i IN generate_series(1, 8)])
                     + list_sum([cb.cw[i] * cb.cw[i]
-                                FOR i IN generate_series(1, 8)]), 6) AS qd2
+                                FOR i IN generate_series(1, 8)])""")} AS qd2
                 FROM qsub JOIN cb2 cb ON qsub.sub = cb.sub),
               adc AS (
                 SELECT l.q_id, enc.vec_id,
@@ -1968,7 +1972,7 @@ object Similarity {
             davg(col("cos")).as("avg_cos"))
           .crossJoin(hit.agg(count(lit(1)).as("n_recalled")))
           .select(col("n_true"), col("n_recalled"),
-            round(col("n_recalled").cast("double") / col("n_true"), 4)
+            Arith.micro4(col("n_recalled").cast("double") / col("n_true"))
               .as("recall"),
             col("avg_cos"))
       },
@@ -1998,7 +2002,7 @@ object Similarity {
                   ON c.vec_id = e.vec_id + (SELECT o FROM off)
                 WHERE ${sqlCosineCols("e.v", "c.v")} >= 0.85)
               SELECT t.n_true, r.n_recalled,
-                ROUND(r.n_recalled::DOUBLE / t.n_true, 4) AS recall,
+                ${Arith.sqlMicro4("r.n_recalled::DOUBLE / t.n_true")} AS recall,
                 t.avg_cos
               FROM (SELECT COUNT(*) AS n_true,
                       ${Arith.sqlAvg("cos")} AS avg_cos FROM truth) t,
@@ -2189,8 +2193,8 @@ object Similarity {
                   <= 50)
               SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
                 r_lex, r_vec,
-                ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + r_lex), 0.0) +
-                      COALESCE(CAST(1 AS DOUBLE) / (60 + r_vec), 0.0), 6)
+                ${Arith.sqlMicro6("""COALESCE(CAST(1 AS DOUBLE) / (60 + r_lex), 0.0) +
+                      COALESCE(CAST(1 AS DOUBLE) / (60 + r_vec), 0.0)""")}
                   AS rrf
               FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
               ORDER BY rrf DESC, doc_id LIMIT 15""")),
@@ -2230,8 +2234,8 @@ object Similarity {
           .agg(
             min(when(col("hit") === 1, col("rk"))).as("first_hit"),
             sum(col("hit")).as("n_hits"),
-            coalesce(round(lit(1.0) /
-              min(when(col("hit") === 1, col("rk"))), 6), lit(0.0)).as("rr"),
+            coalesce(micro6(lit(1.0) /
+              min(when(col("hit") === 1, col("rk")))), lit(0.0)).as("rr"),
             (sum(col("hit")) / lit(10.0)).as("p_at_10"))
           .orderBy("q_id")
       },
@@ -2252,8 +2256,8 @@ object Similarity {
                 CAST(MIN(CASE WHEN hit = 1 THEN rk END) AS INTEGER)
                   AS first_hit,
                 CAST(SUM(hit) AS BIGINT) AS n_hits,
-                COALESCE(ROUND(CAST(1 AS DOUBLE) /
-                  MIN(CASE WHEN hit = 1 THEN rk END), 6), 0.0) AS rr,
+                COALESCE(${Arith.sqlMicro6("""CAST(1 AS DOUBLE) /
+                  MIN(CASE WHEN hit = 1 THEN rk END)""")}, 0.0) AS rr,
                 CAST(SUM(hit) AS BIGINT) / CAST(10 AS DOUBLE) AS p_at_10
               FROM top GROUP BY q_id, q_label ORDER BY q_id""")),
 
@@ -2433,8 +2437,9 @@ object Similarity {
                 SELECT COALESCE(lex.q_id, vec.q_id) AS q_id,
                   COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
                   r_lex, r_vec,
-                  ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + r_lex), 0.0) +
-                        COALESCE(CAST(1 AS DOUBLE) / (60 + r_vec), 0.0), 6)
+                  ${Arith.sqlMicro6(
+                    """COALESCE(CAST(1 AS DOUBLE) / (60 + r_lex), 0.0) +
+                        COALESCE(CAST(1 AS DOUBLE) / (60 + r_vec), 0.0)""")}
                     AS rrf
                 FROM lex FULL OUTER JOIN vec
                   ON lex.q_id = vec.q_id AND lex.doc_id = vec.doc_id)
@@ -2586,8 +2591,8 @@ object Similarity {
             fused AS (
               SELECT COALESCE(lex.q_id, vec.q_id) AS q_id,
                 COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
-                ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + r_lex), 0.0) +
-                      COALESCE(CAST(1 AS DOUBLE) / (60 + r_vec), 0.0), 6)
+                ${Arith.sqlMicro6("""COALESCE(CAST(1 AS DOUBLE) / (60 + r_lex), 0.0) +
+                      COALESCE(CAST(1 AS DOUBLE) / (60 + r_vec), 0.0)""")}
                   AS rrf
               FROM lex FULL OUTER JOIN vec
                 ON lex.q_id = vec.q_id AND lex.doc_id = vec.doc_id),
@@ -2701,8 +2706,8 @@ object Similarity {
                 <= 50),
             fused AS (
               SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
-                ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + r_lex), 0.0) +
-                      COALESCE(CAST(1 AS DOUBLE) / (60 + r_vec), 0.0), 6)
+                ${Arith.sqlMicro6("""COALESCE(CAST(1 AS DOUBLE) / (60 + r_lex), 0.0) +
+                      COALESCE(CAST(1 AS DOUBLE) / (60 + r_vec), 0.0)""")}
                   AS rrf
               FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id),
             top10 AS (

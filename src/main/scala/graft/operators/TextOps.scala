@@ -88,14 +88,14 @@ object TextOps {
     .withColumn("toks", split(lower(col("text")), " "))
     .withColumn("n_tokens", size(col("toks")).cast("long"))
     .withColumn("mean_word_len",
-      round((col("n_chars") - col("n_tokens") + 1).cast("double") /
-        col("n_tokens"), 6))
+      Arith.micro6((col("n_chars") - col("n_tokens") + 1).cast("double") /
+        col("n_tokens")))
     .withColumn("stop_ratio",
-      round(nStop(col("toks")).cast("double") / col("n_tokens"), 6))
+      Arith.micro6(nStop(col("toks")).cast("double") / col("n_tokens")))
     .withColumn("quality",
-      round(least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.5 +
+      Arith.micro6(least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.5 +
         when(col("mean_word_len").between(3.0, 10.0), 0.3).otherwise(0.0) +
-        when(col("stop_ratio") > 0.02, 0.2).otherwise(0.0), 6))
+        when(col("stop_ratio") > 0.02, 0.2).otherwise(0.0)))
     .withColumn("keep", col("quality") >= 0.5)
     .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
       col("stop_ratio"), col("quality"), col("keep"))
@@ -104,22 +104,26 @@ object TextOps {
     * stop_ratio, quality, keep)` — the oracle twin of [[qualityScores]],
     * shared by q_quality and q_dedup_quality_rep. */
   private[operators] val sqlQualityCtes: String =
-    """f AS (
+    s"""f AS (
         SELECT doc_id, len(string_split(lower(text),' ')) AS n_tokens,
-          ROUND((n_chars - len(string_split(lower(text),' ')) + 1)::DOUBLE
-                / len(string_split(lower(text),' ')), 6) AS mean_word_len,
-          ROUND(len([t FOR t IN string_split(lower(text),' ')
+          ${Arith.sqlMicro6(
+            """(n_chars - len(string_split(lower(text),' ')) + 1)::DOUBLE
+                / len(string_split(lower(text),' '))""")} AS mean_word_len,
+          ${Arith.sqlMicro6(
+            """len([t FOR t IN string_split(lower(text),' ')
                      IF regexp_matches(t, '^(a|the|of|and|to|in)$')])::DOUBLE
-                / len(string_split(lower(text),' ')), 6) AS stop_ratio
+                / len(string_split(lower(text),' '))""")} AS stop_ratio
         FROM documents),
       qual AS (
         SELECT doc_id, n_tokens, mean_word_len, stop_ratio,
-          ROUND(least(n_tokens::DOUBLE / 100, 1.0) * 0.5 +
+          ${Arith.sqlMicro6(
+            """least(n_tokens::DOUBLE / 100, 1.0) * 0.5 +
             CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END +
-            CASE WHEN stop_ratio > 0.02 THEN 0.2 ELSE 0.0 END, 6) AS quality,
-          (ROUND(least(n_tokens::DOUBLE / 100, 1.0) * 0.5 +
+            CASE WHEN stop_ratio > 0.02 THEN 0.2 ELSE 0.0 END""")} AS quality,
+          (${Arith.sqlMicro6(
+            """least(n_tokens::DOUBLE / 100, 1.0) * 0.5 +
             CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END +
-            CASE WHEN stop_ratio > 0.02 THEN 0.2 ELSE 0.0 END, 6) >= 0.5) AS keep
+            CASE WHEN stop_ratio > 0.02 THEN 0.2 ELSE 0.0 END""")} >= 0.5) AS keep
         FROM f)"""
 
   /** DuckDB CTE chain ending in `bm25(doc_id, score, n_terms_hit)` —
@@ -286,14 +290,14 @@ object TextOps {
       .groupBy("doc_id")
       .agg(sum(col("c")).cast("long").as("n_chars"),
         count(lit(1)).as("n_distinct"),
-        sum(round(col("c").cast("double") * log(col("c").cast("double")), 6)
+        sum(Arith.micro6(col("c").cast("double") * log(col("c").cast("double")))
           .cast("decimal(38,6)")).as("sclog"))
       .select(col("doc_id"), col("n_chars"), col("n_distinct"),
-        // + 0.0 normalizes a −0.0 (a single-char-class doc can round to
-        // −1e-7 before the 6dp round; Spark's HALF_UP yields +0.0 there
-        // but DuckDB keeps the sign — IEEE −0.0 + 0.0 = +0.0 on both)
-        (round(log(col("n_chars").cast("double")) -
-          col("sclog").cast("double") / col("n_chars"), 6) + lit(0.0))
+        // + 0.0 normalizes a −0.0 (floor-micro of a tiny negative yields
+        // long 0, whose double is +0.0 on both engines, so this is now
+        // belt-and-braces — kept because it documents the IEEE hazard)
+        (Arith.micro6(log(col("n_chars").cast("double")) -
+          col("sclog").cast("double") / col("n_chars")) + lit(0.0))
           .as("entropy"))
 
   /** Count of stop-word tokens in a token-array column (repeats count). */
@@ -417,18 +421,20 @@ object TextOps {
         .withColumn("n_tokens", size(col("toks")).cast("long"))
         .withColumn("n_stop", nStop(col("toks")))
         .withColumn("stop_ratio",
-          round(col("n_stop").cast("double") / col("n_tokens"), 6))
+          Arith.micro6(col("n_stop").cast("double") / col("n_tokens")))
         .withColumn("pred_lang",
           when(col("stop_ratio") >= 0.08, "en").otherwise("und"))
         .select(col("doc_id"), col("n_tokens"), col("n_stop"),
           col("stop_ratio"), col("pred_lang"))
         .orderBy("doc_id"),
-      Some("""SELECT doc_id, len(toks) AS n_tokens,
-              len([t FOR t IN toks IF regexp_matches(t, '^(a|the|of|and|to|in)$')]) AS n_stop,
-              ROUND(len([t FOR t IN toks IF regexp_matches(t, '^(a|the|of|and|to|in)$')])::DOUBLE
-                    / len(toks), 6) AS stop_ratio,
-              CASE WHEN ROUND(len([t FOR t IN toks IF regexp_matches(t, '^(a|the|of|and|to|in)$')])::DOUBLE
-                    / len(toks), 6) >= 0.08 THEN 'en' ELSE 'und' END AS pred_lang
+      Some(s"""SELECT doc_id, len(toks) AS n_tokens,
+              len([t FOR t IN toks IF regexp_matches(t, '^(a|the|of|and|to|in)$$')]) AS n_stop,
+              ${Arith.sqlMicro6(
+                """len([t FOR t IN toks IF regexp_matches(t, '^(a|the|of|and|to|in)$')])::DOUBLE
+                    / len(toks)""")} AS stop_ratio,
+              CASE WHEN ${Arith.sqlMicro6(
+                """len([t FOR t IN toks IF regexp_matches(t, '^(a|the|of|and|to|in)$')])::DOUBLE
+                    / len(toks)""")} >= 0.08 THEN 'en' ELSE 'und' END AS pred_lang
               FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
                     FROM documents) ORDER BY doc_id""")),
 
@@ -520,14 +526,14 @@ object TextOps {
         tf.join(df, "word")
           .crossJoin(broadcast(n))
           .withColumn("score",
-            round(col("tf") * log(col("corpus_n") / col("df")), 6))
+            Arith.micro6(col("tf") * log(col("corpus_n") / col("df"))))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") === 1)
           .select(col("doc_id"), col("word").as("top_term"),
             col("tf"), col("df"), col("score"))
           .orderBy("doc_id")
       },
-      Some("""WITH tf AS (
+      Some(s"""WITH tf AS (
                 SELECT doc_id, word, COUNT(*) AS tf FROM (
                   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
                   FROM documents)
@@ -536,7 +542,7 @@ object TextOps {
               n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
               scored AS (
                 SELECT tf.doc_id, tf.word, tf.tf, dfc.df,
-                  ROUND(tf.tf * ln(n.n / dfc.df), 6) AS score
+                  ${Arith.sqlMicro6("tf.tf * ln(n.n / dfc.df)")} AS score
                 FROM tf, dfc, n WHERE tf.word = dfc.word)
               SELECT doc_id, word AS top_term, tf, df, score FROM (
                 SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -586,14 +592,14 @@ object TextOps {
         toks.join(cnt, "word")
           .crossJoin(broadcast(tot))
           .withColumn("lp",
-            round(log(col("wc") / col("tot")), 6).cast("decimal(38,6)"))
+            Arith.micro6(log(col("wc") / col("tot"))).cast("decimal(38,6)"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"),
-            round((sum(col("lp")).cast("double") / count(lit(1))), 6)
+            Arith.micro6(sum(col("lp")).cast("double") / count(lit(1)))
               .as("avg_logprob"))
           .orderBy("doc_id")
       },
-      Some("""WITH toks AS (
+      Some(s"""WITH toks AS (
                 SELECT doc_id, word FROM (
                   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
                   FROM documents)
@@ -601,8 +607,9 @@ object TextOps {
               cnt AS (SELECT word, COUNT(*) AS wc FROM toks GROUP BY word),
               tot AS (SELECT COUNT(*)::DOUBLE AS tot FROM toks)
               SELECT doc_id, COUNT(*) AS n_tokens,
-                ROUND(CAST(SUM(CAST(ROUND(ln(wc / tot), 6) AS DECIMAL(38,6)))
-                           AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+                ${Arith.sqlMicro6(s"""CAST(SUM(CAST(${Arith.sqlMicro6(
+                    "ln(wc / tot)")} AS DECIMAL(38,6)))
+                           AS DOUBLE) / COUNT(*)""")} AS avg_logprob
               FROM toks JOIN cnt USING (word) CROSS JOIN tot
               GROUP BY doc_id ORDER BY doc_id""")),
 
@@ -634,15 +641,15 @@ object TextOps {
         val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
         pairs.join(c2, "bg").join(c1, "w1")
           .withColumn("lp",
-            round(log(col("c2").cast("double") / col("c1")), 6)
+            Arith.micro6(log(col("c2").cast("double") / col("c1")))
               .cast("decimal(38,6)"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"),
-            round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+            Arith.micro6(sum(col("lp")).cast("double") / count(lit(1)))
               .as("avg_logprob"))
           .orderBy("doc_id")
       },
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
                 SELECT doc_id, string_split(lower(text), ' ') AS toks
                 FROM documents),
               u AS (
@@ -656,8 +663,9 @@ object TextOps {
               c2 AS (SELECT bg, COUNT(*) AS c2 FROM pairs GROUP BY bg),
               c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1)
               SELECT doc_id, COUNT(*) AS n_bigrams,
-                ROUND(CAST(SUM(CAST(ROUND(ln(CAST(c2 AS DOUBLE) / c1), 6)
-                           AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+                ${Arith.sqlMicro6(s"""CAST(SUM(CAST(${Arith.sqlMicro6(
+                    "ln(CAST(c2 AS DOUBLE) / c1)")}
+                           AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)""")}
                   AS avg_logprob
               FROM pairs JOIN c2 USING (bg) JOIN c1 USING (w1)
               GROUP BY doc_id ORDER BY doc_id""")),
@@ -714,23 +722,23 @@ object TextOps {
           .join(c1, Seq("w1"), "left")
           .join(cu, Seq("w2"), "left")
           .crossJoin(broadcast(tot))
-          .withColumn("lp", round(
+          .withColumn("lp", Arith.micro6(
             when(col("c2").isNotNull,
               log(col("c2").cast("double") / col("c1")))
               .otherwise(log(lit(0.4) *
                 coalesce(col("cu"), lit(1L)).cast("double") /
-                col("tot").cast("double"))), 6).cast("decimal(38,6)"))
+                col("tot").cast("double")))).cast("decimal(38,6)"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"),
             count_if(col("c2").isNull).as("n_backoff"),
-            round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+            Arith.micro6(sum(col("lp")).cast("double") / count(lit(1)))
               .as("avg_logprob"))
           .withColumn("held_out",
             substring(md5(col("doc_id").cast("string")), 1, 2) < "1a")
           .withColumn("keep", col("avg_logprob") >= -3.46)
           .orderBy("doc_id")
       },
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
                 SELECT doc_id,
                   substr(md5(doc_id::VARCHAR), 1, 2) >= '1a' AS is_train,
                   string_split(lower(text), ' ') AS toks
@@ -758,10 +766,11 @@ object TextOps {
               tot AS (SELECT COUNT(*) AS tot FROM u WHERE is_train),
               sc AS (
                 SELECT p.doc_id,
-                  CAST(ROUND(CASE WHEN c2.c2 IS NOT NULL
+                  CAST(${Arith.sqlMicro6(
+                    """CASE WHEN c2.c2 IS NOT NULL
                     THEN ln(CAST(c2.c2 AS DOUBLE) / c1.c1)
                     ELSE ln(0.4 * CAST(COALESCE(cu.cu, 1) AS DOUBLE) /
-                            CAST(tot.tot AS DOUBLE)) END, 6)
+                            CAST(tot.tot AS DOUBLE)) END""")}
                     AS DECIMAL(38,6)) AS lp,
                   (c2.c2 IS NULL) AS backoff
                 FROM pairs p LEFT JOIN c2 USING (bg)
@@ -769,9 +778,11 @@ object TextOps {
                 CROSS JOIN tot)
               SELECT doc_id, COUNT(*) AS n_bigrams,
                 COUNT(*) FILTER (backoff) AS n_backoff,
-                ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob,
+                ${Arith.sqlMicro6(
+                  "CAST(SUM(lp) AS DOUBLE) / COUNT(*)")} AS avg_logprob,
                 substr(md5(doc_id::VARCHAR), 1, 2) < '1a' AS held_out,
-                (ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) >= -3.46)
+                (${Arith.sqlMicro6(
+                  "CAST(SUM(lp) AS DOUBLE) / COUNT(*)")} >= -3.46)
                   AS keep
               FROM sc GROUP BY doc_id ORDER BY doc_id""")),
 
@@ -805,12 +816,12 @@ object TextOps {
         val n2 = base.agg(count(lit(1)).as("n2"))
         c2.join(ca, "w1").join(cb, "w2").crossJoin(broadcast(n2))
           .select(col("bg"), col("c2"),
-            round(log((col("c2") * col("n2")).cast("double") /
-              (col("ca") * col("cb")).cast("double")), 6).as("pmi"))
+            Arith.micro6(log((col("c2") * col("n2")).cast("double") /
+              (col("ca") * col("cb")).cast("double"))).as("pmi"))
           .orderBy(col("pmi").desc, col("bg"))
           .limit(30)
       },
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
                 SELECT doc_id, string_split(lower(text), ' ') AS toks
                 FROM documents),
               u AS (
@@ -830,7 +841,8 @@ object TextOps {
                      FROM pairs GROUP BY w2),
               n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM pairs)
               SELECT bg, c2,
-                ROUND(ln(CAST(c2 * n2 AS DOUBLE) / CAST(ca * cb AS DOUBLE)), 6)
+                ${Arith.sqlMicro6(
+                  "ln(CAST(c2 * n2 AS DOUBLE) / CAST(ca * cb AS DOUBLE))")}
                   AS pmi
               FROM c2 JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN n2
               ORDER BY pmi DESC, bg LIMIT 30""")),
@@ -914,7 +926,7 @@ object TextOps {
         (substring(md5(col("doc_id").cast("string")), 1, 2) >= "1a")
           .as("is_train"),
         split(lower(col("text")), " ").as("toks"))),
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
                 SELECT doc_id, lang,
                   substr(md5(doc_id::VARCHAR), 1, 2) >= '1a' AS is_train,
                   string_split(lower(text), ' ') AS toks
@@ -938,14 +950,15 @@ object TextOps {
                      FROM u GROUP BY doc_id, lang, w),
               sc AS (
                 SELECT tf.doc_id, tf.lang, ls.l, ls.dl, ls.dtot,
-                  SUM(tf.tf * CAST(ROUND(ln((COALESCE(cwl.c, 0) + 1.0) /
-                    (ls.nl + ls.v)), 6) AS DECIMAL(24,6))) AS lk
+                  SUM(tf.tf * CAST(${Arith.sqlMicro6(
+                    """ln((COALESCE(cwl.c, 0) + 1.0) /
+                    (ls.nl + ls.v))""")} AS DECIMAL(24,6))) AS lk
                 FROM tf CROSS JOIN ls
                 LEFT JOIN cwl ON cwl.w = tf.w AND cwl.l = ls.l
                 GROUP BY tf.doc_id, tf.lang, ls.l, ls.dl, ls.dtot),
               fin AS (
                 SELECT doc_id, lang, l,
-                  CAST(ROUND(ln(CAST(dl AS DOUBLE) / dtot), 6)
+                  CAST(${Arith.sqlMicro6("ln(CAST(dl AS DOUBLE) / dtot)")}
                     AS DECIMAL(38,6)) + lk AS score
                 FROM sc),
               rk AS (
@@ -1087,13 +1100,13 @@ object TextOps {
             i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))
         .withColumn("n3_distinct",
           size(array_distinct(col("grams"))).cast("long"))
-        .withColumn("rep_fraction", round(lit(1.0) -
-          col("n3_distinct").cast("double") / col("n3"), 6))
+        .withColumn("rep_fraction", Arith.micro6(lit(1.0) -
+          col("n3_distinct").cast("double") / col("n3")))
         .withColumn("repetitive", col("rep_fraction") > 0.2)
         .select(col("doc_id"), col("n3"), col("n3_distinct"),
           col("rep_fraction"), col("repetitive"))
         .orderBy("doc_id"),
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
                 SELECT doc_id, string_split(text, ' ') AS toks
                 FROM documents),
               f AS (
@@ -1103,8 +1116,10 @@ object TextOps {
                     AS n3_distinct
                 FROM t WHERE len(toks) >= 3)
               SELECT doc_id, n3, n3_distinct,
-                ROUND(1.0 - n3_distinct::DOUBLE / n3, 6) AS rep_fraction,
-                (ROUND(1.0 - n3_distinct::DOUBLE / n3, 6) > 0.2)
+                ${Arith.sqlMicro6(
+                  "1.0 - n3_distinct::DOUBLE / n3")} AS rep_fraction,
+                (${Arith.sqlMicro6(
+                  "1.0 - n3_distinct::DOUBLE / n3")} > 0.2)
                   AS repetitive
               FROM f ORDER BY doc_id""")),
 
@@ -1445,16 +1460,17 @@ object TextOps {
           .withColumn("toks", split(col("clean"), " "))
           .withColumn("n_tokens", size(col("toks")).cast("long"))
           .withColumn("stop_ratio",
-            round(nStop(col("toks")).cast("double") / col("n_tokens"), 6))
+            Arith.micro6(nStop(col("toks")).cast("double") / col("n_tokens")))
           .withColumn("lang_ok", col("stop_ratio") >= 0.08)
           .withColumn("mean_word_len",
-            round((length(col("clean")) - col("n_tokens") + 1).cast("double")
-              / col("n_tokens"), 6))
+            Arith.micro6((length(col("clean")) - col("n_tokens") + 1)
+              .cast("double") / col("n_tokens")))
           .withColumn("quality",
-            round(least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.5
+            Arith.micro6(least(col("n_tokens").cast("double") / 100, lit(1.0))
+              * 0.5
               + when(col("mean_word_len").between(3.0, 10.0), 0.3)
                 .otherwise(0.0)
-              + when(col("stop_ratio") > 0.02, 0.2).otherwise(0.0), 6))
+              + when(col("stop_ratio") > 0.02, 0.2).otherwise(0.0)))
           .withColumn("surv", col("lang_ok") && (col("quality") >= 0.5))
         // conditional min over ALL rows of the hash group: non-survivors
         // contribute NULL, so the winner is the min doc_id among
@@ -1474,7 +1490,7 @@ object TextOps {
               .as("n_tokens_kept"))
           .orderBy("source")
       },
-      Some("""WITH base AS (
+      Some(s"""WITH base AS (
                 SELECT doc_id, source,
                   trim(regexp_replace(regexp_replace(lower(text),
                     '[0-9]+', '<num>', 'g'), ' +', ' ', 'g')) AS clean
@@ -1482,20 +1498,23 @@ object TextOps {
               f AS (
                 SELECT doc_id, source, clean,
                   len(string_split(clean, ' ')) AS n_tokens,
-                  ROUND(len([t FOR t IN string_split(clean, ' ')
+                  ${Arith.sqlMicro6(
+                    """len([t FOR t IN string_split(clean, ' ')
                              IF regexp_matches(t, '^(a|the|of|and|to|in)$')])::DOUBLE
-                        / len(string_split(clean, ' ')), 6) AS stop_ratio,
-                  ROUND((len(clean) - len(string_split(clean, ' ')) + 1)::DOUBLE
-                        / len(string_split(clean, ' ')), 6) AS mean_word_len
+                        / len(string_split(clean, ' '))""")} AS stop_ratio,
+                  ${Arith.sqlMicro6(
+                    """(len(clean) - len(string_split(clean, ' ')) + 1)::DOUBLE
+                        / len(string_split(clean, ' '))""")} AS mean_word_len
                 FROM base),
               g AS (
                 SELECT doc_id, source, clean, n_tokens,
                   (stop_ratio >= 0.08) AS lang_ok,
                   (stop_ratio >= 0.08 AND
-                   ROUND(least(n_tokens::DOUBLE / 100, 1.0) * 0.5 +
+                   ${Arith.sqlMicro6(
+                     """least(n_tokens::DOUBLE / 100, 1.0) * 0.5 +
                     CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0
                          THEN 0.3 ELSE 0.0 END +
-                    CASE WHEN stop_ratio > 0.02 THEN 0.2 ELSE 0.0 END, 6)
+                    CASE WHEN stop_ratio > 0.02 THEN 0.2 ELSE 0.0 END""")}
                    >= 0.5) AS surv
                 FROM f),
               s AS (
@@ -1560,7 +1579,7 @@ object TextOps {
     Q("q_char_entropy",
       (s, d) => charEntropy(docs(s, d).select(col("doc_id"), col("text")))
         .orderBy("doc_id"),
-      Some("""WITH ch AS (
+      Some(s"""WITH ch AS (
                 SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
                 FROM documents,
                   LATERAL unnest(generate_series(1, length(text))) AS r(i)),
@@ -1568,9 +1587,11 @@ object TextOps {
                 SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch)
               SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
                 COUNT(*) AS n_distinct,
-                ROUND(ln(CAST(SUM(c) AS DOUBLE)) -
-                  CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 6)
-                    AS DECIMAL(38,6))) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 6)
+                ${Arith.sqlMicro6(
+                  s"""ln(CAST(SUM(c) AS DOUBLE)) -
+                  CAST(SUM(CAST(${Arith.sqlMicro6(
+                    "CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))")}
+                    AS DECIMAL(38,6))) AS DOUBLE) / CAST(SUM(c) AS BIGINT)""")}
                   + 0.0 AS entropy
               FROM cc GROUP BY doc_id ORDER BY doc_id""")),
 
@@ -2102,13 +2123,13 @@ object TextOps {
     tf.crossJoin(broadcast(langStats))
       .join(cwl, Seq("w", "l"), "left")
       .withColumn("term", (col("tf") *
-        round(log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
-          (col("nl") + col("v"))), 6).cast("decimal(24,6)"))
+        Arith.micro6(log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (col("nl") + col("v")))).cast("decimal(24,6)"))
         .cast("decimal(38,6)"))
       .groupBy("doc_id", "label", "l", "dl", "dtot")
       .agg(sum(col("term")).as("lk"))
       .withColumn("score",
-        (round(log(col("dl").cast("double") / col("dtot")), 6)
+        (Arith.micro6(log(col("dl").cast("double") / col("dtot")))
           .cast("decimal(38,6)") + col("lk")).cast("decimal(38,6)"))
       .withColumn("rk", row_number().over(rkw))
       .filter(col("rk") === 1)

@@ -409,6 +409,9 @@ object Streams {
 
     override def handleExpiredTimer(userId: Long, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[FunnelUser] = {
+      // a stray/duplicate timer delivered after st.clear() must be a
+      // no-op, not an NPE task failure (SessionTws has the same guard)
+      if (!st.exists()) return Iterator.empty
       val s = st.get()
       val out =
         if (s.dirty)
@@ -426,6 +429,59 @@ object Streams {
       }
       out
     }
+  }
+
+  /** [[funnelSnapshot]] re-expressed on transformWithState — the third
+    * dual-arm stateful pair (after [[SessionTws]] and
+    * [[FunnelRetainedTws]]): identical fold ([[advanceFunnel]] in
+    * (ts_us, event_id) order) and the same emit-and-REMOVE timeout
+    * semantics, with the +1 timer shift — fmgws fires a timeout iff
+    * ts < watermark while tws expires timers iff ts <= watermark, so the
+    * timer registers at fmgwsTs + 1 to land on the same boundary.
+    * Unlike the retained arm there is no TTL bookkeeping: the snapshot
+    * flush clears state, so an expired timer never re-arms. */
+  private class FunnelSnapshotTws
+      extends StatefulProcessor[Long, FEv, FunnelUser] {
+    @transient private var st: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[FEv],
+        tv: TimerValues): Iterator[FunnelUser] = {
+      var s = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        s = advanceFunnel(s, e)
+      }
+      st.update(s)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(tv.getCurrentWatermarkInMs() + 1 + 1)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[FunnelUser] = {
+      // a stray/duplicate timer after st.clear() is a no-op, not an NPE
+      if (!st.exists()) return Iterator.empty
+      val s = st.get()
+      st.clear()
+      Iterator.single(FunnelUser(userId, s.t1 >= 0, s.t2 >= 0, s.t3 >= 0))
+    }
+  }
+
+  /** The transformWithState snapshot-funnel arm — see
+    * [[FunnelSnapshotTws]]. */
+  def funnelSnapshotTws(events: Dataset[FEv]): Dataset[FunnelUser] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.toDF()
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", "30 minutes")
+      .as[FEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelSnapshotTws, TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   /** The transformWithState retained-funnel arm — see [[FunnelRetainedTws]]. */
@@ -766,49 +822,32 @@ object Streams {
     // must equal batch exactly. The single-batch contract is enforced
     // loudly (q_stream_sessionize's posture).
     Q("q_stream_funnel",
+      (s, d) => runFunnelSnapshotRow(s, d, "q_stream_funnel_sink",
+        "q_stream_funnel", funnelSnapshot, requireRocks = false),
+      Some(funnelSnapshotOracleSql)),
+
+    // [[funnelSnapshotTws]] (the transformWithState rewrite of the arm
+    // above) held to the SAME DuckDB oracle VERBATIM — the third
+    // dual-arm stateful pair: with the sessionizer (emit-on-close
+    // session state) and the retained funnel (delta snapshots + TTL)
+    // this also covers the emit-and-remove snapshot machine on both
+    // Spark 4 arbitrary-state APIs. RocksDB provider required and
+    // verified via progress metrics (the q_stream_sessionize_tws
+    // posture).
+    Q("q_stream_funnel_tws",
       (s, d) => {
-        import s.implicits._
-        val stream = eventsStream(s, d)
-          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-            col("event_id"), col("event_type"))
-          .as[FEv]
-        val sink = "q_stream_funnel_sink"
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q =
-          try funnelSnapshot(stream).writeStream
-            .format("memory").queryName(sink)
-            .outputMode(OutputMode.Append)
-            .trigger(Trigger.AvailableNow())
-            .start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        q.awaitTermination()
-        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-        if (dataBatches > 1) throw new IllegalStateException(
-          s"q_stream_funnel drained in $dataBatches data batches; " +
-            "the single-batch oracle contract is void")
-        s.table(sink).agg(
-          count_if(col("s1")).as("n_signup"),
-          count_if(col("s2")).as("n_click"),
-          count_if(col("s3")).as("n_purchase"))
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+          ".RocksDBStateStoreProvider")
+        try runFunnelSnapshotRow(s, d, "q_stream_funnel_tws_sink",
+          "q_stream_funnel_tws", funnelSnapshotTws, requireRocks = true)
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
       },
-      Some("""WITH ev AS (
-                SELECT user_id, event_type,
-                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
-                FROM events),
-              t1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
-                     WHERE event_type = 'signup' GROUP BY user_id),
-              t2 AS (SELECT ev.user_id, MIN(us) AS t2
-                     FROM ev JOIN t1 USING (user_id)
-                     WHERE event_type = 'click' AND us > t1
-                     GROUP BY ev.user_id),
-              t3 AS (SELECT ev.user_id, MIN(us) AS t3
-                     FROM ev JOIN t2 USING (user_id)
-                     WHERE event_type = 'purchase' AND us > t2
-                     GROUP BY ev.user_id)
-              SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n_signup,
-                (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n_click,
-                (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n_purchase""")),
+      Some(funnelSnapshotOracleSql)),
 
     // Stream-stream join as a driver row: two file-source streams over the
     // same events data (clicks / purchases), joined with watermarks and an
@@ -901,6 +940,70 @@ object Streams {
         col("end_us"))
       .orderBy("user_id", "start_us")
   }
+
+  /** Shared body of q_stream_funnel[_tws]: drain the events stream
+    * through the given snapshot-funnel arm, enforce the single-data-batch
+    * oracle contract (and the RocksDB provider when required), and
+    * aggregate the per-user flags to the batch twin's three counts. */
+  private def runFunnelSnapshotRow(s: org.apache.spark.sql.SparkSession,
+      d: String, sink: String, rowName: String,
+      arm: Dataset[FEv] => Dataset[FunnelUser],
+      requireRocks: Boolean): DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val stream = eventsStream(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[FEv]
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try arm(stream).writeStream
+        .format("memory").queryName(sink)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    if (dataBatches > 1) throw new IllegalStateException(
+      s"$rowName drained in $dataBatches data batches; " +
+        "the single-batch oracle contract is void")
+    if (requireRocks) {
+      val usedRocks = q.recentProgress.flatMap(_.stateOperators)
+        .exists(_.customMetrics.keySet.asScala.exists(_.contains("rocksdb")))
+      if (!usedRocks) throw new IllegalStateException(
+        s"$rowName: no rocksdb custom metrics in progress — the " +
+          "required state-store provider did not take effect")
+    }
+    s.table(sink).agg(
+      count_if(col("s1")).as("n_signup"),
+      count_if(col("s2")).as("n_click"),
+      count_if(col("s3")).as("n_purchase"))
+  }
+
+  /** The q_stream_funnel[_tws] oracle — the batch funnel counts (stage
+    * k's earliest qualifying instant is a MIN over events strictly later
+    * than stage k−1's clock). Shared verbatim so the two API arms are
+    * held to one bar. */
+  private lazy val funnelSnapshotOracleSql: String =
+    """WITH ev AS (
+         SELECT user_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         FROM events),
+       t1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+              WHERE event_type = 'signup' GROUP BY user_id),
+       t2 AS (SELECT ev.user_id, MIN(us) AS t2
+              FROM ev JOIN t1 USING (user_id)
+              WHERE event_type = 'click' AND us > t1
+              GROUP BY ev.user_id),
+       t3 AS (SELECT ev.user_id, MIN(us) AS t3
+              FROM ev JOIN t2 USING (user_id)
+              WHERE event_type = 'purchase' AND us > t2
+              GROUP BY ev.user_id)
+       SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n_signup,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n_click,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n_purchase"""
 
   /** The q_stream_sessionize[_tws] oracle — see the registration comment
     * for the timeout-rule derivation. Shared so the two API arms are held

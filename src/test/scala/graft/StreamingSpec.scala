@@ -508,24 +508,30 @@ class StreamingSpec extends AnyFunSuite {
       .deleteQuietly(new java.io.File(work))
   }
 
-  test("funnel snapshot: strict ordering, ties excluded, flushed by timeout") {
-    // The q_stream_funnel state machine on a planted frame, fed
-    // deliberately OUT of time order within the batch (the group sorts by
-    // (ts_us, event_id) first):
-    //  user 1: clean signup→click→purchase        → (T, T, T)
-    //  user 2: a click BEFORE any signup is ignored; a click AT exactly
-    //          t1 is excluded (strict >); a purchase before t2 exists is
-    //          ignored; then a real click — and a purchase AT exactly t2
-    //          is excluded again                    → (T, T, F)
-    //  user 3: activity but never a signup          → (F, F, F)
-    // A far-future sentinel advances the watermark; every planted user
-    // must flush via event-time timeout. The sentinel flushes too: its
-    // timeout was armed at (then-current watermark)+1 during its own
-    // batch, and the trailing no-data batch's advanced watermark fires
-    // it — every user with state emits exactly once per drain.
+  /** The q_stream_funnel state machine on a planted frame, fed
+    * deliberately OUT of time order within the batch (the group sorts by
+    * (ts_us, event_id) first) — parameterized over the arm so the
+    * flatMapGroupsWithState original and its transformWithState port are
+    * held to the same semantics:
+    *  user 1: clean signup→click→purchase        → (T, T, T)
+    *  user 2: a click BEFORE any signup is ignored; a click AT exactly
+    *          t1 is excluded (strict >); a purchase before t2 exists is
+    *          ignored; then a real click — and a purchase AT exactly t2
+    *          is excluded again                    → (T, T, F)
+    *  user 3: activity but never a signup          → (F, F, F)
+    * A far-future sentinel advances the watermark; every planted user
+    * must flush via event-time timeout. The sentinel flushes too: its
+    * timeout was armed just above the then-current watermark during its
+    * own batch, and the trailing no-data batch's advanced watermark
+    * fires it — every user with state emits exactly once per drain. */
+  private def driveSnapshotFunnel(tag: String,
+      arm: org.apache.spark.sql.Dataset[Streams.FEv] =>
+        org.apache.spark.sql.Dataset[Streams.FunnelUser])
+      : Set[(Long, Boolean, Boolean, Boolean)] = {
     val s = spark
     import s.implicits._
     val m = 60L * 1000000
+    val sink = s"funnel_snap_$tag"
     val input = MemoryStream[Streams.FEv](s)
     input.addData(
       Streams.FEv(1, 30 * m, 13, "purchase"), Streams.FEv(1, 10 * m, 11, "signup"),
@@ -534,18 +540,91 @@ class StreamingSpec extends AnyFunSuite {
       Streams.FEv(2, 10 * m, 22, "signup"), Streams.FEv(2, 10 * m, 23, "click"),
       Streams.FEv(2, 12 * m, 24, "purchase"), Streams.FEv(2, 15 * m, 26, "purchase"),
       Streams.FEv(3, 11 * m, 31, "click"), Streams.FEv(3, 13 * m, 32, "purchase"))
-    val q = Streams.funnelSnapshot(input.toDS()).writeStream
-      .format("memory").queryName("funnel_snap").outputMode("append").start()
+    val q = arm(input.toDS()).writeStream
+      .format("memory").queryName(sink).outputMode("append").start()
     try {
       q.processAllAvailable()
       input.addData(Streams.FEv(99, 5000 * m, 99, "signup"))
       q.processAllAvailable()
     } finally q.stop()
-    val got = s.table("funnel_snap").as[Streams.FunnelUser].collect()
+    s.table(sink).as[Streams.FunnelUser].collect()
       .map(x => (x.user_id, x.s1, x.s2, x.s3)).toSet
+  }
+
+  test("funnel snapshot: strict ordering, ties excluded, flushed by timeout") {
+    val got = driveSnapshotFunnel("fmgws", Streams.funnelSnapshot)
     assert(got == Set((1L, true, true, true), (2L, true, true, false),
       (3L, false, false, false), (99L, true, false, false)),
       s"funnel snapshot mismatch: $got")
+  }
+
+  /** Millisecond-boundary feed for the snapshot-funnel timer shift:
+    * fmgws fires a timeout iff ts < watermark, tws expires a timer iff
+    * ts ≤ watermark, so the tws arm registers at fmgwsTs + 1. The feed
+    * arms user 1's timer under watermark W (timers land at W+1 / W+2),
+    * then advances the watermark to EXACTLY W+1 — a correct pair stays
+    * silent on both arms (101 < 101 and 102 ≤ 101 both fail); a tws arm
+    * without the shift would flush one batch early here. The next batch
+    * advances to W+2, where both arms must fire. Returns the emission
+    * set after the W+1 batch and after the W+2 batch. */
+  private def driveSnapshotBoundary(tag: String,
+      arm: org.apache.spark.sql.Dataset[Streams.FEv] =>
+        org.apache.spark.sql.Dataset[Streams.FunnelUser])
+      : (Set[Long], Set[Long]) = {
+    val s = spark
+    import s.implicits._
+    val ms = 1000L                 // one millisecond, in micros
+    val delay = 1800000L * ms      // the 30-minute watermark delay
+    val sink = s"funnel_bnd_$tag"
+    val input = MemoryStream[Streams.FEv](s)
+    def users(): Set[Long] =
+      s.table(sink).as[Streams.FunnelUser].collect().map(_.user_id).toSet
+    // batch 1: sentinel 90 pushes the watermark to exactly W = 100 ms
+    input.addData(Streams.FEv(90, delay + 100 * ms, 901, "signup"))
+    val q = arm(input.toDS()).writeStream
+      .format("memory").queryName(sink).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: user 1 arrives under watermark 100 → timer at 101/102;
+      // the watermark does not advance (150 ms − 30 min ≪ 100 ms)
+      input.addData(Streams.FEv(1, 150 * ms, 11, "signup"))
+      q.processAllAvailable()
+      // batch 3: watermark → exactly 101 — the boundary. Neither arm may
+      // flush user 1 (or sentinel 91, whose timer also lands at 101/102).
+      input.addData(Streams.FEv(91, delay + 101 * ms, 911, "signup"))
+      q.processAllAvailable()
+      val atBoundary = users()
+      // batch 4: watermark → 102 — both arms must flush user 1 and 91.
+      // Sentinel 92's own timer (103/104) stays armed: not flushed.
+      input.addData(Streams.FEv(92, delay + 102 * ms, 921, "signup"))
+      q.processAllAvailable()
+      (atBoundary, users())
+    } finally q.stop()
+  }
+
+  test("funnel snapshot tws arm == fmgws arm (semantics + timer boundary)") {
+    // transformWithState requires RocksDB; run BOTH arms on it so the
+    // store is held constant, and require identical emissions — on the
+    // full semantics feed AND at the exact ms timer boundary (the test
+    // fails if the +1 shift in FunnelSnapshotTws is removed)
+    val s = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try {
+      val a = driveSnapshotFunnel("fmgws_rocks", Streams.funnelSnapshot)
+      val b = driveSnapshotFunnel("tws_rocks", Streams.funnelSnapshotTws)
+      assert(a == b, s"semantics arms diverged: fmgws=$a tws=$b")
+      val (af, bf) = (driveSnapshotBoundary("fmgws", Streams.funnelSnapshot),
+        driveSnapshotBoundary("tws", Streams.funnelSnapshotTws))
+      assert(af._1 == Set(90L) && af._2 == Set(90L, 91L, 1L),
+        s"fmgws boundary emissions wrong: $af")
+      assert(af == bf, s"boundary arms diverged: fmgws=$af tws=$bf")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   /** The 4-batch retained-funnel contract, parameterized over the arm so

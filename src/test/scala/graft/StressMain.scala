@@ -72,12 +72,18 @@ object StressMain {
   /** Returns the query's (peak task memory, shuffle bytes written) so
     * invariants can compare memory and shuffle SHAPES across runs, not
     * just outputs. */
+  /** Wall seconds of the most recent [[timed]] call (the tuple return
+    * predates the dim-axis wall laws; a var keeps every call site
+    * source-compatible). */
+  private var lastWallSec: Double = 0.0
+
   private def timed(name: String, outDir: String,
       df: => DataFrame): (Long, Long) = {
     resetMetrics()
     val t0 = System.nanoTime()
     df.write.mode("overwrite").parquet(s"$outDir/$name")
     val s = (System.nanoTime() - t0) / 1e9
+    lastWallSec = s
     drainMetrics()
     println(f"STRESS| $name%-22s ${s}%7.2f s  peakTask ${mb(peak.get)}%5d MB" +
       f"  shufW ${mb(shuf.get)}%5d MB  spill ${mb(spill.get)}%5d MB")
@@ -161,9 +167,11 @@ object StressMain {
       }
     })
     if (mode == "text" || mode == "embed" || mode == "events" ||
-        mode == "stream") {
+        mode == "stream" || mode == "embeddim") {
       if (mode == "text") textStress(spark, src, copies, work)
       else if (mode == "embed") embedStress(spark, src, copies, work)
+      else if (mode == "embeddim") embedDimStress(spark, src, copies, work,
+        if (args.length > 4) args(4).toInt else 16)
       else if (mode == "events") eventsStress(spark, src, copies, work)
       else streamStress(spark, src, copies, work)
       spark.stop()
@@ -577,6 +585,151 @@ object StressMain {
     * quadratic in copies BY CONSTRUCTION (c·(c−1)/2 true-dup pairs per
     * family is the right answer, not a flaw), so a linear-shuffle law
     * would reject correct behavior; their laws live in the ×10 suite. */
+  /** DIMENSION-axis embedding stress (`mode=embeddim`, run as
+    * `runMain graft.StressMain <src> <copies> <work> embeddim [tiles]`):
+    * every other vector record is at the testdata's 64 dims, but
+    * production embeddings are 768–4096-dim, and three scale surfaces
+    * grow with DIM rather than rows — the broadcast-centroid row width
+    * in assignment, the per-task block bytes of the GEMM cosine join,
+    * and the PQ subspace count (m = dim/8). Two expansions of the same
+    * corpus, each with a distinct job:
+    *
+    *  - TILED (content-realistic, used for the resource laws): each
+    *    vector is `tiles` concatenated copies of itself (64 → 64·tiles
+    *    dims). Cosines are preserved MATHEMATICALLY (cos(tile a, tile b)
+    *    = cos(a, b)) but not bit-exactly — the kernel accumulates
+    *    64·tiles terms left-to-right, so a quantized cosine can flip at
+    *    a floor-micro boundary with ~1e-7 per-pair probability; over the
+    *    ~1e8 pairs a bucketed kNN evaluates that forbids an exact
+    *    output-equality law on this corpus.
+    *  - ZERO-PADDED (bit-exact, used for the invariance law): 64 real
+    *    dims + 64·(tiles−1) zeros. IEEE x + 0.0·0.0 = x and the micro
+    *    sums of a zero tail are exactly 0, so every dot, norm, centroid
+    *    and quantized cosine is BIT-IDENTICAL to the base corpus — while
+    *    the kernel still executes true full-width loops and every
+    *    shuffled/broadcast row carries the full-width array.
+    *
+    * Laws:
+    *  1. bucketed kNN over the zero-padded corpus ≡ the base-corpus
+    *     output, exact set equality on (vec_id, rk, nn_id, cos) — pins
+    *     that no operator in the chain (k-means seed, VecCentroid,
+    *     assignment argmax, window rank) develops a width dependence
+    *     that changes RESULTS.
+    *  2. k-means assignment and GEMM wall grow at most dim-linearly
+    *     (×3 noise slack on a ±100% box — the law is there to catch a
+    *     dim² kernel, not to measure the constant), peak task memory
+    *     bounded by the dim-scaled model, and ZERO spill at every dim.
+    *  3. PQ at m = dim/8 subspaces emits exactly m·n codes, zero spill
+    *     — the subspace layout scales with dim without blowing the
+    *     encode shuffle (codes are (vec_id, sub, code) ints, the
+    *     exploded sv subvectors never shuffle past the broadcast join).
+    */
+  private def embedDimStress(spark: SparkSession, src: String, copies: Int,
+      work: String, tiles: Int): Unit = {
+    val Sim = operators.Similarity
+    val embs0 = spark.read.parquet(s"$src/embeddings.parquet")
+    val vOff = embs0.agg(max("vec_id")).head.getLong(0) + 1
+    val nVecs = embs0.count()
+    val dimHi = 64 * tiles
+    def build(c: Int, dir: String,
+        expand: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        parts: Int): Unit =
+      embs0.crossJoin(broadcast(
+          spark.range(c).select(col("id").as("cpy"))))
+        .withColumn("vec_id", col("vec_id") + col("cpy") * lit(vOff))
+        .withColumn("embedding", expand(col("embedding")))
+        .drop("cpy")
+        .repartition(parts)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // ×copies rows at both dims (resource laws), ×1 zero-padded (exact law)
+    build(copies, s"$work/d64", identity, math.max(32, copies))
+    build(copies, s"$work/d$dimHi", e => flatten(array_repeat(e, tiles)),
+      math.max(32, copies * tiles / 2))
+    build(1, s"$work/pad",
+      e => concat(e, array_repeat(lit(0.0f), 64 * (tiles - 1))), 32)
+    println(s"STRESS| embeddim corpora: ${nVecs * copies} vectors at " +
+      s"64d and ${dimHi}d (tiled), $nVecs at ${dimHi}d (zero-padded)")
+    def vecs(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+
+    // ---- law 1: exact kNN invariance under zero-pad width ---------------
+    timed("knn_base_64d", s"$work/out",
+      Sim.knnJoin(spark, embs0.select(col("vec_id"), col("embedding")), 3, 8))
+    timed(s"knn_pad_${dimHi}d", s"$work/out",
+      Sim.knnJoin(spark, vecs(s"$work/pad"), 3, 8))
+    sameSet(s"kNN output bit-invariant under zero-pad 64d→${dimHi}d",
+      spark.read.parquet(s"$work/out/knn_pad_${dimHi}d"),
+      spark.read.parquet(s"$work/out/knn_base_64d"))
+
+    // ---- law 2a: assignment wall/peak/spill vs dim at ×copies rows ------
+    // buckets and rows held fixed; only dim moves. Peak model: the rank
+    // window's per-task sort input carries the embedding column, so peak
+    // scales ≤ dim-linearly once partitions are fixed — the law allows
+    // the dim-scaled model ×1.5 and catches anything super-linear.
+    val kB = 8 * copies
+    val (pLo, _) = timed(s"kmeans_64d_x$copies", s"$work/out",
+      Sim.kmeansIterate(spark,
+        Sim.dropZeroNorm(spark, vecs(s"$work/d64")), kB, 2))
+    val sLo = spill.get
+    val wLo = lastWallSec
+    val (pHi, _) = timed(s"kmeans_${dimHi}d_x$copies", s"$work/out",
+      Sim.kmeansIterate(spark,
+        Sim.dropZeroNorm(spark, vecs(s"$work/d$dimHi")), kB, 2))
+    val sHi = spill.get
+    val wHi = lastWallSec
+    check(s"k-means assignment zero spill at 64d and ${dimHi}d",
+      sLo == 0 && sHi == 0, s"spill ${mb(sLo)} MB / ${mb(sHi)} MB")
+    check(s"k-means assignment wall ≤ dim-linear ×3 (64d→${dimHi}d)",
+      wHi <= wLo * tiles * 3.0 + 5.0,
+      f"$wLo%.1f s → $wHi%.1f s vs allowed ${wLo * tiles * 3.0 + 5.0}%.1f s")
+    check(s"k-means assignment peak within the dim-scaled model",
+      pHi <= math.max(pLo, 64L << 20) * tiles * 1.5,
+      s"peak ${mb(pHi)} MB vs ${mb(pLo)} MB at 64d")
+
+    // ---- law 2b: GEMM cosine join vs dim at ×1 rows ----------------------
+    // blocks scale with dim so per-task block BYTES are held flat — the
+    // knob a real cluster turns as width grows; wall then isolates pure
+    // kernel work (∝ dim), and peak stays at the configured block size.
+    val gemmThreshold = 0.992
+    val (gLoPeak, _) = timed("gemm_64d", s"$work/out",
+      Sim.blockedCosineJoin(spark,
+        embs0.select(col("vec_id"), col("embedding")), gemmThreshold, 8))
+    val gLoSpill = spill.get
+    val gLoWall = lastWallSec
+    val (gHiPeak, _) = timed(s"gemm_${dimHi}d", s"$work/out",
+      Sim.blockedCosineJoin(spark, vecs(s"$work/pad"), gemmThreshold,
+        8 * tiles))
+    val gHiSpill = spill.get
+    val gHiWall = lastWallSec
+    check(s"GEMM zero spill at 64d and ${dimHi}d",
+      gLoSpill == 0 && gHiSpill == 0,
+      s"spill ${mb(gLoSpill)} MB / ${mb(gHiSpill)} MB")
+    check(s"GEMM wall ≤ dim-linear ×3 (64d→${dimHi}d)",
+      gHiWall <= gLoWall * tiles * 3.0 + 5.0,
+      f"$gLoWall%.1f s → $gHiWall%.1f s")
+    check(s"GEMM peak flat under dim-scaled blocks (64d→${dimHi}d)",
+      gHiPeak <= math.max(gLoPeak, 64L << 20) * 2,
+      s"peak ${mb(gHiPeak)} MB vs ${mb(gLoPeak)} MB")
+    // the zero-padded GEMM pair set must also equal the base pair set
+    // (same bit-exactness argument as law 1)
+    sameSet(s"GEMM pairs bit-invariant under zero-pad 64d→${dimHi}d",
+      spark.read.parquet(s"$work/out/gemm_${dimHi}d"),
+      spark.read.parquet(s"$work/out/gemm_64d"))
+
+    // ---- law 3: PQ subspace layout at dim/8 subspaces --------------------
+    val m = dimHi / 8
+    val padded = vecs(s"$work/pad")
+    val cb = Sim.pqCodebook(spark, padded, m, 8, 16).localCheckpoint()
+    timed(s"pq_encode_${dimHi}d_m$m", s"$work/out",
+      Sim.pqEncode(spark, padded, cb, m, 8))
+    val pqSpill = spill.get
+    val enc = spark.read.parquet(s"$work/out/pq_encode_${dimHi}d_m$m")
+    check(s"PQ encode at m=$m emits m·n codes, zero spill",
+      enc.count() == m.toLong * nVecs && pqSpill == 0,
+      s"rows ${enc.count()} want ${m.toLong * nVecs}, " +
+        s"spill ${mb(pqSpill)} MB")
+  }
+
   private def embedStress(spark: SparkSession, src: String, copies: Int,
       work: String): Unit = {
     val embs0 = spark.read.parquet(s"$src/embeddings.parquet")
@@ -921,8 +1074,21 @@ object StressMain {
           col("n_events"), col("start_us"), col("end_us")).distinct(),
       q("q_sessionize", src))
 
+    // Past ×1000 the tier runs the three ops the decade is FOR —
+    // sessionize (above), attribution and EWMA are where an O(n log n)+
+    // constant or window-state ceiling would show — and skips the
+    // ops whose ×1000 records already pin their laws (funnel/retention/
+    // transitions/asof are the same shuffle shapes at lower constants).
+    // Loud, not silent: the skip is printed so a green run cannot read
+    // as "all eight ops passed at ×10000".
+    val heavyOnly = copies >= 10000
+    if (heavyOnly) println(s"STRESS| ×$copies tier: running sessionize/" +
+      "attrib/ewma only; funnel/retention/transitions/asof laws stand at " +
+      "their ×1000 records")
+
     // analytics rows at ×copies: per-user replication laws, all exact
-    for ((name, law) <- Seq[(String, DataFrame => DataFrame)](
+    for ((name, law) <- if (heavyOnly) Seq.empty[(String, DataFrame => DataFrame)]
+        else Seq[(String, DataFrame => DataFrame)](
         "q_funnel" -> (df => df.select(
           (col("n_signup") / copies).cast("long").as("n_signup"),
           (col("n_click") / copies).cast("long").as("n_click"),
@@ -947,6 +1113,11 @@ object StressMain {
     // run's with offset ids (the argmin keys shift by a per-copy
     // constant, preserving every pick), so the whole attribution table
     // collapses to the base one under the modulo map
+    // at the heavy tier the window ops get partitions ∝ corpus too (the
+    // r12 text-tier lesson: fixed partitions grow per-TASK sort input
+    // ×step and measure the harness, not the operator)
+    if (heavyOnly) spark.conf.set(pKey,
+      (pBase.toInt * (copies.toDouble / lo)).toInt.toString)
     timed(s"q_session_attrib_x$copies", s"$work/out",
       q("q_session_attrib", s"$work/x$copies"))
     sameSet(s"q_session_attrib = sf0.1 attribution per copy at ×$copies",
@@ -958,16 +1129,19 @@ object StressMain {
     // nearest as-of at ×copies: same per-copy identity — matches never
     // cross copies (disjoint users) and the candidate order inside a
     // copy is the base order shifted by a constant
-    timed(s"q_join_asof_nearest_x$copies", s"$work/out",
-      q("q_join_asof_nearest", s"$work/x$copies"))
-    sameSet(s"q_join_asof_nearest = sf0.1 matches per copy at ×$copies",
-      out(s"q_join_asof_nearest_x$copies")
-        .select((col("user_id") % uOff).as("user_id"),
-          (col("click_id") % eOff).as("click_id"),
-          (col("purchase_id") % eOff).as("purchase_id"),
-          col("delta_us")).distinct(),
-      q("q_join_asof_nearest", src))
+    if (!heavyOnly) {
+      timed(s"q_join_asof_nearest_x$copies", s"$work/out",
+        q("q_join_asof_nearest", s"$work/x$copies"))
+      sameSet(s"q_join_asof_nearest = sf0.1 matches per copy at ×$copies",
+        out(s"q_join_asof_nearest_x$copies")
+          .select((col("user_id") % uOff).as("user_id"),
+            (col("click_id") % eOff).as("click_id"),
+            (col("purchase_id") % eOff).as("purchase_id"),
+            col("delta_us")).distinct(),
+        q("q_join_asof_nearest", src))
+    }
     timed(s"q_ewma_x$copies", s"$work/out", q("q_ewma", s"$work/x$copies"))
+    if (heavyOnly) spark.conf.set(pKey, pBase)
     sameSet(s"q_ewma = sf0.1 values per copy at ×$copies",
       out(s"q_ewma_x$copies")
         .select((col("user_id") % uOff).as("user_id"),

@@ -9,14 +9,58 @@ compare schema (column names), row count, and values (columns sorted by
 name, exact equality; floats compared exactly after both sides round-trip
 through float64).
 """
+import hashlib
 import json
 import math
+import os
+import pathlib
 import sys
 
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# ---------------------------------------------------------------------------
+# Oracle-side memoization. The tri-SF audit costs hours of CPU, dominated by
+# unrolled k-means/BPE CTEs that do not change between rounds — so the ORACLE
+# result (the expensive side) is cached keyed by (query, sfDir, testdata
+# digest, oracle-SQL hash). Only a canonical digest of the oracle rows is
+# stored; on a digest match the verdict line is byte-identical to a cold run.
+# Any key change (edited SQL, different sf, regenerated testdata) misses the
+# cache; a digest MISMATCH (spark != cached oracle) falls back to re-running
+# the oracle so FAIL diffs are always computed against live rows. Disable
+# with GRAFT_ORACLE_CACHE=0.
+CACHE_DIR = pathlib.Path(__file__).resolve().parent / ".oracle_cache"
+CACHE_ON = os.environ.get("GRAFT_ORACLE_CACHE", "1") != "0"
+
+
+def testdata_digest(sf_dir):
+    """Identity of the read-only testdata: (size, mtime_ns) per table —
+    cheap, and any regeneration perturbs it."""
+    h = hashlib.sha256()
+    for t in TABLES:
+        st = os.stat(f"{sf_dir}/{t}.parquet")
+        h.update(f"{t}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()
+
+
+def rows_digest(cols, types, n_rows, rows):
+    """Canonical digest of a normalized result (column names + arrow types
+    + row reprs — the exact objects the equality compare sees)."""
+    h = hashlib.sha256()
+    h.update(repr(cols).encode())
+    h.update(repr(sorted(types.items())).encode())
+    h.update(str(n_rows).encode())
+    for r in rows:
+        h.update(repr(r).encode())
+    return h.hexdigest()
+
+
+def cache_path(name, sf_dir, td_digest, sql):
+    key = f"{name}|{sf_dir}|{td_digest}|" + hashlib.sha256(
+        sql.encode()).hexdigest()
+    return CACHE_DIR / (hashlib.sha256(key.encode()).hexdigest() + ".json")
 
 
 def norm(v):
@@ -25,6 +69,16 @@ def norm(v):
             return "NaN"
         return repr(v)
     return v
+
+
+def load_spark(con, out_dir, name):
+    return con.execute(
+        f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_arrow_table()
+
+
+def norm_rows(df, cols):
+    return [tuple(norm(v) for v in row)
+            for row in zip(*[df.column(c).to_pylist() for c in cols])]
 
 
 def main(sf_dir, out_dir, only=None):
@@ -36,9 +90,36 @@ def main(sf_dir, out_dir, only=None):
     if only:
         oracle = {k: v for k, v in oracle.items()
                   if any(k.startswith(p) for p in only)}
+    td = testdata_digest(sf_dir) if CACHE_ON else None
+    if CACHE_ON:
+        CACHE_DIR.mkdir(exist_ok=True)
     n_ok = n_bad = 0
     for name in sorted(oracle):
         sql = oracle[name]
+        # ---- warm path: compare the spark result against the cached
+        # oracle digest; only a full match short-circuits ---------------
+        cpath = cache_path(name, sf_dir, td, sql) if CACHE_ON else None
+        if CACHE_ON and cpath.is_file():
+            try:
+                cached = json.load(open(cpath))
+                sdf = load_spark(con, out_dir, name)
+                scols = sorted(sdf.column_names)
+                stypes = {c: str(sdf.schema.field(c).type) for c in scols}
+                if (cached["cols"] == scols
+                        and cached["types"] == stypes
+                        and cached["n_rows"] == sdf.num_rows
+                        and not any(t.startswith(("list", "large_list"))
+                                    for t in stypes.values())
+                        and cached["digest"] == rows_digest(
+                            scols, stypes, sdf.num_rows,
+                            norm_rows(sdf, scols))):
+                    print(f"ok   {name} ({sdf.num_rows} rows)")
+                    n_ok += 1
+                    continue
+                # anything short of a full match: fall through to the
+                # cold path so FAIL diffs come from live oracle rows
+            except Exception:
+                pass
         try:
             odf = con.execute(sql).fetch_arrow_table()
         except Exception as e:
@@ -46,9 +127,7 @@ def main(sf_dir, out_dir, only=None):
             n_bad += 1
             continue
         try:
-            sdf = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
-            ).fetch_arrow_table()
+            sdf = load_spark(con, out_dir, name)
         except Exception as e:
             # e.g. Verify ran with a name filter that excluded this query
             print(f"FAIL {name}: no spark result ({e})")
@@ -81,10 +160,17 @@ def main(sf_dir, out_dir, only=None):
             print(f"FAIL {name}: rows oracle={odf.num_rows} spark={sdf.num_rows}")
             n_bad += 1
             continue
-        orows = [tuple(norm(v) for v in row)
-                 for row in zip(*[odf.column(c).to_pylist() for c in ocols])]
-        srows = [tuple(norm(v) for v in row)
-                 for row in zip(*[sdf.column(c).to_pylist() for c in scols])]
+        orows = norm_rows(odf, ocols)
+        srows = norm_rows(sdf, scols)
+        if CACHE_ON:
+            try:
+                json.dump({"cols": ocols, "types": otypes,
+                           "n_rows": odf.num_rows,
+                           "digest": rows_digest(ocols, otypes,
+                                                 odf.num_rows, orows)},
+                          open(cpath, "w"))
+            except Exception:
+                pass
         if orows != srows:
             bad = next(i for i, (a, b) in enumerate(zip(orows, srows))
                        if a != b)
