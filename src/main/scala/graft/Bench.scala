@@ -26,14 +26,21 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
 
   /** Fixed-work machine-noise sentinel: a data-independent CPU-bound
-    * aggregation (hash + sum over a generated range — no IO, no parquet,
+    * aggregation (hash + xor over a generated range — no IO, no parquet,
     * no shuffle skew) timed at sweep START and END. The pair is emitted
     * in the JSON line so a judge/round can normalize: on a quiet box both
     * land near a stable constant; under contention they inflate by the
     * same smear the per-query seconds carry (the r12 verdict had to
     * reverse-engineer that factor from 180 unrelated rows). Run AFTER
-    * warmUp so it measures the machine, not session bring-up. */
-  def sentinelOnce(spark: SparkSession): Double = {
+    * warmUp so it measures the machine, not session bring-up — and take
+    * min-of-2: the sweep's first execution of THIS plan pays its own
+    * whole-stage-codegen + JIT (~0.2 s, observed start=0.557 vs
+    * end=0.331 on a quiet box), which would read as phantom contention
+    * at sweep start. */
+  def sentinel(spark: SparkSession): Double =
+    math.min(sentinelOnce(spark), sentinelOnce(spark))
+
+  private def sentinelOnce(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions._
     val t0 = System.nanoTime()
     // bit_xor, not sum: a SUM of 200M full-range hashes overflows Long
@@ -127,7 +134,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = benchSession(cpus)
     warmUp(spark, sfDir)
-    val sentinelStart = sentinelOnce(spark)
+    val sentinelStart = sentinel(spark)
     // noop-format write executes the FULL plan (a count() would let
     // Catalyst prune projections/sorts and measure a cheaper query).
     // Two passes, min time: a single pass is dominated by whichever query
@@ -161,7 +168,7 @@ object Bench {
       }.toMap
     }
     val results = minOf2(batchQ) ++ minOf2(streamQ) ++ mrBaseline(spark)
-    val sentinelEnd = sentinelOnce(spark)
+    val sentinelEnd = sentinel(spark)
     val failed = (batchQ ++ streamQ).map(_._1)
       .filterNot(results.contains).sorted
     def r3(v: Double) = math.rint(v * 1000) / 1000 // keep the line short

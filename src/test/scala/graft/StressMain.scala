@@ -69,25 +69,19 @@ object StressMain {
     * invariant checks below read it back, so each stress query computes
     * exactly once instead of once per assertion; result sets are tiny
     * next to the compute they time, so the write cost is noise. */
-  /** Returns the query's (peak task memory, shuffle bytes written) so
-    * invariants can compare memory and shuffle SHAPES across runs, not
-    * just outputs. */
-  /** Wall seconds of the most recent [[timed]] call (the tuple return
-    * predates the dim-axis wall laws; a var keeps every call site
-    * source-compatible). */
-  private var lastWallSec: Double = 0.0
-
+  /** Returns the query's (peak task memory, shuffle bytes written, wall
+    * seconds) so invariants can compare memory, shuffle, and wall SHAPES
+    * across runs, not just outputs. */
   private def timed(name: String, outDir: String,
-      df: => DataFrame): (Long, Long) = {
+      df: => DataFrame): (Long, Long, Double) = {
     resetMetrics()
     val t0 = System.nanoTime()
     df.write.mode("overwrite").parquet(s"$outDir/$name")
     val s = (System.nanoTime() - t0) / 1e9
-    lastWallSec = s
     drainMetrics()
     println(f"STRESS| $name%-22s ${s}%7.2f s  peakTask ${mb(peak.get)}%5d MB" +
       f"  shufW ${mb(shuf.get)}%5d MB  spill ${mb(spill.get)}%5d MB")
-    (peak.get, shuf.get)
+    (peak.get, shuf.get, s)
   }
 
   private def check(name: String, ok: Boolean, detail: => String): Unit =
@@ -667,16 +661,14 @@ object StressMain {
     // scales ≤ dim-linearly once partitions are fixed — the law allows
     // the dim-scaled model ×1.5 and catches anything super-linear.
     val kB = 8 * copies
-    val (pLo, _) = timed(s"kmeans_64d_x$copies", s"$work/out",
+    val (pLo, _, wLo) = timed(s"kmeans_64d_x$copies", s"$work/out",
       Sim.kmeansIterate(spark,
         Sim.dropZeroNorm(spark, vecs(s"$work/d64")), kB, 2))
     val sLo = spill.get
-    val wLo = lastWallSec
-    val (pHi, _) = timed(s"kmeans_${dimHi}d_x$copies", s"$work/out",
+    val (pHi, _, wHi) = timed(s"kmeans_${dimHi}d_x$copies", s"$work/out",
       Sim.kmeansIterate(spark,
         Sim.dropZeroNorm(spark, vecs(s"$work/d$dimHi")), kB, 2))
     val sHi = spill.get
-    val wHi = lastWallSec
     check(s"k-means assignment zero spill at 64d and ${dimHi}d",
       sLo == 0 && sHi == 0, s"spill ${mb(sLo)} MB / ${mb(sHi)} MB")
     check(s"k-means assignment wall ≤ dim-linear ×3 (64d→${dimHi}d)",
@@ -691,16 +683,14 @@ object StressMain {
     // knob a real cluster turns as width grows; wall then isolates pure
     // kernel work (∝ dim), and peak stays at the configured block size.
     val gemmThreshold = 0.992
-    val (gLoPeak, _) = timed("gemm_64d", s"$work/out",
+    val (gLoPeak, _, gLoWall) = timed("gemm_64d", s"$work/out",
       Sim.blockedCosineJoin(spark,
         embs0.select(col("vec_id"), col("embedding")), gemmThreshold, 8))
     val gLoSpill = spill.get
-    val gLoWall = lastWallSec
-    val (gHiPeak, _) = timed(s"gemm_${dimHi}d", s"$work/out",
+    val (gHiPeak, _, gHiWall) = timed(s"gemm_${dimHi}d", s"$work/out",
       Sim.blockedCosineJoin(spark, vecs(s"$work/pad"), gemmThreshold,
         8 * tiles))
     val gHiSpill = spill.get
-    val gHiWall = lastWallSec
     check(s"GEMM zero spill at 64d and ${dimHi}d",
       gLoSpill == 0 && gHiSpill == 0,
       s"spill ${mb(gLoSpill)} MB / ${mb(gHiSpill)} MB")
