@@ -326,21 +326,45 @@ object Similarity {
     * comfortably inside executor broadcast budgets. */
   val MaxBroadcastBytes: Long = 64L << 20
 
-  /** Per-block target for [[blockedCosineJoin]] auto-sizing: each task
-    * holds two blocks ⇒ ~128 MB peak per task. */
-  val TargetBlockBytes: Long = 64L << 20
+  /** Per-block byte CAP for [[blockedCosineJoin]] auto-sizing: each pair
+    * task holds two blocks ⇒ ≤ 512 MB peak per task — a cap, not a
+    * target. The r13 sizing targeted 64 MB blocks exactly, which made
+    * `blocks ∝ corpus bytes ∝ rows·dim` and therefore pair TASKS ∝ dim²
+    * at fixed rows (measured 36 → 8,256 tasks for 64d → 1024d): per-task
+    * bytes stayed flat while per-task COMPUTE shrank ∝ 1/dim, so at
+    * production dim the job was pure scheduling constant. A fixed byte
+    * cap forces tasks ∝ (rows·dim)² asymptotically — that floor is
+    * information-theoretic for a row-hash tiling (per-task bytes B and
+    * task count T satisfy B²·T = 32·(rows·dim·4)², and dim-slicing
+    * instead would shuffle one partial dot per PAIR, n²-sized traffic
+    * the threshold filter cannot prune) — so the cap is set where the
+    * memory floor rarely binds and the parallelism floor governs. */
+  val MaxBlockBytes: Long = 256L << 20
 
   /** Block count for the blocked GEMM at a Catalyst size estimate:
-    * ceil(bytes / TargetBlockBytes) clamped to [2, 2^16]. The clamps are
-    * load-bearing: Catalyst's unknown-stats default is Long.MaxValue —
-    * a truncating .toInt there yields 0, i.e. TWO blocks of half the
-    * corpus each, an OOM at exactly the scale the dispatch exists to
-    * survive — and past 2^16 blocks (≈ 4 TB at the 64 MB target) the
-    * pair-grid size would dominate, so tasks hold proportionally more
-    * than the target instead. */
-  def blocksFor(bytes: BigInt): Int =
-    ((bytes - 1) / TargetBlockBytes + 1)
-      .max(BigInt(2)).min(BigInt(1 << 16)).toInt
+    * max(memory floor, parallelism floor) clamped to [2, 2^16].
+    *
+    *  - memory floor: ceil(bytes / MaxBlockBytes) — each task holds two
+    *    blocks, so per-task peak stays ≤ 2·MaxBlockBytes no matter the
+    *    corpus. Clamps are load-bearing: Catalyst's unknown-stats default
+    *    is Long.MaxValue — a truncating .toInt there yields 0, i.e. TWO
+    *    blocks of half the corpus each, an OOM at exactly the scale the
+    *    dispatch exists to survive — and past 2^16 blocks the pair-grid
+    *    size would dominate, so tasks hold proportionally more instead.
+    *  - parallelism floor: the smallest b with b·(b+1)/2 ≥ cluster
+    *    parallelism, so the pair grid can occupy every core. This floor
+    *    is DIM-INDEPENDENT: at fixed rows, widening the vectors leaves
+    *    the block count (and so the task count) unchanged until the
+    *    memory floor genuinely binds — per-task bytes grow ∝ dim within
+    *    the cap, per-task compute grows ∝ dim, wall ∝ dim. Under the r13
+    *    64 MB-target rule the same widening multiplied the TASK count by
+    *    dim² with no compute to amortize it (`BENCH_NOTES.md` embeddim).
+    */
+  def blocksFor(bytes: BigInt, parallelism: Int): Int = {
+    val mem = (bytes - 1) / MaxBlockBytes + 1
+    val par = BigInt(math.ceil(math.sqrt(2.0 * math.max(parallelism, 1))).toLong)
+    mem.max(par).max(BigInt(2)).min(BigInt(1 << 16)).toInt
+  }
 
   /** Exact cosine similarity join with NO driver-side collect: dispatches
     * on Catalyst's own size estimate (plan statistics — no job runs).
@@ -380,7 +404,8 @@ object Similarity {
           .filter(col("cos") >= threshold)
           .select("a_id", "b_id", "cos")
       } else {
-        blockedCosineJoin(s, e, threshold, blocksFor(bytes))
+        blockedCosineJoin(s, e, threshold,
+          blocksFor(bytes, s.sparkContext.defaultParallelism))
       }
     // unordered: pair sets feed clustering/stats; callers needing a
     // deterministic order (the oracle row) sort at the call site
@@ -1122,13 +1147,18 @@ object Similarity {
       (s, d) => embs(s, d)
         .withColumn("nrm", norm(col("embedding")))
         .groupBy("label")
+        // nrm is a raw data-derived double; pre-quantize with micro6 so
+        // davg's inner round(x,6) only ever sees an already-6dp operand
+        // (the boundary-safe class) — round(raw_norm, 6) itself would
+        // re-open the Spark-shortest-decimal vs DuckDB-binary half-mode
+        // divergence the floor-micro migration closed.
         .agg(count(lit(1)).as("n_vecs"),
-          davg(col("nrm")).as("avg_norm"),
+          davg(micro6(col("nrm"))).as("avg_norm"),
           (floor(min(col("nrm")) * 1e6 + 0.5) / 1e6).as("min_norm"),
           (floor(max(col("nrm")) * 1e6 + 0.5) / 1e6).as("max_norm"))
         .orderBy("label"),
       Some(s"""SELECT label, COUNT(*) AS n_vecs,
-              ${sqlAvg("sqrt(list_sum([x * x FOR x IN (embedding::DOUBLE[])]))")} AS avg_norm,
+              ${sqlAvg(sqlMicro6("sqrt(list_sum([x * x FOR x IN (embedding::DOUBLE[])]))"))} AS avg_norm,
               CAST(FLOOR(MIN(sqrt(list_sum([x * x FOR x IN (embedding::DOUBLE[])]))) * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS min_norm,
               CAST(FLOOR(MAX(sqrt(list_sum([x * x FOR x IN (embedding::DOUBLE[])]))) * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS max_norm
               FROM embeddings GROUP BY label ORDER BY label""")),

@@ -170,7 +170,9 @@ object RewriteCosineSelfJoin extends Rule[LogicalPlan] {
           // clamped in Similarity.blocksFor — Catalyst's unknown-stats
           // default (Long.MaxValue) must not truncate to a tiny block
           // count and defeat the OOM protection this rewrite exists for
-          val blocks = Similarity.blocksFor(size)
+          val blocks = Similarity.blocksFor(size,
+            org.apache.spark.sql.SparkSession.active
+              .sparkContext.defaultParallelism)
           Some(CosineSelfJoin(
             Project(Seq(aId, vecAttr), l), // pin (id, vec) ordinals for exec
             thrs.max, blocks, Seq(outA, outB, al.toAttribute)))

@@ -37,9 +37,12 @@ object StressMain {
   private val peak = new AtomicLong
   private val shuf = new AtomicLong
   private val spill = new AtomicLong
+  private val tasks = new AtomicLong
   private var failures = 0
 
-  private def resetMetrics(): Unit = { peak.set(0); shuf.set(0); spill.set(0) }
+  private def resetMetrics(): Unit = {
+    peak.set(0); shuf.set(0); spill.set(0); tasks.set(0)
+  }
 
   /** The listener bus is ASYNCHRONOUS: tail onTaskEnd events for the job
     * that just finished may still be queued when the write action
@@ -49,12 +52,12 @@ object StressMain {
     * their bytes into the NEXT query's totals. */
   private def drainMetrics(): Unit = {
     val deadline = System.nanoTime() + 2000000000L
-    var prev = (-1L, -1L, -1L)
-    var cur = (peak.get, shuf.get, spill.get)
+    var prev = (-1L, -1L, -1L, -1L)
+    var cur = (peak.get, shuf.get, spill.get, tasks.get)
     while (prev != cur && System.nanoTime() < deadline) {
       Thread.sleep(50)
       prev = cur
-      cur = (peak.get, shuf.get, spill.get)
+      cur = (peak.get, shuf.get, spill.get, tasks.get)
     }
   }
 
@@ -158,6 +161,7 @@ object StressMain {
           shuf.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           spill.addAndGet(m.memoryBytesSpilled)
         }
+        tasks.incrementAndGet()
       }
     })
     if (mode == "text" || mode == "embed" || mode == "events" ||
@@ -603,16 +607,29 @@ object StressMain {
     *    the kernel still executes true full-width loops and every
     *    shuffled/broadcast row carries the full-width array.
     *
+    * Both corpora are built at ×copies ROWS (r13 ran the pad corpus at
+    * ×1 — the r13 verdict asked for the composed dim×row point, where
+    * broadcast width, shuffle row width AND candidate volume are all
+    * production-shaped at once).
+    *
     * Laws:
     *  1. bucketed kNN over the zero-padded corpus ≡ the base-corpus
     *     output, exact set equality on (vec_id, rk, nn_id, cos) — pins
     *     that no operator in the chain (k-means seed, VecCentroid,
     *     assignment argmax, window rank) develops a width dependence
-    *     that changes RESULTS.
+    *     that changes RESULTS — at ×copies rows.
     *  2. k-means assignment and GEMM wall grow at most dim-linearly
     *     (×3 noise slack on a ±100% box — the law is there to catch a
     *     dim² kernel, not to measure the constant), peak task memory
     *     bounded by the dim-scaled model, and ZERO spill at every dim.
+    *  2c. GEMM TASK COUNT is sub-quadratic in dim: blocks come from
+    *     [[graft.operators.Similarity.blocksFor]] (auto-sizing, the
+    *     production dispatch path), whose parallelism floor is
+    *     dim-independent — under the r13 64 MB-per-block TARGET the
+    *     pair grid grew ∝ dim² (36 → 8,256 tasks for 16× dim, pure
+    *     scheduling constant); the law binds measured listener task
+    *     counts to ≤ dim-LINEAR growth and per-task peak to the
+    *     2·MaxBlockBytes cap.
     *  3. PQ at m = dim/8 subspaces emits exactly m·n codes, zero spill
     *     — the subspace layout scales with dim without blowing the
     *     encode shuffle (codes are (vec_id, sub, code) ints, the
@@ -635,25 +652,28 @@ object StressMain {
         .drop("cpy")
         .repartition(parts)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    // ×copies rows at both dims (resource laws), ×1 zero-padded (exact law)
+    // ×copies rows at both dims (resource laws) AND ×copies zero-padded
+    // (exact law at the composed dim×row point — r13 built pad at ×1)
     build(copies, s"$work/d64", identity, math.max(32, copies))
     build(copies, s"$work/d$dimHi", e => flatten(array_repeat(e, tiles)),
       math.max(32, copies * tiles / 2))
-    build(1, s"$work/pad",
-      e => concat(e, array_repeat(lit(0.0f), 64 * (tiles - 1))), 32)
+    build(copies, s"$work/pad",
+      e => concat(e, array_repeat(lit(0.0f), 64 * (tiles - 1))),
+      math.max(32, copies * tiles / 2))
     println(s"STRESS| embeddim corpora: ${nVecs * copies} vectors at " +
-      s"64d and ${dimHi}d (tiled), $nVecs at ${dimHi}d (zero-padded)")
+      s"64d, ${dimHi}d (tiled) and ${dimHi}d (zero-padded)")
     def vecs(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
 
-    // ---- law 1: exact kNN invariance under zero-pad width ---------------
-    timed("knn_base_64d", s"$work/out",
-      Sim.knnJoin(spark, embs0.select(col("vec_id"), col("embedding")), 3, 8))
-    timed(s"knn_pad_${dimHi}d", s"$work/out",
-      Sim.knnJoin(spark, vecs(s"$work/pad"), 3, 8))
-    sameSet(s"kNN output bit-invariant under zero-pad 64d→${dimHi}d",
-      spark.read.parquet(s"$work/out/knn_pad_${dimHi}d"),
-      spark.read.parquet(s"$work/out/knn_base_64d"))
+    // ---- law 1: exact kNN invariance under zero-pad width at ×copies ----
+    val knnBuckets = 8 * copies
+    timed(s"knn_base_64d_x$copies", s"$work/out",
+      Sim.knnJoin(spark, vecs(s"$work/d64"), 3, knnBuckets))
+    timed(s"knn_pad_${dimHi}d_x$copies", s"$work/out",
+      Sim.knnJoin(spark, vecs(s"$work/pad"), 3, knnBuckets))
+    sameSet(s"kNN output bit-invariant under zero-pad 64d→${dimHi}d ×$copies",
+      spark.read.parquet(s"$work/out/knn_pad_${dimHi}d_x$copies"),
+      spark.read.parquet(s"$work/out/knn_base_64d_x$copies"))
 
     // ---- law 2a: assignment wall/peak/spill vs dim at ×copies rows ------
     // buckets and rows held fixed; only dim moves. Peak model: the rank
@@ -678,45 +698,66 @@ object StressMain {
       pHi <= math.max(pLo, 64L << 20) * tiles * 1.5,
       s"peak ${mb(pHi)} MB vs ${mb(pLo)} MB at 64d")
 
-    // ---- law 2b: GEMM cosine join vs dim at ×1 rows ----------------------
-    // blocks scale with dim so per-task block BYTES are held flat — the
-    // knob a real cluster turns as width grows; wall then isolates pure
-    // kernel work (∝ dim), and peak stays at the configured block size.
+    // ---- laws 2b/2c: GEMM cosine join vs dim at ×copies rows -------------
+    // Blocks come from the PRODUCTION auto-sizing (Similarity.blocksFor on
+    // Catalyst's own size estimate): its parallelism floor is
+    // dim-independent, so the pair grid — and with it the task count —
+    // stays flat as vectors widen until the 256 MB per-block byte cap
+    // genuinely binds. Wall then isolates pure kernel work (∝ dim);
+    // per-task peak may grow ∝ dim but never past 2·MaxBlockBytes.
     val gemmThreshold = 0.992
-    val (gLoPeak, _, gLoWall) = timed("gemm_64d", s"$work/out",
-      Sim.blockedCosineJoin(spark,
-        embs0.select(col("vec_id"), col("embedding")), gemmThreshold, 8))
+    val par = spark.sparkContext.defaultParallelism
+    def autoBlocks(df: DataFrame): Int =
+      Sim.blocksFor(df.queryExecution.optimizedPlan.stats.sizeInBytes, par)
+    val gLoBlocks = autoBlocks(vecs(s"$work/d64"))
+    val gHiBlocks = autoBlocks(vecs(s"$work/pad"))
+    val (gLoPeak, _, gLoWall) = timed(s"gemm_64d_x$copies", s"$work/out",
+      Sim.blockedCosineJoin(spark, vecs(s"$work/d64"), gemmThreshold,
+        gLoBlocks))
     val gLoSpill = spill.get
-    val (gHiPeak, _, gHiWall) = timed(s"gemm_${dimHi}d", s"$work/out",
+    val gLoTasks = tasks.get
+    val (gHiPeak, _, gHiWall) = timed(s"gemm_${dimHi}d_x$copies", s"$work/out",
       Sim.blockedCosineJoin(spark, vecs(s"$work/pad"), gemmThreshold,
-        8 * tiles))
+        gHiBlocks))
     val gHiSpill = spill.get
+    val gHiTasks = tasks.get
+    println(s"STRESS| GEMM blocks $gLoBlocks@64d → $gHiBlocks@${dimHi}d, " +
+      s"tasks $gLoTasks → $gHiTasks (pair grid " +
+      s"${gLoBlocks.toLong * (gLoBlocks + 1) / 2} → " +
+      s"${gHiBlocks.toLong * (gHiBlocks + 1) / 2})")
     check(s"GEMM zero spill at 64d and ${dimHi}d",
       gLoSpill == 0 && gHiSpill == 0,
       s"spill ${mb(gLoSpill)} MB / ${mb(gHiSpill)} MB")
     check(s"GEMM wall ≤ dim-linear ×3 (64d→${dimHi}d)",
       gHiWall <= gLoWall * tiles * 3.0 + 5.0,
       f"$gLoWall%.1f s → $gHiWall%.1f s")
-    check(s"GEMM peak flat under dim-scaled blocks (64d→${dimHi}d)",
-      gHiPeak <= math.max(gLoPeak, 64L << 20) * 2,
-      s"peak ${mb(gHiPeak)} MB vs ${mb(gLoPeak)} MB")
+    // 2c: the r13 sizing grew the task count ∝ dim² (tiles² here); the
+    // auto-sizing must hold it to ≤ dim-LINEAR — and at these corpus
+    // sizes the parallelism floor governs, so the grids should be equal.
+    check(s"GEMM task count sub-quadratic in dim (64d→${dimHi}d ×$copies)",
+      gHiTasks <= gLoTasks * tiles.toLong,
+      s"tasks $gLoTasks → $gHiTasks (> ×$tiles)")
+    check(s"GEMM per-task peak within the 2·MaxBlockBytes cap at ${dimHi}d",
+      gHiPeak <= 2 * Sim.MaxBlockBytes,
+      s"peak ${mb(gHiPeak)} MB vs cap ${mb(2 * Sim.MaxBlockBytes)} MB")
     // the zero-padded GEMM pair set must also equal the base pair set
-    // (same bit-exactness argument as law 1)
-    sameSet(s"GEMM pairs bit-invariant under zero-pad 64d→${dimHi}d",
-      spark.read.parquet(s"$work/out/gemm_${dimHi}d"),
-      spark.read.parquet(s"$work/out/gemm_64d"))
+    // (same bit-exactness argument as law 1 — blocking never changes a
+    // pair's cosine, only which task evaluates it)
+    sameSet(s"GEMM pairs bit-invariant under zero-pad 64d→${dimHi}d ×$copies",
+      spark.read.parquet(s"$work/out/gemm_${dimHi}d_x$copies"),
+      spark.read.parquet(s"$work/out/gemm_64d_x$copies"))
 
-    // ---- law 3: PQ subspace layout at dim/8 subspaces --------------------
+    // ---- law 3: PQ subspace layout at dim/8 subspaces at ×copies rows ----
     val m = dimHi / 8
     val padded = vecs(s"$work/pad")
     val cb = Sim.pqCodebook(spark, padded, m, 8, 16).localCheckpoint()
-    timed(s"pq_encode_${dimHi}d_m$m", s"$work/out",
+    timed(s"pq_encode_${dimHi}d_m${m}_x$copies", s"$work/out",
       Sim.pqEncode(spark, padded, cb, m, 8))
     val pqSpill = spill.get
-    val enc = spark.read.parquet(s"$work/out/pq_encode_${dimHi}d_m$m")
-    check(s"PQ encode at m=$m emits m·n codes, zero spill",
-      enc.count() == m.toLong * nVecs && pqSpill == 0,
-      s"rows ${enc.count()} want ${m.toLong * nVecs}, " +
+    val enc = spark.read.parquet(s"$work/out/pq_encode_${dimHi}d_m${m}_x$copies")
+    check(s"PQ encode at m=$m emits m·n codes at ×$copies rows, zero spill",
+      enc.count() == m.toLong * nVecs * copies && pqSpill == 0,
+      s"rows ${enc.count()} want ${m.toLong * nVecs * copies}, " +
         s"spill ${mb(pqSpill)} MB")
   }
 

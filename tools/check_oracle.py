@@ -36,15 +36,25 @@ CACHE_ON = os.environ.get("GRAFT_ORACLE_CACHE", "1") != "0"
 
 
 def testdata_digest(sf_dir):
-    """Identity of the read-only testdata: (size, mtime_ns) per table —
-    cheap, and any regeneration perturbs it. Returns None (= run with the
+    """Identity of the read-only testdata: (size, mtime_ns) per table PLUS
+    a content probe (first+last 64 KB of each file) — stat metadata alone
+    could false-hit if a regeneration tool preserved size+mtime, and
+    parquet files carry their row-group index in the footer, so the tail
+    probe changes whenever the data does. Returns None (= run with the
     cache disabled) if any table file is missing, so a partial sf dir
     still degrades to per-query FAIL lines instead of dying at startup."""
     h = hashlib.sha256()
+    probe = 64 * 1024
     try:
         for t in TABLES:
-            st = os.stat(f"{sf_dir}/{t}.parquet")
+            p = f"{sf_dir}/{t}.parquet"
+            st = os.stat(p)
             h.update(f"{t}:{st.st_size}:{st.st_mtime_ns};".encode())
+            with open(p, "rb") as f:
+                h.update(f.read(probe))
+                if st.st_size > probe:
+                    f.seek(max(probe, st.st_size - probe))
+                    h.update(f.read(probe))
     except OSError:
         return None
     return h.hexdigest()
@@ -62,9 +72,18 @@ def rows_digest(cols, types, n_rows, rows):
     return h.hexdigest()
 
 
+# Bump when the cached-digest format changes (rows_digest normalization,
+# compare semantics) so stale-format entries can't satisfy a new reader.
+CACHE_FORMAT = "v2"
+
+
 def cache_path(name, sf_dir, td_digest, sql):
-    key = f"{name}|{sf_dir}|{td_digest}|" + hashlib.sha256(
-        sql.encode()).hexdigest()
+    # duckdb.__version__ is part of the key: an engine upgrade can change
+    # oracle results (regex, sort, float formatting), and a stale cached
+    # digest would print 'ok' where a cold run FAILs.
+    key = (f"{CACHE_FORMAT}|duckdb={duckdb.__version__}|"
+           f"{name}|{sf_dir}|{td_digest}|"
+           + hashlib.sha256(sql.encode()).hexdigest())
     return CACHE_DIR / (hashlib.sha256(key.encode()).hexdigest() + ".json")
 
 
