@@ -476,19 +476,37 @@ object Dedup {
     * tables — the same verify cost q_dedup_minhash pays. */
   def incrementalDedup(s: SparkSession, batch: DataFrame,
       corpus: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bHash = batch.select(col("doc_id"), sha2(col("text"), 256).as("h"))
-    val cHash = corpus.select(sha2(col("text"), 256).as("h")).distinct()
-      .withColumn("in_corpus", lit(1L))
     val bSh = shingled(batch).localCheckpoint()
     val cSh = shingled(corpus).localCheckpoint()
-    // checkpointed: consumed by BOTH the corpus band-join and the
-    // batch-internal self-join below — without it the minhash kernel
-    // runs twice over the batch
-    val bBands = minhashBands(s, bSh).localCheckpoint()
+    incrementalDedupPre(s,
+      batch.select(col("doc_id"), sha2(col("text"), 256).as("h")),
+      bSh,
+      // checkpointed: consumed by BOTH the corpus band-join and the
+      // batch-internal self-join below — without it the minhash kernel
+      // runs twice over the batch
+      minhashBands(s, bSh).localCheckpoint(),
+      corpus.select(sha2(col("text"), 256).as("h")).distinct(),
+      cSh, minhashBands(s, cSh))
+  }
+
+  /** [[incrementalDedup]] over PRE-materialized batch/corpus state —
+    * the streaming curation arm persists the corpus side's hashes,
+    * shingle sets and band keys per micro-batch, so re-deriving them
+    * from text every batch (one full minhash pass over the whole corpus
+    * per batch, quadratic over the stream's life) never happens. Band
+    * keys are doc-local (fixed Kirsch-Mitzenmacher constants), so a
+    * band computed when a doc was the BATCH side collides with later
+    * batches exactly as a globally-computed band would. Frames:
+    * bHash(doc_id, h), bSh/cSh(doc_id, sh), bBands/cBands(doc_id, band),
+    * cHash(h). */
+  private[graft] def incrementalDedupPre(s: SparkSession, bHash: DataFrame,
+      bSh: DataFrame, bBands: DataFrame, cHash0: DataFrame,
+      cSh: DataFrame, cBands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cHash = cHash0.distinct().withColumn("in_corpus", lit(1L))
     val nearHit = bBands
       .select(col("doc_id").as("b_id"), col("band"))
-      .join(minhashBands(s, cSh)
+      .join(cBands
         .select(col("doc_id").as("c_id"), col("band")), Seq("band"))
       .select("b_id", "c_id").dropDuplicates("b_id", "c_id")
       .join(bSh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
@@ -566,17 +584,19 @@ object Dedup {
     * can run it on a PLANTED frame and watch the exact-dedup stage drop
     * duplicates in composition (the driver corpus has no exact dups, so
     * that stage never binds in the registry row itself). */
-  private[graft] def corpusPipeline(s: SparkSession,
-      in: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Pipeline stage 0: the four curation columns + tokenization. Shared
+    * by the batch chain and the streaming arm so the two can't drift. */
+  private def corpusD0(in: DataFrame): DataFrame = in
+    .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+    .withColumn("toks", split(lower(col("text")), " "))
+    .withColumn("n_tokens", size(col("toks")).cast("long"))
+
+  /** Pipeline stage 2: the quality gate over a stage-1 frame (expects
+    * [[corpusD0]]'s toks/n_tokens columns); emits the four curation
+    * columns of the survivors. */
+  private def corpusQuality(s1: DataFrame): DataFrame = {
     val stop = Seq("a", "the", "of", "and", "to", "in")
-    val d0 = in
-      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
-      .withColumn("toks", split(lower(col("text")), " "))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .localCheckpoint()
-    val s1 = d0.filter(col("n_tokens") >= 12)
-    val s2 = s1
+    s1
       .withColumn("mean_word_len",
         Arith.micro6((col("n_chars") - col("n_tokens") + 1).cast("double") /
           col("n_tokens")))
@@ -590,6 +610,22 @@ object Dedup {
           when(col("stop_ratio") > 0.02, 0.2).otherwise(0.0)))
       .filter(col("quality") >= 0.5)
       .select("doc_id", "source", "n_chars", "text")
+  }
+
+  /** The token-budget window: per-source running n_chars total in
+    * md5-priority order (deterministic, cluster-size independent). */
+  private def budgetWindow = org.apache.spark.sql.expressions.Window
+    .partitionBy("source")
+    .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+
+  private[graft] def corpusPipeline(s: SparkSession,
+      in: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d0 = corpusD0(in).localCheckpoint()
+    val s1 = d0.filter(col("n_tokens") >= 12)
+    val s2 = corpusQuality(s1)
     val s3 = s2
       .withColumn("first_id", min(col("doc_id"))
         .over(Window.partitionBy(sha2(col("text"), 256))))
@@ -605,11 +641,9 @@ object Dedup {
       .select(col("b_id").as("doc_id")).distinct()
     val s4 = s3.join(nearDrop, Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    val w = Window.partitionBy("source")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val s5 = s4
-      .withColumn("prior", sum(col("n_chars")).over(w) - col("n_chars"))
+      .withColumn("prior",
+        sum(col("n_chars")).over(budgetWindow) - col("n_chars"))
       .filter(col("prior") < 5000L)
     def cnt(ord: Int, name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs"))
@@ -1341,7 +1375,17 @@ object Dedup {
     // union'd, each a map-side partial over a checkpointed frame.
     Q("q_corpus_pipeline",
       (s, d) => corpusPipeline(s, docs(s, d)),
-      Some(s"""WITH d0 AS (
+      Some(CorpusPipelineOracleSql))
+  )
+
+  /** The corpus-curation oracle — the full batch stage chain in DuckDB.
+    * Shared VERBATIM by `q_corpus_pipeline` and the streaming arm
+    * `q_stream_corpus_pipeline` (streaming/Streams.scala): the
+    * incremental foreachBatch curation is held to the exact batch
+    * answer, the same one-oracle-two-arms discipline the stateful
+    * streaming twins use. */
+  private[graft] lazy val CorpusPipelineOracleSql: String =
+    s"""WITH d0 AS (
                 SELECT doc_id, source, n_chars, text,
                   CAST(len(string_split(lower(text), ' ')) AS BIGINT)
                     AS n_tokens
@@ -1395,6 +1439,161 @@ object Dedup {
                 (SELECT CAST(COUNT(*) AS BIGINT) FROM s4)
               UNION ALL SELECT 5, 'token_budget',
                 (SELECT CAST(COUNT(*) AS BIGINT) FROM s5)
-              ORDER BY stage_ord"""))
-  )
+              ORDER BY stage_ord"""
+
+  // -------------------------------------------------------------------
+  // Streaming corpus curation — the incremental foreachBatch arm of
+  // q_corpus_pipeline (registered as q_stream_corpus_pipeline in
+  // streaming/Streams.scala, same oracle verbatim).
+  //
+  // Shape: the corpus arrives as doc_id-ordered micro-batches; each
+  // batch runs minlen → quality locally, then the exact/near dedup
+  // verdicts come from [[incrementalDedupPre]] against the accumulated
+  // stage-3 state of all PRIOR batches. Because batches partition the
+  // corpus in doc_id order, "first occurrence of a hash" and "near-dups
+  // a smaller-id stage-3 doc" mean exactly what they mean in the batch
+  // chain, so the final survivor set — and every stage count — is the
+  // batch pipeline's answer, not an approximation of it.
+  //
+  // Exactly-once comes from the foreachBatch contract plus idempotent
+  // state writes: every per-batch output lands under a directory keyed
+  // by the micro-batch id with mode=overwrite, so a replayed batch
+  // (crash before the offset commit) rewrites its own directories and
+  // nothing else; reads of prior state filter to ids strictly BELOW the
+  // current batch, so a half-written directory from a killed attempt of
+  // THIS batch is never consumed. 100 TB shape: per-batch work shuffles
+  // digests and band keys (batch bands ⋈ corpus bands), never corpus
+  // text; the persisted state is the stage-3 docs' hashes, shingle sets
+  // and band keys — minhash runs ONCE per doc over the stream's life,
+  // where re-deriving corpus bands each batch would be quadratic.
+  // -------------------------------------------------------------------
+
+  /** Stage the documents table as `nChunks` doc_id-range chunk files
+    * under `feedDir` with ascending modification times: a file stream
+    * with maxFilesPerTrigger=1 then replays the corpus as doc_id-ordered
+    * micro-batches (FileStreamSource admits oldest-first), one chunk per
+    * batch. repartition(n, chunk) puts each chunk wholly in one task, so
+    * partitionBy writes exactly one file per chunk — two files of one
+    * chunk would split a doc range across two batches. */
+  private[graft] def stageCorpusFeed(s: SparkSession, d: String,
+      nChunks: Int, feedDir: String): Unit = {
+    val all = docs(s, d).select("doc_id", "source", "n_chars", "text")
+    val mm = all.agg(min("doc_id"), max("doc_id")).head
+    val lo = mm.getLong(0)
+    val span = (mm.getLong(1) - lo) / nChunks + 1
+    val stage = s"$feedDir.stage"
+    all.withColumn("chunk",
+        ((col("doc_id") - lit(lo)) / lit(span)).cast("int"))
+      .repartition(nChunks, col("chunk"))
+      .write.mode("overwrite").partitionBy("chunk").parquet(stage)
+    val feed = new java.io.File(feedDir)
+    feed.mkdirs()
+    val t0 = System.currentTimeMillis() - 3600000L
+    for (k <- 0 until nChunks) {
+      Option(new java.io.File(s"$stage/chunk=$k").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          val to = new java.io.File(feed, f"b$k%03d-$i.parquet")
+          java.nio.file.Files.move(f.toPath, to.toPath)
+          to.setLastModified(t0 + k * 1000L); ()
+        }
+    }
+  }
+
+  /** The per-batch state directories under `root`, (batchId, path) in id
+    * order. Directory-per-batch (b%06d), not a partitioned table: prior
+    * reads must enumerate EXPLICIT committed ids — a root-level read
+    * could list a half-written directory from a killed attempt. */
+  private def corpusBatchDirs(root: String): Seq[(Long, String)] =
+    Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.isDirectory)
+      .flatMap(f => f.getName.stripPrefix("b").toLongOption
+        .map(_ -> f.getAbsolutePath))
+      .sortBy(_._1).toSeq
+
+  /** One micro-batch of the incremental curation (driver-side foreachBatch
+    * body — every frame operation in here is a distributed Spark job). */
+  private[graft] def corpusStreamBatch(s: SparkSession, stateRoot: String,
+      batch: DataFrame, bid: Long): Unit = {
+    val d0b = corpusD0(batch).localCheckpoint()
+    val s1b = d0b.filter(col("n_tokens") >= 12)
+    val s2b = corpusQuality(s1b).localCheckpoint()
+    val bSh = shingled(s2b).localCheckpoint()
+    val bBands = minhashBands(s, bSh).localCheckpoint()
+    val bHash = s2b.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .localCheckpoint()
+    def prior(kind: String, like: DataFrame): DataFrame = {
+      val dirs = corpusBatchDirs(s"$stateRoot/$kind")
+        .filter(_._1 < bid).map(_._2)
+      if (dirs.isEmpty) like.limit(0) else s.read.parquet(dirs: _*)
+    }
+    val verdicts = incrementalDedupPre(s, bHash, bSh, bBands,
+      prior("hash", bHash.select("h")), prior("sh", bSh),
+      prior("band", bBands)).localCheckpoint()
+    val s3ids = verdicts
+      .filter(!col("reason").isin("exact_corpus", "exact_batch"))
+      .select("doc_id")
+    val s4b = s2b
+      .join(verdicts.filter(col("keep")).select("doc_id"), "doc_id")
+      .select("doc_id", "source", "n_chars")
+    def put(kind: String, df: DataFrame): Unit =
+      df.write.mode("overwrite")
+        .parquet(f"$stateRoot/$kind/b$bid%06d")
+    put("hash", bHash.join(s3ids, "doc_id").select("h"))
+    put("sh", bSh.join(s3ids, "doc_id"))
+    put("band", bBands.join(s3ids, "doc_id"))
+    put("s4", s4b)
+    import s.implicits._
+    put("counts", Seq((d0b.count(), s1b.count(), s2b.count(),
+      s3ids.count(), s4b.count())).toDF("n0", "n1", "n2", "n3", "n4"))
+  }
+
+  /** Start the curation stream over a staged feed: one chunk file per
+    * micro-batch (AvailableNow drains everything then stops), state and
+    * checkpoint under `scratch`. Restartable: the same scratch resumes
+    * from the file-source offset log, replaying at most the one
+    * uncommitted batch — whose state writes are idempotent. */
+  private[graft] def startCorpusStream(s: SparkSession, feedDir: String,
+      scratch: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = s.read.parquet(feedDir).schema // footer only
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$feedDir/b*.parquet")
+      .writeStream
+      .foreachBatch((b: DataFrame, bid: Long) =>
+        corpusStreamBatch(b.sparkSession, s"$scratch/state", b, bid))
+      .option("checkpointLocation", s"$scratch/checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Assemble the pipeline report from the accumulated state: stages 0-4
+    * are sums of the per-batch counts (each batch's verdicts are final —
+    * later batches never revoke them), stage 5 re-runs the token-budget
+    * window over the final survivor corpus (its md5-priority order is
+    * global, so a newly arrived doc can displace an earlier one — the
+    * one stage that is only well-defined on the END state). */
+  private[graft] def corpusStreamResult(s: SparkSession,
+      scratch: String): DataFrame = {
+    val stateRoot = s"$scratch/state"
+    val c = s.read
+      .parquet(corpusBatchDirs(s"$stateRoot/counts").map(_._2): _*)
+      .agg(sum("n0"), sum("n1"), sum("n2"), sum("n3"), sum("n4")).head
+    val s4 = s.read
+      .parquet(corpusBatchDirs(s"$stateRoot/s4").map(_._2): _*)
+    val n5 = s4
+      .withColumn("prior",
+        sum(col("n_chars")).over(budgetWindow) - col("n_chars"))
+      .filter(col("prior") < 5000L)
+      .count()
+    import s.implicits._
+    Seq((0, "input", c.getLong(0)), (1, "minlen", c.getLong(1)),
+      (2, "quality", c.getLong(2)), (3, "exact_dedup", c.getLong(3)),
+      (4, "near_dedup", c.getLong(4)), (5, "token_budget", n5))
+      .toDF("stage_ord", "stage", "n_docs")
+      .orderBy("stage_ord")
+  }
 }

@@ -892,7 +892,36 @@ object Streams {
               FROM e c JOIN e p ON c.user_id = p.user_id
                 AND c.event_type = 'click' AND p.event_type = 'purchase'
                 AND p.us >= c.us AND p.us <= c.us + 1800000000
-              ORDER BY c.user_id, click_id, purchase_id""")))
+              ORDER BY c.user_id, click_id, purchase_id""")),
+
+    // Streaming corpus curation: the q_corpus_pipeline stage chain run
+    // INCREMENTALLY — doc_id-ordered micro-batches through foreachBatch,
+    // per-batch minlen → quality → exact/near dedup against the
+    // accumulated stage-3 state (the q_dedup_incremental machinery on
+    // persisted hash/shingle/band state), survivors and counts written
+    // idempotently per batch id. Held to the BATCH pipeline's oracle
+    // verbatim on the final corpus state — the composed shape a
+    // production training-data system runs: curation + exactly-once
+    // streaming in one arm (machinery in operators/Dedup.scala; the
+    // hard-kill/resume proof is StreamKillMain phase=corpuskill).
+    Q("q_stream_corpus_pipeline",
+      (s, d) => {
+        val Dedup = graft.operators.Dedup
+        val scratch = java.nio.file.Files
+          .createTempDirectory(scratchRoot, "corpus").toString
+        Dedup.stageCorpusFeed(s, d, 6, s"$scratch/feed")
+        val q = Dedup.startCorpusStream(s, s"$scratch/feed", scratch)
+        q.awaitTermination()
+        // the row only proves incrementality if the drain really was
+        // multi-batch — a single-batch degenerate run is the batch
+        // pipeline in disguise and must fail loudly, not pass silently
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        if (dataBatches < 3) throw new IllegalStateException(
+          s"q_stream_corpus_pipeline drained in $dataBatches data " +
+            "batches; the incremental contract needs >= 3")
+        Dedup.corpusStreamResult(s, scratch)
+      },
+      Some(graft.operators.Dedup.CorpusPipelineOracleSql)))
 
   /** The shared drain recipe for both sessionizer rows: file-source
     * stream → the given sessionizer arm → memory sink via AvailableNow,

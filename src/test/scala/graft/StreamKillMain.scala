@@ -172,6 +172,54 @@ object StreamKillMain {
       haltAfter(2)
     }
 
+    // ---- corpus curation kill/resume pair --------------------------------
+    // Same crash grammar as the sessionize pair, but the recovering
+    // machinery is the foreachBatch curation arm: its exactly-once is
+    // NOT the parquet sink's _spark_metadata — it is the per-batch-id
+    // idempotent state overwrite in Dedup.corpusStreamBatch. The halt
+    // lands after the 3rd micro-batch, i.e. possibly mid-write of batch
+    // 4's state directories; the resume must overwrite those partial
+    // directories and still land on the BATCH pipeline's exact counts.
+    if (phase == "corpuskill") {
+      operators.Dedup.stageCorpusFeed(spark, src, 6, s"$work/cfeed")
+      spark.streams.addListener(new StreamingQueryListener {
+        private var seen = 0
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          if (e.progress.numInputRows > 0) seen += 1
+          if (seen >= 3) Runtime.getRuntime.halt(42)
+        }
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+      operators.Dedup.startCorpusStream(spark, s"$work/cfeed",
+        s"$work/cscratch").awaitTermination()
+      System.err.println("KILL| corpus stream drained before the halt fired")
+      sys.exit(3)
+    }
+    if (phase == "corpusresume") {
+      val q = operators.Dedup.startCorpusStream(spark, s"$work/cfeed",
+        s"$work/cscratch")
+      q.awaitTermination()
+      val got = operators.Dedup.corpusStreamResult(spark, s"$work/cscratch")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+        .toSeq
+      val want = operators.Dedup
+        .corpusPipeline(spark, Tables(spark, src, "documents"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+        .toSeq
+      if (got == want) {
+        println("KILL| corpus resume exactly-once: stream == batch pipeline")
+        spark.stop(); sys.exit(0)
+      } else {
+        System.err.println(
+          s"KILL| corpus MISMATCH after resume: got $got want $want")
+        spark.stop(); sys.exit(1)
+      }
+    }
+
     // ---- resume: same checkpoint, fresh JVM ------------------------------
     val sq = startQuery(spark, work)
     sq.processAllAvailable()

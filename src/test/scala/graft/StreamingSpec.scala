@@ -508,6 +508,65 @@ class StreamingSpec extends AnyFunSuite {
       .deleteQuietly(new java.io.File(work))
   }
 
+  test("corpus curation stream resumes across a clean restart " +
+      "(incremental state accumulates to the batch pipeline's answer)") {
+    // First drain sees only the first three chunk files, stops (AvailableNow
+    // exhausts what exists); the held-back chunks then appear and a second
+    // query on the SAME checkpoint+state drains them. The assembled report
+    // must equal the batch pipeline exactly — restart may not lose state,
+    // re-curate already-admitted docs, or change any dedup verdict.
+    val s = spark
+    val Dedup = graft.operators.Dedup
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-corpus-restart").toString
+    try {
+      Dedup.stageCorpusFeed(s, sfDir, 6, s"$work/feed")
+      val later = new java.io.File(s"$work/later"); later.mkdirs()
+      val files = new java.io.File(s"$work/feed").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      assert(files.length >= 5, s"expected >=5 chunk files, got ${files.length}")
+      files.drop(3).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(later, f.getName).toPath)
+      }
+      Dedup.startCorpusStream(s, s"$work/feed", s"$work/scratch")
+        .awaitTermination()
+      later.listFiles().foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(s"$work/feed", f.getName).toPath)
+      }
+      Dedup.startCorpusStream(s, s"$work/feed", s"$work/scratch")
+        .awaitTermination()
+      val got = Dedup.corpusStreamResult(s, s"$work/scratch")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      val want = Dedup.corpusPipeline(s, Tables(s, sfDir, "documents"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got == want, s"stream-restart counts $got != batch $want")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(work))
+  }
+
+  test("corpus curation stream survives a hard JVM kill mid-drain " +
+      "(exactly-once via idempotent per-batch state overwrite)") {
+    // The foreachBatch arm's exactly-once is its OWN contract (per-batch-id
+    // overwrite), not the parquet sink's _spark_metadata — so it gets its
+    // own crash proof: halt after the 3rd micro-batch (possibly mid-write
+    // of batch 4's state dirs), resume from the checkpoint in a fresh JVM,
+    // and require the final report to equal the batch pipeline exactly.
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-corpuskill").toString
+    try {
+      val killed = ForkedJvm.run("graft.StreamKillMain", "2g",
+        Seq(sfDir, work, "corpuskill"))
+      assert(killed == 42, s"corpuskill phase exited $killed, not 42")
+      val resumed = ForkedJvm.run("graft.StreamKillMain", "2g",
+        Seq(sfDir, work, "corpusresume"))
+      assert(resumed == 0,
+        s"corpusresume exited $resumed — stream != batch pipeline")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(work))
+  }
+
   /** The q_stream_funnel state machine on a planted frame, fed
     * deliberately OUT of time order within the batch (the group sorts by
     * (ts_us, event_id) first) — parameterized over the arm so the
