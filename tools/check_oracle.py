@@ -36,12 +36,15 @@ CACHE_ON = os.environ.get("GRAFT_ORACLE_CACHE", "1") != "0"
 
 
 def testdata_digest(sf_dir):
-    """Identity of the read-only testdata: (size, mtime_ns) per table PLUS
-    a content probe (first+last 64 KB of each file) — stat metadata alone
-    could false-hit if a regeneration tool preserved size+mtime, and
-    parquet files carry their row-group index in the footer, so the tail
-    probe changes whenever the data does. Returns None (= run with the
-    cache disabled) if any table file is missing, so a partial sf dir
+    """Identity of the read-only testdata: size per table PLUS a content
+    probe (first+last 64 KB of each file). CONTENT-based, deliberately NO
+    mtime: the driver regenerates the testdata every round with fresh
+    mtimes but (deterministic generator) identical bytes, and an mtime in
+    the key would throw away the multi-hour sf0.1 oracle cache each round
+    for nothing. A regeneration that changes the DATA always changes the
+    probe — parquet files carry their row-group index in the footer, so
+    the tail probe moves whenever any row does. Returns None (= run with
+    the cache disabled) if any table file is missing, so a partial sf dir
     still degrades to per-query FAIL lines instead of dying at startup."""
     h = hashlib.sha256()
     probe = 64 * 1024
@@ -49,7 +52,7 @@ def testdata_digest(sf_dir):
         for t in TABLES:
             p = f"{sf_dir}/{t}.parquet"
             st = os.stat(p)
-            h.update(f"{t}:{st.st_size}:{st.st_mtime_ns};".encode())
+            h.update(f"{t}:{st.st_size};".encode())
             with open(p, "rb") as f:
                 h.update(f.read(probe))
                 if st.st_size > probe:
@@ -74,7 +77,7 @@ def rows_digest(cols, types, n_rows, rows):
 
 # Bump when the cached-digest format changes (rows_digest normalization,
 # compare semantics) so stale-format entries can't satisfy a new reader.
-CACHE_FORMAT = "v2"
+CACHE_FORMAT = "v3"  # v3: testdata digest is content-based (no mtime)
 
 
 def cache_path(name, sf_dir, td_digest, sql):
