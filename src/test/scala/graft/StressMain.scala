@@ -1050,14 +1050,22 @@ object StressMain {
     val eOff = ev0.agg(max("event_id")).head.getLong(0) + 1
     val nEv = ev0.count()
     val lo = math.max(copies / 10, 1)
-    // crossJoin a broadcast range — see textStress.build for why
+    // Flipped from the textStress recipe (events ⨯ broadcast(range)):
+    // sf0.1 events is ONE ~2 MB parquet file = one scan partition, so
+    // that shape funnels all c·nEv output rows through a single task —
+    // measured 25+ min for the ×1000 build and hours at ×10000. Here the
+    // RANGE is the distributed side (c/4-way, capped at 2048) and the
+    // 100k-row events table is the broadcast side: every task builds its
+    // own copies and writes directly — no shuffle of the blown-up corpus
+    // at all, build wall ∝ rows/parallelism at any ×copies.
     def build(c: Int, dir: String): Unit =
-      ev0.crossJoin(broadcast(
-          spark.range(c).select(col("id").as("cpy"))))
+      spark.range(0, c, 1,
+          math.max(32, math.min(c / 4, 2048)))
+        .select(col("id").as("cpy"))
+        .crossJoin(broadcast(ev0))
         .withColumn("user_id", col("user_id") + col("cpy") * lit(uOff))
         .withColumn("event_id", col("event_id") + col("cpy") * lit(eOff))
         .drop("cpy")
-        .repartition(math.max(32, c / 4))
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
     build(lo, s"$work/x$lo")
     build(copies, s"$work/x$copies")
