@@ -345,8 +345,12 @@ object Similarity {
     * max(memory floor, parallelism floor) clamped to [2, 2^16].
     *
     *  - memory floor: ceil(bytes / MaxBlockBytes) — each task holds two
-    *    blocks, so per-task peak stays ≤ 2·MaxBlockBytes no matter the
-    *    corpus. Clamps are load-bearing: Catalyst's unknown-stats default
+    *    blocks, so per-task peak stays ≤ 2·MaxBlockBytes of RAW block
+    *    data no matter the corpus (measured task peak runs ~2× that —
+    *    the blocks deserialize to tuple arrays with JVM object overhead
+    *    while their serialized copies are still in the fetch buffers —
+    *    a constant of the JVM, still corpus-row-independent; the
+    *    embeddim stress pins 4·MaxBlockBytes). Clamps are load-bearing: Catalyst's unknown-stats default
     *    is Long.MaxValue — a truncating .toInt there yields 0, i.e. TWO
     *    blocks of half the corpus each, an OOM at exactly the scale the
     *    dispatch exists to survive — and past 2^16 blocks the pair-grid
