@@ -1523,8 +1523,10 @@ object Dedup {
     val s2b = corpusQuality(s1b).localCheckpoint()
     val bSh = shingled(s2b).localCheckpoint()
     val bBands = minhashBands(s, bSh).localCheckpoint()
+    // no localCheckpoint: sha2 over the (checkpointed) batch is cheaper
+    // to recompute at its two consumers than one more eager job — this
+    // row's cost is JOB COUNT on tiny per-batch frames, not CPU
     val bHash = s2b.select(col("doc_id"), sha2(col("text"), 256).as("h"))
-      .localCheckpoint()
     def prior(kind: String, like: DataFrame): DataFrame = {
       val dirs = corpusBatchDirs(s"$stateRoot/$kind")
         .filter(_._1 < bid).map(_._2)
@@ -1546,9 +1548,13 @@ object Dedup {
     put("sh", bSh.join(s3ids, "doc_id"))
     put("band", bBands.join(s3ids, "doc_id"))
     put("s4", s4b)
-    import s.implicits._
-    put("counts", Seq((d0b.count(), s1b.count(), s2b.count(),
-      s3ids.count(), s4b.count())).toDF("n0", "n1", "n2", "n3", "n4"))
+    // ONE job for all five stage counts: 1-row aggs crossJoined (each
+    // broadcasts trivially) instead of five .count() actions + a toDF —
+    // per-batch driver job count is this row's entire cost at test SF
+    def n(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as(name))
+    put("counts", n("n0", d0b).crossJoin(n("n1", s1b)).crossJoin(n("n2", s2b))
+      .crossJoin(n("n3", s3ids)).crossJoin(n("n4", s4b)))
   }
 
   /** Start the curation stream over a staged feed: one chunk file per
