@@ -910,6 +910,11 @@ object Streams {
         val scratch = java.nio.file.Files
           .createTempDirectory(scratchRoot, "corpus").toString
         Dedup.stageCorpusFeed(s, d, 6, s"$scratch/feed")
+        // NOTE: unlike the stateful rows, this row keeps the session's
+        // shuffle partitions — measured 19.2 s at 8 partitions vs 13.7 s
+        // at 32 (fresh-JVM BenchOne min-of-3): the per-batch minhash
+        // kernel is CPU-bound and wants the cores, and there is no state
+        // store paying per-partition commit I/O to economize on
         val q = Dedup.startCorpusStream(s, s"$scratch/feed", scratch)
         q.awaitTermination()
         // the row only proves incrementality if the drain really was
