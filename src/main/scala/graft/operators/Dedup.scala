@@ -612,16 +612,24 @@ object Dedup {
       .select("doc_id", "source", "n_chars", "text")
   }
 
-  /** The token-budget window: per-source running n_chars total in
-    * md5-priority order (deterministic, cluster-size independent). */
-  private def budgetWindow = org.apache.spark.sql.expressions.Window
-    .partitionBy("source")
-    .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-      org.apache.spark.sql.expressions.Window.currentRow)
+  /** The token-budget prior: per-source running n_chars total in
+    * md5-priority order (deterministic, cluster-size independent). The
+    * r14 form was a per-source window — one task per source at 100 TB;
+    * now it is PrefixSum.md5BudgetPrior (256 order-prefix shards +
+    * broadcast offsets), held to the unchanged DuckDB oracle by the
+    * q_corpus_pipeline / q_stream_corpus_pipeline / q_sample_budget_shard
+    * correctness rows. */
+  private def budgetPrior(df: DataFrame): DataFrame =
+    graft.plans.PrefixSum.md5BudgetPrior(df, col("n_chars"))
 
-  private[graft] def corpusPipeline(s: SparkSession,
-      in: DataFrame): DataFrame = {
+  /** The batch pipeline's stage frames in order: (ord, name, frame) for
+    * input / minlen / quality / exact_dedup / near_dedup / token_budget.
+    * Factored out of [[corpusPipeline]] so the feed-order spec can hold
+    * the STREAMING arm's survivor set to stage 4's frame — the identity
+    * the incremental == batch equivalence is actually about (the stage
+    * COUNTS can coincide under a survivor swap). */
+  private[graft] def corpusStageFrames(s: SparkSession,
+      in: DataFrame): Seq[(Int, String, DataFrame)] = {
     import org.apache.spark.sql.expressions.Window
     val d0 = corpusD0(in).localCheckpoint()
     val s1 = d0.filter(col("n_tokens") >= 12)
@@ -641,22 +649,22 @@ object Dedup {
       .select(col("b_id").as("doc_id")).distinct()
     val s4 = s3.join(nearDrop, Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    val s5 = s4
-      .withColumn("prior",
-        sum(col("n_chars")).over(budgetWindow) - col("n_chars"))
-      .filter(col("prior") < 5000L)
+    val s5 = budgetPrior(s4).filter(col("prior") < 5000L)
+    Seq((0, "input", d0), (1, "minlen", s1), (2, "quality", s2),
+      (3, "exact_dedup", s3), (4, "near_dedup", s4),
+      (5, "token_budget", s5))
+  }
+
+  private[graft] def corpusPipeline(s: SparkSession,
+      in: DataFrame): DataFrame = {
     def cnt(ord: Int, name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
           col("n_docs"))
-    cnt(0, "input", d0)
-      .unionByName(cnt(1, "minlen", s1))
-      .unionByName(cnt(2, "quality", s2))
-      .unionByName(cnt(3, "exact_dedup", s3))
-      .unionByName(cnt(4, "near_dedup", s4))
-      .unionByName(cnt(5, "token_budget", s5))
+    corpusStageFrames(s, in)
+      .map { case (ord, name, df) => cnt(ord, name, df) }
+      .reduce(_ unionByName _)
       .orderBy("stage_ord")
-
   }
 
   val queries: Seq[Q] = Seq(
@@ -1482,8 +1490,13 @@ object Dedup {
     val lo = mm.getLong(0)
     val span = (mm.getLong(1) - lo) / nChunks + 1
     val stage = s"$feedDir.stage"
+    // integer DIV, never `/`: Column./ is DOUBLE division, whose rounding
+    // can misassign boundary docs between adjacent chunks once doc_id
+    // spans approach 2^53 — and a doc in the wrong chunk silently breaks
+    // the cross-batch doc_id ordering the first-occurrence semantics
+    // rest on (r14 ADVICE)
     all.withColumn("chunk",
-        ((col("doc_id") - lit(lo)) / lit(span)).cast("int"))
+        expr(s"CAST((doc_id - ${lo}L) DIV ${span}L AS INT)"))
       .repartition(nChunks, col("chunk"))
       .write.mode("overwrite").partitionBy("chunk").parquet(stage)
     val feed = new java.io.File(feedDir)
@@ -1497,7 +1510,11 @@ object Dedup {
         .zipWithIndex.foreach { case (f, i) =>
           val to = new java.io.File(feed, f"b$k%03d-$i.parquet")
           java.nio.file.Files.move(f.toPath, to.toPath)
-          to.setLastModified(t0 + k * 1000L); ()
+          // the mtime IS the admission order; a silent failure here would
+          // let FileStreamSource replay out of doc_id order, breaking the
+          // first-occurrence invariant far from the cause (r14 ADVICE)
+          require(to.setLastModified(t0 + k * 1000L),
+            s"setLastModified failed staging $to")
         }
     }
   }
@@ -1590,9 +1607,7 @@ object Dedup {
       .agg(sum("n0"), sum("n1"), sum("n2"), sum("n3"), sum("n4")).head
     val s4 = s.read
       .parquet(corpusBatchDirs(s"$stateRoot/s4").map(_._2): _*)
-    val n5 = s4
-      .withColumn("prior",
-        sum(col("n_chars")).over(budgetWindow) - col("n_chars"))
+    val n5 = budgetPrior(s4)
       .filter(col("prior") < 5000L)
       .count()
     import s.implicits._

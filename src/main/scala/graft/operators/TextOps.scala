@@ -126,6 +126,43 @@ object TextOps {
             CASE WHEN stop_ratio > 0.02 THEN 0.2 ELSE 0.0 END""")} >= 0.5) AS keep
         FROM f)"""
 
+  /** Shared oracle of q_curriculum and its q_curriculum_hist scale arm —
+    * ONE SQL string for both registrations, so the arms cannot drift. */
+  private lazy val sqlCurriculumOracle: String =
+    s"""WITH $sqlQualityCtes,
+        staged AS (
+          SELECT CAST(ntile(4) OVER (ORDER BY quality DESC, doc_id)
+            AS INTEGER) AS stage, n_tokens, quality
+          FROM qual)
+        SELECT stage, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+          MIN(quality) AS min_q, MAX(quality) AS max_q
+        FROM staged GROUP BY stage ORDER BY stage"""
+
+  /** Shared oracle of q_sample_budget and its shard arm. */
+  private val sqlSampleBudgetOracle: String =
+    """WITH r AS (
+         SELECT source, n_chars,
+           SUM(n_chars) OVER (PARTITION BY source
+             ORDER BY md5(doc_id::VARCHAR), doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_chars AS prior
+         FROM documents)
+       SELECT source, COUNT(*) AS n_total,
+         COUNT(*) FILTER (prior < 50000) AS n_kept,
+         CAST(SUM(CASE WHEN prior < 50000 THEN n_chars ELSE 0 END)
+              AS BIGINT) AS chars_kept
+       FROM r GROUP BY source ORDER BY source"""
+
+  /** Shared oracle of q_seq_pack and its shard arm. */
+  private val sqlSeqPackOracle: String =
+    """SELECT doc_id, source, n_chars,
+         CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY source
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_chars) / 4096.0) AS BIGINT) AS pack_id
+       FROM documents ORDER BY source, doc_id"""
+
   /** DuckDB CTE chain ending in `bm25(doc_id, score, n_terms_hit)` —
     * the oracle twin of [[bm25Scores]], shared by q_bm25 and
     * q_hybrid_rrf. */
@@ -454,11 +491,10 @@ object TextOps {
     // doc_id), split into 4 equal-size stages with ntile, and report each
     // stage's doc count, token mass, and quality range — the schedule
     // table a curriculum-trained run consumes (stage 1 = cleanest docs
-    // first). The ntile here is a single global-order window; at 100 TB
-    // the same stages come from ONE quality histogram pass → 3 quantile
-    // cut points → a scan-wide CASE stage assignment (no global sort),
-    // with this row's stage table as the unchanged contract. Aggregates
-    // are exact longs over the round-6 kernel scores.
+    // first). The ntile here is a single global-order window — the
+    // reference arm; q_curriculum_hist below is the scale path, held to
+    // this oracle verbatim. Aggregates are exact longs over the round-6
+    // kernel scores.
     Q("q_curriculum",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -472,15 +508,49 @@ object TextOps {
             max(col("quality")).as("max_q"))
           .orderBy("stage")
       },
-      Some(s"""WITH $sqlQualityCtes,
-              staged AS (
-                SELECT CAST(ntile(4) OVER (ORDER BY quality DESC, doc_id)
-                  AS INTEGER) AS stage, n_tokens, quality
-                FROM qual)
-              SELECT stage, COUNT(*) AS n_docs,
-                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-                MIN(quality) AS min_q, MAX(quality) AS max_q
-              FROM staged GROUP BY stage ORDER BY stage""")),
+      Some(sqlCurriculumOracle)),
+
+    // ---- curriculum staging, scale arm -------------------------------------
+    // The 100 TB plan for the SAME stage table, with no global-order
+    // window anywhere: the corpus shards on a quality-prefix (256
+    // order-prefix buckets over the micro6 score), per-shard doc counts
+    // collapse to a histogram whose offsets come from a bounded
+    // self-join, and each doc's exact global rank is its shard offset +
+    // a shard-local row number — so the ntile assignment becomes a
+    // closed-form CASE over (rank, N) with NO task ever sorting more
+    // than ~1/256 of the corpus. Bit-identical to the ntile arm by
+    // construction (the shard is an order prefix and the tiebreak is
+    // total), and held to the same DuckDB oracle. Spark's own ntile
+    // sizing rule is inlined: with N = q·4 + r, the first r stages take
+    // q+1 docs and the rest take q.
+    Q("q_curriculum_hist",
+      (s, d) => {
+        val ranked = graft.plans.PrefixSum.shardedPrior(
+          qualityScores(s, d)
+            .withColumn("__qm",
+              floor(col("quality") * 1e6 + 0.5).cast("long")),
+          Seq.empty,
+          expr("(1000000L - __qm) * 256 DIV 1000001"),
+          Seq(col("quality").desc, col("doc_id")), lit(1L))
+        val n = qualityScores(s, d).agg(count(lit(1)).as("__n"))
+        ranked.crossJoin(broadcast(n))
+          .withColumn("__rank", col("prior") + lit(1L))
+          .withColumn("stage", expr(
+            """CAST(CASE
+                 WHEN __rank <= (__n % 4) * ((__n DIV 4) + 1)
+                 THEN ((__rank - 1) DIV ((__n DIV 4) + 1)) + 1
+                 ELSE (__n % 4) +
+                      ((__rank - (__n % 4) * ((__n DIV 4) + 1) - 1)
+                         DIV GREATEST(__n DIV 4, 1)) + 1
+               END AS INT)"""))
+          .groupBy("stage")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            min(col("quality")).as("min_q"),
+            max(col("quality")).as("max_q"))
+          .orderBy("stage")
+      },
+      Some(sqlCurriculumOracle)),
 
     // ---- token counting (BPE-ish regex tokenizer) -------------------------
     // Pre-tokenizer regex in the GPT-2 spirit: words | digit runs | other.
@@ -1192,18 +1262,28 @@ object TextOps {
               .cast("long").as("chars_kept"))
           .orderBy("source")
       },
-      Some("""WITH r AS (
-                SELECT source, n_chars,
-                  SUM(n_chars) OVER (PARTITION BY source
-                    ORDER BY md5(doc_id::VARCHAR), doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  - n_chars AS prior
-                FROM documents)
-              SELECT source, COUNT(*) AS n_total,
-                COUNT(*) FILTER (prior < 50000) AS n_kept,
-                CAST(SUM(CASE WHEN prior < 50000 THEN n_chars ELSE 0 END)
-                     AS BIGINT) AS chars_kept
-              FROM r GROUP BY source ORDER BY source""")),
+      Some(sqlSampleBudgetOracle)),
+
+    // ---- token-budget mixture sampling, scale arm ---------------------------
+    // The same budget fill with the per-source window replaced by
+    // PrefixSum.md5BudgetPrior: rows shard on the first two md5 hex
+    // chars (an order PREFIX of the priority key, 256 uniform shards),
+    // shard offsets come from a bounded histogram self-join, and the
+    // prefix window runs per (source, shard) — so a 20 TB source sorts
+    // in ~1/256 slices instead of one task. Exactly the window arm's
+    // priors by construction; same oracle. This sharded prior is also
+    // what the corpus pipeline's stage 5 (batch and streaming) runs.
+    Q("q_sample_budget_shard",
+      (s, d) => graft.plans.PrefixSum
+        .md5BudgetPrior(docs(s, d), col("n_chars"))
+        .withColumn("keep", col("prior") < 50000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          count_if(col("keep")).as("n_kept"),
+          sum(when(col("keep"), col("n_chars")).otherwise(0L))
+            .cast("long").as("chars_kept"))
+        .orderBy("source"),
+      Some(sqlSampleBudgetOracle)),
 
     // ---- balanced output sharding + manifest ------------------------------
     // The corpus-export step: every document is assigned a deterministic
@@ -1243,9 +1323,8 @@ object TextOps {
     // order within each source and cut into fixed-budget packs (here 4096
     // chars as the token-budget stand-in): pack_id = the running total
     // BEFORE the document, integer-divided by the budget. One shuffle on
-    // `source`, one ordered pass — at 100 TB widen the window key to a
-    // finer deterministic partition (e.g. (source, shard)) so no single
-    // source's history serializes through one task.
+    // `source`, one ordered pass — the reference arm; q_seq_pack_shard
+    // below is the (source, shard) widened plan for 100 TB.
     Q("q_seq_pack",
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
@@ -1258,12 +1337,30 @@ object TextOps {
               .as("pack_id"))
           .orderBy("source", "doc_id")
       },
-      Some("""SELECT doc_id, source, n_chars,
-                CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY source
-                  ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  - n_chars) / 4096.0) AS BIGINT) AS pack_id
-              FROM documents ORDER BY source, doc_id""")),
+      Some(sqlSeqPackOracle)),
+
+    // ---- sequence packing, scale arm ---------------------------------------
+    // The widened-window plan the reference arm's scaladoc promised: the
+    // pack order is doc_id, so the order-prefix shard is a RANGE bucket —
+    // 256 uniform doc_id slices from one min/max aggregate (integer DIV,
+    // monotone in doc_id) — and PrefixSum turns the per-source one-task
+    // prefix sum into per-(source, shard) windows plus broadcast shard
+    // offsets. pack_id is then the same running-total division; exactly
+    // the window arm's packs, same oracle, no task ever sorting more
+    // than a source-slice.
+    Q("q_seq_pack_shard",
+      (s, d) => {
+        val mm = docs(s, d)
+          .agg(min("doc_id").as("__ps_lo"), max("doc_id").as("__ps_hi"))
+        graft.plans.PrefixSum.shardedPrior(
+          docs(s, d).crossJoin(broadcast(mm)), Seq("source"),
+          expr("(doc_id - __ps_lo) * 256 DIV (__ps_hi - __ps_lo + 1)"),
+          Seq(col("doc_id")), col("n_chars"))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            floor(col("prior") / 4096).as("pack_id"))
+          .orderBy("source", "doc_id")
+      },
+      Some(sqlSeqPackOracle)),
 
     // ---- train/val/test split --------------------------------------------
     // Same hash discipline as q_sample_hash, partitioning the corpus into

@@ -52,17 +52,24 @@ object StreamKillMain {
 
   /** Blow the source events up ×copies (disjoint user/event id ranges per
     * copy — the streamStress recipe) into `<work>/x<copies>/events.parquet`
-    * so the kill/resume pair runs against a corpus 100× past the unit
-    * test's, with nothing ever collected on the driver. */
+    * so the kill/resume pair runs against a corpus far past the unit
+    * test's, with nothing ever collected on the driver. The RANGE is the
+    * distributed side and the events table broadcasts (the r14 events-tier
+    * lesson): sf0.1 events is one ~2 MB file = one scan partition, so a
+    * copies-way unionByName (the r13 form) funnels every output row
+    * through one task — hours at ×10000; range ⨯ broadcast(events) lets
+    * every task build its own copies, wall ∝ rows/parallelism. */
   private def buildCorpus(spark: SparkSession, src: String, copies: Int,
       work: String): Unit = {
     val ev0 = Tables(spark, src, "events")
     val uOff = ev0.agg(max("user_id")).head.getLong(0) + 1
     val eOff = ev0.agg(max("event_id")).head.getLong(0) + 1
-    (0 until copies).map(k => ev0
-        .withColumn("user_id", col("user_id") + lit(k * uOff))
-        .withColumn("event_id", col("event_id") + lit(k * eOff)))
-      .reduce(_ unionByName _)
+    spark.range(0, copies, 1, math.max(16, math.min(copies / 4, 2048)))
+      .select(col("id").as("cpy"))
+      .crossJoin(broadcast(ev0))
+      .withColumn("user_id", col("user_id") + col("cpy") * lit(uOff))
+      .withColumn("event_id", col("event_id") + col("cpy") * lit(eOff))
+      .drop("cpy")
       .write.mode("overwrite").parquet(s"$work/x$copies/events.parquet")
   }
 
@@ -77,8 +84,11 @@ object StreamKillMain {
     val maxUs = mm.getLong(1)
     val span = (maxUs - minUs) / nChunks + 1
     val stage = s"$work/feed_stage"
+    // integer DIV (not Column./'s double division) — boundary events must
+    // land in exactly one chunk at any ts span (r14 ADVICE, same rule as
+    // Dedup.stageCorpusFeed)
     evs.withColumn("chunk",
-        ((col("ts_us") - lit(minUs)) / lit(span)).cast("int"))
+        expr(s"CAST((ts_us - ${minUs}L) DIV ${span}L AS INT)"))
       .repartition(nChunks, col("chunk"))
       .write.mode("overwrite").partitionBy("chunk").parquet(stage)
     val feed = new java.io.File(s"$work/feed")
@@ -93,7 +103,8 @@ object StreamKillMain {
         .zipWithIndex.foreach { case (f, i) =>
           val to = new java.io.File(feed, f"b$k%03d-$i.parquet")
           java.nio.file.Files.move(f.toPath, to.toPath)
-          to.setLastModified(t0ms + k * 1000L)
+          require(to.setLastModified(t0ms + k * 1000L),
+            s"setLastModified failed staging $to")
         }
     }
     evs.select(col("user_id")).distinct()
@@ -108,7 +119,8 @@ object StreamKillMain {
       .zipWithIndex.foreach { case (f, i) =>
         val to = new java.io.File(feed, s"zz-sentinel-$i.parquet")
         java.nio.file.Files.move(f.toPath, to.toPath)
-        to.setLastModified(t0ms + nChunks * 1000L)
+        require(to.setLastModified(t0ms + nChunks * 1000L),
+          s"setLastModified failed staging $to")
       }
   }
 
@@ -131,9 +143,13 @@ object StreamKillMain {
     val phase = args(2)
     // optional ×copies blow-up (StressMain mode=streamkill passes 100):
     // same kill/resume machinery, corpus and chunk count scaled so the
-    // halt lands mid-drain of a 10M-event feed instead of a 1k one
+    // halt lands mid-drain of a 10M-event (×100) / 1B-event (×10000)
+    // feed instead of a 1k one. Threads scale with the tier — ×10000's
+    // per-micro-batch sessionize covers ~62M events — but the ≤×1000
+    // tiers keep the 8 threads their recorded walls were measured at.
     val copies = if (args.length > 3) args(3).toInt else 1
-    val spark = session(threads = if (copies > 1) 8 else 4)
+    val spark = session(threads =
+      if (copies >= 10000) 24 else if (copies > 1) 8 else 4)
     val srcDir = if (copies > 1) s"$work/x$copies" else src
     val nChunks = if (copies > 1) 16 else 8
 
@@ -199,7 +215,45 @@ object StreamKillMain {
       System.err.println("KILL| corpus stream drained before the halt fired")
       sys.exit(3)
     }
+    if (phase == "corpusresumekill") {
+      // second hard crash DURING the curation recovery drain (the
+      // streamkill2 grammar applied to the foreachBatch arm): restart
+      // from the checkpoint, let two more data micro-batches commit —
+      // the first being the replay of the batch the first halt cut
+      // mid-state-write — then halt again. corpusresume after this is
+      // a double-crash recovery.
+      spark.streams.addListener(new StreamingQueryListener {
+        private var seen = 0
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          if (e.progress.numInputRows > 0) seen += 1
+          if (seen >= 2) Runtime.getRuntime.halt(42)
+        }
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+      operators.Dedup.startCorpusStream(spark, s"$work/cfeed",
+        s"$work/cscratch").awaitTermination()
+      System.err.println("KILL| corpus resume drained before the halt fired")
+      sys.exit(3)
+    }
     if (phase == "corpusresume") {
+      // The proof is only a proof if the crash left UNCOMMITTED work: the
+      // halt fires from the async listener bus, and on a fast drain all 6
+      // batches could commit before the 3rd progress event is delivered —
+      // the resume would then be a no-op and the exactly-once claim
+      // silently untested (r14 ADVICE). Exit loudly (4) in that case.
+      val committed = Option(
+        new java.io.File(s"$work/cscratch/checkpoint/commits").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(_.getName.forall(_.isDigit))
+      if (committed >= 6) {
+        System.err.println(s"KILL| corpusresume is a NO-OP: all 6 batches " +
+          s"($committed) committed before the halt — kill proof degraded")
+        spark.stop(); sys.exit(4)
+      }
       val q = operators.Dedup.startCorpusStream(spark, s"$work/cfeed",
         s"$work/cscratch")
       q.awaitTermination()

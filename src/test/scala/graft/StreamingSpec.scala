@@ -546,23 +546,97 @@ class StreamingSpec extends AnyFunSuite {
       .deleteQuietly(new java.io.File(work))
   }
 
-  test("corpus curation stream survives a hard JVM kill mid-drain " +
-      "(exactly-once via idempotent per-batch state overwrite)") {
+  test("corpus curation stream survives TWO hard JVM kills — mid-drain and " +
+      "mid-recovery (exactly-once via idempotent per-batch state overwrite)") {
     // The foreachBatch arm's exactly-once is its OWN contract (per-batch-id
     // overwrite), not the parquet sink's _spark_metadata — so it gets its
-    // own crash proof: halt after the 3rd micro-batch (possibly mid-write
-    // of batch 4's state dirs), resume from the checkpoint in a fresh JVM,
-    // and require the final report to equal the batch pipeline exactly.
+    // own crash proof at the sessionizer's proof depth (the streamkill2
+    // grammar): halt after the 3rd micro-batch (possibly mid-write of
+    // batch 4's state dirs), restart and halt AGAIN two data batches into
+    // the recovery drain (the first of which replays the cut batch), then
+    // resume in a third JVM and require the final report to equal the
+    // batch pipeline exactly. corpusresume itself guards against the
+    // silent no-op degradation (all batches committed before a late async
+    // halt) by failing loudly (exit 4) when the commit log is full.
     val work = java.nio.file.Files
       .createTempDirectory("graft-corpuskill").toString
     try {
       val killed = ForkedJvm.run("graft.StreamKillMain", "2g",
         Seq(sfDir, work, "corpuskill"))
       assert(killed == 42, s"corpuskill phase exited $killed, not 42")
+      val killed2 = ForkedJvm.run("graft.StreamKillMain", "2g",
+        Seq(sfDir, work, "corpusresumekill"))
+      assert(killed2 == 42,
+        s"corpusresumekill phase exited $killed2, not 42")
       val resumed = ForkedJvm.run("graft.StreamKillMain", "2g",
         Seq(sfDir, work, "corpusresume"))
       assert(resumed == 0,
-        s"corpusresume exited $resumed — stream != batch pipeline")
+        s"corpusresume exited $resumed — stream != batch pipeline " +
+          "(4 = kill proof degraded to a no-op resume)")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(work))
+  }
+
+  test("stageCorpusFeed's doc_id-ordered admission is LOAD-BEARING: " +
+      "out-of-order chunk mtimes change the survivor set") {
+    // The incremental == batch equivalence rests on the feed replaying in
+    // doc_id order (first occurrence wins). This spec proves the contract
+    // by BREAKING it: a planted cross-chunk near-dup pair (A id 0 chunk 0,
+    // B id 100 chunk 1) curates to survivor {A} when admitted in order —
+    // equal to the batch pipeline's stage-4 frame — but with the chunk
+    // mtimes REVERSED the stream admits B first and keeps {B}. Note the
+    // stage COUNTS coincide under that swap (1 survivor either way),
+    // which is exactly why this spec checks survivor IDENTITY and why a
+    // silently mis-ordered feed would corrupt corpora while the count
+    // report still looked right.
+    val s = spark
+    import s.implicits._
+    val Dedup = graft.operators.Dedup
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-feedorder").toString
+    try {
+      // near-dup pair: one stopword so quality's stop_ratio gate passes,
+      // ≥12 tokens for minlen, one changed token for jaccard ∈ [0.5, 1)
+      val a = "the alpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+      val b = a.replace("sigma", "sigmaX")
+      Seq((0L, a, "en", "src0", a.length.toLong),
+          (100L, b, "en", "src0", b.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$work/documents.parquet")
+      val batchSurvivors = Dedup
+        .corpusStageFrames(s, Tables(s, work, "documents"))
+        .find(_._2 == "near_dedup").get._3
+        .select("doc_id").as[Long].collect().toSet
+      assert(batchSurvivors == Set(0L),
+        s"planted frame broken: batch survivors $batchSurvivors != {0}")
+      def runStream(scratch: String, reverse: Boolean): Set[Long] = {
+        Dedup.stageCorpusFeed(s, work, 2, s"$scratch/feed")
+        if (reverse) {
+          // swap the admission order: chunk 1's file older than chunk 0's
+          val files = new java.io.File(s"$scratch/feed").listFiles()
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          val t0 = System.currentTimeMillis() - 7200000L
+          files.zipWithIndex.foreach { case (f, i) =>
+            require(f.setLastModified(t0 + (files.length - i) * 1000L))
+          }
+        }
+        val q = Dedup.startCorpusStream(s, s"$scratch/feed", scratch)
+        q.awaitTermination()
+        s.read.parquet(s"$scratch/state/s4/*")
+          .select("doc_id").as[Long].collect().toSet
+      }
+      val inOrder = runStream(s"$work/ok", reverse = false)
+      assert(inOrder == batchSurvivors,
+        s"in-order stream survivors $inOrder != batch $batchSurvivors")
+      val reversed = runStream(s"$work/rev", reverse = true)
+      assert(reversed == Set(100L),
+        s"reversed-mtime stream kept $reversed — expected the LATER doc " +
+          "{100} to usurp first-occurrence, proving order is load-bearing")
+      assert(reversed != batchSurvivors,
+        "reversed admission matched the batch oracle — ordering contract " +
+          "is NOT load-bearing?!")
     } finally org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(work))
   }

@@ -165,13 +165,15 @@ object StressMain {
       }
     })
     if (mode == "text" || mode == "embed" || mode == "events" ||
-        mode == "stream" || mode == "embeddim") {
+        mode == "stream" || mode == "embeddim" || mode == "corpusstream") {
       if (mode == "text") textStress(spark, src, copies, work)
       else if (mode == "embed") embedStress(spark, src, copies, work)
       else if (mode == "embeddim") embedDimStress(spark, src, copies, work,
         if (args.length > 4) args(4).toInt else 16,
         args.length > 5 && args(5) == "skipgemm")
       else if (mode == "events") eventsStress(spark, src, copies, work)
+      else if (mode == "corpusstream")
+        corpusStreamStress(spark, src, copies, work)
       else streamStress(spark, src, copies, work)
       spark.stop()
       if (failures > 0) {
@@ -757,6 +759,21 @@ object StressMain {
         s"at ${dimHi}d",
       gHiPeak <= 4 * Sim.MaxBlockBytes,
       s"peak ${mb(gHiPeak)} MB vs cap ${mb(4 * Sim.MaxBlockBytes)} MB")
+    // drift alert on the JVM-overhead constant itself (r14 ADVICE: the
+    // static 4× cap alone halves the law's sensitivity): the measured
+    // peak / two-raw-blocks ratio is PRINTED for the BENCH_NOTES record
+    // and pinned ≤ 4.2 — 804/205 ≈ 3.9 measured + noise headroom, so a
+    // regression of the per-pair overhead surfaces here long before the
+    // static cap would move
+    val rawTwoBlocks = 2 * vecs(s"$work/pad")
+      .queryExecution.optimizedPlan.stats.sizeInBytes.toLong / gHiBlocks
+    val peakRawRatio = gHiPeak.toDouble / math.max(rawTwoBlocks, 1L)
+    println(f"STRESS| GEMM peak/raw-2-block ratio $peakRawRatio%.2f " +
+      f"(peak ${mb(gHiPeak)} MB / raw ${mb(rawTwoBlocks)} MB; " +
+      "record vs last run, alert > 4.2)")
+    if (rawTwoBlocks >= (32L << 20))
+      check(s"GEMM peak/raw ratio ≤ 4.2 at ${dimHi}d (overhead drift)",
+        peakRawRatio <= 4.2, f"ratio $peakRawRatio%.2f")
     // the zero-padded GEMM pair set must also equal the base pair set
     // (same bit-exactness argument as law 1 — blocking never changes a
     // pair's cosine, only which task evaluates it)
@@ -1236,6 +1253,96 @@ object StressMain {
     * (c) the streamed closed-session set is EXACTLY the batch
     * q_sessionize output on the same corpus (sentinel sessions never
     * close, so the file-sink multiset must equal the batch twin). */
+  /** Stress tier for the q_stream_corpus_pipeline arm (the r14 verdict's
+    * missing record): blow the documents table up ×copies (copies are
+    * EXACT text duplicates under fresh doc_ids — the hardest case for the
+    * accumulated-state design, since the stream must collapse them all
+    * onto copy-0 state), run the incremental curation stream over the
+    * doc_id-ordered 6-chunk feed, and pin three laws:
+    *   1. per-batch wall stays bounded as state accumulates (no
+    *      quadratic re-derivation of corpus bands);
+    *   2. persisted state ∝ the CURATED corpus, not the stream length —
+    *      structurally (hash/sh rows == stage-3 survivors, bands an
+    *      exact per-doc multiple) and absolutely (survivors ≤ the base
+    *      corpus even though the stream carried ×copies of it);
+    *   3. the final report EQUALS the batch pipeline on the blown-up
+    *      corpus (the registered row's oracle contract, at ×copies). */
+  private def corpusStreamStress(spark: SparkSession, src: String,
+      copies: Int, work: String): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val Dedup = graft.operators.Dedup
+    val docs0 = spark.read.parquet(s"$src/documents.parquet")
+    val dOff = docs0.agg(max("doc_id")).head.getLong(0) + 1
+    val nDocs = docs0.count()
+    docs0.crossJoin(broadcast(
+        spark.range(copies).select(col("id").as("cpy"))))
+      .withColumn("doc_id", col("doc_id") + col("cpy") * lit(dOff))
+      .drop("cpy")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    println(s"STRESS| corpus-stream corpus: ${nDocs * copies} docs " +
+      s"($copies× $src) at $work")
+    Dedup.stageCorpusFeed(spark, work, 6, s"$work/cfeed")
+    val walls =
+      scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0) walls.synchronized {
+          walls += ((e.progress.batchId, e.progress.numInputRows,
+            e.progress.durationMs.get("triggerExecution").toDouble / 1000))
+        }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+    resetMetrics()
+    val t0 = System.nanoTime()
+    Dedup.startCorpusStream(spark, s"$work/cfeed", s"$work/cscratch")
+      .awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    drainMetrics()
+    println(f"STRESS| corpus-stream drain ${wall}%7.2f s  peakTask " +
+      f"${mb(peak.get)}%5d MB  shufW ${mb(shuf.get)}%5d MB  " +
+      f"spill ${mb(spill.get)}%5d MB")
+    val batchWalls = walls.synchronized { walls.sortBy(_._1).toSeq }
+    batchWalls.foreach { case (bid, rows, s) =>
+      println(f"STRESS| corpus-stream batch $bid: $rows%8d rows ${s}%7.2f s")
+    }
+    check("corpus-stream drained the staged feed in 6 data batches",
+      batchWalls.size == 6, s"${batchWalls.size} data batches")
+    // law 1: the last batch verifies against 5 batches of accumulated
+    // state; equal batch sizes, so a blow-up here means per-batch work
+    // scales with the CORPUS instead of (batch + candidates)
+    if (batchWalls.nonEmpty)
+      check("corpus-stream per-batch wall bounded as state accumulates",
+        batchWalls.last._3 <= batchWalls.head._3 * 4 + 10.0,
+        f"first ${batchWalls.head._3}%.1f s → " +
+          f"last ${batchWalls.last._3}%.1f s")
+    // law 2: state ∝ curated corpus
+    val st = s"$work/cscratch/state"
+    val n3 = spark.read.parquet(s"$st/counts/*")
+      .agg(sum("n3")).head.getLong(0)
+    val hashRows = spark.read.parquet(s"$st/hash/*").count()
+    val shRows = spark.read.parquet(s"$st/sh/*").count()
+    val bandRows = spark.read.parquet(s"$st/band/*").count()
+    check("corpus-stream state rows == stage-3 survivors (hash, shingles)",
+      hashRows == n3 && shRows == n3,
+      s"hash $hashRows / sh $shRows vs n3 $n3")
+    check("corpus-stream band state an exact per-survivor multiple",
+      n3 > 0 && bandRows % n3 == 0,
+      s"bands $bandRows not a multiple of n3 $n3")
+    check("corpus-stream state ∝ curated corpus, NOT stream length " +
+        s"(×$copies exact dups collapse to ≤ base survivors)",
+      n3 <= nDocs, s"n3 $n3 survivors vs $nDocs base docs " +
+        s"(stream carried ${nDocs * copies})")
+    // law 3: the registered row's oracle contract at ×copies
+    sameSet(s"corpus-stream final report == batch pipeline at ×$copies",
+      Dedup.corpusStreamResult(spark, s"$work/cscratch"),
+      Dedup.corpusPipeline(spark,
+        spark.read.parquet(s"$work/documents.parquet")))
+  }
+
   private def streamStress(spark: SparkSession, src: String, copies: Int,
       work: String): Unit = {
     import spark.implicits._

@@ -36,28 +36,31 @@ CACHE_ON = os.environ.get("GRAFT_ORACLE_CACHE", "1") != "0"
 
 
 def testdata_digest(sf_dir):
-    """Identity of the read-only testdata: size per table PLUS a content
-    probe (first+last 64 KB of each file). CONTENT-based, deliberately NO
-    mtime: the driver regenerates the testdata every round with fresh
-    mtimes but (deterministic generator) identical bytes, and an mtime in
-    the key would throw away the multi-hour sf0.1 oracle cache each round
-    for nothing. A regeneration that changes the DATA always changes the
-    probe — parquet files carry their row-group index in the footer, so
-    the tail probe moves whenever any row does. Returns None (= run with
-    the cache disabled) if any table file is missing, so a partial sf dir
-    still degrades to per-query FAIL lines instead of dying at startup."""
+    """Identity of the read-only testdata: sha256 of the FULL file content
+    of every table. CONTENT-based, deliberately NO mtime: the driver
+    regenerates the testdata every round with fresh mtimes but
+    (deterministic generator) identical bytes, and an mtime in the key
+    would throw away the multi-hour sf0.1 oracle cache each round for
+    nothing. Full content (not the r14 size+head/tail probe): a
+    regeneration that changed only mid-file bytes while preserving size
+    and both 64 KB probe regions would have false-hit the cache and
+    silently validated against stale oracle rows; hashing everything
+    costs seconds against hours of oracle recompute. Returns None (= run
+    with the cache disabled) if any table file is missing, so a partial
+    sf dir still degrades to per-query FAIL lines instead of dying at
+    startup."""
     h = hashlib.sha256()
-    probe = 64 * 1024
     try:
         for t in TABLES:
             p = f"{sf_dir}/{t}.parquet"
             st = os.stat(p)
             h.update(f"{t}:{st.st_size};".encode())
             with open(p, "rb") as f:
-                h.update(f.read(probe))
-                if st.st_size > probe:
-                    f.seek(max(probe, st.st_size - probe))
-                    h.update(f.read(probe))
+                while True:
+                    chunk = f.read(1 << 22)
+                    if not chunk:
+                        break
+                    h.update(chunk)
     except OSError:
         return None
     return h.hexdigest()
@@ -77,7 +80,7 @@ def rows_digest(cols, types, n_rows, rows):
 
 # Bump when the cached-digest format changes (rows_digest normalization,
 # compare semantics) so stale-format entries can't satisfy a new reader.
-CACHE_FORMAT = "v3"  # v3: testdata digest is content-based (no mtime)
+CACHE_FORMAT = "v4"  # v4: testdata digest hashes FULL file content
 
 
 def cache_path(name, sf_dir, td_digest, sql):
