@@ -178,6 +178,14 @@ object StreamKillMain {
     if (phase == "kill") {
       if (copies > 1) buildCorpus(spark, src, copies, work)
       stageFeed(spark, srcDir, work, nChunks)
+      // ×10000 disk budget: the blown-up corpus (17 GB at 1B events) has
+      // served its purpose once the feed is staged — the resume compare
+      // at this tier uses the blow-up twin (below), never re-reads it,
+      // and the box's effective disk cannot hold corpus + feed + RocksDB
+      // + sink + the drain's shuffle at once (the first ×10000 attempt
+      // died of exactly that).
+      if (copies >= 10000) org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(s"$work/x$copies"))
       haltAfter(3)
     }
 
@@ -281,7 +289,26 @@ object StreamKillMain {
     val got: DataFrame = spark.read.parquet(s"$work/sessions")
       .select(col("user_id"), col("n_events"), col("start_us"),
         col("end_us"))
-    val want = SparkEntry.queries("q_sessionize")(spark, srcDir)
+    // The comparison frame. At ≤×1000 it is the batch q_sessionize run
+    // on the SAME blown-up corpus — the strongest form. At ×10000 that
+    // twin's own window sort needs ~50 GB of shuffle+spill on top of
+    // feed+state+sink (the first 1B attempt filled the disk during the
+    // compare, not the drain), so the tier pivots on the structure of
+    // the corpus instead: buildCorpus shifts ONLY user_id/event_id per
+    // copy and session rows carry no event_id, so the batch answer at
+    // ×copies IS the base answer with user_id shifted per copy — a law
+    // the r14 events ×10000 batch record verified AGAINST the real 1B
+    // batch run ("exact per copy"). Holding the resumed sink to this
+    // blow-up frame is therefore holding it to the batch twin, at the
+    // cost of a 9.5k-row base run instead of a 1B-row one.
+    val want = (if (copies >= 10000) {
+      val uOff = Tables(spark, src, "events")
+        .agg(max("user_id")).head.getLong(0) + 1
+      SparkEntry.queries("q_sessionize")(spark, src)
+        .crossJoin(broadcast(
+          spark.range(copies).select(col("id").as("cpy"))))
+        .withColumn("user_id", col("user_id") + col("cpy") * lit(uOff))
+    } else SparkEntry.queries("q_sessionize")(spark, srcDir))
       .select(col("user_id"), col("n_events"), col("start_us"),
         col("end_us"))
     val extra = got.exceptAll(want).count()

@@ -165,8 +165,10 @@ object StressMain {
       }
     })
     if (mode == "text" || mode == "embed" || mode == "events" ||
-        mode == "stream" || mode == "embeddim" || mode == "corpusstream") {
+        mode == "stream" || mode == "embeddim" || mode == "corpusstream" ||
+        mode == "prefix") {
       if (mode == "text") textStress(spark, src, copies, work)
+      else if (mode == "prefix") prefixStress(spark, src, copies, work)
       else if (mode == "embed") embedStress(spark, src, copies, work)
       else if (mode == "embeddim") embedDimStress(spark, src, copies, work,
         if (args.length > 4) args(4).toInt else 16,
@@ -1485,6 +1487,94 @@ object StressMain {
       s"q_sessionize at ×$copies",
       got, batch.select(col("user_id"), col("n_events"), col("start_us"),
         col("end_us")))
+  }
+
+  /** The r15 sharded-prefix-sum arms measured against their window
+    * reference arms at tier (mode=prefix, default ×1000 = 5M docs).
+    *
+    * The window arms are the one remaining single-task class the r14
+    * verdict flagged: q_curriculum's global-order ntile sorts the WHOLE
+    * corpus through one task, q_sample_budget / q_seq_pack serialize a
+    * full source's history each. The sharded arms (PrefixSum.shardedPrior)
+    * must (a) stay EXACTLY equal to the window arms at blown-up corpora —
+    * the offsets + shard-local-window decomposition is only correct if the
+    * order-prefix invariants hold under id blow-up — and (b) keep the
+    * bounded-task resource shape the plan promises: shuffle linear over a
+    * tier decade, zero spill, peak within the two-regime bound. The window
+    * arms' peaks/walls print alongside as the serialization evidence (no
+    * hard law: a single in-memory sort is legal at test tiers — the defect
+    * it demonstrates is the shape, measured here, not the small-SF wall).
+    */
+  private def prefixStress(spark: SparkSession, src: String, copies: Int,
+      work: String): Unit = {
+    val docs0 = spark.read.parquet(s"$src/documents.parquet")
+    val dOff = docs0.agg(max("doc_id")).head.getLong(0) + 1
+    val nDocs = docs0.count()
+    val lo = math.max(copies / 10, 1)
+    def build(c: Int, dir: String): Unit =
+      docs0.crossJoin(broadcast(
+          spark.range(c).select(col("id").as("cpy"))))
+        .withColumn("doc_id", col("doc_id") + col("cpy") * lit(dOff))
+        .drop("cpy")
+        .repartition(math.max(32, c / 4))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    build(lo, s"$work/x$lo")
+    build(copies, s"$work/x$copies")
+    println(s"STRESS| prefix corpora: ${nDocs * lo} docs at ×$lo, " +
+      s"${nDocs * copies} docs at ×$copies ($src)")
+    def q(name: String, dir: String): DataFrame =
+      SparkEntry.queries(name)(spark, dir)
+    def out(name: String): DataFrame =
+      spark.read.parquet(s"$work/out/$name")
+    val pairs = Seq(
+      "q_sample_budget" -> "q_sample_budget_shard",
+      "q_seq_pack" -> "q_seq_pack_shard",
+      "q_curriculum" -> "q_curriculum_hist")
+    // hi tier runs with shuffle partitions ∝ corpus (the embedStress
+    // discipline) so the sharded arms' per-task volume matches the lo
+    // tier — the configuration a large cluster actually runs. The window
+    // arms are partitioning-immune by construction (one task per group
+    // regardless), which is exactly the defect on display.
+    val pKey = "spark.sql.shuffle.partitions"
+    val pBase = spark.conf.get(pKey)
+    val metrics = scala.collection.mutable.Map[String, (Long, Long, Double, Long)]()
+    for (c <- Seq(lo, copies)) {
+      if (c == copies)
+        spark.conf.set(pKey,
+          (pBase.toInt * (copies.toDouble / lo)).toInt.toString)
+      try {
+        for ((win, sh) <- pairs; n <- Seq(win, sh)) {
+          val (p, s, w) = timed(s"${n}_x$c", s"$work/out", q(n, s"$work/x$c"))
+          metrics(s"${n}_x$c") = (p, s, w, spill.get)
+        }
+      } finally if (c == copies) spark.conf.set(pKey, pBase)
+      for ((win, sh) <- pairs)
+        sameSet(s"$sh == $win at ×$c (sharded prior exact under blow-up)",
+          out(s"${sh}_x$c"), out(s"${win}_x$c"))
+    }
+    val step = copies.toDouble / lo
+    val fairShare = (Runtime.getRuntime.maxMemory * 0.6 /
+      spark.sparkContext.defaultParallelism * 1.5).toLong
+    for ((_, sh) <- pairs) {
+      val (pLo, sLo, _, _) = metrics(s"${sh}_x$lo")
+      val (pHi, sHi, _, spHi) = metrics(s"${sh}_x$copies")
+      val ratio = sHi.toDouble / math.max(sLo, 1L)
+      check(f"$sh shuffle bytes scale ~linearly (×$lo→×$copies)",
+        ratio >= step * 0.5 && ratio <= step * 1.5,
+        f"shufW ratio $ratio%.2f vs step $step%.0f " +
+          s"(${mb(sLo)} MB → ${mb(sHi)} MB)")
+      check(s"$sh zero spill at ×$copies", spHi == 0, s"${mb(spHi)} MB spilled")
+      check(s"$sh peak ≤ max(2× lo tier, pool fair share) (×$lo→×$copies)",
+        pHi <= math.max(math.max(pLo, 64L << 20) * 2, fairShare),
+        s"peak ${mb(pHi)} MB vs ${mb(pLo)} MB at ×$lo, " +
+          s"fair share ${mb(fairShare)} MB")
+    }
+    for ((win, sh) <- pairs)
+      println(s"STRESS| single-task evidence ×$copies: $win peak " +
+        s"${mb(metrics(s"${win}_x$copies")._1)} MB / " +
+        f"${metrics(s"${win}_x$copies")._3}%.1f s vs $sh peak " +
+        s"${mb(metrics(s"${sh}_x$copies")._1)} MB / " +
+        f"${metrics(s"${sh}_x$copies")._3}%.1f s")
   }
 
   private def textStress(spark: SparkSession, src: String, copies: Int,
