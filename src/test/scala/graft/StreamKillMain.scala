@@ -45,6 +45,15 @@ object StreamKillMain {
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state" +
           ".RocksDBStateStoreProvider")
+      // A 1B-event drain runs ~17 micro-batches in ONE JVM, each leaving
+      // ~4-5 GB of shuffle files that ContextCleaner only reaps when the
+      // referencing ShuffleDependency is GC'd — and a 12 GB heap under a
+      // streaming workload can go the whole drain without a full GC
+      // (measured at ×10000: 42 GB of dead shuffle accumulated and filled
+      // the disk mid-drain). Forcing the cleaner's periodic GC to 60 s
+      // bounds dead-shuffle residency at ~one batch's worth. This is the
+      // same knob a real long-running streaming executor fleet sets.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
