@@ -313,13 +313,49 @@ object StreamKillMain {
     val want = (if (copies >= 10000) {
       val uOff = Tables(spark, src, "events")
         .agg(max("user_id")).head.getLong(0) + 1
+      // the base frame is ~9.5k rows that AQE coalesces to ONE partition,
+      // so without an explicit repartition the crossJoin generates all
+      // 95M blown-up rows — and the exceptAll's partial hash-agg over
+      // them — in a single task (measured: 20+ CPU-minutes of spill-sort
+      // in one thread while 23 idled). Spread the GENERATOR first.
       SparkEntry.queries("q_sessionize")(spark, src)
+        .repartition(spark.sparkContext.defaultParallelism)
         .crossJoin(broadcast(
           spark.range(copies).select(col("id").as("cpy"))))
         .withColumn("user_id", col("user_id") + col("cpy") * lit(uOff))
     } else SparkEntry.queries("q_sessionize")(spark, srcDir))
       .select(col("user_id"), col("n_events"), col("start_us"),
         col("end_us"))
+    if (copies >= 10000) {
+      // Multiset equality via a commutative digest instead of exceptAll:
+      // the two exceptAll passes at 95M rows/side exchange ~30 GB of
+      // shuffle on top of feed+state+sink, which is past this box's
+      // slack (the compare, not the drain, filled the disk twice at
+      // ×10000). count + two independent xxhash64 sums + a bit_xor is
+      // one scan per side with a scalar result, order-insensitive, and
+      // an accidental multiset collision needs simultaneous agreement
+      // of all four aggregates. exceptAll (exact by construction)
+      // remains the form of record at ≤×1000.
+      def dig(df: DataFrame) = df.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(xxhash64(col("user_id"), col("n_events"), col("start_us"),
+          col("end_us")).cast("decimal(38,0)")).as("s1"),
+        sum(xxhash64(lit(1069L), col("user_id"), col("n_events"),
+          col("start_us"), col("end_us")).cast("decimal(38,0)")).as("s2"),
+        expr("bit_xor(xxhash64(user_id, n_events, start_us, end_us))")
+          .as("x1")).head
+      val g = dig(got)
+      val w = dig(want)
+      if (g == w) {
+        println(s"KILL| resume exactly-once: sink digest == blow-up twin " +
+          s"digest at ×$copies ($g)")
+        spark.stop(); sys.exit(0)
+      } else {
+        System.err.println(s"KILL| MISMATCH after resume at ×$copies: " +
+          s"sink digest $g != twin digest $w")
+        spark.stop(); sys.exit(1)
+      }
+    }
     val extra = got.exceptAll(want).count()
     val missing = want.exceptAll(got).count()
     if (extra == 0 && missing == 0) {
