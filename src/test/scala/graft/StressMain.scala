@@ -1613,8 +1613,14 @@ object StressMain {
     val unshardedHi = copies <= 100
     val names =
       Seq("q_inverted_index", "q_inverted_index_shard", "q_substring_dup")
-    val mLo = names.map(n =>
-      n -> timed(s"${n}_x$lo", s"$work/out", q(n, s"$work/x$lo"))).toMap
+    // the unsharded arm's ceiling gates the LO tier too: at copies=10000
+    // the lo tier IS ×1000, where the df-sized collect buffer OOMs by
+    // design — the sharded==unsharded equality then stands on its ≤×100
+    // records instead of re-proving here
+    val unshardedLo = lo <= 100
+    val mLo = names
+      .filter(n => unshardedLo || n != "q_inverted_index").map(n =>
+        n -> timed(s"${n}_x$lo", s"$work/out", q(n, s"$work/x$lo"))).toMap
     // hi tier runs with shuffle partitions ∝ corpus (the embedStress
     // discipline): per-task shuffle volume then matches the lo tier,
     // which is the configuration a 1000-executor cluster actually runs —
@@ -1636,7 +1642,7 @@ object StressMain {
       finally spark.conf.set(pKeyT, pBaseT)
 
     // ---- correctness laws at ×copies (same laws as the 10× suite) --------
-    sameSet(s"sharded index = unsharded index at ×$lo",
+    if (unshardedLo) sameSet(s"sharded index = unsharded index at ×$lo",
       out(s"q_inverted_index_shard_x$lo"),
       out(s"q_inverted_index_x$lo"))
     if (unshardedHi) sameSet(s"sharded index = unsharded index at ×$copies",
@@ -1705,7 +1711,8 @@ object StressMain {
       s"peak ${mb(pHi)} MB at ×$copies vs ${mb(pLo)} MB at ×$lo, " +
         s"fair share ${mb(fairShare)} MB")
     println(s"STRESS| postings-buffer evidence: unsharded peak " +
-      s"${mb(mLo("q_inverted_index")._1)} MB at ×$lo → " +
+      (if (unshardedLo) s"${mb(mLo("q_inverted_index")._1)} MB at ×$lo → "
+       else s"OOM-by-design at ×$lo already → ") +
       (if (unshardedHi) s"${mb(mHi("q_inverted_index")._1)} MB at ×$copies"
        else s"OOM-by-design past ×100 (df-sized collect buffer)") +
       s", sharded first-level width " +
