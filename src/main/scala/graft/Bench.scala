@@ -4,16 +4,21 @@ object Bench {
 
   /** The one bench session recipe — shared with BenchOne so standalone
     * forensics timings are measured under the exact sweep configuration
-    * (a drifted conf would make fresh-JVM numbers incomparable). */
-  def benchSession(cpus: String): SparkSession = {
-    val spark = SparkSession.builder()
+    * (a drifted conf would make fresh-JVM numbers incomparable).
+    * `extraConfs` is for harness callers with phase-specific needs (e.g.
+    * StressMain's long-drain periodicGC) — the bench sweep itself always
+    * runs the bare recipe. */
+  def benchSession(cpus: String,
+      extraConfs: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-      .getOrCreate()
+    extraConfs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
@@ -200,8 +205,15 @@ object Bench {
       s"""{"start":${r3(sentinelStart)},"end":${r3(sentinelEnd)},""" +
         s""""stream_start":${r3(sentinelStreamStart)},""" +
         s""""stream_end":${r3(sentinelStreamEnd)}}"""
+    // In-band quiet-box verdict (r15 verdict item 6): a sweep whose start
+    // sentinel exceeds the threshold ran under machine contention — its
+    // per-query seconds carry the same smear — and says so itself, so
+    // round-over-round BENCH_rN comparisons stop requiring forensic
+    // sentinel reading. Quiet-box start sentinels sit at 0.08–0.19 s on
+    // this box; 0.25 s is ~1.4× the high edge of that band.
+    val noisy = sentinelStart > 0.25
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"vs_prev":$vs,"failed":$failedJson,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","noisy":$noisy,"queries":$qs,"vs_prev":$vs,"failed":$failedJson,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
     println(fullLine)
     // persist the complete line for next round's vs_prev (the driver's
     // 2000-char stdout tail truncates it)
@@ -212,7 +224,7 @@ object Bench {
     // Short summary LAST: it always fits the driver's tail capture intact.
     // "failed" rides along here too — a breakage must be visible even when
     // the long line is truncated.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"sentinel":$sentinelJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","noisy":$noisy,"n_queries":${results.size},"failed":$failedJson,"sentinel":$sentinelJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1474,6 +1474,18 @@ object Dedup {
   // text; the persisted state is the stage-3 docs' hashes, shingle sets
   // and band keys — minhash runs ONCE per doc over the stream's life,
   // where re-deriving corpus bands each batch would be quadratic.
+  //
+  // State LAYOUT is bounded too: a dir-per-batch-forever layout pays
+  // O(batches) driver listings + parquet-footer opens per batch
+  // (O(batches²) over the stream's life) and the classic small-files
+  // blow-up, so every `compactEvery` batches an idempotent compaction
+  // generation merges all committed per-batch dirs into one consolidated
+  // dir per state kind (see [[compactCorpusState]]); readers see ≤
+  // compactEvery+1 dirs per kind at any stream age. Its exactly-once is
+  // proven by the same kill grammar as the batch writes — StreamKillMain
+  // phases corpuscompactkill (halt with a consolidated dir written but
+  // unmarked) and corpuscompactkill2 (halt with the marker created but
+  // the merged sources unswept).
   // -------------------------------------------------------------------
 
   /** Stage the documents table as `nChunks` doc_id-range chunk files
@@ -1527,14 +1539,119 @@ object Dedup {
     Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(_.isDirectory)
+      .filter(_.getName.startsWith("b"))
       .flatMap(f => f.getName.stripPrefix("b").toLongOption
         .map(_ -> f.getAbsolutePath))
       .sortBy(_._1).toSeq
 
+  /** Marker written INSIDE a consolidated dir after its parquet job
+    * finishes; `_`-prefixed so Spark's file index never reads it as data.
+    * Directory existence alone is not completeness — a kill can land
+    * between the overwrite-delete and the last part file. */
+  private val CompactedMarker = "_GRAFT_COMPACTED"
+
+  /** The newest COMPLETE consolidated state dir under `root`, as
+    * (watermark, path): `c%06d` named, marker present. A half-written
+    * c-dir (killed mid-compaction) has no marker and is invisible here —
+    * it gets rebuilt, never read. */
+  private def validConsolidated(root: String): Option[(Long, String)] =
+    Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("c") &&
+        new java.io.File(f, CompactedMarker).exists())
+      .flatMap(f => f.getName.stripPrefix("c").toLongOption
+        .map(_ -> f.getAbsolutePath))
+      .sortBy(_._1).lastOption
+
+  /** State paths a reader consumes: the newest complete consolidated dir
+    * (if any) plus the per-batch dirs above its watermark, bounded by
+    * `beforeId` (exclusive) for prior reads. With compaction every K
+    * batches this is ≤ K+1 directories regardless of stream age — the
+    * fix for the O(batches) per-batch listings (and O(batches²) over the
+    * stream's life) the uncompacted layout paid. */
+  private[graft] def corpusReadDirs(root: String,
+      beforeId: Long = Long.MaxValue): Seq[String] = {
+    val c = validConsolidated(root)
+    // a consolidated dir at/past the read bound cannot be un-merged; by
+    // construction (compaction watermark = bid-1, run inside batch bid)
+    // it never happens — fail loudly rather than read too much state
+    c.foreach { case (w, _) => require(w < beforeId,
+      s"consolidated watermark $w >= read bound $beforeId under $root") }
+    val lo = c.map(_._1).getOrElse(-1L)
+    c.map(_._2).toSeq ++
+      corpusBatchDirs(root).filter(t => t._1 > lo && t._1 < beforeId)
+        .map(_._2)
+  }
+
+  /** Test seam for the mid-compaction kill proofs (StreamKillMain
+    * phases corpuscompactkill/corpuscompactkill2): called at the two
+    * crash-interesting points of every kind's compaction — "premark"
+    * (consolidated parquet written, marker NOT yet created: a crash here
+    * must rebuild) and "postmark" (marker created, merged sources not yet
+    * swept: a crash here must skip the rebuild and finish the sweep).
+    * No-op in production. */
+  private[graft] var compactionHook: (String, String) => Unit = (_, _) => ()
+
+  /** Idempotent compaction generation: merge every per-batch state dir
+    * with id ≤ `w` (plus the previous consolidated dir, if any) into one
+    * consolidated `c{w}` dir per state kind, then sweep the merged
+    * sources. Runs inside the foreachBatch body of batch w+1, so every
+    * merged id is a COMMITTED batch whose content is final (replays only
+    * ever rewrite the one uncommitted batch). Crash-safe by the marker
+    * discipline: the marker is created only after the overwrite-mode
+    * parquet job returns, sources are deleted only after the marker
+    * exists, and a replayed batch re-enters here with the same w — a
+    * markerless c-dir rebuilds from the still-present sources, a marked
+    * one skips straight to finishing the sweep. */
+  private def compactCorpusState(s: SparkSession, stateRoot: String,
+      w: Long): Unit =
+    for (kind <- Seq("hash", "sh", "band", "s4", "counts")) {
+      val root = s"$stateRoot/$kind"
+      val cPath = f"$root/c$w%06d"
+      val marker = new java.io.File(cPath, CompactedMarker)
+      if (!marker.exists()) {
+        val prev = validConsolidated(root)
+        val lo = prev.map(_._1).getOrElse(-1L)
+        val srcs = prev.map(_._2).toSeq ++
+          corpusBatchDirs(root).filter(t => t._1 > lo && t._1 <= w)
+            .map(_._2)
+        if (srcs.nonEmpty) {
+          // plain union — batches partition the corpus, so no dedup is
+          // needed; coalesce bounds the consolidated file count (the
+          // small-files blow-up was half of what compaction exists to fix)
+          s.read.parquet(srcs: _*).coalesce(32)
+            .write.mode("overwrite").parquet(cPath)
+          compactionHook("premark", kind)
+          require(marker.createNewFile() || marker.exists(),
+            s"compaction marker create failed: $marker")
+        }
+      }
+      compactionHook("postmark", kind)
+      // sweep merged sources: per-batch dirs at/below the watermark and
+      // any OTHER c-dir (the superseded older generation, or a stale
+      // markerless attempt at a lower watermark)
+      Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.isDirectory)
+        .filter { f =>
+          val n = f.getName
+          (n.startsWith("b") &&
+            n.stripPrefix("b").toLongOption.exists(_ <= w)) ||
+          (n.startsWith("c") &&
+            n.stripPrefix("c").toLongOption.exists(_ != w))
+        }
+        .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    }
+
   /** One micro-batch of the incremental curation (driver-side foreachBatch
-    * body — every frame operation in here is a distributed Spark job). */
+    * body — every frame operation in here is a distributed Spark job).
+    * Every `compactEvery` batches the accumulated state compacts first
+    * (watermark = bid-1: strictly committed ids only, so a replay of THIS
+    * batch can still assemble its prior from the surviving dirs). */
   private[graft] def corpusStreamBatch(s: SparkSession, stateRoot: String,
-      batch: DataFrame, bid: Long): Unit = {
+      batch: DataFrame, bid: Long, compactEvery: Int): Unit = {
+    if (compactEvery > 0 && bid > 0 && bid % compactEvery == 0)
+      compactCorpusState(s, stateRoot, bid - 1)
     val d0b = corpusD0(batch).localCheckpoint()
     val s1b = d0b.filter(col("n_tokens") >= 12)
     val s2b = corpusQuality(s1b).localCheckpoint()
@@ -1545,8 +1662,7 @@ object Dedup {
     // row's cost is JOB COUNT on tiny per-batch frames, not CPU
     val bHash = s2b.select(col("doc_id"), sha2(col("text"), 256).as("h"))
     def prior(kind: String, like: DataFrame): DataFrame = {
-      val dirs = corpusBatchDirs(s"$stateRoot/$kind")
-        .filter(_._1 < bid).map(_._2)
+      val dirs = corpusReadDirs(s"$stateRoot/$kind", bid)
       if (dirs.isEmpty) like.limit(0) else s.read.parquet(dirs: _*)
     }
     val verdicts = incrementalDedupPre(s, bHash, bSh, bBands,
@@ -1580,14 +1696,16 @@ object Dedup {
     * from the file-source offset log, replaying at most the one
     * uncommitted batch — whose state writes are idempotent. */
   private[graft] def startCorpusStream(s: SparkSession, feedDir: String,
-      scratch: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      scratch: String, compactEvery: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = s.read.parquet(feedDir).schema // footer only
     s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$feedDir/b*.parquet")
       .writeStream
       .foreachBatch((b: DataFrame, bid: Long) =>
-        corpusStreamBatch(b.sparkSession, s"$scratch/state", b, bid))
+        corpusStreamBatch(b.sparkSession, s"$scratch/state", b, bid,
+          compactEvery))
       .option("checkpointLocation", s"$scratch/checkpoint")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -1603,10 +1721,10 @@ object Dedup {
       scratch: String): DataFrame = {
     val stateRoot = s"$scratch/state"
     val c = s.read
-      .parquet(corpusBatchDirs(s"$stateRoot/counts").map(_._2): _*)
+      .parquet(corpusReadDirs(s"$stateRoot/counts"): _*)
       .agg(sum("n0"), sum("n1"), sum("n2"), sum("n3"), sum("n4")).head
     val s4 = s.read
-      .parquet(corpusBatchDirs(s"$stateRoot/s4").map(_._2): _*)
+      .parquet(corpusReadDirs(s"$stateRoot/s4"): _*)
     val n5 = budgetPrior(s4)
       .filter(col("prior") < 5000L)
       .count()

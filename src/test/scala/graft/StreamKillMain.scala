@@ -232,6 +232,35 @@ object StreamKillMain {
       System.err.println("KILL| corpus stream drained before the halt fired")
       sys.exit(3)
     }
+    // Mid-COMPACTION hard kills (the state-compaction generation gets the
+    // same crash grammar as the per-batch writes). Both phases stage a
+    // fresh feed and drain until batch 4's compaction (compactEvery=4
+    // default, watermark 3) and halt INSIDE it via the Dedup.compactionHook
+    // test seam, at the two crash-interesting points, on the SECOND state
+    // kind ("sh") — so at halt time "hash" is fully compacted AND swept,
+    // "sh" is mid-flight, and band/s4/counts are untouched: the maximally
+    // skewed on-disk state. corpusresume afterwards must still equal the
+    // batch pipeline exactly.
+    //   corpuscompactkill : halt with sh's consolidated dir WRITTEN but
+    //                       UNMARKED — the resume must rebuild it from the
+    //                       still-present sources (markerless = invisible)
+    //   corpuscompactkill2: halt with sh's marker CREATED but the merged
+    //                       sources UNSWEPT — the resume must skip the
+    //                       rebuild and finish the sweep
+    if (phase == "corpuscompactkill" || phase == "corpuscompactkill2") {
+      val point = if (phase == "corpuscompactkill") "premark" else "postmark"
+      operators.Dedup.stageCorpusFeed(spark, src, 6, s"$work/cfeed")
+      operators.Dedup.compactionHook = (p, kind) =>
+        if (p == point && kind == "sh") {
+          System.err.println(s"KILL| halting mid-compaction at ($p, $kind)")
+          Runtime.getRuntime.halt(42)
+        }
+      operators.Dedup.startCorpusStream(spark, s"$work/cfeed",
+        s"$work/cscratch").awaitTermination()
+      System.err.println("KILL| corpus stream drained without the " +
+        s"mid-compaction halt at ($point, sh) firing")
+      sys.exit(3)
+    }
     if (phase == "corpusresumekill") {
       // second hard crash DURING the curation recovery drain (the
       // streamkill2 grammar applied to the foreachBatch arm): restart
@@ -309,13 +338,14 @@ object StreamKillMain {
     // the r14 events ×10000 batch record verified AGAINST the real 1B
     // batch run ("exact per copy"). Holding the resumed sink to this
     // blow-up frame is therefore holding it to the batch twin, at the
-    // cost of a 9.5k-row base run instead of a 1B-row one.
+    // cost of a ~95k-row base run instead of a 1B-row one (the recorded
+    // ×10000 tier: 95,465 base sessions → 954,650,000 per side).
     val want = (if (copies >= 10000) {
       val uOff = Tables(spark, src, "events")
         .agg(max("user_id")).head.getLong(0) + 1
-      // the base frame is ~9.5k rows that AQE coalesces to ONE partition,
+      // the base frame is ~95k rows that AQE coalesces to ONE partition,
       // so without an explicit repartition the crossJoin generates all
-      // 95M blown-up rows — and the exceptAll's partial hash-agg over
+      // ~954M blown-up rows — and the exceptAll's partial hash-agg over
       // them — in a single task (measured: 20+ CPU-minutes of spill-sort
       // in one thread while 23 idled). Spread the GENERATOR first.
       SparkEntry.queries("q_sessionize")(spark, src)
@@ -328,21 +358,27 @@ object StreamKillMain {
         col("end_us"))
     if (copies >= 10000) {
       // Multiset equality via a commutative digest instead of exceptAll:
-      // the two exceptAll passes at 95M rows/side exchange ~30 GB of
+      // the two exceptAll passes at ~954M rows/side exchange ~30 GB of
       // shuffle on top of feed+state+sink, which is past this box's
       // slack (the compare, not the drain, filled the disk twice at
-      // ×10000). count + two independent xxhash64 sums + a bit_xor is
-      // one scan per side with a scalar result, order-insensitive, and
-      // an accidental multiset collision needs simultaneous agreement
-      // of all four aggregates. exceptAll (exact by construction)
-      // remains the form of record at ≤×1000.
+      // ×10000). One scan per side with a scalar result,
+      // order-insensitive: count, two EXACT structural sums (n_events
+      // and user_id in decimal(38,0) — no hash function involved, so a
+      // lost-for-duplicated row swap must also conserve both column
+      // sums), plus two DIFFERENTLY-SEEDED xxhash64 sums and a
+      // third-seed bit_xor — no single hash function is load-bearing
+      // twice, and an accidental multiset collision needs simultaneous
+      // agreement of all six aggregates. exceptAll (exact by
+      // construction) remains the form of record at ≤×1000.
       def dig(df: DataFrame) = df.agg(
         count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("n_events").cast("decimal(38,0)")).as("en"),
+        sum(col("user_id").cast("decimal(38,0)")).as("eu"),
         sum(xxhash64(col("user_id"), col("n_events"), col("start_us"),
           col("end_us")).cast("decimal(38,0)")).as("s1"),
         sum(xxhash64(lit(1069L), col("user_id"), col("n_events"),
           col("start_us"), col("end_us")).cast("decimal(38,0)")).as("s2"),
-        expr("bit_xor(xxhash64(user_id, n_events, start_us, end_us))")
+        expr("bit_xor(xxhash64(2069L, user_id, n_events, start_us, end_us))")
           .as("x1")).head
       val g = dig(got)
       val w = dig(want)

@@ -577,6 +577,36 @@ class StreamingSpec extends AnyFunSuite {
       .deleteQuietly(new java.io.File(work))
   }
 
+  test("corpus state compaction survives hard kills at BOTH mid-compaction " +
+      "points (markerless rebuild; marked skip + sweep finish)") {
+    // The compaction generation gets the same crash grammar as the
+    // per-batch state writes. Each phase halts INSIDE batch 4's compaction
+    // via the Dedup.compactionHook seam, on the second state kind — so
+    // kind "hash" is fully compacted and swept, "sh" is mid-flight:
+    //   corpuscompactkill : consolidated dir written, marker NOT created —
+    //     the resume must treat the markerless dir as invisible and
+    //     rebuild it from the still-present per-batch sources
+    //   corpuscompactkill2: marker created, merged sources NOT swept — the
+    //     resume must skip the rebuild and just finish the sweep
+    // In both cases corpusresume must land on the batch pipeline exactly.
+    for (phase <- Seq("corpuscompactkill", "corpuscompactkill2")) {
+      val work = java.nio.file.Files
+        .createTempDirectory(s"graft-$phase").toString
+      try {
+        val killed = ForkedJvm.run("graft.StreamKillMain", "2g",
+          Seq(sfDir, work, phase))
+        assert(killed == 42, s"$phase exited $killed, not the halt's 42 " +
+          "(3 = drained without the mid-compaction halt firing)")
+        val resumed = ForkedJvm.run("graft.StreamKillMain", "2g",
+          Seq(sfDir, work, "corpusresume"))
+        assert(resumed == 0,
+          s"corpusresume after $phase exited $resumed — stream != batch " +
+            "pipeline (compaction crash broke exactly-once)")
+      } finally org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(work))
+    }
+  }
+
   test("stageCorpusFeed's doc_id-ordered admission is LOAD-BEARING: " +
       "out-of-order chunk mtimes change the survivor set") {
     // The incremental == batch equivalence rests on the feed replaying in
