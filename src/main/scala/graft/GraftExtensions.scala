@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 
 import graft.functions.{BloomFns, CmsEstimate, CosineSim, DotProduct,
   SimHash32}
-import graft.plans.{CosineJoinStrategy, RewriteCosineSelfJoin}
+import graft.plans.{CosineJoinStrategy, RewriteCosineSelfJoin,
+  RewritePrefixWindow}
 
 /** Session extension wiring: `--conf spark.sql.extensions=graft.GraftExtensions`
   * (or `.withExtensions(new GraftExtensions)`) makes the engine's native
@@ -23,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(BloomFns.containsRegistration)
     ext.injectFunction(CmsEstimate.registration)
     ext.injectOptimizerRule(_ => RewriteCosineSelfJoin)
+    ext.injectOptimizerRule(_ => RewritePrefixWindow)
     ext.injectPlannerStrategy(_ => CosineJoinStrategy)
   }
 }

@@ -52,33 +52,53 @@ object PrefixSum {
     */
   def shardedPrior(df: DataFrame, partCols: Seq[String], shard: Column,
       orderCols: Seq[Column], value: Column,
-      priorName: String = "prior"): DataFrame = {
+      priorName: String = "prior"): DataFrame =
+    shardedPriors(df, partCols, shard, orderCols, Seq(priorName -> value))
+
+  /** Multi-value form of [[shardedPrior]]: several exact exclusive prefix
+    * sums over ONE shard histogram pass (one grouped aggregate, one
+    * bounded self-join, one shard-local window — not one set per value).
+    * Same requirements per value; each (name, value) pair adds a column
+    * `name`. `hintBroadcast=false` drops the explicit broadcast hint on
+    * the offsets join — for callers (the optimizer rewrite) whose
+    * partition-column cardinality is unknown at plan-build time, where a
+    * forced broadcast of groups × shards rows could itself blow up; the
+    * join keys are (partCols, shard) either way, so Catalyst/AQE still
+    * broadcasts when the frame is small. */
+  def shardedPriors(df: DataFrame, partCols: Seq[String], shard: Column,
+      orderCols: Seq[Column], values: Seq[(String, Column)],
+      hintBroadcast: Boolean = true): DataFrame = {
     val grp = partCols.map(col)
     val t = df.withColumn("__ps_shard", shard)
+    val sums = values.map { case (n, v) => sum(v).as(s"__ps_ssum_$n") }
     val hist = t.groupBy(grp :+ col("__ps_shard"): _*)
-      .agg(sum(value).as("__ps_ssum"))
+      .agg(sums.head, sums.tail: _*)
     // offsets via a bounded histogram self-join (earlier shards of the
     // same group), NOT a window: with empty partCols a per-group window
     // here would be exactly the single-partition stage this helper exists
     // to remove. The join is ≤ shards² pairs per group.
     val earlier = hist.select(
       partCols.map(c => col(c).as(s"__pe_$c")) ++
-        Seq(col("__ps_shard").as("__pe_shard"),
-          col("__ps_ssum").as("__pe_ssum")): _*)
+        Seq(col("__ps_shard").as("__pe_shard")) ++
+        values.map { case (n, _) =>
+          col(s"__ps_ssum_$n").as(s"__pe_ssum_$n") }: _*)
     val cond = partCols
       .map(c => col(c) === col(s"__pe_$c"))
       .foldLeft(col("__pe_shard") < col("__ps_shard"))(_ && _)
+    val offs = values.map { case (n, _) =>
+      coalesce(sum(col(s"__pe_ssum_$n")), lit(0L)).as(s"__ps_off_$n") }
     val off = hist.join(earlier, cond, "left")
       .groupBy(grp :+ col("__ps_shard"): _*)
-      .agg(coalesce(sum(col("__pe_ssum")), lit(0L)).as("__ps_off"))
+      .agg(offs.head, offs.tail: _*)
     val w = Window
       .partitionBy(grp :+ col("__ps_shard"): _*)
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t.join(broadcast(off), partCols :+ "__ps_shard")
-      .withColumn(priorName,
-        col("__ps_off") + sum(value).over(w) - value)
-      .drop("__ps_shard", "__ps_off")
+    val joined = t.join(if (hintBroadcast) broadcast(off) else off,
+      partCols :+ "__ps_shard")
+    values.foldLeft(joined) { case (acc, (n, v)) =>
+      acc.withColumn(n, col(s"__ps_off_$n") + sum(v).over(w) - v)
+    }.drop("__ps_shard" +: values.map(v => s"__ps_off_${v._1}"): _*)
   }
 
   /** The md5-priority token-budget prior over a (doc_id, source, …)

@@ -1,0 +1,293 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute,
+  AttributeReference, Cast, CurrentRow, Descending, Expression, Literal,
+  NamedExpression, NTile, NullsFirst, NullsLast, RowFrame, RowNumber,
+  SortOrder, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression,
+  WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Complete, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project,
+  Window => LWindow}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Auto-dispatch for the single-task prefix-window class (SURVEY §2.4
+  * "custom plan" row; the RewriteCosineSelfJoin pattern applied to the
+  * prefix family — r15 verdict item 2).
+  *
+  * The engine's own rows ship two arms per prefix operator: the naive
+  * window (`q_curriculum`, `q_sample_budget`, `q_seq_pack` — the oracle
+  * anchors) and the sharded plan (`PrefixSum.shardedPrior`) whose peaks
+  * stay bounded while the window arm's grow ×10 per corpus decade
+  * (BENCH_NOTES, mode=prefix over two decades; outright wall crossover at
+  * ×10000). But a USER writing the naive form gets the single-task sort —
+  * Spark itself warns "No Partition Defined ... Moving all data to a
+  * single partition". This rule closes that hole in the optimizer: a
+  * running-sum / row_number / ntile window is rewritten IN PLACE to the
+  * sharded-prior dataflow once Catalyst's size estimate says the sort is
+  * oversized —
+  *
+  *   - empty partitionSpec: fires when the child estimate exceeds
+  *     `spark.graft.window.maxSortBytes` (the whole input is one task's
+  *     sort);
+  *   - non-empty partitionSpec: fires only when EVERY partition column
+  *     carries a distinct-count column statistic (CBO / ANALYZE TABLE)
+  *     and size / Π(distinctCount) exceeds the threshold — an estimated
+  *     oversized group. Without column stats the group size is unknown
+  *     and the rule refuses: blindly sharding a high-cardinality window
+  *     (per-user running sums) would build a groups×shards histogram and
+  *     a groups×shards² self-join for nothing.
+  *
+  * Exactness contract (why the match is narrow): the sharded decomposition
+  * is bit-equal to the window form only when the summed value's addition
+  * is associative — so sums rewrite for integral inputs only (wrap-around
+  * long addition is associative; float/double addition is not, and a
+  * rewrite would change low-order bits). row_number/ntile rewrite as
+  * running counts with Spark's ragged-N ntile sizing inlined as a closed
+  * form (the q_curriculum_hist formula). Ties in the order key stay
+  * within one shard (the shard is a non-decreasing function of the first
+  * order expression), so tie behavior is the same
+  * arbitrary-but-plan-stable class the window form has.
+  *
+  * The replacement is built by wrapping the matched child back into a
+  * DataFrame and calling the SAME `PrefixSum.shardedPriors` the
+  * registered scale arms use (via [[GraftSqlBridge]]) — the rewrite
+  * cannot drift from the oracled implementation. The offsets join is NOT
+  * broadcast-hinted here (partition cardinality is unknown; AQE still
+  * broadcasts small frames). Any construction failure leaves the plan
+  * untouched.
+  */
+object RewritePrefixWindow extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.window.maxSortBytes"
+
+  /** Default 1 GiB: the mode=prefix stress measured window-arm peaks
+    * crossing from comfortable (384 MB at 5M docs) to the wall-crossover
+    * regime (3.8 GB at 50M docs) across that boundary. */
+  private def maxBytes: Long =
+    conf.getConfString(ConfKey, (1L << 30).toString).toLong
+
+  private val Shards = 256
+
+  private def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def isNumericShardable(t: DataType): Boolean = t match {
+    case _ if isIntegral(t) => true
+    case FloatType | DoubleType => true
+    case _: DecimalType => true
+    case DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case w: LWindow if eligible(w) =>
+      try tryRewrite(w).getOrElse(w)
+      catch { case e: Exception =>
+        logWarning(s"prefix-window rewrite abandoned: ${e.getMessage}")
+        w
+      }
+  }
+
+  /** Cheap structural + size gates before any construction work. */
+  private def eligible(w: LWindow): Boolean = {
+    val partOk = w.partitionSpec.forall(_.isInstanceOf[AttributeReference])
+    // re-entrance guard: the replacement's own shard-local window
+    // partitions by the helper columns — never rewrite those
+    val notOurs = w.partitionSpec.forall {
+      case a: AttributeReference =>
+        !a.name.startsWith("__ps_") && !a.name.startsWith("__gpx_")
+      case _ => true
+    }
+    w.windowExpressions.size == 1 && w.hint.isEmpty && partOk && notOurs &&
+      w.orderSpec.nonEmpty && oversized(w)
+  }
+
+  /** Size trigger: whole-input bytes for a global window; per-group
+    * bytes (requires column stats on every partition attr) otherwise. */
+  private def oversized(w: LWindow): Boolean = {
+    val size = w.child.stats.sizeInBytes
+    if (w.partitionSpec.isEmpty) size > BigInt(maxBytes)
+    else {
+      val stats = w.child.stats.attributeStats
+      val counts = w.partitionSpec.map {
+        case a: Attribute => stats.get(a).flatMap(_.distinctCount)
+        case _ => None
+      }
+      counts.forall(_.isDefined) && {
+        val groups = counts.flatten.product.max(BigInt(1))
+        size / groups > BigInt(maxBytes)
+      }
+    }
+  }
+
+  private def tryRewrite(w: LWindow): Option[LogicalPlan] = {
+    val (al, wf, frame) = w.windowExpressions.head match {
+      case al @ Alias(WindowExpression(f,
+          WindowSpecDefinition(_, _, fr: SpecifiedWindowFrame)), _) =>
+        (al, f, fr)
+      case _ => return None
+    }
+    // the prefix frame only: ROWS UNBOUNDED PRECEDING .. CURRENT ROW
+    if (frame != SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+        CurrentRow)) return None
+    val so = w.orderSpec.head
+    // the two DEFAULT direction/null pairings; a flipped nulls ordering
+    // has no monotone shard for the null rows
+    val dirOk = (so.direction, so.nullOrdering) match {
+      case (Ascending, NullsFirst) | (Descending, NullsLast) => true
+      case _ => false
+    }
+    if (!dirOk || w.orderSpec.exists(s => !s.child.deterministic))
+      return None
+    val o = so.child
+    val shardable = o.dataType match {
+      case StringType => so.direction == Ascending // no monotone string flip
+      case t => isNumericShardable(t)
+    }
+    if (!shardable) return None
+    // name-based reassembly (shardedPriors joins by name) needs unique,
+    // collision-free child column names
+    val names = w.child.output.map(_.name)
+    if (names.distinct.size != names.size ||
+      names.exists(n => n.startsWith("__ps_") || n.startsWith("__gpx_")))
+      return None
+
+    val value: Option[Expression] = wf match {
+      case AggregateExpression(s: Sum, Complete, false, None, _)
+          if isIntegral(s.child.dataType) && s.child.deterministic =>
+        Some(s.child)
+      case _: RowNumber => None
+      case NTile(Literal(_: Int, IntegerType)) => None
+      case _ => return None
+    }
+
+    val spark = SparkSession.active
+    val partNames = w.partitionSpec.map {
+      case a: AttributeReference => a.name
+    }
+    val df = GraftSqlBridge.ofRows(spark, w.child)
+    val (dfS, shardCol) = shardOf(df, o, so.direction == Descending)
+    val ords = w.orderSpec.map(sortCol)
+
+    val result: DataFrame = wf match {
+      case AggregateExpression(s: Sum, _, _, _, _) =>
+        val vc = GraftSqlBridge.column(s.child)
+        // window SUM ignores nulls and is null only until the first
+        // non-null value: decompose into a running non-null sum plus a
+        // running non-null count, both over non-null carriers
+        val vz = coalesce(vc.cast(LongType), lit(0L))
+        val ind = when(vc.isNotNull, lit(1L)).otherwise(lit(0L))
+        val pr = PrefixSum.shardedPriors(dfS, partNames, shardCol, ords,
+          Seq("__gpx_ps" -> vz, "__gpx_pc" -> ind), hintBroadcast = false)
+        pr.withColumn("__gpx_res",
+          when(col("__gpx_pc") + ind === 0L, lit(null))
+            .otherwise(col("__gpx_ps") + vz)
+            .cast(al.dataType))
+      case _: RowNumber =>
+        val pr = PrefixSum.shardedPriors(dfS, partNames, shardCol, ords,
+          Seq("__gpx_pc" -> lit(1L)), hintBroadcast = false)
+        pr.withColumn("__gpx_res",
+          (col("__gpx_pc") + lit(1L)).cast(IntegerType))
+      case NTile(Literal(k: Int, IntegerType)) =>
+        val pr = PrefixSum.shardedPriors(dfS, partNames, shardCol, ords,
+          Seq("__gpx_pc" -> lit(1L)), hintBroadcast = false)
+        // NOTE: no broadcast() hints anywhere in this construction — the
+        // rule runs AFTER the optimizer's hint-resolution batch, so a
+        // ResolvedHint in the inserted tree reaches physical planning and
+        // trips an internal error; the 1-row/offset frames broadcast by
+        // size estimate anyway
+        val nAgg = count(lit(1)).as("__gpx_n")
+        val withN =
+          if (partNames.isEmpty) pr.crossJoin(df.agg(nAgg))
+          else {
+            // null-safe keyed group counts (a usingColumns join would
+            // drop null partition values the window form keeps)
+            val counts = df.groupBy(partNames.map(col): _*).agg(nAgg)
+              .select(partNames.map(c => col(c).as(s"__gpx_g_$c")) :+
+                col("__gpx_n"): _*)
+            pr.join(counts, partNames.map(c =>
+              col(c) <=> col(s"__gpx_g_$c")).reduce(_ && _))
+          }
+        // Spark's ragged-N ntile sizing inlined as a closed form (the
+        // q_curriculum_hist formula): with N = q·k + r, the first r
+        // buckets take q+1 rows and the rest take q
+        withN.withColumn("__gpx_rank", col("__gpx_pc") + lit(1L))
+          .withColumn("__gpx_res", expr(
+            s"""CAST(CASE
+                 WHEN __gpx_rank <= (__gpx_n % $k) * ((__gpx_n DIV $k) + 1)
+                 THEN ((__gpx_rank - 1) DIV ((__gpx_n DIV $k) + 1)) + 1
+                 ELSE (__gpx_n % $k) +
+                      ((__gpx_rank - (__gpx_n % $k) * ((__gpx_n DIV $k) + 1)
+                          - 1) DIV GREATEST(__gpx_n DIV $k, 1)) + 1
+               END AS INT)"""))
+      case _ => return None
+    }
+
+    // strip any residual hint nodes: the optimizer's hint-resolution
+    // batch already ran, so a ResolvedHint inserted now would reach the
+    // planner unreplaced (INTERNAL_ERROR)
+    val rep = result.queryExecution.analyzed.transform {
+      case org.apache.spark.sql.catalyst.plans.logical
+        .ResolvedHint(child, _) => child
+    }
+    val resAttr = rep.output.find(_.name == "__gpx_res").getOrElse(
+      return None)
+    // every original child attr must have survived reassembly with its
+    // exprId intact (the left spine of every join is the child frame)
+    if (!w.child.output.forall(a => rep.outputSet.contains(a))) return None
+    val pinned: Seq[NamedExpression] = w.child.output ++ Seq(
+      Alias(
+        if (resAttr.dataType == al.dataType) resAttr
+        else Cast(resAttr, al.dataType),
+        al.name)(exprId = al.exprId))
+    Some(Project(pinned, rep))
+  }
+
+  /** The order-prefix shard column: a bounded-cardinality, non-decreasing
+    * (along the sort order) function of the first order expression, with
+    * order ties never straddling shards. Strings shard on their 2-char
+    * prefix (binary-order monotone; nulls → "", the lowest prefix).
+    * Numerics shard on a 256-way range bucket from an in-plan min/max
+    * aggregate (one extra scan — the q_seq_pack_shard recipe), cast
+    * through double: rounding is monotone, so precision loss can only
+    * merge adjacent buckets, never reorder them. Nulls and NaNs get the
+    * sentinel buckets their sort position demands; infinite or
+    * degenerate (span 0 / NaN) corpora collapse to one bucket — correct,
+    * merely unsharded. Descending orders flip the bucket index. */
+  private def shardOf(df: DataFrame, o: Expression,
+      desc: Boolean): (DataFrame, Column) = {
+    val oc = GraftSqlBridge.column(o)
+    o.dataType match {
+      case StringType =>
+        (df, coalesce(substring(oc, 1, 2), lit("")))
+      case _ =>
+        val od = oc.cast(DoubleType)
+        val mm = df.agg(min(od).as("__gpx_mn"), max(od).as("__gpx_mx"))
+        val d2 = df.crossJoin(mm) // 1-row side: broadcasts by estimate
+        val span = col("__gpx_mx") - col("__gpx_mn")
+        val b0 = floor((od - col("__gpx_mn")) * lit(Shards.toDouble) /
+          when(span > 0.0, span).otherwise(lit(1.0)))
+        val ab = when(od.isNull, lit(-1L))
+          .when(isnan(od), lit(Shards.toLong))
+          .otherwise(greatest(lit(0L), least(lit(Shards - 1L),
+            coalesce(b0.cast(LongType), lit(0L)))))
+        (d2, if (desc) lit(Shards.toLong) - ab else ab)
+    }
+  }
+
+  private def sortCol(s: SortOrder): Column = {
+    val c = GraftSqlBridge.column(s.child)
+    (s.direction, s.nullOrdering) match {
+      case (Ascending, NullsFirst) => c.asc_nulls_first
+      case (Ascending, NullsLast) => c.asc_nulls_last
+      case (Descending, NullsFirst) => c.desc_nulls_first
+      case (Descending, NullsLast) => c.desc_nulls_last
+    }
+  }
+}

@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.RewritePrefixWindow
+
+/** The prefix-window auto-dispatch rule (plans/WindowShard.scala): a
+  * USER-written naive running-sum / row_number / ntile window must
+  * rewrite to the sharded-prior dataflow past the size threshold — with
+  * identical results — and must leave the plan alone below it, when the
+  * shapes' semantics can't be absorbed, or when a partitioned window's
+  * group size can't be estimated from column stats.
+  */
+class WindowShardRewriteSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def globalWindows(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }.size
+
+  private def anyWindow(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.size
+
+  /** Run `body` with the rule installed and the size gate at `gate`. */
+  private def withRule[T](gate: String)(body: => T): T = {
+    val s = spark
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ RewritePrefixWindow
+    s.conf.set(RewritePrefixWindow.ConfKey, gate)
+    try body
+    finally {
+      s.conf.unset(RewritePrefixWindow.ConfKey)
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations
+        .filterNot(_ == RewritePrefixWindow)
+    }
+  }
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case null => "NULL"
+      case x => x.toString
+    }).sortBy(_.mkString("|")).map(_.map(identity[Any]))
+
+  // synthetic tie-free frame with nulls in both the order and value
+  // columns: 4k rows, order key o (one null), value v (nulls every 7th)
+  private def frame(): DataFrame = {
+    val s = spark
+    import s.implicits._
+    s.range(4000).select(
+      col("id"),
+      when(col("id") === 1234, lit(null))
+        .otherwise(pmod(col("id") * 2654435761L, lit(99991))).as("o"),
+      when(pmod(col("id"), lit(7)) === 0, lit(null))
+        .otherwise(pmod(col("id") * 31 + 7, lit(997))).as("v"),
+      concat(lit("g"), pmod(col("id"), lit(3))).as("grp"))
+  }
+
+  test("global running SUM rewrites past the gate, bit-equal, incl. nulls") {
+    val naive = frame().withColumn("run",
+      sum(col("v")).over(Window.orderBy(col("o").asc_nulls_first, col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val want = rows(naive)
+    assert(globalWindows(naive) == 1, "positive control: naive plan " +
+      "must carry the global window")
+    withRule("0") {
+      val rewritten = frame().withColumn("run",
+        sum(col("v")).over(Window.orderBy(col("o").asc_nulls_first,
+            col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      assert(globalWindows(rewritten) == 0,
+        "rewrite did not fire on the global running sum")
+      assert(anyWindow(rewritten) >= 1,
+        "shard-local window missing — wrong plan under test?")
+      assert(rows(rewritten) == want, "rewritten running sum diverges")
+    }
+  }
+
+  test("global row_number rewrites past the gate, bit-equal") {
+    def build() = frame().withColumn("rn",
+      row_number().over(Window.orderBy(col("o").asc_nulls_first, col("id"))))
+    val want = rows(build())
+    withRule("0") {
+      val rewritten = build()
+      assert(globalWindows(rewritten) == 0,
+        "rewrite did not fire on the global row_number")
+      assert(rows(rewritten) == want, "rewritten row_number diverges")
+    }
+  }
+
+  test("the q_curriculum shape (global ntile over quality desc) rewrites " +
+      "past the gate with the oracle row's exact results") {
+    val want = rows(SparkEntry.queries("q_curriculum")(spark, sfDir))
+    withRule("0") {
+      val rewritten = SparkEntry.queries("q_curriculum")(spark, sfDir)
+      assert(globalWindows(rewritten) == 0,
+        "rewrite did not fire on q_curriculum's global ntile")
+      assert(rows(rewritten) == want, "rewritten q_curriculum diverges")
+    }
+    // ragged N too (Spark's uneven ntile bucket sizing is inlined as a
+    // closed form — pin it off the even-split corpus)
+    val s = spark
+    import s.implicits._
+    val ragged = (0 until 11).map(i => (i.toLong, 100L - i * 3, i * 17L))
+      .toDF("doc_id", "q", "w")
+    def nt(df: DataFrame) = df.withColumn("stage",
+      ntile(4).over(Window.orderBy(col("q").desc, col("doc_id"))))
+    val wantR = rows(nt(ragged))
+    withRule("0") {
+      val r = nt(ragged)
+      assert(globalWindows(r) == 0, "ntile rewrite did not fire on ragged N")
+      assert(rows(r) == wantR, "ragged-N ntile diverges")
+    }
+  }
+
+  test("the q_sample_budget shape (partitioned running sum) refuses " +
+      "without column stats, fires with them, bit-equal") {
+    def shape(df: DataFrame) = df.withColumn("prior",
+      sum(col("n_chars")).over(Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("n_chars"))
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "source", "n_chars")
+    val want = rows(shape(docs))
+    withRule("0") {
+      // no distinct-count stats on `source` → group size unknown → the
+      // rule must refuse (blind sharding of a high-cardinality partition
+      // would be a regression, not a rescue)
+      val kept = shape(docs)
+      assert(anyWindow(kept) == 1 && globalWindows(kept) == 0,
+        "rule fired on a partitioned window WITHOUT column stats")
+      assert(rows(kept) == want)
+    }
+    // with ANALYZE-computed column stats the group estimate exists: fires
+    val s = spark
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      docs.write.mode("overwrite").saveAsTable("gpx_docs_stats")
+      s.sql("ANALYZE TABLE gpx_docs_stats COMPUTE STATISTICS " +
+        "FOR COLUMNS source")
+      withRule("0") {
+        val analyzed = shape(s.table("gpx_docs_stats"))
+        assert(analyzed.queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.nonEmpty &&
+            !w.partitionSpec.exists(_.references.exists(
+              _.name.startsWith("__ps_"))) => w
+        }.isEmpty, "rule did not fire on the stats-backed partitioned " +
+          s"window:\n${analyzed.queryExecution.optimizedPlan}")
+        assert(rows(analyzed) == want, "rewritten partitioned sum diverges")
+      }
+    } finally {
+      s.sql("DROP TABLE IF EXISTS gpx_docs_stats")
+      s.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
+  test("refusals: below the gate, float sums, non-default null ordering, " +
+      "other frames") {
+    val naiveSum = () => frame().withColumn("run",
+      sum(col("v")).over(Window.orderBy(col("o").asc_nulls_first, col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // below the gate (default 1 GiB): tiny frame keeps its window
+    withRule((1L << 30).toString) {
+      assert(globalWindows(naiveSum()) == 1,
+        "rule fired below the size gate")
+    }
+    withRule("0") {
+      // float/double sums are not associative — must not rewrite
+      val dbl = frame().withColumn("run",
+        sum(col("v").cast("double")).over(
+          Window.orderBy(col("o").asc_nulls_first, col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      assert(globalWindows(dbl) == 1, "rule fired on a DOUBLE running sum")
+      // non-default null ordering: no monotone shard for the null rows
+      val nl = frame().withColumn("run",
+        sum(col("v")).over(Window.orderBy(col("o").asc_nulls_last, col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      assert(globalWindows(nl) == 1, "rule fired on asc_nulls_last")
+      // a non-prefix frame (trailing 3 rows) must not rewrite
+      val tail3 = frame().withColumn("run",
+        sum(col("v")).over(Window.orderBy(col("o").asc_nulls_first,
+            col("id")).rowsBetween(-2, Window.currentRow)))
+      assert(globalWindows(tail3) == 1, "rule fired on a bounded frame")
+      // rank() (a non-prefix-expressible function) must not rewrite
+      val rk = frame().withColumn("r",
+        rank().over(Window.orderBy(col("o").asc_nulls_first, col("id"))))
+      assert(globalWindows(rk) == 1, "rule fired on rank()")
+    }
+  }
+}
