@@ -205,7 +205,8 @@ object StressMain {
     if (mode == "text" || mode == "embed" || mode == "events" ||
         mode == "stream" || mode == "embeddim" || mode == "corpusstream" ||
         mode == "prefix") {
-      if (mode == "text") textStress(spark, src, copies, work)
+      if (mode == "text") textStress(spark, src, copies, work,
+        if (args.length > 4) args(4) else "all")
       else if (mode == "prefix") prefixStress(spark, src, copies, work)
       else if (mode == "embed") embedStress(spark, src, copies, work)
       else if (mode == "embeddim") embedDimStress(spark, src, copies, work,
@@ -1661,15 +1662,28 @@ object StressMain {
         f"${metrics(s"${sh}_x$copies")._3}%.1f s")
   }
 
+  /** `only` selects one text op per JVM for the ≥×10000 tier, where the
+    * family's combined live shuffle exceeds a single box's disk (r15:
+    * the postings build ALONE needs ~100 GB at ×10000) — running each op
+    * in its own process reclaims shuffle/scratch between ops, so the ops
+    * that individually fit can still be measured. Values: all | index |
+    * substring | span | pipeline. Each selection runs the op's tiers AND
+    * every law that only needs that op; cross-op laws (none currently —
+    * sharded==unsharded is index-internal) would need mode=all. */
   private def textStress(spark: SparkSession, src: String, copies: Int,
-      work: String): Unit = {
+      work: String, only: String = "all"): Unit = {
+    require(Set("all", "index", "substring", "span", "pipeline")(only),
+      s"unknown text op selector: $only")
+    def sel(op: String): Boolean = only == "all" || only == op
     val docs0 = spark.read.parquet(s"$src/documents.parquet")
     val dOff = docs0.agg(max("doc_id")).head.getLong(0) + 1
     val nDocs = docs0.count()
     val lo = math.max(copies / 10, 1)
     def build(c: Int, dir: String): Unit =
       blowUpDocs(spark, docs0, dOff, c, s"$dir/documents.parquet")
-    build(lo, s"$work/x$lo")
+    // span_cut runs at the hi tier only; skip the lo corpus for it
+    if (sel("index") || sel("substring") || sel("pipeline"))
+      build(lo, s"$work/x$lo")
     build(copies, s"$work/x$copies")
     println(s"STRESS| text corpora: ${nDocs * lo} docs at ×$lo, " +
       s"${nDocs * copies} docs at ×$copies ($src)")
@@ -1687,7 +1701,9 @@ object StressMain {
     // sharded==unsharded set equality holds at the lo tier instead.
     val unshardedHi = copies <= 100
     val names =
-      Seq("q_inverted_index", "q_inverted_index_shard", "q_substring_dup")
+      (if (sel("index"))
+         Seq("q_inverted_index", "q_inverted_index_shard") else Nil) ++
+      (if (sel("substring")) Seq("q_substring_dup") else Nil)
     // the unsharded arm's ceiling gates the LO tier too: at copies=10000
     // the lo tier IS ×1000, where the df-sized collect buffer OOMs by
     // design — the sharded==unsharded equality then stands on its ≤×100
@@ -1717,42 +1733,51 @@ object StressMain {
       finally spark.conf.set(pKeyT, pBaseT)
 
     // ---- correctness laws at ×copies (same laws as the 10× suite) --------
-    if (unshardedLo) sameSet(s"sharded index = unsharded index at ×$lo",
-      out(s"q_inverted_index_shard_x$lo"),
-      out(s"q_inverted_index_x$lo"))
-    if (unshardedHi) sameSet(s"sharded index = unsharded index at ×$copies",
-      out(s"q_inverted_index_shard_x$copies"),
-      out(s"q_inverted_index_x$copies"))
-    // df/cf scaling pinned on whichever arm runs at the hi tier (the
-    // sharded arm equals the unsharded one by the lo-tier law)
-    val hiIndex =
-      if (unshardedHi) s"q_inverted_index_x$copies"
-      else s"q_inverted_index_shard_x$copies"
-    sameSet(s"inverted index df/cf = sf0.1 ×$copies",
-      out(hiIndex).select(col("term"),
-        (col("df") / copies).cast("long").as("df"),
-        (col("cf") / copies).cast("long").as("cf")),
-      q("q_inverted_index", src).select(col("term"), col("df"), col("cf")))
-    val subHi = out(s"q_substring_dup_x$copies")
-    check(s"q_substring_dup ×$copies: every doc fully duplicated",
-      subHi.filter(col("dup_fraction") =!= 1.0).count() == 0,
-      "docs with dup_fraction < 1 exist")
-    sameSet(s"q_substring_dup window counts preserved per copy at ×$copies",
-      subHi.select((col("doc_id") % dOff).as("doc_id"), col("n_windows"))
-        .distinct(),
-      q("q_substring_dup", src).select("doc_id", "n_windows"))
+    if (sel("index")) {
+      if (unshardedLo) sameSet(s"sharded index = unsharded index at ×$lo",
+        out(s"q_inverted_index_shard_x$lo"),
+        out(s"q_inverted_index_x$lo"))
+      if (unshardedHi)
+        sameSet(s"sharded index = unsharded index at ×$copies",
+          out(s"q_inverted_index_shard_x$copies"),
+          out(s"q_inverted_index_x$copies"))
+      // df/cf scaling pinned on whichever arm runs at the hi tier (the
+      // sharded arm equals the unsharded one by the lo-tier law)
+      val hiIndex =
+        if (unshardedHi) s"q_inverted_index_x$copies"
+        else s"q_inverted_index_shard_x$copies"
+      sameSet(s"inverted index df/cf = sf0.1 ×$copies",
+        out(hiIndex).select(col("term"),
+          (col("df") / copies).cast("long").as("df"),
+          (col("cf") / copies).cast("long").as("cf")),
+        q("q_inverted_index", src).select(
+          col("term"), col("df"), col("cf")))
+    }
+    if (sel("substring")) {
+      val subHi = out(s"q_substring_dup_x$copies")
+      check(s"q_substring_dup ×$copies: every doc fully duplicated",
+        subHi.filter(col("dup_fraction") =!= 1.0).count() == 0,
+        "docs with dup_fraction < 1 exist")
+      sameSet(
+        s"q_substring_dup window counts preserved per copy at ×$copies",
+        subHi.select((col("doc_id") % dOff).as("doc_id"), col("n_windows"))
+          .distinct(),
+        q("q_substring_dup", src).select("doc_id", "n_windows"))
+    }
     // span-cut law at ×copies: every ≥10-token doc's windows are all
     // cross-doc duplicated (its exact copies exist), so the rewrite cuts
     // it to ZERO tokens; <10-token docs emit no windows and stay intact
-    timed(s"q_dedup_span_cut_x$copies", s"$work/out",
-      q("q_dedup_span_cut", s"$work/x$copies"))
-    val spanHi = out(s"q_dedup_span_cut_x$copies")
-    check(s"q_dedup_span_cut ×$copies: long docs fully cut, short intact",
-      spanHi.filter(
-        (col("n_tokens") >= 10 && col("n_kept") =!= 0L) ||
-          (col("n_tokens") < 10 && col("n_kept") =!= col("n_tokens")))
-        .count() == 0,
-      "docs violating the full-duplication rewrite law exist")
+    if (sel("span")) {
+      timed(s"q_dedup_span_cut_x$copies", s"$work/out",
+        q("q_dedup_span_cut", s"$work/x$copies"))
+      val spanHi = out(s"q_dedup_span_cut_x$copies")
+      check(s"q_dedup_span_cut ×$copies: long docs fully cut, short intact",
+        spanHi.filter(
+          (col("n_tokens") >= 10 && col("n_kept") =!= 0L) ||
+            (col("n_tokens") < 10 && col("n_kept") =!= col("n_tokens")))
+          .count() == 0,
+        "docs violating the full-duplication rewrite law exist")
+    }
 
     // ---- metric laws over the 10× step taken at the 100× point -----------
     // tolerance [0.6, 1.5]×step: shuffle compression ratios and AQE
@@ -1760,7 +1785,8 @@ object StressMain {
     // ×10→×100); the law being guarded is LINEAR vs the ×step² of an
     // accidental cross-product or re-read, far outside the band
     val step = copies.toDouble / lo
-    for (n <- Seq("q_inverted_index_shard", "q_substring_dup")) {
+    for (n <- Seq("q_inverted_index_shard", "q_substring_dup")
+        if mLo.contains(n) && mHi.contains(n)) {
       val sLo = mLo(n)._2; val sHi = mHi(n)._2
       val ratio = sHi.toDouble / math.max(sLo, 1L)
       check(f"$n shuffle bytes scale ~linearly (×$lo→×$copies)",
@@ -1768,6 +1794,7 @@ object StressMain {
         f"shufW ratio $ratio%.2f vs step $step%.0f " +
           s"(${mb(sLo)} MB → ${mb(sHi)} MB)")
     }
+    if (sel("substring")) {
     val pLo = mLo("q_substring_dup")._1; val pHi = mHi("q_substring_dup")._1
     // Two-regime bound: at small decades peak tracks the lo tier (≤ 2×);
     // at sort-heavy decades the unified memory manager lets each task
@@ -1785,15 +1812,18 @@ object StressMain {
       pHi <= math.max(math.max(pLo, 64L << 20) * 2, fairShare),
       s"peak ${mb(pHi)} MB at ×$copies vs ${mb(pLo)} MB at ×$lo, " +
         s"fair share ${mb(fairShare)} MB")
-    println(s"STRESS| postings-buffer evidence: unsharded peak " +
-      (if (unshardedLo) s"${mb(mLo("q_inverted_index")._1)} MB at ×$lo → "
-       else s"OOM-by-design at ×$lo already → ") +
-      (if (unshardedHi) s"${mb(mHi("q_inverted_index")._1)} MB at ×$copies"
-       else s"OOM-by-design past ×100 (df-sized collect buffer)") +
-      s", sharded first-level width " +
-      s"fixed at 128 docs (second-level assembly per oracle contract): " +
-      s"${mb(mLo("q_inverted_index_shard")._1)} → " +
-      s"${mb(mHi("q_inverted_index_shard")._1)} MB")
+    }
+    if (sel("index"))
+      println(s"STRESS| postings-buffer evidence: unsharded peak " +
+        (if (unshardedLo) s"${mb(mLo("q_inverted_index")._1)} MB at ×$lo → "
+         else s"OOM-by-design at ×$lo already → ") +
+        (if (unshardedHi)
+           s"${mb(mHi("q_inverted_index")._1)} MB at ×$copies"
+         else s"OOM-by-design past ×100 (df-sized collect buffer)") +
+        s", sharded first-level width " +
+        s"fixed at 128 docs (second-level assembly per oracle contract): " +
+        s"${mb(mLo("q_inverted_index_shard")._1)} → " +
+        s"${mb(mHi("q_inverted_index_shard")._1)} MB")
 
     // ---- the composed corpus pipeline at ×copies -------------------------
     // The flagship composition under the blow-up law: the per-doc gates
@@ -1804,6 +1834,7 @@ object StressMain {
     // the expensive shingle/minhash work never sees the blown-up corpus.
     // The whole attrition table is therefore derivable from the base run
     // and asserted exactly; wall time should grow only with the scans.
+    if (sel("pipeline")) {
     val baseAttrition = q("q_corpus_pipeline", src).collect()
       .map(r => r.getAs[Int]("stage_ord") ->
         (r.getAs[String]("stage"), r.getAs[Long]("n_docs"))).toMap
@@ -1818,6 +1849,7 @@ object StressMain {
       }
       check(s"corpus pipeline attrition derivable from base at ×$c",
         got == want, s"got $got, want $want")
+    }
     }
   }
 }
