@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.CosineSim
-import graft.plans.RewriteCosineSelfJoin
+import graft.plans.{RewriteCosineSelfJoin, RewritePrefixWindow}
 
 /** Forked-JVM entry for ExtensionsSpec: builds a FRESH session with
   * `.withExtensions(new GraftExtensions)` (impossible on the shared test
@@ -80,6 +80,30 @@ object ExtensionsMain {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     require(got == want && got.nonEmpty,
       s"SQL path != API path: ${got.size} vs ${want.size} pairs")
+
+    // 4. the prefix-window auto-dispatch rule fires from PLAIN SQL (the
+    // q_sample_budget shape written naively, global order) once its size
+    // gate is lowered — and computes the same prefix sums as the window
+    Tables(spark, sfDir, "documents").createOrReplaceTempView("docs")
+    val wsql =
+      """SELECT doc_id, sum(n_chars) OVER (
+           ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         FROM docs"""
+    spark.conf.set(RewritePrefixWindow.ConfKey, "0")
+    val wdf = spark.sql(wsql)
+    val globalWins = wdf.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    require(globalWins.isEmpty,
+      s"SQL prefix window did not rewrite:\n${wdf.queryExecution.optimizedPlan}")
+    val gotW = wdf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set(RewritePrefixWindow.ConfKey, Long.MaxValue.toString)
+    val wantW = spark.sql(wsql).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    require(gotW == wantW && gotW.nonEmpty,
+      "rewritten SQL prefix sums diverge from the window form")
 
     spark.stop()
   }

@@ -12,7 +12,8 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ExtensionsSpec extends AnyFunSuite {
 
-  test("withExtensions(GraftExtensions) wires functions + rewrite in a fresh session") {
+  test("withExtensions(GraftExtensions) wires functions + cosine and " +
+      "prefix-window rewrites in a fresh session") {
     assert(ForkedJvm.run("graft.ExtensionsMain", "2g",
       Seq("/root/testdata/sf0.001")) == 0,
       "forked extensions JVM failed")

@@ -1839,8 +1839,17 @@ object StressMain {
       .map(r => r.getAs[Int]("stage_ord") ->
         (r.getAs[String]("stage"), r.getAs[Long]("n_docs"))).toMap
     for (c <- Seq(lo, copies)) {
-      timed(s"q_corpus_pipeline_x$c", s"$work/out",
+      // the hi tier runs under the same partitions-∝-corpus discipline as
+      // the other hi-tier ops: with partitions FIXED the per-task sort
+      // input grows ×step and the spill measures the harness, not the
+      // operator (×10000 measured 17.2 GB spill at 32 partitions vs the
+      // scaled configuration a 1000-executor cluster actually runs)
+      val scaled = c == copies && copies > lo
+      if (scaled) spark.conf.set(pKeyT,
+        (pBaseT.toInt * (copies.toDouble / lo)).toInt.toString)
+      try timed(s"q_corpus_pipeline_x$c", s"$work/out",
         q("q_corpus_pipeline", s"$work/x$c"))
+      finally if (scaled) spark.conf.set(pKeyT, pBaseT)
       val got = out(s"q_corpus_pipeline_x$c").collect()
         .map(r => r.getAs[Int]("stage_ord") ->
           (r.getAs[String]("stage"), r.getAs[Long]("n_docs"))).toMap
