@@ -101,6 +101,50 @@ object PrefixSum {
     }.drop("__ps_shard" +: values.map(v => s"__ps_off_${v._1}"): _*)
   }
 
+  /** Scale-safe global rank: adds `rankName` = rank() (or dense_rank()
+    * when `dense`) over `orderCols` within each `partCols` group, with
+    * the same sharded decomposition as [[shardedPriors]] — no stage
+    * holds an unbounded partition.
+    *
+    * Exactness: rows tying on the FULL ordering key tie on its first
+    * expression, so every peer group lives inside one shard, and all
+    * rows of earlier shards sort strictly before — hence
+    * global rank = (rows in earlier shards) + shard-local rank, and
+    * global dense_rank = (DISTINCT keys in earlier shards) +
+    * shard-local dense_rank. The histogram aggregates count(*) per
+    * (group, shard) for rank and count(distinct key tuple) for
+    * dense_rank (`keyCols` = the raw ordering expressions, no sort
+    * direction — a distinct over sort-order wrappers is not a thing);
+    * offsets come from the same bounded histogram self-join, never a
+    * window. No broadcast hint on the offsets join (callers with
+    * unknown group cardinality — the optimizer rewrite — must not force
+    * one; AQE broadcasts small frames by estimate). */
+  def shardedRank(df: DataFrame, partCols: Seq[String], shard: Column,
+      orderCols: Seq[Column], keyCols: Seq[Column], dense: Boolean,
+      rankName: String = "rank"): DataFrame = {
+    val grp = partCols.map(col)
+    val t = df.withColumn("__ps_shard", shard)
+    val cnt =
+      if (dense) countDistinct(struct(keyCols: _*)).as("__ps_scnt")
+      else count(lit(1)).as("__ps_scnt")
+    val hist = t.groupBy(grp :+ col("__ps_shard"): _*).agg(cnt)
+    val earlier = hist.select(
+      partCols.map(c => col(c).as(s"__pe_$c")) ++
+        Seq(col("__ps_shard").as("__pe_shard"),
+          col("__ps_scnt").as("__pe_scnt")): _*)
+    val cond = partCols.map(c => col(c) === col(s"__pe_$c"))
+      .foldLeft(col("__pe_shard") < col("__ps_shard"))(_ && _)
+    val off = hist.join(earlier, cond, "left")
+      .groupBy(grp :+ col("__ps_shard"): _*)
+      .agg(coalesce(sum(col("__pe_scnt")), lit(0L)).as("__ps_off"))
+    val w = Window.partitionBy(grp :+ col("__ps_shard"): _*)
+      .orderBy(orderCols: _*)
+    val local = (if (dense) dense_rank() else rank()).over(w).cast("long")
+    t.join(off, partCols :+ "__ps_shard")
+      .withColumn(rankName, col("__ps_off") + local)
+      .drop("__ps_shard", "__ps_off")
+  }
+
   /** The md5-priority token-budget prior over a (doc_id, source, …)
     * frame: `prior` = per-source running `value` total in
     * (md5(doc_id), doc_id) order, sharded on the first two md5 hex chars

@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute,
-  AttributeReference, Cast, CurrentRow, Descending, Expression, Literal,
-  NamedExpression, NTile, NullsFirst, NullsLast, RowFrame, RowNumber,
-  SortOrder, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression,
-  WindowSpecDefinition}
+  AttributeReference, Cast, CurrentRow, DenseRank, Descending, Expression,
+  Literal, NamedExpression, NTile, NullsFirst, NullsLast, RangeFrame, Rank,
+  RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding,
+  WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Complete, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project,
@@ -26,9 +26,9 @@ import org.apache.spark.sql.types._
   * ×10000). But a USER writing the naive form gets the single-task sort —
   * Spark itself warns "No Partition Defined ... Moving all data to a
   * single partition". This rule closes that hole in the optimizer: a
-  * running-sum / row_number / ntile window is rewritten IN PLACE to the
-  * sharded-prior dataflow once Catalyst's size estimate says the sort is
-  * oversized —
+  * running-sum / row_number / ntile / rank / dense_rank window is
+  * rewritten IN PLACE to the sharded-prior dataflow once Catalyst's size
+  * estimate says the sort is oversized —
   *
   *   - empty partitionSpec: fires when the child estimate exceeds
   *     `spark.graft.window.maxSortBytes` (the whole input is one task's
@@ -47,10 +47,14 @@ import org.apache.spark.sql.types._
   * long addition is associative; float/double addition is not, and a
   * rewrite would change low-order bits). row_number/ntile rewrite as
   * running counts with Spark's ragged-N ntile sizing inlined as a closed
-  * form (the q_curriculum_hist formula). Ties in the order key stay
-  * within one shard (the shard is a non-decreasing function of the first
-  * order expression), so tie behavior is the same
-  * arbitrary-but-plan-stable class the window form has.
+  * form (the q_curriculum_hist formula); rank/dense_rank rewrite as
+  * earlier-shard row/distinct-key offsets plus a shard-local rank
+  * ([[PrefixSum.shardedRank]]) — exact, because peer groups never
+  * straddle shards. Ties in the order key stay within one shard (the
+  * shard is a non-decreasing function of the first order expression), so
+  * tie behavior of the remaining functions is the same
+  * arbitrary-but-plan-stable class the window form has — and rank's tie
+  * SEMANTICS (peer-group counting) are reproduced exactly.
   *
   * The replacement is built by wrapping the matched child back into a
   * DataFrame and calling the SAME `PrefixSum.shardedPriors` the
@@ -133,9 +137,19 @@ object RewritePrefixWindow extends Rule[LogicalPlan] {
         (al, f, fr)
       case _ => return None
     }
-    // the prefix frame only: ROWS UNBOUNDED PRECEDING .. CURRENT ROW
-    if (frame != SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
-        CurrentRow)) return None
+    // the prefix frames only: sum/row_number/ntile carry ROWS UNBOUNDED
+    // PRECEDING .. CURRENT ROW; rank/dense_rank accept the RANGE form of
+    // the same prefix too (RankLike's value ignores the frame — either
+    // spelling is the same function)
+    val rowsPrefix = frame == SpecifiedWindowFrame(RowFrame,
+      UnboundedPreceding, CurrentRow)
+    val rangePrefix = frame == SpecifiedWindowFrame(RangeFrame,
+      UnboundedPreceding, CurrentRow)
+    val frameOk = wf match {
+      case _: Rank | _: DenseRank => rowsPrefix || rangePrefix
+      case _ => rowsPrefix
+    }
+    if (!frameOk) return None
     val so = w.orderSpec.head
     // the two DEFAULT direction/null pairings; a flipped nulls ordering
     // has no monotone shard for the null rows
@@ -164,6 +178,7 @@ object RewritePrefixWindow extends Rule[LogicalPlan] {
         Some(s.child)
       case _: RowNumber => None
       case NTile(Literal(_: Int, IntegerType)) => None
+      case _: Rank | _: DenseRank => None
       case _ => return None
     }
 
@@ -194,6 +209,16 @@ object RewritePrefixWindow extends Rule[LogicalPlan] {
           Seq("__gpx_pc" -> lit(1L)), hintBroadcast = false)
         pr.withColumn("__gpx_res",
           (col("__gpx_pc") + lit(1L)).cast(IntegerType))
+      case rk @ (_: Rank | _: DenseRank) =>
+        // global rank = earlier-shard row count + shard-local rank;
+        // dense_rank offsets by earlier-shard DISTINCT keys instead —
+        // exact because peer groups never straddle shards (peers tie on
+        // the first order expression, the shard's input)
+        val keys = w.orderSpec.map(s => GraftSqlBridge.column(s.child))
+        PrefixSum.shardedRank(dfS, partNames, shardCol, ords, keys,
+            dense = rk.isInstanceOf[DenseRank], rankName = "__gpx_rk")
+          .withColumn("__gpx_res", col("__gpx_rk").cast(IntegerType))
+          .drop("__gpx_rk")
       case NTile(Literal(k: Int, IntegerType)) =>
         val pr = PrefixSum.shardedPriors(dfS, partNames, shardCol, ords,
           Seq("__gpx_pc" -> lit(1L)), hintBroadcast = false)

@@ -94,6 +94,32 @@ class WindowShardRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("global rank and dense_rank rewrite past the gate, bit-equal on a " +
+      "TIED corpus (peer groups never straddle shards)") {
+    // dense ties: ~41 peers per key over 4000 rows, nulls included —
+    // rank must jump by peer-group size, dense_rank by one
+    def tied() = {
+      val s = spark
+      s.range(4000).select(col("id"),
+        when(col("id") === 1234, lit(null))
+          .otherwise(pmod(col("id") * 131, lit(97))).as("o"))
+    }
+    for ((name, fn) <- Seq(
+        "rank" -> (() => rank()), "dense_rank" -> (() => dense_rank()))) {
+      def build() = tied().withColumn("r",
+        fn().over(Window.orderBy(col("o").asc_nulls_first)))
+      val want = rows(build())
+      assert(globalWindows(build()) == 1,
+        s"positive control: naive $name plan must carry the global window")
+      withRule("0") {
+        val rewritten = build()
+        assert(globalWindows(rewritten) == 0,
+          s"rewrite did not fire on the global $name")
+        assert(rows(rewritten) == want, s"rewritten $name diverges on ties")
+      }
+    }
+  }
+
   test("the q_curriculum shape (global ntile over quality desc) rewrites " +
       "past the gate with the oracle row's exact results") {
     val want = rows(SparkEntry.queries("q_curriculum")(spark, sfDir))
@@ -188,10 +214,14 @@ class WindowShardRewriteSpec extends AnyFunSuite {
         sum(col("v")).over(Window.orderBy(col("o").asc_nulls_first,
             col("id")).rowsBetween(-2, Window.currentRow)))
       assert(globalWindows(tail3) == 1, "rule fired on a bounded frame")
-      // rank() (a non-prefix-expressible function) must not rewrite
-      val rk = frame().withColumn("r",
-        rank().over(Window.orderBy(col("o").asc_nulls_first, col("id"))))
-      assert(globalWindows(rk) == 1, "rule fired on rank()")
+      // percent_rank/cume_dist (need the TOTAL count per partition, not
+      // a prefix) must not rewrite
+      val prk = frame().withColumn("r", percent_rank()
+        .over(Window.orderBy(col("o").asc_nulls_first, col("id"))))
+      assert(globalWindows(prk) == 1, "rule fired on percent_rank()")
+      val cd = frame().withColumn("r", cume_dist()
+        .over(Window.orderBy(col("o").asc_nulls_first, col("id"))))
+      assert(globalWindows(cd) == 1, "rule fired on cume_dist()")
     }
   }
 }
