@@ -1660,6 +1660,62 @@ object StressMain {
         f"${metrics(s"${win}_x$copies")._3}%.1f s vs $sh peak " +
         s"${mb(metrics(s"${sh}_x$copies")._1)} MB / " +
         f"${metrics(s"${sh}_x$copies")._3}%.1f s")
+
+    // ---- the auto-dispatch rule ITSELF at the hi tier (round 16) ---------
+    // Everything above measures hand-registered sharded arms. This
+    // section measures the production artifact a USER hits: the same
+    // naive global-window query run twice — rule absent (the one-task
+    // sort Spark warns about) vs RewritePrefixWindow installed with the
+    // gate at 0 (what the 1 GiB default does to a real corpus estimate).
+    // A rank-with-dense-ties shape, the function class added in round
+    // 16: every n_chars value carries ~copies× peers, so peer-group
+    // counting (not just row counting) is what's being held equal.
+    {
+      import org.apache.spark.sql.catalyst.plans.logical.{Window => LW}
+      import org.apache.spark.sql.expressions.{Window => WS}
+      val RP = graft.plans.RewritePrefixWindow
+      def userRank(dir: String): DataFrame = spark.read
+        .parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), rank()
+          .over(WS.orderBy(col("n_chars").desc_nulls_last)).as("r"))
+      def globalWins(df: DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case w: LW if w.partitionSpec.isEmpty => w
+        }.size
+      spark.conf.set(pKey,
+        (pBase.toInt * (copies.toDouble / lo)).toInt.toString)
+      try {
+        val naive = userRank(s"$work/x$copies")
+        check("user rank window WITHOUT the rule plans the one-task sort",
+          globalWins(naive) == 1, "positive control lost its global window")
+        val (pN, _, _) = timed(s"user_rank_naive_x$copies", s"$work/out",
+          naive)
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ RP
+        spark.conf.set(RP.ConfKey, "0")
+        try {
+          val dispatched = userRank(s"$work/x$copies")
+          check("user rank window WITH the rule auto-dispatches " +
+              "(no global-order window in the optimized plan)",
+            globalWins(dispatched) == 0, "rule did not fire at stress scale")
+          val (pD, _, _) = timed(s"user_rank_dispatched_x$copies",
+            s"$work/out", dispatched)
+          sameSet(s"auto-dispatched rank == naive window rank at ×$copies " +
+              "(dense ties)",
+            out(s"user_rank_dispatched_x$copies"),
+            out(s"user_rank_naive_x$copies"))
+          check(s"auto-dispatched rank peak ≤ pool fair share at ×$copies",
+            pD <= fairShare,
+            s"peak ${mb(pD)} MB vs fair share ${mb(fairShare)} MB")
+          println(s"STRESS| auto-dispatch evidence ×$copies: naive rank " +
+            s"peak ${mb(pN)} MB (one task) vs dispatched ${mb(pD)} MB")
+        } finally {
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations.filterNot(_ == RP)
+          spark.conf.unset(RP.ConfKey)
+        }
+      } finally spark.conf.set(pKey, pBase)
+    }
   }
 
   /** `only` selects one text op per JVM for the ≥×10000 tier, where the
