@@ -82,23 +82,35 @@ object PrefixSum {
         Seq(col("__ps_shard").as("__pe_shard")) ++
         values.map { case (n, _) =>
           col(s"__ps_ssum_$n").as(s"__pe_ssum_$n") }: _*)
+    // <=> on the group keys, both here and in the row join below: window
+    // semantics treat a NULL group value as its own partition, so plain
+    // equality would compute zero offsets for the null group and then
+    // drop its rows entirely at the inner join (caught by the
+    // null-partition case in WindowShardRewriteSpec)
     val cond = partCols
-      .map(c => col(c) === col(s"__pe_$c"))
+      .map(c => col(c) <=> col(s"__pe_$c"))
       .foldLeft(col("__pe_shard") < col("__ps_shard"))(_ && _)
     val offs = values.map { case (n, _) =>
       coalesce(sum(col(s"__pe_ssum_$n")), lit(0L)).as(s"__ps_off_$n") }
     val off = hist.join(earlier, cond, "left")
       .groupBy(grp :+ col("__ps_shard"): _*)
       .agg(offs.head, offs.tail: _*)
+      .select(partCols.map(c => col(c).as(s"__po_$c")) ++
+        Seq(col("__ps_shard").as("__po_shard")) ++
+        values.map(v => col(s"__ps_off_${v._1}")): _*)
     val w = Window
       .partitionBy(grp :+ col("__ps_shard"): _*)
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = t.join(if (hintBroadcast) broadcast(off) else off,
-      partCols :+ "__ps_shard")
+    val rowCond = (partCols
+      .map(c => col(c) <=> col(s"__po_$c")) :+
+      (col("__ps_shard") <=> col("__po_shard"))).reduce(_ && _)
+    val joined = t.join(if (hintBroadcast) broadcast(off) else off, rowCond)
     values.foldLeft(joined) { case (acc, (n, v)) =>
       acc.withColumn(n, col(s"__ps_off_$n") + sum(v).over(w) - v)
-    }.drop("__ps_shard" +: values.map(v => s"__ps_off_${v._1}"): _*)
+    }.drop(Seq("__ps_shard", "__po_shard") ++
+      partCols.map(c => s"__po_$c") ++
+      values.map(v => s"__ps_off_${v._1}"): _*)
   }
 
   /** Scale-safe global rank: adds `rankName` = rank() (or dense_rank()
@@ -132,17 +144,23 @@ object PrefixSum {
       partCols.map(c => col(c).as(s"__pe_$c")) ++
         Seq(col("__ps_shard").as("__pe_shard"),
           col("__ps_scnt").as("__pe_scnt")): _*)
-    val cond = partCols.map(c => col(c) === col(s"__pe_$c"))
+    // <=> on group keys (see shardedPriors): a NULL group is a partition
+    val cond = partCols.map(c => col(c) <=> col(s"__pe_$c"))
       .foldLeft(col("__pe_shard") < col("__ps_shard"))(_ && _)
     val off = hist.join(earlier, cond, "left")
       .groupBy(grp :+ col("__ps_shard"): _*)
       .agg(coalesce(sum(col("__pe_scnt")), lit(0L)).as("__ps_off"))
+      .select(partCols.map(c => col(c).as(s"__po_$c")) ++
+        Seq(col("__ps_shard").as("__po_shard"), col("__ps_off")): _*)
     val w = Window.partitionBy(grp :+ col("__ps_shard"): _*)
       .orderBy(orderCols: _*)
     val local = (if (dense) dense_rank() else rank()).over(w).cast("long")
-    t.join(off, partCols :+ "__ps_shard")
+    val rowCond = (partCols.map(c => col(c) <=> col(s"__po_$c")) :+
+      (col("__ps_shard") <=> col("__po_shard"))).reduce(_ && _)
+    t.join(off, rowCond)
       .withColumn(rankName, col("__ps_off") + local)
-      .drop("__ps_shard", "__ps_off")
+      .drop(Seq("__ps_shard", "__po_shard", "__ps_off") ++
+        partCols.map(c => s"__po_$c"): _*)
   }
 
   /** The md5-priority token-budget prior over a (doc_id, source, …)

@@ -187,6 +187,54 @@ class WindowShardRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("keyed rewrite keeps NULL partition values (window semantics: " +
+      "null is a partition) — sum and rank, stats-backed") {
+    // a third of the rows carry a NULL partition key; the window form
+    // keeps them as their own partition, so the rewrite's offset joins
+    // must be null-safe or those rows drop/corrupt
+    val s = spark
+    import s.implicits._
+    val base = s.range(3000).select(col("id"),
+      when(pmod(col("id"), lit(3)) === 0, lit(null))
+        .otherwise(concat(lit("s"), pmod(col("id"), lit(3)))).as("src"),
+      pmod(col("id") * 2654435761L, lit(99991)).as("o"),
+      pmod(col("id") * 31 + 7, lit(997)).as("v"))
+    def sumShape(df: DataFrame) = df.withColumn("run",
+      sum(col("v")).over(Window.partitionBy("src")
+        .orderBy(col("o").asc_nulls_first, col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def rankShape(df: DataFrame) = df.withColumn("r",
+      rank().over(Window.partitionBy("src")
+        .orderBy(pmod(col("o"), lit(41)).asc_nulls_first)))
+    val wantSum = rows(sumShape(base))
+    val wantRank = rows(rankShape(base))
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      base.write.mode("overwrite").saveAsTable("gpx_null_stats")
+      s.sql("ANALYZE TABLE gpx_null_stats COMPUTE STATISTICS " +
+        "FOR COLUMNS src")
+      withRule("0") {
+        val t = s.table("gpx_null_stats")
+        for ((name, shaped, want) <- Seq(
+            ("sum", sumShape(t), wantSum), ("rank", rankShape(t), wantRank))) {
+          assert(shaped.queryExecution.optimizedPlan.collect {
+            case w: LWindow if w.partitionSpec.nonEmpty &&
+              !w.partitionSpec.exists(_.references.exists(
+                _.name.startsWith("__ps_"))) => w
+          }.isEmpty, s"keyed $name did not fire on the stats-backed table")
+          val got = rows(shaped)
+          assert(got.size == want.size,
+            s"keyed $name rewrite changed the row count " +
+              s"(${got.size} vs ${want.size}) — null partitions dropped?")
+          assert(got == want, s"keyed $name diverges on null partitions")
+        }
+      }
+    } finally {
+      s.sql("DROP TABLE IF EXISTS gpx_null_stats")
+      s.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("refusals: below the gate, float sums, non-default null ordering, " +
       "other frames") {
     val naiveSum = () => frame().withColumn("run",
