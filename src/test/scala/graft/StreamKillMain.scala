@@ -234,25 +234,34 @@ object StreamKillMain {
     }
     // Mid-COMPACTION hard kills (the state-compaction generation gets the
     // same crash grammar as the per-batch writes). Both phases stage a
-    // fresh feed and drain until batch 4's compaction (compactEvery=4
-    // default, watermark 3) and halt INSIDE it via the Dedup.compactionHook
-    // test seam, at the two crash-interesting points, on the SECOND state
-    // kind ("sh") — so at halt time "hash" is fully compacted AND swept,
-    // "sh" is mid-flight, and band/s4/counts are untouched: the maximally
-    // skewed on-disk state. corpusresume afterwards must still equal the
-    // batch pipeline exactly.
-    //   corpuscompactkill : halt with sh's consolidated dir WRITTEN but
-    //                       UNMARKED — the resume must rebuild it from the
-    //                       still-present sources (markerless = invisible)
-    //   corpuscompactkill2: halt with sh's marker CREATED but the merged
-    //                       sources UNSWEPT — the resume must skip the
-    //                       rebuild and finish the sweep
+    // 10-chunk feed and drain until the SECOND compaction generation
+    // (compactEvery=4 default: bid 4 merges batches 0-3, bid 8 merges
+    // 4-7 AND supersedes the first c-dir), halting INSIDE it via the
+    // Dedup.compactionHook test seam at the two crash-interesting
+    // points, on the SECOND state kind ("sh") — so at halt time "hash"
+    // is fully re-compacted AND its first generation swept, "sh" is
+    // mid-supersession (BOTH its generations on disk in some state), and
+    // band/s4/counts still sit at generation 1: the maximally skewed
+    // layout. Generation 2, not 1, because only it exercises the
+    // prior-c-dir supersession path of the sweep under crash (at
+    // generation 1 there IS no other c-dir to delete). corpusresume
+    // afterwards must still equal the batch pipeline exactly.
+    //   corpuscompactkill : halt with sh's gen-2 dir WRITTEN but UNMARKED
+    //                       — the resume must see only the still-marked
+    //                       gen-1 dir (markerless = invisible) and rebuild
+    //                       gen 2 from it + the per-batch sources
+    //   corpuscompactkill2: halt with sh's gen-2 marker CREATED but the
+    //                       merged sources (gen-1 c-dir + batch dirs)
+    //                       UNSWEPT — the resume must read gen 2, skip
+    //                       the rebuild and finish the sweep
     if (phase == "corpuscompactkill" || phase == "corpuscompactkill2") {
       val point = if (phase == "corpuscompactkill") "premark" else "postmark"
-      operators.Dedup.stageCorpusFeed(spark, src, 6, s"$work/cfeed")
+      operators.Dedup.stageCorpusFeed(spark, src, 10, s"$work/cfeed")
+      val fired = new java.util.concurrent.atomic.AtomicInteger
       operators.Dedup.compactionHook = (p, kind) =>
-        if (p == point && kind == "sh") {
-          System.err.println(s"KILL| halting mid-compaction at ($p, $kind)")
+        if (p == point && kind == "sh" && fired.incrementAndGet() == 2) {
+          System.err.println(s"KILL| halting mid-compaction at ($p, $kind)" +
+            ", generation 2")
           Runtime.getRuntime.halt(42)
         }
       operators.Dedup.startCorpusStream(spark, s"$work/cfeed",
@@ -287,17 +296,25 @@ object StreamKillMain {
     }
     if (phase == "corpusresume") {
       // The proof is only a proof if the crash left UNCOMMITTED work: the
-      // halt fires from the async listener bus, and on a fast drain all 6
-      // batches could commit before the 3rd progress event is delivered —
+      // halt fires from the async listener bus (or the compaction hook),
+      // and on a fast drain every batch could commit before it fires —
       // the resume would then be a no-op and the exactly-once claim
       // silently untested (r14 ADVICE). Exit loudly (4) in that case.
+      // The feed size varies by kill phase (6 chunks for the batch-write
+      // kills, 10 for the generation-2 compaction kills), so the bound
+      // is the STAGED feed's own file count.
+      val nFeed = Option(new java.io.File(s"$work/cfeed").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(f => f.getName.startsWith("b") &&
+          f.getName.endsWith(".parquet"))
       val committed = Option(
         new java.io.File(s"$work/cscratch/checkpoint/commits").listFiles())
         .getOrElse(Array.empty[java.io.File])
         .count(_.getName.forall(_.isDigit))
-      if (committed >= 6) {
-        System.err.println(s"KILL| corpusresume is a NO-OP: all 6 batches " +
-          s"($committed) committed before the halt — kill proof degraded")
+      if (committed >= nFeed) {
+        System.err.println(s"KILL| corpusresume is a NO-OP: all $nFeed " +
+          s"batches ($committed) committed before the halt — kill proof " +
+          "degraded")
         spark.stop(); sys.exit(4)
       }
       val q = operators.Dedup.startCorpusStream(spark, s"$work/cfeed",

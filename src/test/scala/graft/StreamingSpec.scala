@@ -578,16 +578,23 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("corpus state compaction survives hard kills at BOTH mid-compaction " +
-      "points (markerless rebuild; marked skip + sweep finish)") {
+      "points of the SECOND generation (markerless rebuild under " +
+      "supersession; marked skip + prior-generation sweep finish)") {
     // The compaction generation gets the same crash grammar as the
-    // per-batch state writes. Each phase halts INSIDE batch 4's compaction
-    // via the Dedup.compactionHook seam, on the second state kind — so
-    // kind "hash" is fully compacted and swept, "sh" is mid-flight:
-    //   corpuscompactkill : consolidated dir written, marker NOT created —
-    //     the resume must treat the markerless dir as invisible and
-    //     rebuild it from the still-present per-batch sources
-    //   corpuscompactkill2: marker created, merged sources NOT swept — the
-    //     resume must skip the rebuild and just finish the sweep
+    // per-batch state writes. Each phase stages a 10-chunk feed and halts
+    // INSIDE the second compaction (batch 8's — the one that must
+    // supersede batch 4's consolidated dir, the sweep path generation 1
+    // never exercises) via the Dedup.compactionHook seam, on the second
+    // state kind — so "hash" is fully re-compacted with its first
+    // generation swept, "sh" is mid-supersession with BOTH generations on
+    // disk:
+    //   corpuscompactkill : gen-2 dir written, marker NOT created — the
+    //     resume must treat the markerless dir as invisible, read the
+    //     still-marked gen-1 dir, and rebuild gen 2 from it + the
+    //     per-batch sources
+    //   corpuscompactkill2: gen-2 marker created, merged sources (gen-1
+    //     c-dir + batch dirs) NOT swept — the resume must read gen 2,
+    //     skip the rebuild and finish the sweep
     // In both cases corpusresume must land on the batch pipeline exactly.
     for (phase <- Seq("corpuscompactkill", "corpuscompactkill2")) {
       val work = java.nio.file.Files
