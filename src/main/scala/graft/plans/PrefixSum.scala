@@ -113,10 +113,11 @@ object PrefixSum {
       values.map(v => s"__ps_off_${v._1}"): _*)
   }
 
-  /** Scale-safe global rank: adds `rankName` = rank() (or dense_rank()
-    * when `dense`) over `orderCols` within each `partCols` group, with
-    * the same sharded decomposition as [[shardedPriors]] — no stage
-    * holds an unbounded partition.
+  /** Scale-safe global rank family: adds `rankName` = the `mode` window
+    * function ("rank" | "dense_rank" | "percent_rank" | "cume_dist")
+    * over `orderCols` within each `partCols` group, with the same
+    * sharded decomposition as [[shardedPriors]] — no stage holds an
+    * unbounded partition.
     *
     * Exactness: rows tying on the FULL ordering key tie on its first
     * expression, so every peer group lives inside one shard, and all
@@ -124,16 +125,28 @@ object PrefixSum {
     * global rank = (rows in earlier shards) + shard-local rank, and
     * global dense_rank = (DISTINCT keys in earlier shards) +
     * shard-local dense_rank. The histogram aggregates count(*) per
-    * (group, shard) for rank and count(distinct key tuple) for
-    * dense_rank (`keyCols` = the raw ordering expressions, no sort
-    * direction — a distinct over sort-order wrappers is not a thing);
-    * offsets come from the same bounded histogram self-join, never a
-    * window. No broadcast hint on the offsets join (callers with
-    * unknown group cardinality — the optimizer rewrite — must not force
-    * one; AQE broadcasts small frames by estimate). */
+    * (group, shard) for the row-counting modes and count(distinct key
+    * tuple) for dense_rank (`keyCols` = the raw ordering expressions, no
+    * sort direction — a distinct over sort-order wrappers is not a
+    * thing); offsets come from the same bounded histogram self-join,
+    * never a window. percent_rank and cume_dist also need the group
+    * TOTAL — free from the same histogram (sum over ALL its shards) —
+    * and stay integer-exact until one final double division with the
+    * IDENTICAL operands Spark's own evaluators divide ((rank-1)/(N-1),
+    * peer-cumulative/N), so the IEEE result is bit-equal; cume_dist's
+    * shard-local peer-cumulative count is a count over the DEFAULT
+    * (peer-inclusive RANGE) frame. All group-key joins are null-safe (a
+    * NULL group value is its own partition under window semantics). No
+    * broadcast hint on the joins (callers with unknown group cardinality
+    * — the optimizer rewrite — must not force one; AQE broadcasts small
+    * frames by estimate). */
   def shardedRank(df: DataFrame, partCols: Seq[String], shard: Column,
-      orderCols: Seq[Column], keyCols: Seq[Column], dense: Boolean,
+      orderCols: Seq[Column], keyCols: Seq[Column], mode: String,
       rankName: String = "rank"): DataFrame = {
+    require(Set("rank", "dense_rank", "percent_rank", "cume_dist")(mode),
+      s"unknown rank mode: $mode")
+    val dense = mode == "dense_rank"
+    val needTotal = mode == "percent_rank" || mode == "cume_dist"
     val grp = partCols.map(col)
     val t = df.withColumn("__ps_shard", shard)
     val cnt =
@@ -154,13 +167,44 @@ object PrefixSum {
         Seq(col("__ps_shard").as("__po_shard"), col("__ps_off")): _*)
     val w = Window.partitionBy(grp :+ col("__ps_shard"): _*)
       .orderBy(orderCols: _*)
-    val local = (if (dense) dense_rank() else rank()).over(w).cast("long")
+    val local = (mode match {
+      case "dense_rank" => dense_rank().over(w)
+      // peer-inclusive cumulative row count: the DEFAULT (RANGE
+      // UNBOUNDED PRECEDING .. CURRENT ROW) frame counts through the
+      // current peer group, which is exactly cume_dist's numerator
+      case "cume_dist" => count(lit(1)).over(w)
+      case _ => rank().over(w)
+    }).cast("long")
     val rowCond = (partCols.map(c => col(c) <=> col(s"__po_$c")) :+
       (col("__ps_shard") <=> col("__po_shard"))).reduce(_ && _)
-    t.join(off, rowCond)
-      .withColumn(rankName, col("__ps_off") + local)
-      .drop(Seq("__ps_shard", "__po_shard", "__ps_off") ++
-        partCols.map(c => s"__po_$c"): _*)
+    val joined = t.join(off, rowCond)
+      .withColumn("__ps_lraw", col("__ps_off") + local)
+    val withTotal =
+      if (!needTotal) joined
+      else {
+        val tot = hist.groupBy(grp: _*)
+          .agg(sum(col("__ps_scnt")).as("__ps_n"))
+          .select(partCols.map(c => col(c).as(s"__pt_$c")) :+
+            col("__ps_n"): _*)
+        val totCond = partCols.map(c => col(c) <=> col(s"__pt_$c"))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        joined.join(tot, totCond)
+      }
+    val result = mode match {
+      case "percent_rank" =>
+        // Spark: 0.0 for a 1-row partition, else (rank-1)/(N-1) — the
+        // same exact-long operands, so the IEEE division is bit-equal
+        when(col("__ps_n") > 1L,
+          (col("__ps_lraw") - 1L).cast("double") /
+            (col("__ps_n") - 1L).cast("double"))
+          .otherwise(lit(0.0))
+      case "cume_dist" =>
+        col("__ps_lraw").cast("double") / col("__ps_n").cast("double")
+      case _ => col("__ps_lraw")
+    }
+    withTotal.withColumn(rankName, result)
+      .drop(Seq("__ps_shard", "__po_shard", "__ps_off", "__ps_lraw",
+        "__ps_n") ++ partCols.flatMap(c => Seq(s"__po_$c", s"__pt_$c")): _*)
   }
 
   /** The md5-priority token-budget prior over a (doc_id, source, …)

@@ -2,9 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute,
-  AttributeReference, Cast, CurrentRow, DenseRank, Descending, Expression,
-  Literal, NamedExpression, NTile, NullsFirst, NullsLast, RangeFrame, Rank,
-  RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding,
+  AttributeReference, Cast, CumeDist, CurrentRow, DenseRank, Descending,
+  Expression, Literal, NamedExpression, NTile, NullsFirst, NullsLast,
+  PercentRank, RangeFrame, Rank, RowFrame, RowNumber, SortOrder,
+  SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding,
   WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Complete, Sum}
@@ -26,9 +27,9 @@ import org.apache.spark.sql.types._
   * ×10000). But a USER writing the naive form gets the single-task sort —
   * Spark itself warns "No Partition Defined ... Moving all data to a
   * single partition". This rule closes that hole in the optimizer: a
-  * running-sum / row_number / ntile / rank / dense_rank window is
-  * rewritten IN PLACE to the sharded-prior dataflow once Catalyst's size
-  * estimate says the sort is oversized —
+  * running-sum / row_number / ntile / rank / dense_rank / percent_rank /
+  * cume_dist window is rewritten IN PLACE to the sharded-prior dataflow
+  * once Catalyst's size estimate says the sort is oversized —
   *
   *   - empty partitionSpec: fires when the child estimate exceeds
   *     `spark.graft.window.maxSortBytes` (the whole input is one task's
@@ -145,8 +146,15 @@ object RewritePrefixWindow extends Rule[LogicalPlan] {
       UnboundedPreceding, CurrentRow)
     val rangePrefix = frame == SpecifiedWindowFrame(RangeFrame,
       UnboundedPreceding, CurrentRow)
+    // percent_rank needs the whole partition (its required frame spans
+    // to UNBOUNDED FOLLOWING); cume_dist's is the peer-inclusive RANGE
+    // prefix — accept each class's own required frame spelling(s)
+    val fullRange = frame == SpecifiedWindowFrame(RangeFrame,
+      UnboundedPreceding, UnboundedFollowing)
     val frameOk = wf match {
-      case _: Rank | _: DenseRank => rowsPrefix || rangePrefix
+      case _: Rank | _: DenseRank | _: CumeDist =>
+        rowsPrefix || rangePrefix
+      case _: PercentRank => rowsPrefix || rangePrefix || fullRange
       case _ => rowsPrefix
     }
     if (!frameOk) return None
@@ -178,7 +186,7 @@ object RewritePrefixWindow extends Rule[LogicalPlan] {
         Some(s.child)
       case _: RowNumber => None
       case NTile(Literal(_: Int, IntegerType)) => None
-      case _: Rank | _: DenseRank => None
+      case _: Rank | _: DenseRank | _: PercentRank | _: CumeDist => None
       case _ => return None
     }
 
@@ -209,15 +217,24 @@ object RewritePrefixWindow extends Rule[LogicalPlan] {
           Seq("__gpx_pc" -> lit(1L)), hintBroadcast = false)
         pr.withColumn("__gpx_res",
           (col("__gpx_pc") + lit(1L)).cast(IntegerType))
-      case rk @ (_: Rank | _: DenseRank) =>
+      case rk @ (_: Rank | _: DenseRank | _: PercentRank | _: CumeDist) =>
         // global rank = earlier-shard row count + shard-local rank;
         // dense_rank offsets by earlier-shard DISTINCT keys instead —
         // exact because peer groups never straddle shards (peers tie on
-        // the first order expression, the shard's input)
+        // the first order expression, the shard's input). percent_rank
+        // and cume_dist divide the same exact-long rank/peer-cumulative
+        // numerators by the histogram's group total, reproducing Spark's
+        // own IEEE division operand-for-operand.
+        val mode = rk match {
+          case _: DenseRank => "dense_rank"
+          case _: PercentRank => "percent_rank"
+          case _: CumeDist => "cume_dist"
+          case _ => "rank"
+        }
         val keys = w.orderSpec.map(s => GraftSqlBridge.column(s.child))
         PrefixSum.shardedRank(dfS, partNames, shardCol, ords, keys,
-            dense = rk.isInstanceOf[DenseRank], rankName = "__gpx_rk")
-          .withColumn("__gpx_res", col("__gpx_rk").cast(IntegerType))
+            mode, rankName = "__gpx_rk")
+          .withColumn("__gpx_res", col("__gpx_rk").cast(al.dataType))
           .drop("__gpx_rk")
       case NTile(Literal(k: Int, IntegerType)) =>
         val pr = PrefixSum.shardedPriors(dfS, partNames, shardCol, ords,

@@ -105,7 +105,9 @@ class WindowShardRewriteSpec extends AnyFunSuite {
           .otherwise(pmod(col("id") * 131, lit(97))).as("o"))
     }
     for ((name, fn) <- Seq(
-        "rank" -> (() => rank()), "dense_rank" -> (() => dense_rank()))) {
+        "rank" -> (() => rank()), "dense_rank" -> (() => dense_rank()),
+        "percent_rank" -> (() => percent_rank()),
+        "cume_dist" -> (() => cume_dist()))) {
       def build() = tied().withColumn("r",
         fn().over(Window.orderBy(col("o").asc_nulls_first)))
       val want = rows(build())
@@ -262,14 +264,12 @@ class WindowShardRewriteSpec extends AnyFunSuite {
         sum(col("v")).over(Window.orderBy(col("o").asc_nulls_first,
             col("id")).rowsBetween(-2, Window.currentRow)))
       assert(globalWindows(tail3) == 1, "rule fired on a bounded frame")
-      // percent_rank/cume_dist (need the TOTAL count per partition, not
-      // a prefix) must not rewrite
-      val prk = frame().withColumn("r", percent_rank()
-        .over(Window.orderBy(col("o").asc_nulls_first, col("id"))))
-      assert(globalWindows(prk) == 1, "rule fired on percent_rank()")
-      val cd = frame().withColumn("r", cume_dist()
-        .over(Window.orderBy(col("o").asc_nulls_first, col("id"))))
-      assert(globalWindows(cd) == 1, "rule fired on cume_dist()")
+      // avg (a non-integral aggregate — float division per row) must
+      // not rewrite
+      val av = frame().withColumn("r", avg(col("v"))
+        .over(Window.orderBy(col("o").asc_nulls_first, col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      assert(globalWindows(av) == 1, "rule fired on a running avg()")
     }
   }
 }
