@@ -210,8 +210,15 @@ object Bench {
     // per-query seconds carry the same smear — and says so itself, so
     // round-over-round BENCH_rN comparisons stop requiring forensic
     // sentinel reading. Quiet-box start sentinels sit at 0.08–0.19 s on
-    // this box; 0.25 s is ~1.4× the high edge of that band.
-    val noisy = sentinelStart > 0.25
+    // this box; 0.25 s is ~1.4× the high edge of that band. The stream
+    // sentinel (taken right before the q_stream_* block, after ~150
+    // batch queries have churned the JVM) runs hotter — quiet-box
+    // readings sit at 0.08–0.21 s with occasional GC-coincident spikes —
+    // so it gets its own wider threshold rather than the start band's
+    // (r16 verdict item 3: the r16 driver sweep passed the start gate at
+    // 0.241 while carrying a 0.507 stream sentinel and broad 1.2× risers
+    // concentrated in the stream rows).
+    val noisy = sentinelStart > 0.25 || sentinelStreamStart > 0.35
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","noisy":$noisy,"queries":$qs,"vs_prev":$vs,"failed":$failedJson,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
     println(fullLine)

@@ -1494,7 +1494,10 @@ object Dedup {
     * micro-batches (FileStreamSource admits oldest-first), one chunk per
     * batch. repartition(n, chunk) puts each chunk wholly in one task, so
     * partitionBy writes exactly one file per chunk — two files of one
-    * chunk would split a doc range across two batches. */
+    * chunk would split a doc range across two batches. TEST-ONLY feed
+    * machinery (mtime-ordered admission needs a local dir by design) —
+    * deliberately java.io; the STATE layer below is Hadoop-FS throughout
+    * because its root is a cluster URI in production. */
   private[graft] def stageCorpusFeed(s: SparkSession, d: String,
       nChunks: Int, feedDir: String): Unit = {
     val all = docs(s, d).select("doc_id", "source", "n_chars", "text")
@@ -1531,18 +1534,45 @@ object Dedup {
     }
   }
 
+  /** Resolve the Hadoop FileSystem owning `path` from the session's
+    * hadoopConfiguration. The whole state-dir layer below goes through
+    * this — never `java.io.File` — because the state root is a cluster
+    * URI in production (hdfs://, s3a://): a java.io listing of such a
+    * URI returns null, so `prior()` would silently dedup against NOTHING
+    * and every exactly-once proof would pass vacuously on a corrupt
+    * answer (r16 verdict item 1). `file:` roots resolve to
+    * LocalFileSystem through the same API, so the local tests exercise
+    * the identical code path — StreamingSpec runs the corpus stream
+    * through an explicit `file:`-scheme state root to pin that. */
+  private def stateFs(path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    (p.getFileSystem(conf), p)
+  }
+
+  /** Immediate subdirectories of `root` via the FS API; empty when the
+    * root does not (yet) exist. */
+  private def stateSubdirs(root: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val (fs, p) = stateFs(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+  }
+
   /** The per-batch state directories under `root`, (batchId, path) in id
     * order. Directory-per-batch (b%06d), not a partitioned table: prior
     * reads must enumerate EXPLICIT committed ids — a root-level read
     * could list a half-written directory from a killed attempt. */
   private def corpusBatchDirs(root: String): Seq[(Long, String)] =
-    Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.isDirectory)
-      .filter(_.getName.startsWith("b"))
-      .flatMap(f => f.getName.stripPrefix("b").toLongOption
-        .map(_ -> f.getAbsolutePath))
-      .sortBy(_._1).toSeq
+    stateSubdirs(root)
+      .filter(_.getPath.getName.startsWith("b"))
+      .flatMap(st => st.getPath.getName.stripPrefix("b").toLongOption
+        .map(_ -> st.getPath.toString))
+      .sortBy(_._1)
 
   /** Marker written INSIDE a consolidated dir after its parquet job
     * finishes; `_`-prefixed so Spark's file index never reads it as data.
@@ -1554,14 +1584,15 @@ object Dedup {
     * (watermark, path): `c%06d` named, marker present. A half-written
     * c-dir (killed mid-compaction) has no marker and is invisible here —
     * it gets rebuilt, never read. */
-  private def validConsolidated(root: String): Option[(Long, String)] =
-    Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("c") &&
-        new java.io.File(f, CompactedMarker).exists())
-      .flatMap(f => f.getName.stripPrefix("c").toLongOption
-        .map(_ -> f.getAbsolutePath))
+  private def validConsolidated(root: String): Option[(Long, String)] = {
+    val (fs, _) = stateFs(root)
+    stateSubdirs(root)
+      .filter(st => st.getPath.getName.startsWith("c") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, CompactedMarker)))
+      .flatMap(st => st.getPath.getName.stripPrefix("c").toLongOption
+        .map(_ -> st.getPath.toString))
       .sortBy(_._1).lastOption
+  }
 
   /** State paths a reader consumes: the newest complete consolidated dir
     * (if any) plus the per-batch dirs above its watermark, bounded by
@@ -1603,13 +1634,24 @@ object Dedup {
     * exists, and a replayed batch re-enters here with the same w — a
     * markerless c-dir rebuilds from the still-present sources, a marked
     * one skips straight to finishing the sweep. */
+  /** Consolidated-dir output file sizing: one ~128 MB parquet file per
+    * 128 MB of merged source bytes (a year-old stream's consolidated
+    * state neither fragments into thousands of small files nor
+    * concentrates into a handful of multi-GB ones), floored at 1 and
+    * capped at 4096 files (≈512 GB of state per kind — past that the
+    * layout question is a table format's, not a directory's). */
+  private[graft] def compactionPartitions(srcBytes: Long): Int =
+    math.max(1L, math.min(4096L, srcBytes / (128L << 20))).toInt
+
   private def compactCorpusState(s: SparkSession, stateRoot: String,
       w: Long): Unit =
     for (kind <- Seq("hash", "sh", "band", "s4", "counts")) {
       val root = s"$stateRoot/$kind"
       val cPath = f"$root/c$w%06d"
-      val marker = new java.io.File(cPath, CompactedMarker)
-      if (!marker.exists()) {
+      val (fs, _) = stateFs(root)
+      val marker =
+        new org.apache.hadoop.fs.Path(cPath, CompactedMarker)
+      if (!fs.exists(marker)) {
         val prev = validConsolidated(root)
         val lo = prev.map(_._1).getOrElse(-1L)
         val srcs = prev.map(_._2).toSeq ++
@@ -1617,12 +1659,16 @@ object Dedup {
             .map(_._2)
         if (srcs.nonEmpty) {
           // plain union — batches partition the corpus, so no dedup is
-          // needed; coalesce bounds the consolidated file count (the
-          // small-files blow-up was half of what compaction exists to fix)
-          s.read.parquet(srcs: _*).coalesce(32)
+          // needed; the output file count scales with the merged source
+          // BYTES (the small-files blow-up was half of what compaction
+          // exists to fix; a fixed coalesce(32) would instead concentrate
+          // a year-old stream's state into 32 ever-growing files)
+          val bytes = srcs.map(p => fs.getContentSummary(
+            new org.apache.hadoop.fs.Path(p)).getLength).sum
+          s.read.parquet(srcs: _*).coalesce(compactionPartitions(bytes))
             .write.mode("overwrite").parquet(cPath)
           compactionHook("premark", kind)
-          require(marker.createNewFile() || marker.exists(),
+          require(fs.createNewFile(marker) || fs.exists(marker),
             s"compaction marker create failed: $marker")
         }
       }
@@ -1630,17 +1676,15 @@ object Dedup {
       // sweep merged sources: per-batch dirs at/below the watermark and
       // any OTHER c-dir (the superseded older generation, or a stale
       // markerless attempt at a lower watermark)
-      Option(new java.io.File(root).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(_.isDirectory)
-        .filter { f =>
-          val n = f.getName
+      stateSubdirs(root)
+        .filter { st =>
+          val n = st.getPath.getName
           (n.startsWith("b") &&
             n.stripPrefix("b").toLongOption.exists(_ <= w)) ||
           (n.startsWith("c") &&
             n.stripPrefix("c").toLongOption.exists(_ != w))
         }
-        .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+        .foreach(st => fs.delete(st.getPath, true))
     }
 
   /** One micro-batch of the incremental curation (driver-side foreachBatch

@@ -186,9 +186,17 @@ object PrefixSum {
           .agg(sum(col("__ps_scnt")).as("__ps_n"))
           .select(partCols.map(c => col(c).as(s"__pt_$c")) :+
             col("__ps_n"): _*)
-        val totCond = partCols.map(c => col(c) <=> col(s"__pt_$c"))
-          .reduceOption(_ && _).getOrElse(lit(true))
-        joined.join(tot, totCond)
+        // empty partCols ⇒ the total frame is ONE row and the join is an
+        // explicit crossJoin, not `join(_, lit(true))`: a trivially-true
+        // inner condition is what CheckCartesianProducts rejects when
+        // spark.sql.crossJoin.enabled=false, and when this runs inside
+        // the optimizer rewrite that error surfaces OUTSIDE tryRewrite's
+        // try/catch — turning a working naive query into a hard
+        // AnalysisException instead of a fallback (r16 ADVICE, medium).
+        // The Cross join type is exempt from the check by design.
+        if (partCols.isEmpty) joined.crossJoin(tot)
+        else joined.join(tot,
+          partCols.map(c => col(c) <=> col(s"__pt_$c")).reduce(_ && _))
       }
     val result = mode match {
       case "percent_rank" =>

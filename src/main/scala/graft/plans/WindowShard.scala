@@ -109,7 +109,7 @@ object RewritePrefixWindow extends Rule[LogicalPlan] {
         !a.name.startsWith("__ps_") && !a.name.startsWith("__gpx_")
       case _ => true
     }
-    w.windowExpressions.size == 1 && w.hint.isEmpty && partOk && notOurs &&
+    w.windowExpressions.nonEmpty && w.hint.isEmpty && partOk && notOurs &&
       w.orderSpec.nonEmpty && oversized(w)
   }
 
@@ -131,33 +131,53 @@ object RewritePrefixWindow extends Rule[LogicalPlan] {
     }
   }
 
-  private def tryRewrite(w: LWindow): Option[LogicalPlan] = {
-    val (al, wf, frame) = w.windowExpressions.head match {
-      case al @ Alias(WindowExpression(f,
-          WindowSpecDefinition(_, _, fr: SpecifiedWindowFrame)), _) =>
-        (al, f, fr)
-      case _ => return None
-    }
-    // the prefix frames only: sum/row_number/ntile carry ROWS UNBOUNDED
-    // PRECEDING .. CURRENT ROW; rank/dense_rank accept the RANGE form of
-    // the same prefix too (RankLike's value ignores the frame — either
-    // spelling is the same function)
+  /** Per-function frame admission. sum/row_number/ntile carry ROWS
+    * UNBOUNDED PRECEDING .. CURRENT ROW; rank/dense_rank accept the
+    * RANGE form of the same prefix too (RankLike's value ignores the
+    * frame — either spelling is the same function). cume_dist's VALUE
+    * depends on the peer-inclusive RANGE prefix: a ROWS-framed CumeDist
+    * (unreachable from the analyzer today, which always assigns its
+    * required RANGE frame) would be a different function, so refuse
+    * rather than silently change semantics (r16 ADVICE, low).
+    * percent_rank needs the whole partition (its required frame spans to
+    * UNBOUNDED FOLLOWING) — accept each class's own required
+    * spelling(s). */
+  private def frameOk(wf: Expression,
+      frame: SpecifiedWindowFrame): Boolean = {
     val rowsPrefix = frame == SpecifiedWindowFrame(RowFrame,
       UnboundedPreceding, CurrentRow)
     val rangePrefix = frame == SpecifiedWindowFrame(RangeFrame,
       UnboundedPreceding, CurrentRow)
-    // percent_rank needs the whole partition (its required frame spans
-    // to UNBOUNDED FOLLOWING); cume_dist's is the peer-inclusive RANGE
-    // prefix — accept each class's own required frame spelling(s)
     val fullRange = frame == SpecifiedWindowFrame(RangeFrame,
       UnboundedPreceding, UnboundedFollowing)
-    val frameOk = wf match {
-      case _: Rank | _: DenseRank | _: CumeDist =>
-        rowsPrefix || rangePrefix
+    wf match {
+      case _: Rank | _: DenseRank => rowsPrefix || rangePrefix
+      case _: CumeDist => rangePrefix
       case _: PercentRank => rowsPrefix || rangePrefix || fullRange
       case _ => rowsPrefix
     }
-    if (!frameOk) return None
+  }
+
+  /** A multi-expression Window node rewrites as a WHOLE or not at all:
+    * every expression must be individually eligible (they already share
+    * one partition/order spec — that is what groups them into one node),
+    * because a partial rewrite would leave a residual one-task window
+    * carrying the ineligible rest — the exact plan the rule exists to
+    * remove (r16 verdict item 2; the `sum + row_number` pair in one
+    * select is the most common real notebook shape). All prior-family
+    * expressions (sum / row_number / ntile) share ONE
+    * [[PrefixSum.shardedPriors]] pass — one histogram, one offsets join,
+    * one shard-local window with all value columns; each rank-family
+    * expression chains a [[PrefixSum.shardedRank]] pass (its histogram
+    * count differs per mode). */
+  private def tryRewrite(w: LWindow): Option[LogicalPlan] = {
+    val parsed: Seq[(Alias, Expression)] = w.windowExpressions.map {
+      case al @ Alias(WindowExpression(f,
+          WindowSpecDefinition(_, _, fr: SpecifiedWindowFrame)), _)
+          if frameOk(f, fr) =>
+        (al, f)
+      case _ => return None
+    }
     val so = w.orderSpec.head
     // the two DEFAULT direction/null pairings; a flipped nulls ordering
     // has no monotone shard for the null rows
@@ -180,13 +200,26 @@ object RewritePrefixWindow extends Rule[LogicalPlan] {
       names.exists(n => n.startsWith("__ps_") || n.startsWith("__gpx_")))
       return None
 
-    val value: Option[Expression] = wf match {
-      case AggregateExpression(s: Sum, Complete, false, None, _)
+    // classification — the whole node or nothing (see scaladoc above)
+    sealed abstract class Cls
+    case class SumCls(child: Expression) extends Cls
+    case object RowNumCls extends Cls
+    case class NtileCls(k: Int) extends Cls
+    case class RankCls(mode: String) extends Cls
+    val classified: Seq[(Alias, Cls)] = parsed.map {
+      case (al, AggregateExpression(s: Sum, Complete, false, None, _))
           if isIntegral(s.child.dataType) && s.child.deterministic =>
-        Some(s.child)
-      case _: RowNumber => None
-      case NTile(Literal(_: Int, IntegerType)) => None
-      case _: Rank | _: DenseRank | _: PercentRank | _: CumeDist => None
+        (al, SumCls(s.child))
+      case (al, _: RowNumber) => (al, RowNumCls)
+      case (al, NTile(Literal(k: Int, IntegerType))) => (al, NtileCls(k))
+      case (al, rk @ (_: Rank | _: DenseRank | _: PercentRank |
+          _: CumeDist)) =>
+        (al, RankCls(rk match {
+          case _: DenseRank => "dense_rank"
+          case _: PercentRank => "percent_rank"
+          case _: CumeDist => "cume_dist"
+          case _ => "rank"
+        }))
       case _ => return None
     }
 
@@ -197,98 +230,122 @@ object RewritePrefixWindow extends Rule[LogicalPlan] {
     val df = GraftSqlBridge.ofRows(spark, w.child)
     val (dfS, shardCol) = shardOf(df, o, so.direction == Descending)
     val ords = w.orderSpec.map(sortCol)
+    val keys = w.orderSpec.map(s => GraftSqlBridge.column(s.child))
 
-    val result: DataFrame = wf match {
-      case AggregateExpression(s: Sum, _, _, _, _) =>
-        val vc = GraftSqlBridge.column(s.child)
-        // window SUM ignores nulls and is null only until the first
-        // non-null value: decompose into a running non-null sum plus a
-        // running non-null count, both over non-null carriers
+    // ONE shardedPriors pass carries every prior-family expression:
+    // per integral sum a running (non-null sum, non-null count) pair —
+    // window SUM ignores nulls and is null only until the first non-null
+    // value — plus a single SHARED running row count if any
+    // row_number/ntile is present. Helper columns are indexed by the
+    // expression's position in the node.
+    val needCount = classified.exists {
+      case (_, RowNumCls) | (_, NtileCls(_)) => true
+      case _ => false
+    }
+    val sumVals: Seq[(String, Column)] = classified.zipWithIndex.flatMap {
+      case ((_, SumCls(child)), i) =>
+        val vc = GraftSqlBridge.column(child)
+        Seq(s"__gpx_ps_$i" -> coalesce(vc.cast(LongType), lit(0L)),
+          s"__gpx_pc_$i" -> when(vc.isNotNull, lit(1L)).otherwise(lit(0L)))
+      case _ => Nil
+    }
+    val priorVals = sumVals ++
+      (if (needCount) Seq("__gpx_cnt" -> lit(1L)) else Nil)
+
+    var cur: DataFrame =
+      if (priorVals.isEmpty) dfS
+      else PrefixSum.shardedPriors(dfS, partNames, shardCol, ords,
+        priorVals, hintBroadcast = false)
+    // each rank-family expression chains its own shardedRank pass (its
+    // histogram count differs per mode: rows vs distinct keys, ± group
+    // totals): global rank = earlier-shard row count + shard-local rank;
+    // dense_rank offsets by earlier-shard DISTINCT keys instead — exact
+    // because peer groups never straddle shards (peers tie on the first
+    // order expression, the shard's input). percent_rank and cume_dist
+    // divide the same exact-long rank/peer-cumulative numerators by the
+    // histogram's group total, reproducing Spark's own IEEE division
+    // operand-for-operand. shardedRank is row-preserving (every join
+    // matches exactly one offsets/total row), so the passes compose.
+    for (((_, RankCls(mode)), i) <- classified.zipWithIndex) {
+      cur = PrefixSum.shardedRank(cur, partNames, shardCol, ords, keys,
+        mode, rankName = s"__gpx_rk_$i")
+    }
+    // group totals for ntile: ONE null-safe group-count join shared by
+    // all ntile expressions in the node. NOTE: no broadcast() hints
+    // anywhere in this construction — the rule runs AFTER the
+    // optimizer's hint-resolution batch, so a ResolvedHint in the
+    // inserted tree reaches physical planning and trips an internal
+    // error; the 1-row/offset frames broadcast by size estimate anyway
+    if (classified.exists {
+        case (_, NtileCls(_)) => true; case _ => false }) {
+      val nAgg = count(lit(1)).as("__gpx_n")
+      cur =
+        if (partNames.isEmpty) cur.crossJoin(df.agg(nAgg))
+        else {
+          // null-safe keyed group counts (a usingColumns join would
+          // drop null partition values the window form keeps)
+          val counts = df.groupBy(partNames.map(col): _*).agg(nAgg)
+            .select(partNames.map(c => col(c).as(s"__gpx_g_$c")) :+
+              col("__gpx_n"): _*)
+          cur.join(counts, partNames.map(c =>
+            col(c) <=> col(s"__gpx_g_$c")).reduce(_ && _))
+        }
+    }
+    // per-expression result columns over the assembled frame
+    for (((al, cls), i) <- classified.zipWithIndex) cur = cls match {
+      case SumCls(child) =>
+        val vc = GraftSqlBridge.column(child)
         val vz = coalesce(vc.cast(LongType), lit(0L))
         val ind = when(vc.isNotNull, lit(1L)).otherwise(lit(0L))
-        val pr = PrefixSum.shardedPriors(dfS, partNames, shardCol, ords,
-          Seq("__gpx_ps" -> vz, "__gpx_pc" -> ind), hintBroadcast = false)
-        pr.withColumn("__gpx_res",
-          when(col("__gpx_pc") + ind === 0L, lit(null))
-            .otherwise(col("__gpx_ps") + vz)
+        cur.withColumn(s"__gpx_res_$i",
+          when(col(s"__gpx_pc_$i") + ind === 0L, lit(null))
+            .otherwise(col(s"__gpx_ps_$i") + vz)
             .cast(al.dataType))
-      case _: RowNumber =>
-        val pr = PrefixSum.shardedPriors(dfS, partNames, shardCol, ords,
-          Seq("__gpx_pc" -> lit(1L)), hintBroadcast = false)
-        pr.withColumn("__gpx_res",
-          (col("__gpx_pc") + lit(1L)).cast(IntegerType))
-      case rk @ (_: Rank | _: DenseRank | _: PercentRank | _: CumeDist) =>
-        // global rank = earlier-shard row count + shard-local rank;
-        // dense_rank offsets by earlier-shard DISTINCT keys instead —
-        // exact because peer groups never straddle shards (peers tie on
-        // the first order expression, the shard's input). percent_rank
-        // and cume_dist divide the same exact-long rank/peer-cumulative
-        // numerators by the histogram's group total, reproducing Spark's
-        // own IEEE division operand-for-operand.
-        val mode = rk match {
-          case _: DenseRank => "dense_rank"
-          case _: PercentRank => "percent_rank"
-          case _: CumeDist => "cume_dist"
-          case _ => "rank"
-        }
-        val keys = w.orderSpec.map(s => GraftSqlBridge.column(s.child))
-        PrefixSum.shardedRank(dfS, partNames, shardCol, ords, keys,
-            mode, rankName = "__gpx_rk")
-          .withColumn("__gpx_res", col("__gpx_rk").cast(al.dataType))
-          .drop("__gpx_rk")
-      case NTile(Literal(k: Int, IntegerType)) =>
-        val pr = PrefixSum.shardedPriors(dfS, partNames, shardCol, ords,
-          Seq("__gpx_pc" -> lit(1L)), hintBroadcast = false)
-        // NOTE: no broadcast() hints anywhere in this construction — the
-        // rule runs AFTER the optimizer's hint-resolution batch, so a
-        // ResolvedHint in the inserted tree reaches physical planning and
-        // trips an internal error; the 1-row/offset frames broadcast by
-        // size estimate anyway
-        val nAgg = count(lit(1)).as("__gpx_n")
-        val withN =
-          if (partNames.isEmpty) pr.crossJoin(df.agg(nAgg))
-          else {
-            // null-safe keyed group counts (a usingColumns join would
-            // drop null partition values the window form keeps)
-            val counts = df.groupBy(partNames.map(col): _*).agg(nAgg)
-              .select(partNames.map(c => col(c).as(s"__gpx_g_$c")) :+
-                col("__gpx_n"): _*)
-            pr.join(counts, partNames.map(c =>
-              col(c) <=> col(s"__gpx_g_$c")).reduce(_ && _))
-          }
+      case RowNumCls =>
+        cur.withColumn(s"__gpx_res_$i",
+          (col("__gpx_cnt") + lit(1L)).cast(IntegerType))
+      case RankCls(_) =>
+        cur.withColumn(s"__gpx_res_$i",
+          col(s"__gpx_rk_$i").cast(al.dataType))
+      case NtileCls(k) =>
         // Spark's ragged-N ntile sizing inlined as a closed form (the
         // q_curriculum_hist formula): with N = q·k + r, the first r
         // buckets take q+1 rows and the rest take q
-        withN.withColumn("__gpx_rank", col("__gpx_pc") + lit(1L))
-          .withColumn("__gpx_res", expr(
+        cur.withColumn(s"__gpx_rank_$i", col("__gpx_cnt") + lit(1L))
+          .withColumn(s"__gpx_res_$i", expr(
             s"""CAST(CASE
-                 WHEN __gpx_rank <= (__gpx_n % $k) * ((__gpx_n DIV $k) + 1)
-                 THEN ((__gpx_rank - 1) DIV ((__gpx_n DIV $k) + 1)) + 1
+                 WHEN __gpx_rank_$i <=
+                      (__gpx_n % $k) * ((__gpx_n DIV $k) + 1)
+                 THEN ((__gpx_rank_$i - 1) DIV ((__gpx_n DIV $k) + 1)) + 1
                  ELSE (__gpx_n % $k) +
-                      ((__gpx_rank - (__gpx_n % $k) * ((__gpx_n DIV $k) + 1)
+                      ((__gpx_rank_$i -
+                          (__gpx_n % $k) * ((__gpx_n DIV $k) + 1)
                           - 1) DIV GREATEST(__gpx_n DIV $k, 1)) + 1
                END AS INT)"""))
-      case _ => return None
     }
 
     // strip any residual hint nodes: the optimizer's hint-resolution
     // batch already ran, so a ResolvedHint inserted now would reach the
     // planner unreplaced (INTERNAL_ERROR)
-    val rep = result.queryExecution.analyzed.transform {
+    val rep = cur.queryExecution.analyzed.transform {
       case org.apache.spark.sql.catalyst.plans.logical
         .ResolvedHint(child, _) => child
     }
-    val resAttr = rep.output.find(_.name == "__gpx_res").getOrElse(
-      return None)
     // every original child attr must have survived reassembly with its
     // exprId intact (the left spine of every join is the child frame)
     if (!w.child.output.forall(a => rep.outputSet.contains(a))) return None
-    val pinned: Seq[NamedExpression] = w.child.output ++ Seq(
-      Alias(
-        if (resAttr.dataType == al.dataType) resAttr
-        else Cast(resAttr, al.dataType),
-        al.name)(exprId = al.exprId))
-    Some(Project(pinned, rep))
+    // pin each window alias (in node order — LWindow.output is
+    // child.output ++ the window attrs) to its result column
+    val resCols: Seq[NamedExpression] = classified.zipWithIndex.map {
+      case ((al, _), i) =>
+        val resAttr = rep.output.find(_.name == s"__gpx_res_$i")
+          .getOrElse(return None)
+        Alias(
+          if (resAttr.dataType == al.dataType) resAttr
+          else Cast(resAttr, al.dataType),
+          al.name)(exprId = al.exprId)
+    }
+    Some(Project(w.child.output ++ resCols, rep))
   }
 
   /** The order-prefix shard column: a bounded-cardinality, non-decreasing
@@ -301,7 +358,22 @@ object RewritePrefixWindow extends Rule[LogicalPlan] {
     * merge adjacent buckets, never reorder them. Nulls and NaNs get the
     * sentinel buckets their sort position demands; infinite or
     * degenerate (span 0 / NaN) corpora collapse to one bucket — correct,
-    * merely unsharded. Descending orders flip the bucket index. */
+    * merely unsharded. Descending orders flip the bucket index.
+    *
+    * THE DOUBLE-SCAN TRADE (deliberate — do not "optimize" this into a
+    * driver collect): the numeric path reads the input twice, once for
+    * the 1-row min/max frame and once for the data pass. The min/max
+    * MUST stay an in-plan aggregate joined as a 1-row broadcast —
+    * collecting it to the driver and inlining literals would (a) force a
+    * job boundary inside the optimizer rule (an action during
+    * optimization re-enters the optimizer; deadlock-prone and breaks
+    * cached-plan reuse), and (b) freeze the bounds into the plan, so a
+    * cached/reused query re-running on grown data would shard on stale
+    * bounds. The extra scan is a full-width-free columnar read of ONE
+    * column (parquet stats often answer it per row-group), pipelined
+    * ahead of the shuffle; measured at ×1000 (5M docs, mode=prefix,
+    * BENCH_NOTES round 17) it is a small single-digit share of the
+    * dispatched wall, which itself beats the one-task sort outright. */
   private def shardOf(df: DataFrame, o: Expression,
       desc: Boolean): (DataFrame, Column) = {
     val oc = GraftSqlBridge.column(o)

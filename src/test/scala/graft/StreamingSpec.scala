@@ -546,6 +546,71 @@ class StreamingSpec extends AnyFunSuite {
       .deleteQuietly(new java.io.File(work))
   }
 
+  test("corpus stream state layer is Hadoop-FS clean: an explicit " +
+      "file:-scheme state root drains, compacts and reports exactly " +
+      "(no java.io.File fallback — a java.io listing of a URI is null)") {
+    // The production state root is a cluster URI (hdfs://, s3a://); any
+    // surviving java.io.File list/exists/delete in the state layer would
+    // see a `file:/...` root as a relative path named "file:", list
+    // nothing, and prior() would silently dedup against NOTHING — the
+    // report would diverge from the batch pipeline. Running the whole
+    // stream (compaction included: 6 batches, compactEvery=4 fires at
+    // bid 4) through an explicit URI root pins the FS-API port end to
+    // end (r16 verdict item 1).
+    val s = spark
+    val Dedup = graft.operators.Dedup
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-corpus-fsuri").toString
+    try {
+      Dedup.stageCorpusFeed(s, sfDir, 6, s"$work/feed")
+      val scratch = s"file:$work/scratch"
+      Dedup.startCorpusStream(s, s"$work/feed", scratch)
+        .awaitTermination()
+      val got = Dedup.corpusStreamResult(s, scratch)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      val want = Dedup.corpusPipeline(s, Tables(s, sfDir, "documents"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got == want, s"file:-root stream counts $got != batch $want")
+      // compaction landed through the URI too: exactly one marked c-dir
+      // per kind, sized by the byte-derived formula (tiny state → 1 part
+      // file, not the 32 a fixed coalesce would leave — r16 verdict
+      // item 4), all via the FS API
+      val fs = new org.apache.hadoop.fs.Path(scratch).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      for (kind <- Seq("hash", "sh", "band", "s4", "counts")) {
+        val root = new org.apache.hadoop.fs.Path(s"$scratch/state/$kind")
+        val cDirs = fs.listStatus(root).filter(st =>
+          st.isDirectory && st.getPath.getName.startsWith("c"))
+        assert(cDirs.length == 1,
+          s"$kind: expected 1 consolidated dir, got ${cDirs.length}")
+        assert(fs.exists(new org.apache.hadoop.fs.Path(
+          cDirs.head.getPath, "_GRAFT_COMPACTED")),
+          s"$kind: consolidated dir missing its marker")
+        val parts = fs.listStatus(cDirs.head.getPath).count(
+          _.getPath.getName.endsWith(".parquet"))
+        assert(parts == 1, s"$kind: tiny consolidated state wrote $parts " +
+          "part files — size-based partitioning not in effect")
+        val bDirs = fs.listStatus(root).filter(st =>
+          st.isDirectory && st.getPath.getName.startsWith("b"))
+        assert(bDirs.forall(_.getPath.getName.stripPrefix("b").toLong > 3),
+          s"$kind: merged per-batch dirs survived the sweep")
+      }
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(work))
+  }
+
+  test("compaction output partitioning scales with merged state bytes, " +
+      "floored and capped") {
+    val f = graft.operators.Dedup.compactionPartitions _
+    assert(f(0L) == 1, "empty state must still write one file")
+    assert(f(127L << 20) == 1)
+    assert(f(128L << 20) == 1)
+    assert(f(300L << 20) == 2, "300 MB of state → 2 ~128 MB files")
+    assert(f(10L << 30) == 80, "10 GB of state → 80 files")
+    assert(f(1L << 40) == 4096, "1 TB of state hits the 4096-file cap")
+    assert(f(Long.MaxValue) == 4096, "file count must cap, not overflow")
+  }
+
   test("corpus curation stream survives TWO hard JVM kills — mid-drain and " +
       "mid-recovery (exactly-once via idempotent per-batch state overwrite)") {
     // The foreachBatch arm's exactly-once is its OWN contract (per-batch-id

@@ -1698,7 +1698,7 @@ object StressMain {
           check("user rank window WITH the rule auto-dispatches " +
               "(no global-order window in the optimized plan)",
             globalWins(dispatched) == 0, "rule did not fire at stress scale")
-          val (pD, _, _) = timed(s"user_rank_dispatched_x$copies",
+          val (pD, _, wD) = timed(s"user_rank_dispatched_x$copies",
             s"$work/out", dispatched)
           sameSet(s"auto-dispatched rank == naive window rank at ×$copies " +
               "(dense ties)",
@@ -1709,6 +1709,21 @@ object StressMain {
             s"peak ${mb(pD)} MB vs fair share ${mb(fairShare)} MB")
           println(s"STRESS| auto-dispatch evidence ×$copies: naive rank " +
             s"peak ${mb(pN)} MB (one task) vs dispatched ${mb(pD)} MB")
+          // the shardOf double-scan trade, measured alone (scaladoc in
+          // WindowShard.shardOf): the dispatched plan reads the input
+          // twice — data pass + a 1-row min/max frame. Time the min/max
+          // by itself so its share of the dispatched wall is on record;
+          // this is the number a future "optimization" into a driver
+          // collect would be buying back (at the cost of an action
+          // inside the optimizer and stale bounds under plan reuse).
+          val tMm = System.nanoTime()
+          spark.read.parquet(s"$work/x$copies/documents.parquet")
+            .agg(min(col("n_chars").cast("double")),
+              max(col("n_chars").cast("double"))).head()
+          val mmSec = (System.nanoTime() - tMm) / 1e9
+          println(f"STRESS| shardOf min/max extra scan ×$copies: " +
+            f"$mmSec%.2f s = ${mmSec / wD * 100}%.0f%% of the " +
+            f"dispatched $wD%.2f s wall")
         } finally {
           spark.experimental.extraOptimizations =
             spark.experimental.extraOptimizations.filterNot(_ == RP)

@@ -237,6 +237,122 @@ class WindowShardRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-expression Window node: sum + row_number in ONE select " +
+      "rewrite together (one sharded pass), bit-equal, incl. nulls") {
+    // the most common real notebook shape — Catalyst groups same-spec
+    // window expressions into one Window node, so a single-expression
+    // rule left this exact pair on the one-task sort (r16 verdict item 2)
+    val w = Window.orderBy(col("o").asc_nulls_first, col("id"))
+    def build() = frame()
+      .withColumn("run", sum(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(w))
+    val want = rows(build())
+    assert(globalWindows(build()) == 1,
+      "positive control: the pair must plan ONE global window node")
+    withRule("0") {
+      val rewritten = build()
+      assert(globalWindows(rewritten) == 0,
+        "rewrite did not fire on the sum + row_number node")
+      assert(rows(rewritten) == want, "rewritten sum+row_number diverges")
+    }
+  }
+
+  test("multi-expression Window node: sum + rank + ntile (all three " +
+      "families in one node) rewrite together, bit-equal") {
+    val w = Window.orderBy(col("o").asc_nulls_first, col("id"))
+    def build() = frame()
+      .withColumn("run", sum(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("r", rank().over(w))
+      .withColumn("stage", ntile(4).over(w))
+    val want = rows(build())
+    withRule("0") {
+      val rewritten = build()
+      assert(globalWindows(rewritten) == 0,
+        "rewrite did not fire on the three-family node")
+      assert(rows(rewritten) == want, "rewritten three-family node diverges")
+    }
+  }
+
+  test("multi-expression Window node with ONE ineligible expression " +
+      "refuses as a whole (no partial rewrite leaving a residual " +
+      "one-task window)") {
+    val w = Window.orderBy(col("o").asc_nulls_first, col("id"))
+    def build() = frame()
+      .withColumn("rn", row_number().over(w))
+      // avg is not expressible in the sharded decomposition (per-row
+      // float division) — its presence must keep the WHOLE node naive
+      .withColumn("a", avg(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val want = rows(build())
+    withRule("0") {
+      val kept = build()
+      assert(globalWindows(kept) >= 1,
+        "rule partially rewrote a node with an ineligible expression")
+      assert(rows(kept) == want)
+    }
+  }
+
+  test("global percent_rank/cume_dist fire with crossJoin DISABLED — the " +
+      "group-total join must be an explicit Cross join, not join(lit(true))") {
+    // CheckCartesianProducts (active when spark.sql.crossJoin.enabled=false)
+    // rejects an inner join with a trivially-true condition; the injected
+    // rule runs BEFORE that batch, so a `join(tot, lit(true))` inside the
+    // rewrite would surface as a hard AnalysisException outside
+    // tryRewrite's try/catch — the explicit crossJoin (exempt Cross join
+    // type) keeps the rewrite both firing and correct (r16 ADVICE, medium)
+    def tied() = {
+      val s = spark
+      s.range(4000).select(col("id"),
+        pmod(col("id") * 131, lit(97)).as("o"))
+    }
+    val s = spark
+    s.conf.set("spark.sql.crossJoin.enabled", "false")
+    try {
+      for ((name, fn) <- Seq(
+          "percent_rank" -> (() => percent_rank()),
+          "cume_dist" -> (() => cume_dist()))) {
+        def build() = tied().withColumn("r",
+          fn().over(Window.orderBy(col("o").asc_nulls_first)))
+        val want = rows(build())
+        withRule("0") {
+          val rewritten = build()
+          assert(globalWindows(rewritten) == 0,
+            s"$name rewrite did not fire with crossJoin disabled")
+          assert(rows(rewritten) == want,
+            s"rewritten $name diverges with crossJoin disabled")
+        }
+      }
+    } finally s.conf.unset("spark.sql.crossJoin.enabled")
+  }
+
+  test("dense_rank over a DOUBLE order key with NaN, -0.0 and 0.0 is " +
+      "bit-equal (aggregate float normalization == window peer comparison)") {
+    // the earlier-shard offset counts DISTINCT order-key tuples; exactness
+    // needs countDistinct's normalization of NaN and ±0.0 (SPARK-26021) to
+    // match the window sort's peer grouping — pin it (r16 ADVICE, low)
+    val s = spark
+    import s.implicits._
+    val weird = ((0 until 400).map(i => (i % 13).toDouble) ++
+      Seq(Double.NaN, Double.NaN, -0.0, 0.0, -0.0,
+        Double.PositiveInfinity, Double.NegativeInfinity))
+      .zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("id", "o")
+    for ((name, fn) <- Seq(
+        "dense_rank" -> (() => dense_rank()), "rank" -> (() => rank()))) {
+      def build() = weird.withColumn("r",
+        fn().over(Window.orderBy(col("o").asc_nulls_first)))
+      val want = rows(build())
+      withRule("0") {
+        val rewritten = build()
+        assert(globalWindows(rewritten) == 0,
+          s"$name rewrite did not fire on the double order key")
+        assert(rows(rewritten) == want,
+          s"rewritten $name diverges on NaN/±0.0 order keys")
+      }
+    }
+  }
+
   test("refusals: below the gate, float sums, non-default null ordering, " +
       "other frames") {
     val naiveSum = () => frame().withColumn("run",
