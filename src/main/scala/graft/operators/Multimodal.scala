@@ -96,6 +96,44 @@ object Multimodal {
               COUNT(DISTINCT md5(text)) AS n_distinct
               FROM documents GROUP BY 1 ORDER BY media_type""")),
 
+    // ---- content-hash dedup with bytes-saved accounting -------------------
+    // Exact media dedup — the first pass every multimodal pipeline runs
+    // (the same asset re-crawled under many URLs): group by md5 of the
+    // BLOB, keep the minimum doc_id per content group, and report per
+    // media type what dedup buys: asset/unique counts, duplicate rows
+    // dropped, and the bytes a dedup'd store saves (Σ (n−1)·n_bytes per
+    // group — every copy in a group is byte-identical, so one size
+    // describes them all). Scale shape: the only wide exchange keys on
+    // the 16-byte digest (map-side partial agg collapses per-partition
+    // copies first); blobs never shuffle — only (hash, n_bytes, count)
+    // triples flow, and the final rollup is a bounded-cardinality
+    // media_type aggregate.
+    Q("q_multimodal_dedup",
+      (s, d) => media(s, d)
+        .groupBy(col("media_type"), md5(col("blob")).as("h"))
+        .agg(count(lit(1)).as("n"), min(col("n_bytes")).as("bytes"),
+          min(col("doc_id")).as("keeper"))
+        .groupBy("media_type")
+        .agg(sum(col("n")).as("n_assets"),
+          count(lit(1)).as("n_unique"),
+          sum(col("n") - 1).as("n_dup_rows"),
+          sum((col("n") - 1) * col("bytes")).as("bytes_saved"),
+          min(col("keeper")).as("min_keeper"))
+        .orderBy("media_type"),
+      Some("""WITH g AS (
+                SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                            WHEN doc_id % 3 = 1 THEN 'audio'
+                            ELSE 'video' END AS media_type,
+                  md5(text) AS h, COUNT(*) AS n,
+                  MIN(n_chars) AS bytes, MIN(doc_id) AS keeper
+                FROM documents GROUP BY 1, 2)
+              SELECT media_type, CAST(SUM(n) AS BIGINT) AS n_assets,
+                COUNT(*) AS n_unique,
+                CAST(SUM(n - 1) AS BIGINT) AS n_dup_rows,
+                CAST(SUM((n - 1) * bytes) AS BIGINT) AS bytes_saved,
+                MIN(keeper) AS min_keeper
+              FROM g GROUP BY media_type ORDER BY media_type""")),
+
     // ---- mapPartitions decode (stubbed kernel, real plumbing) ------------
     Q("q_multimodal_decode",
       (s, d) => decode(s, media(s, d))

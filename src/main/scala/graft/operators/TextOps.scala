@@ -347,13 +347,14 @@ object TextOps {
     * mirrored verbatim in both oracles — so the window rule cannot drift
     * between the operators that compare window sets. */
   private[operators] def windowHashes(
-      df: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame = df
+      df: org.apache.spark.sql.DataFrame, n: Int,
+      carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = df
     .withColumn("toks", split(col("text"), " "))
     .filter(size(col("toks")) >= n)
-    .select(col("doc_id"), explode(array_distinct(
+    .select((col("doc_id") +: carry.map(col)) :+ explode(array_distinct(
       transform(sequence(lit(0), size(col("toks")) - n),
         i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))))
-      .as("wh"))
+      .as("wh"): _*)
 
   val queries: Seq[Q] = Seq(
 
@@ -1154,6 +1155,63 @@ object TextOps {
               WHERE g.doc_id >= 5
               GROUP BY g.doc_id ORDER BY doc_id""")),
 
+    // ---- cross-source n-gram overlap matrix -------------------------------
+    // The curation diagnostic behind "how much of crawl X is already in
+    // corpus Y": for every source pair, the count of shared distinct
+    // 5-gram window hashes plus a Jaccard in ppm. Exact content hashes
+    // would answer "identical documents" (zero here by construction —
+    // q_dedup_exact's territory); the n-gram window is the overlap measure
+    // decontamination and mixture design actually use. Scale shape: the
+    // per-(source, wh) frame is DISTINCT before the pair join, so the
+    // self-join on wh fans out at most (#sources sharing the hash)² rows
+    // per hash — sources are a bounded taxonomy (mixture domains, not
+    // documents), so the Zipf-head hash costs S² rows, never docs². All
+    // shuffles key on wh or the S²-bounded pair frame; text never leaves
+    // the scan (only 32-char hashes flow). Jaccard is exact integer
+    // arithmetic (DECIMAL div) — no float divergence.
+    Q("q_cross_source_overlap",
+      (s, d) => {
+        val ws = windowHashes(docs(s, d), 5, Seq("source"))
+          .select("source", "wh").distinct()
+        val sizes = ws.groupBy("source").agg(count(lit(1)).as("n"))
+        val a = ws.select(col("wh"), col("source").as("source_a"))
+        val b = ws.select(col("wh"), col("source").as("source_b"))
+        a.join(b, Seq("wh"))
+          .filter(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_shared"))
+          .join(sizes.select(col("source").as("source_a"),
+            col("n").as("n_a")), Seq("source_a"))
+          .join(sizes.select(col("source").as("source_b"),
+            col("n").as("n_b")), Seq("source_b"))
+          .withColumn("jaccard_ppm", expr(
+            "CAST(n_shared AS DECIMAL(38,0)) * 1000000 div (n_a + n_b - n_shared)"))
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            col("n_a"), col("n_b"), col("jaccard_ppm"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH g AS (
+                SELECT DISTINCT source, wh FROM (
+                  SELECT source,
+                    unnest(list_distinct([md5(array_to_string(toks[i:i+4], ' '))
+                      FOR i IN generate_series(1, len(toks) - 4)])) AS wh
+                  FROM (SELECT source, string_split(text, ' ') AS toks
+                        FROM documents)
+                  WHERE len(toks) >= 5)),
+              sz AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+              p AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                  COUNT(*) AS n_shared
+                FROM g a JOIN g b ON a.wh = b.wh AND a.source < b.source
+                GROUP BY 1, 2)
+              SELECT p.source_a, p.source_b, p.n_shared,
+                sa.n AS n_a, sb.n AS n_b,
+                CAST(p.n_shared::HUGEINT * 1000000
+                  // (sa.n + sb.n - p.n_shared) AS BIGINT) AS jaccard_ppm
+              FROM p JOIN sz sa ON sa.source = p.source_a
+                     JOIN sz sb ON sb.source = p.source_b
+              ORDER BY source_a, source_b""")),
+
     // ---- intra-document repetition ----------------------------------------
     // The Gopher-style repetition filter: a document whose 3-grams repeat
     // heavily (1 − distinct/total above threshold) is loops/boilerplate,
@@ -1191,6 +1249,90 @@ object TextOps {
                 (${Arith.sqlMicro6(
                   "1.0 - n3_distinct::DOUBLE / n3")} > 0.2)
                   AS repetitive
+              FROM f ORDER BY doc_id""")),
+
+    // ---- the Gopher rule battery ------------------------------------------
+    // The published heuristic filter set (Rae et al. 2021, A1.1) as ONE
+    // pass with per-rule flags — unlike q_quality's composite SCORE, the
+    // per-rule booleans are what a curation run audits ("which rule is
+    // dropping 40% of crawl X"). Rules kept: word count ∈ [50, 100k],
+    // mean word length ∈ [3, 10], symbol-to-word ratio (# and …) ≤ 0.1,
+    // ≥80% of words contain an alphabetic character, and ≥2 distinct
+    // required stop words present — Gopher's ≥2-distinct semantics over
+    // the engine's [[stopWords]] set (the published eight are English
+    // prose words this synthetic vocabulary mostly lacks; the rule would
+    // be constant-false). The line-shape rules (bullet/ellipsis line
+    // fractions) are omitted: this corpus is single-line by
+    // construction, so they would be constant-pass noise.
+    // Everything is per-row codegen'd array arithmetic — no shuffle before
+    // the determinism sort. The alphabetic test is lower(t) <> upper(t)
+    // (set membership via case-folding, identical in both engines on this
+    // ASCII corpus) instead of a per-token regex — the regex-per-token
+    // cost on the hot text path is the r6 lesson stopWords already
+    // documents. Ratios go through the micro6 floor so the flag
+    // thresholds compare identical doubles on both engines.
+    Q("q_gopher_rules",
+      (s, d) => docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_words", size(col("toks")).cast("long"))
+        .withColumn("mean_word_len",
+          Arith.micro6((col("n_chars") - col("n_words") + 1).cast("double") /
+            col("n_words")))
+        .withColumn("n_symbols",
+          (length(col("text")) - length(regexp_replace(col("text"),
+            "[#…]", ""))).cast("long"))
+        .withColumn("symbol_ratio",
+          Arith.micro6(col("n_symbols").cast("double") / col("n_words")))
+        .withColumn("alpha_ratio", Arith.micro6(
+          size(filter(col("toks"), t => lower(t) =!= upper(t)))
+            .cast("double") / col("n_words")))
+        .withColumn("n_stop_distinct",
+          size(array_intersect(transform(col("toks"), t => lower(t)),
+            typedLit(stopWords))).cast("long"))
+        .withColumn("r_wordcount", col("n_words").between(50L, 100000L))
+        .withColumn("r_meanlen",
+          col("mean_word_len").between(3.0, 10.0))
+        .withColumn("r_symbol", col("symbol_ratio") <= 0.1)
+        .withColumn("r_alpha", col("alpha_ratio") >= 0.8)
+        .withColumn("r_stop", col("n_stop_distinct") >= 2L)
+        .withColumn("keep", col("r_wordcount") && col("r_meanlen") &&
+          col("r_symbol") && col("r_alpha") && col("r_stop"))
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("symbol_ratio"), col("alpha_ratio"), col("n_stop_distinct"),
+          col("r_wordcount"), col("r_meanlen"), col("r_symbol"),
+          col("r_alpha"), col("r_stop"), col("keep"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+                SELECT doc_id, n_chars, string_split(text, ' ') AS toks,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                  CAST(length(text) - length(regexp_replace(text,
+                    '[#…]', '', 'g')) AS BIGINT) AS n_symbols
+                FROM documents),
+              f AS (
+                SELECT doc_id, n_words, n_symbols,
+                  ${Arith.sqlMicro6(
+                    "(n_chars - n_words + 1)::DOUBLE / n_words")}
+                    AS mean_word_len,
+                  ${Arith.sqlMicro6("n_symbols::DOUBLE / n_words")}
+                    AS symbol_ratio,
+                  ${Arith.sqlMicro6(
+                    """len([x FOR x IN toks IF lower(x) <> upper(x)])::DOUBLE
+                        / n_words""")} AS alpha_ratio,
+                  CAST(len(list_intersect([lower(x) FOR x IN toks],
+                    [${stopWords.map(w => s"'$w'").mkString(", ")}]))
+                    AS BIGINT) AS n_stop_distinct
+                FROM t)
+              SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                alpha_ratio, n_stop_distinct,
+                (n_words BETWEEN 50 AND 100000) AS r_wordcount,
+                (mean_word_len BETWEEN 3.0 AND 10.0) AS r_meanlen,
+                (symbol_ratio <= 0.1) AS r_symbol,
+                (alpha_ratio >= 0.8) AS r_alpha,
+                (n_stop_distinct >= 2) AS r_stop,
+                ((n_words BETWEEN 50 AND 100000)
+                  AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                  AND (symbol_ratio <= 0.1) AND (alpha_ratio >= 0.8)
+                  AND (n_stop_distinct >= 2)) AS keep
               FROM f ORDER BY doc_id""")),
 
     // ---- deterministic hash sampling -------------------------------------

@@ -1678,9 +1678,30 @@ object StressMain {
         .parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), rank()
           .over(WS.orderBy(col("n_chars").desc_nulls_last)).as("r"))
+      // the r16-verdict-item-2 shape: sum + row_number in ONE select —
+      // Catalyst plans ONE Window node with two expressions, and the
+      // multi-expression dispatch must carry BOTH on a single
+      // sharded-priors pass (one histogram, one offsets join, one
+      // shard-local window)
+      def userMulti(dir: String): DataFrame = {
+        val w = WS.orderBy(col("n_chars").asc_nulls_first, col("doc_id"))
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            sum(col("n_chars")).over(w.rowsBetween(
+              WS.unboundedPreceding, WS.currentRow)).as("run"),
+            row_number().over(w).as("rn"))
+      }
       def globalWins(df: DataFrame): Int =
         df.queryExecution.optimizedPlan.collect {
           case w: LW if w.partitionSpec.isEmpty => w
+        }.size
+      def shardWins(df: DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case w: LW if w.partitionSpec.exists {
+            case a: org.apache.spark.sql.catalyst.expressions
+              .AttributeReference => a.name == "__ps_shard"
+            case _ => false
+          } => w
         }.size
       spark.conf.set(pKey,
         (pBase.toInt * (copies.toDouble / lo)).toInt.toString)
@@ -1690,6 +1711,8 @@ object StressMain {
           globalWins(naive) == 1, "positive control lost its global window")
         val (pN, _, _) = timed(s"user_rank_naive_x$copies", s"$work/out",
           naive)
+        val (pMN, _, _) = timed(s"user_multi_naive_x$copies", s"$work/out",
+          userMulti(s"$work/x$copies"))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ RP
         spark.conf.set(RP.ConfKey, "0")
@@ -1724,6 +1747,29 @@ object StressMain {
           println(f"STRESS| shardOf min/max extra scan ×$copies: " +
             f"$mmSec%.2f s = ${mmSec / wD * 100}%.0f%% of the " +
             f"dispatched $wD%.2f s wall")
+          // the multi-expression node, dispatched: both window columns on
+          // ONE sharded pass (exactly one __ps_shard-partitioned window
+          // in the optimized plan), set-equal to the naive pair, peak
+          // bounded like every other sharded arm
+          val multi = userMulti(s"$work/x$copies")
+          check("user sum+row_number node WITH the rule auto-dispatches",
+            globalWins(multi) == 0,
+            "multi-expression rule did not fire at stress scale")
+          check("dispatched sum+row_number rides ONE sharded-priors pass",
+            shardWins(multi) == 1,
+            s"${shardWins(multi)} shard-local windows in the plan")
+          val (pMD, _, _) = timed(s"user_multi_dispatched_x$copies",
+            s"$work/out", multi)
+          sameSet("auto-dispatched sum+row_number == naive multi-window " +
+              s"at ×$copies",
+            out(s"user_multi_dispatched_x$copies"),
+            out(s"user_multi_naive_x$copies"))
+          check(s"auto-dispatched sum+row_number peak ≤ pool fair share " +
+              s"at ×$copies",
+            pMD <= fairShare,
+            s"peak ${mb(pMD)} MB vs fair share ${mb(fairShare)} MB")
+          println(s"STRESS| multi-expr dispatch evidence ×$copies: naive " +
+            s"peak ${mb(pMN)} MB (one task) vs dispatched ${mb(pMD)} MB")
         } finally {
           spark.experimental.extraOptimizations =
             spark.experimental.extraOptimizations.filterNot(_ == RP)
