@@ -106,11 +106,20 @@ object PrefixSum {
       .map(c => col(c) <=> col(s"__po_$c")) :+
       (col("__ps_shard") <=> col("__po_shard"))).reduce(_ && _)
     val joined = t.join(if (hintBroadcast) broadcast(off) else off, rowCond)
-    values.foldLeft(joined) { case (acc, (n, v)) =>
-      acc.withColumn(n, col(s"__ps_off_$n") + sum(v).over(w) - v)
-    }.drop(Seq("__ps_shard", "__po_shard") ++
-      partCols.map(c => s"__po_$c") ++
-      values.map(v => s"__ps_off_${v._1}"): _*)
+    // ALL prior columns in one select ⇒ ONE analyzed Window node. A
+    // withColumn per value would analyze to one Window node each;
+    // user-space plans get them re-merged by CollapseWindow, but the
+    // auto-dispatch rewrite inserts this subtree AFTER that batch has
+    // run, so a multi-value call would execute N same-spec window passes
+    // over the sorted partitions instead of one (caught by the
+    // rides-ONE-pass invariant in the ×1000 prefix stress).
+    val names = values.map(_._1).toSet
+    joined.select(joined.columns.filterNot(names).map(col) ++
+      values.map { case (n, v) =>
+        (col(s"__ps_off_$n") + sum(v).over(w) - v).as(n) }: _*)
+      .drop(Seq("__ps_shard", "__po_shard") ++
+        partCols.map(c => s"__po_$c") ++
+        values.map(v => s"__ps_off_${v._1}"): _*)
   }
 
   /** Scale-safe global rank family: adds `rankName` = the `mode` window

@@ -372,8 +372,11 @@ object RewritePrefixWindow extends Rule[LogicalPlan] {
     * bounds. The extra scan is a full-width-free columnar read of ONE
     * column (parquet stats often answer it per row-group), pipelined
     * ahead of the shuffle; measured at ×1000 (5M docs, mode=prefix,
-    * BENCH_NOTES round 17) it is a small single-digit share of the
-    * dispatched wall, which itself beats the one-task sort outright. */
+    * BENCH_NOTES round 17) the scan is 0.6–0.7 s absolute — a 4–14%
+    * share of the dispatched wall across two runs (the spread is box
+    * noise in the denominator, not the scan) — and the dispatched form
+    * INCLUDING that scan still beats the one-task sort outright on a
+    * quiet box (r16 record: 3.05 s vs 4.98 s). */
   private def shardOf(df: DataFrame, o: Expression,
       desc: Boolean): (DataFrame, Column) = {
     val oc = GraftSqlBridge.column(o)
