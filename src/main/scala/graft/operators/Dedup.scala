@@ -708,6 +708,44 @@ object Dedup {
               MIN(doc_id) AS keep_id
               FROM documents GROUP BY sha256(text) ORDER BY keep_id""")),
 
+    // ---- soft dedup (duplication-count downweighting) ----------------------
+    // The non-destructive alternative to q_dedup_exact: instead of dropping
+    // duplicates, every copy keeps weight 1/n_copies so the CLUSTER
+    // contributes one document's worth of gradient regardless of crawl
+    // multiplicity (the D4/data-constrained-scaling recipe — repeated data
+    // is downweighted, not discarded, preserving any unique context around
+    // the duplicated body). Emits the per-doc sampling weight in ppm plus
+    // the effective token count in micro-tokens — both exact integer floor
+    // division, so the training-mix accounting that consumes them sums
+    // exactly on both engines. Scale shape: the text is hashed IN the scan
+    // and only (digest, n_words) shuffles — one partial-aggregated groupBy
+    // on the digest and one digest equi-join back; a Zipf-giant duplicate
+    // cluster is one aggregate row, and text never leaves the scan.
+    Q("q_soft_dedup",
+      (s, d) => {
+        val t = docs(s, d).select(col("doc_id"),
+          sha2(col("text"), 256).as("h"),
+          size(split(col("text"), " ")).cast("long").as("n_words"))
+        val cnts = t.groupBy("h").agg(count(lit(1)).as("n_copies"))
+        t.join(cnts, "h")
+          .withColumn("weight_ppm", expr("1000000L div n_copies"))
+          .withColumn("eff_tokens_micro",
+            expr("n_words * 1000000L div n_copies"))
+          .select(col("doc_id"), col("n_copies"), col("n_words"),
+            col("weight_ppm"), col("eff_tokens_micro"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, sha256(text) AS h,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+                FROM documents),
+              c AS (SELECT h, COUNT(*) AS n_copies FROM t GROUP BY h)
+              SELECT t.doc_id, c.n_copies, t.n_words,
+                CAST(1000000 // c.n_copies AS BIGINT) AS weight_ppm,
+                CAST(t.n_words * 1000000 // c.n_copies AS BIGINT)
+                  AS eff_tokens_micro
+              FROM t JOIN c USING (h) ORDER BY doc_id""")),
+
     // ---- MinHash + LSH near-dup ------------------------------------------
     Q("q_dedup_minhash",
       (s, d) => {

@@ -1570,6 +1570,66 @@ object Similarity {
                 FROM cand)
               WHERE rk <= 3 ORDER BY vec_id, rk""")),
 
+    // ---- kNN majority-vote classification ----------------------------------
+    // The label-propagation arm of the similarity family: predict each
+    // vector's label from the majority vote of its k=3 nearest neighbors
+    // (q_knn_join's exact machinery — iterated-k-means buckets, never a
+    // cartesian), ties to the smaller label. This is the semi-supervised
+    // curation move — a small labeled seed set propagates quality/domain
+    // labels across an unlabeled corpus through the embedding space — and
+    // doubles as the embedding-health eval (leave-one-out accuracy: a
+    // `correct` share near chance means the encoder carries no label
+    // signal). Shapes at scale: neighbor candidates are bucket-bounded
+    // (the knnJoin contract — buckets ∝ corpus holds per-task memory
+    // constant), the label join is a vec_id equi-join, and the vote is a
+    // partial-aggregated count over ≤ k rows per vector; vectors alone in
+    // their bucket emit no rows, exactly like the oracle. Deterministic
+    // end to end, so the fixed-bucket row has an exact SQL oracle.
+    Q("q_knn_classify",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = embs(s, d).select(col("vec_id"), col("embedding"),
+          col("label"))
+        val votes = knnJoin(s, e.select("vec_id", "embedding"), 3, 8)
+          .join(e.select(col("vec_id").as("nn_id"),
+            col("label").as("nn_label")), Seq("nn_id"))
+          .groupBy("vec_id", "nn_label")
+          .agg(count(lit(1)).as("n_votes"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("n_votes").desc, col("nn_label"))
+        votes.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1)
+          .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .select(col("vec_id"), col("label"), col("nn_label").as("pred"),
+            col("n_votes"), (col("nn_label") === col("label")).as("correct"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ${sqlIvfAssign(8, sqlZeroNormWhere)},
+              ${sqlKmeansRounds(2)},
+              cand AS (
+                SELECT a.vec_id, b.vec_id AS nn_id,
+                  ${sqlCosineCols("a.v", "b.v")} AS cos
+                FROM a2 a JOIN a2 b
+                  ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+              nn AS (
+                SELECT vec_id, nn_id FROM (
+                  SELECT vec_id, nn_id,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cos DESC, nn_id) AS rk
+                  FROM cand)
+                WHERE rk <= 3),
+              v AS (
+                SELECT nn.vec_id, emb.label AS nn_label,
+                  CAST(COUNT(*) AS BIGINT) AS n_votes
+                FROM nn JOIN embeddings emb ON emb.vec_id = nn.nn_id
+                GROUP BY 1, 2)
+              SELECT v.vec_id, me.label, v.nn_label AS pred, v.n_votes,
+                (v.nn_label = me.label) AS correct
+              FROM v JOIN embeddings me ON me.vec_id = v.vec_id
+              QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY v.n_votes DESC, v.nn_label) = 1
+              ORDER BY v.vec_id""")),
+
     // ---- k-means refinement round (real clustering for the IVF index) ----
     // One Lloyd iteration over the IVF buckets: exact fixed-point centroid
     // recompute + cosine reassignment (kmeansRefine). Deterministic end to

@@ -1212,6 +1212,55 @@ object TextOps {
                      JOIN sz sb ON sb.source = p.source_b
               ORDER BY source_a, source_b""")),
 
+    // ---- per-source marginal n-gram novelty --------------------------------
+    // The mixture-ingestion ORDER diagnostic q_cross_source_overlap's
+    // symmetric matrix can't give: walk the sources in a deterministic
+    // priority order (name order — the reproducibility convention every
+    // sampling row uses) and credit each distinct 5-gram window hash to the
+    // FIRST source that contributes it. A source's novelty_ppm is the share
+    // of its own distinct n-grams that are new at its turn — the marginal
+    // content a crawl adds to the accumulated corpus, the number that
+    // decides whether ingesting it is worth the tokens. Scale shape: the
+    // per-(source, wh) frame is DISTINCT before anything else; the claim
+    // pass is a partial-aggregated min(source) per wh; the credit join keys
+    // on wh — so every shuffle carries 32-char hashes bounded by distinct
+    // windows, the Zipf-head hash costs S rows (bounded source taxonomy),
+    // and text never leaves the scan. Novelty is exact integer ppm
+    // (DECIMAL div) like the overlap row, so no float divergence.
+    Q("q_ngram_novelty",
+      (s, d) => {
+        val ws = windowHashes(docs(s, d), 5, Seq("source"))
+          .select("source", "wh").distinct()
+          .localCheckpoint() // consumed twice: claim pass + credit join
+        val first = ws.groupBy("wh").agg(min(col("source")).as("first_source"))
+        ws.join(first, Seq("wh"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_grams"),
+            count(when(col("first_source") === col("source"), lit(1)))
+              .as("n_novel"))
+          .withColumn("novelty_ppm", expr(
+            "CAST(n_novel AS DECIMAL(38,0)) * 1000000 div n_grams"))
+          .select(col("source"), col("n_grams"), col("n_novel"),
+            col("novelty_ppm"))
+          .orderBy("source")
+      },
+      Some("""WITH g AS (
+                SELECT DISTINCT source, wh FROM (
+                  SELECT source,
+                    unnest(list_distinct([md5(array_to_string(toks[i:i+4], ' '))
+                      FOR i IN generate_series(1, len(toks) - 4)])) AS wh
+                  FROM (SELECT source, string_split(text, ' ') AS toks
+                        FROM documents)
+                  WHERE len(toks) >= 5)),
+              f AS (SELECT wh, MIN(source) AS first_source FROM g GROUP BY wh)
+              SELECT g.source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                CAST(COUNT(*) FILTER (WHERE f.first_source = g.source)
+                  AS BIGINT) AS n_novel,
+                CAST(COUNT(*) FILTER (WHERE f.first_source = g.source)::HUGEINT
+                  * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+              FROM g JOIN f ON f.wh = g.wh
+              GROUP BY g.source ORDER BY source""")),
+
     // ---- intra-document repetition ----------------------------------------
     // The Gopher-style repetition filter: a document whose 3-grams repeat
     // heavily (1 − distinct/total above threshold) is loops/boilerplate,

@@ -195,4 +195,76 @@ class AnnSpec extends AnyFunSuite {
       s"no cluster exceeds the cap at this SF (sizes: $sizes) — " +
         "the test would not exercise the downsampling branch")
   }
+
+  test("knn classify is the majority vote of knnJoin's neighbors") {
+    // q_knn_classify's vote semantics, recomputed independently from the
+    // same kNN edges: per vector, mode of the ≤3 neighbor labels with
+    // ties to the SMALLER label; `correct` is pred == own label. Also
+    // pins that the leave-one-out accuracy beats label-frequency chance
+    // at this SF — the embedding-health signal the row exists for.
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val s = spark
+    val e = Tables(s, sfDir, "embeddings")
+    val labels = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nn = Similarity.knnJoin(s,
+        e.select(col("vec_id"), col("embedding")), 3, 8)
+      .select(col("vec_id"), col("nn_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = nn.groupBy(_._1).map { case (v, edges) =>
+      val votes = edges.map(x => labels(x._2))
+        .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      val (pred, nVotes) = votes.minBy { case (l, c) => (-c, l) }
+      (v, (labels(v), pred, nVotes, pred == labels(v)))
+    }
+    val got = SparkEntry.queries("q_knn_classify")(s, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), (r.getAs[Int]("label"),
+        r.getAs[Int]("pred"), r.getAs[Long]("n_votes"),
+        r.getAs[Boolean]("correct")))).toMap
+    assert(got == want,
+      s"${(got.toSet -- want.toSet).size} unexpected, " +
+        s"${(want.toSet -- got.toSet).size} missing/different")
+    val acc = got.values.count(_._4).toDouble / got.size
+    val chance = labels.values.groupBy(identity)
+      .map(_._2.size.toDouble / labels.size).max
+    // the synthetic corpus assigns labels independently of geometry, so
+    // accuracy ≈ chance here by construction — the health-signal branch
+    // is pinned on a planted frame in the next test; this one pins the
+    // VOTE semantics on real data
+    info(f"leave-one-out accuracy $acc%.3f vs chance $chance%.3f " +
+      f"over ${got.size} vectors")
+  }
+
+  test("knn classify reaches accuracy 1.0 on label-separated clusters") {
+    // the embedding-health branch the sf corpus can't exercise: three
+    // orthogonal-axis clusters, label == cluster ⇒ every neighbor vote
+    // is same-cluster and leave-one-out accuracy must be exactly 1.0
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    // ids INTERLEAVE the clusters (id % 3 == cluster) so the first-8
+    // centroid seeding spans all three; identical within-cluster vectors
+    // then tie-break every member to its cluster's lowest-c_id bucket
+    val rows = for {
+      i <- 0 until 9
+      c <- 0 until 3
+    } yield {
+      val v = Array.fill(dim)(0.0f)
+      v(c * 3) = 1.0f // cluster axis: 0, 3, 6 — mutually orthogonal
+      ((i * 3 + c).toLong, v.toSeq, c)
+    }
+    val d = java.nio.file.Files.createTempDirectory("graft-knncls").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = SparkEntry.queries("q_knn_classify")(s, d).collect()
+    assert(out.length == 27, s"${out.length} rows — a cluster landed " +
+      "alone in a bucket and dropped out")
+    assert(out.forall(_.getAs[Boolean]("correct")),
+      "a separated-cluster vector was voted the wrong label")
+    assert(out.forall(_.getAs[Long]("n_votes") == 3L),
+      "a vote was not unanimous on fully separated clusters")
+  }
 }

@@ -48,6 +48,68 @@ class DedupSpec extends AnyFunSuite {
     assert(dupGroup.getAs[Long]("keep_id") == 0L)
   }
 
+  test("soft dedup downweights each copy by its cluster size") {
+    // docs 0 and 1 are the planted exact pair (weight 1/2); 2-4 unique.
+    // The near-dup of doc 0 (doc 2) must NOT be downweighted — soft dedup
+    // is exact-hash semantics, the near-dup arm is q_dedup_minhash's.
+    val rows = SparkEntry.queries("q_soft_dedup")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_copies"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("weight_ppm"), r.getAs[Long]("eff_tokens_micro")))
+      .toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    for (d <- Seq(0L, 1L)) {
+      assert(rows(d)._1 == 2L && rows(d)._3 == 500000L,
+        s"dup copy $d: ${rows(d)}")
+      assert(rows(d)._4 == rows(d)._2 * 500000L)
+    }
+    for (d <- Seq(2L, 3L, 4L)) {
+      assert(rows(d)._1 == 1L && rows(d)._3 == 1000000L,
+        s"unique doc $d: ${rows(d)}")
+      assert(rows(d)._4 == rows(d)._2 * 1000000L)
+    }
+    // the corpus-level accounting the op exists for: effective tokens ==
+    // one cluster share per copy, exactly (no float drift)
+    val eff = rows.values.map(_._4).sum
+    val want = rows.values.map(v => v._2 * 1000000L / v._1).sum
+    assert(eff == want)
+  }
+
+  test("ngram novelty credits each window to the name-first source") {
+    // Independent recomputation on window STRINGS (md5 is injective on
+    // distinct windows, so novelty over strings == novelty over hashes):
+    // src0 carries docs 0/1 (identical), src1 docs 2/3 (doc 2 a near-dup
+    // of src0's text), src2 doc 4 (disjoint vocabulary).
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val perSource = corpus.groupBy(_._1).view.mapValues(_.flatMap {
+      case (_, text) =>
+        val toks = text.split(" ")
+        toks.sliding(5).filter(_.length == 5).map(_.mkString(" "))
+    }.toSet).toMap
+    val claimed = perSource.toSeq.flatMap { case (src, whs) =>
+      whs.map(wh => (wh, src))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = perSource.map { case (src, whs) =>
+      val novel = whs.count(claimed(_) == src).toLong
+      (src, (whs.size.toLong, novel,
+        (BigInt(novel) * 1000000 / whs.size).toLong))
+    }
+    val got = SparkEntry.queries("q_ngram_novelty")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("novelty_ppm"))).toMap
+    assert(got == want, s"got $got\nwant $want")
+    // the fixture exercises the interesting branch: src1 shares windows
+    // with the name-earlier src0, so its novelty is strictly partial
+    assert(got("src0")._3 == 1000000L)
+    assert(got("src1")._3 > 0L && got("src1")._3 < 1000000L,
+      s"src1 novelty ${got("src1")._3} not strictly partial — the " +
+        "planted near-dup overlap is not exercising the claim pass")
+    assert(got("src2")._3 == 1000000L)
+  }
+
   test("minhash LSH finds the planted exact and near pairs, nothing else") {
     val rows = SparkEntry.queries("q_dedup_minhash")(spark, dir)
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),

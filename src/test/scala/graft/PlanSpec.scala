@@ -269,6 +269,43 @@ class PlanSpec extends AnyFunSuite {
       "IVF-PQ scoring went all-pairs")
   }
 
+  test("q_soft_dedup shuffles digests only, with map-side partial counts") {
+    // the text is hashed IN the scan: every hash exchange must key on the
+    // digest (never doc_id/text), the cluster count must partial-aggregate
+    // map-side (a Zipf-giant duplicate cluster = one partial row per task),
+    // and the only other exchange is the determinism sort's range partition
+    val p = plan("q_soft_dedup")
+    assert(p.contains("partial_count"),
+      s"cluster count not map-side partial-aggregated:\n$p")
+    val hashEx = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("h#")),
+      s"a shuffle keys on something besides the digest:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_ngram_novelty shuffles window hashes, claim pass partial-aggs") {
+    // per-(source, wh) distinct + the min(source) claim pass both key
+    // their exchanges on wh (± source) — 32-char hashes, never text —
+    // and the claim min must combine map-side
+    val p = plan("q_ngram_novelty")
+    assert(p.contains("partial_min"),
+      s"claim pass not map-side partial-aggregated:\n$p")
+    val hashEx = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(l =>
+      l.contains("wh#") || l.contains("source#")),
+      s"a shuffle keys on something besides wh/source:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_knn_classify stays bucket-bounded, never a cartesian") {
+    // candidates ride q_knn_join's bucket equi-join; the label join is a
+    // vec_id equi-join — an all-pairs plan would be n² at 100 TB
+    assert(!plan("q_knn_classify").contains("CartesianProduct"),
+      "kNN classify went all-pairs")
+  }
+
   test("q_decontaminate broadcasts the eval set against the corpus scan") {
     // the benchmark suite is always small: the corpus must stream map-side
     // through a broadcast join, never shuffle on the window hash
