@@ -45,6 +45,29 @@ object Bench {
   def sentinel(spark: SparkSession): Double =
     math.min(sentinelOnce(spark), sentinelOnce(spark))
 
+  /** Per-tiny-job scheduler-floor sentinel: wall seconds PER JOB over 20
+    * serial one-task noop jobs (no data, no shuffle, ~zero CPU) — the
+    * latency axis the CPU-bound [[sentinel]] is blind to. The round-17
+    * sweeps proved the gap matters: both sweeps passed the CPU gate
+    * (start 0.227) while every many-tiny-jobs row (streaming, RDD.pipe)
+    * rode a reproducible ~1.7× smear — fresh-JVM BenchOne of an UNTOUCHED
+    * stream row confirmed the box's per-job floor, not the plans, had
+    * slowed. Emitted in-band ("floor_*", observability only) so the next
+    * quiet/slow sessions calibrate a band BEFORE it joins the noisy gate;
+    * min-of-2 like the CPU pair so first-use codegen doesn't read as
+    * contention. */
+  def jobFloor(spark: SparkSession): Double =
+    math.min(jobFloorOnce(spark), jobFloorOnce(spark))
+
+  private def jobFloorOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    (0 until 20).foreach { _ =>
+      spark.range(0L, 1L, 1L, 1)
+        .write.format("noop").mode("overwrite").save()
+    }
+    (System.nanoTime() - t0) / 1e9 / 20
+  }
+
   private def sentinelOnce(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions._
     val t0 = System.nanoTime()
@@ -140,6 +163,7 @@ object Bench {
     val spark = benchSession(cpus)
     warmUp(spark, sfDir)
     val sentinelStart = sentinel(spark)
+    val floorStart = jobFloor(spark)
     // noop-format write executes the FULL plan (a count() would let
     // Catalyst prune projections/sorts and measure a cheaper query).
     // Two passes, min time: a single pass is dominated by whichever query
@@ -182,11 +206,13 @@ object Bench {
     // (RocksDB JNI load, state-store coordinator, streaming codegen) that
     // otherwise land on whichever stream row happens to run first.
     val sentinelStreamStart = sentinel(spark)
+    val floorStream = jobFloor(spark)
     streamQ.headOption.foreach { case (n, f) => once(s"$n (warm-up)", f) }
     val resultsStream = minOf2(streamQ)
     val sentinelStreamEnd = sentinel(spark)
     val results = resultsBatch ++ resultsStream ++ mrBaseline(spark)
     val sentinelEnd = sentinel(spark)
+    val floorEnd = jobFloor(spark)
     val failed = (batchQ ++ streamQ).map(_._1)
       .filterNot(results.contains).sorted
     def r3(v: Double) = math.rint(v * 1000) / 1000 // keep the line short
@@ -201,10 +227,14 @@ object Bench {
         s"\"" + k + "\":" + math.rint(v / p * 100) / 100)
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def r4(v: Double) = math.rint(v * 10000) / 10000 // floors are ~10 ms
     val sentinelJson =
       s"""{"start":${r3(sentinelStart)},"end":${r3(sentinelEnd)},""" +
         s""""stream_start":${r3(sentinelStreamStart)},""" +
-        s""""stream_end":${r3(sentinelStreamEnd)}}"""
+        s""""stream_end":${r3(sentinelStreamEnd)},""" +
+        s""""floor_start":${r4(floorStart)},""" +
+        s""""floor_stream":${r4(floorStream)},""" +
+        s""""floor_end":${r4(floorEnd)}}"""
     // In-band quiet-box verdict (r15 verdict item 6): a sweep whose start
     // sentinel exceeds the threshold ran under machine contention — its
     // per-query seconds carry the same smear — and says so itself, so

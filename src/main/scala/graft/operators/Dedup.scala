@@ -1737,12 +1737,36 @@ object Dedup {
     val d0b = corpusD0(batch).localCheckpoint()
     val s1b = d0b.filter(col("n_tokens") >= 12)
     val s2b = corpusQuality(s1b).localCheckpoint()
-    val bSh = shingled(s2b).localCheckpoint()
-    val bBands = minhashBands(s, bSh).localCheckpoint()
     // no localCheckpoint: sha2 over the (checkpointed) batch is cheaper
     // to recompute at its two consumers than one more eager job — this
     // row's cost is JOB COUNT on tiny per-batch frames, not CPU
     val bHash = s2b.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    // EXACT-FIRST discipline, the ×10000 corpus-stream lesson: shingle/
+    // minhash work and near-dup candidate generation run on one
+    // REPRESENTATIVE per distinct batch text (the min-doc_id copy — the
+    // same first_id the exact_batch verdict keys on). Exact copies carry
+    // identical shingle sets and band keys, so banding them all makes the
+    // intra-batch LSH buckets quadratic in the per-batch duplication
+    // factor (at ×10000, ~156 copies/text/batch → C(156,2)·texts·bands
+    // candidate pairs, each dragging two shingle arrays — measured as a
+    // >69 GB spill that filled the box inside batch 0), while the
+    // verdicts are INVARIANT to the restriction: a non-representative's
+    // reason is exact_batch/exact_corpus before any near flag is
+    // consulted, and every (repX, repY) band collision a dropped copy
+    // would have produced survives through the representatives'
+    // identical band keys. The batch pipeline already has this shape
+    // (stage-3 exact dedup precedes stage-4 LSH); this keeps the
+    // streaming twin's per-batch near-dup cost O(distinct), not
+    // O(batch²/texts).
+    // groupBy, not a window over h: the rep set is an argmin per hash, so
+    // a map-side partial min shuffles one row per distinct text instead
+    // of sorting the whole batch's (doc_id, h) pairs
+    val repIds = bHash.groupBy("h")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val s2bR = s2b.join(repIds, "doc_id")
+    val bSh = shingled(s2bR).localCheckpoint()
+    val bBands = minhashBands(s, bSh).localCheckpoint()
     def prior(kind: String, like: DataFrame): DataFrame = {
       val dirs = corpusReadDirs(s"$stateRoot/$kind", bid)
       if (dirs.isEmpty) like.limit(0) else s.read.parquet(dirs: _*)
