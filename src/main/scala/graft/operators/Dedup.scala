@@ -476,15 +476,57 @@ object Dedup {
     * tables — the same verify cost q_dedup_minhash pays. */
   def incrementalDedup(s: SparkSession, batch: DataFrame,
       corpus: DataFrame): DataFrame = {
-    val bSh = shingled(batch).localCheckpoint()
+    // EXACT-FIRST discipline (the ×10000 corpus-stream lesson, r17 —
+    // see corpusStreamBatch below): shingle/minhash and BOTH near-dup
+    // candidate passes run on one REPRESENTATIVE per distinct batch
+    // text. Banding every exact copy makes the intra-batch LSH buckets
+    // quadratic in the per-batch duplication factor (measured in the
+    // streaming twin as a >69 GB spill that filled the box at ~156
+    // copies/text), while the verdicts are INVARIANT to the
+    // restriction: a non-representative's reason is exact_corpus /
+    // exact_batch before any near flag is consulted, and every
+    // (repX, repY) band collision a dropped copy would have produced
+    // survives through the representatives' identical band keys —
+    // the rep is the MIN doc_id per hash, so any a<b candidate pair a
+    // copy produced has a rep-pair with rep_a ≤ a < b still present.
+    // Pinned by DedupSpec's with/without-restriction verdict equality
+    // on a planted high-duplication frame.
+    val bHash = batch
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      // checkpointed: consumed by the rep claim pass AND the verdict
+      // assembly in incrementalDedupPre
+      .localCheckpoint()
+    // groupBy-argmin, not a window over h: a Zipf-giant exact-duplicate
+    // cluster would land on ONE window task; the partial min shuffles
+    // one row per distinct hash per map partition instead
+    val repIds = bHash.groupBy("h")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val bSh = shingled(batch.join(repIds, "doc_id")).localCheckpoint()
     val cSh = shingled(corpus).localCheckpoint()
     incrementalDedupPre(s,
-      batch.select(col("doc_id"), sha2(col("text"), 256).as("h")),
+      bHash,
       bSh,
       // checkpointed: consumed by BOTH the corpus band-join and the
       // batch-internal self-join below — without it the minhash kernel
       // runs twice over the batch
       minhashBands(s, bSh).localCheckpoint(),
+      corpus.select(sha2(col("text"), 256).as("h")).distinct(),
+      cSh, minhashBands(s, cSh))
+  }
+
+  /** Test-only: the PRE-r18 unrestricted arm — full-batch shingle/band
+    * frames straight into [[incrementalDedupPre]], no exact-first rep
+    * restriction. DedupSpec pins verdict equality against
+    * [[incrementalDedup]] on a planted high-duplication frame, which is
+    * the invariance argument the restriction rests on made executable. */
+  private[graft] def incrementalDedupUnrestrictedForTest(s: SparkSession,
+      batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val bSh = shingled(batch).localCheckpoint()
+    val cSh = shingled(corpus).localCheckpoint()
+    incrementalDedupPre(s,
+      batch.select(col("doc_id"), sha2(col("text"), 256).as("h")),
+      bSh, minhashBands(s, bSh).localCheckpoint(),
       corpus.select(sha2(col("text"), 256).as("h")).distinct(),
       cSh, minhashBands(s, cSh))
   }
@@ -502,7 +544,6 @@ object Dedup {
   private[graft] def incrementalDedupPre(s: SparkSession, bHash: DataFrame,
       bSh: DataFrame, bBands: DataFrame, cHash0: DataFrame,
       cSh: DataFrame, cBands: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cHash = cHash0.distinct().withColumn("in_corpus", lit(1L))
     val nearHit = bBands
       .select(col("doc_id").as("b_id"), col("band"))
@@ -524,10 +565,21 @@ object Dedup {
       .filter(jaccard(col("a_sh"), col("b_sh")) >= 0.5)
       .select(col("b_id").as("doc_id")).distinct()
       .withColumn("near_batch", lit(1L))
+    // first_id via groupBy-argmin + a NULL-SAFE join, not a window over
+    // h: window partitionBy("h") puts a Zipf-giant exact-duplicate
+    // cluster on ONE task (no AQE skew split for windows), while the
+    // groupBy's map-side partial min shuffles one row per distinct hash
+    // per map partition and the join IS skew-splittable. <=> because a
+    // NULL text hashes to NULL and window semantics group the NULL
+    // hashes together — a plain equi-join would drop those rows (the
+    // oracle's window form pins this).
+    val firstIds = bHash.groupBy("h")
+      .agg(min(col("doc_id")).as("first_id"))
+      .select(col("h").as("__fi_h"), col("first_id"))
     bHash
       .join(cHash, Seq("h"), "left")
-      .withColumn("first_id",
-        min(col("doc_id")).over(Window.partitionBy("h")))
+      .join(firstIds, col("h") <=> col("__fi_h"))
+      .drop("__fi_h")
       .join(nearHit, Seq("doc_id"), "left")
       .join(nearBatch, Seq("doc_id"), "left")
       .withColumn("reason",
@@ -1738,8 +1790,9 @@ object Dedup {
     val s1b = d0b.filter(col("n_tokens") >= 12)
     val s2b = corpusQuality(s1b).localCheckpoint()
     // no localCheckpoint: sha2 over the (checkpointed) batch is cheaper
-    // to recompute at its two consumers than one more eager job — this
-    // row's cost is JOB COUNT on tiny per-batch frames, not CPU
+    // to recompute at its three consumers (the repIds claim pass, the
+    // verdict assembly, the hash-state put) than one more eager job —
+    // this row's cost is JOB COUNT on tiny per-batch frames, not CPU
     val bHash = s2b.select(col("doc_id"), sha2(col("text"), 256).as("h"))
     // EXACT-FIRST discipline, the ×10000 corpus-stream lesson: shingle/
     // minhash work and near-dup candidate generation run on one

@@ -44,8 +44,11 @@ object PrefixSum {
     * Requirements: `shard` must be non-decreasing along `orderCols`
     * within every group and constant on `orderCols` ties that straddle
     * rows (in practice: derive it from a prefix of the FIRST ordering
-    * column), with a bounded distinct count; `value` must be long-typed
-    * (exact integer totals — the engine's cross-engine discipline).
+    * column), with a bounded distinct count; `value` must be an EXACT
+    * type — long (the engine's cross-engine discipline) or a decimal
+    * whose scale survives promotion (see
+    * [[RewritePrefixWindow.isExactDecimal]]'s scale ≤ 6 argument) —
+    * never float/double, whose addition is not associative.
     * The offsets frame is (groups × shards)-sized and is broadcast, so
     * `partCols` must be bounded-cardinality (source, lang, ... — the
     * grouping this operator family uses).

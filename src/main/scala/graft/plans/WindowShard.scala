@@ -44,9 +44,15 @@ import org.apache.spark.sql.types._
   *
   * Exactness contract (why the match is narrow): the sharded decomposition
   * is bit-equal to the window form only when the summed value's addition
-  * is associative — so sums rewrite for integral inputs only (wrap-around
-  * long addition is associative; float/double addition is not, and a
-  * rewrite would change low-order bits). row_number/ntile rewrite as
+  * is associative — so sums rewrite for integral inputs (wrap-around
+  * long addition is associative) and for exact DECIMAL inputs of scale
+  * ≤ 6 (decimal addition is exact and associative under Spark's
+  * overflow-checked sum; the scale cap is [[isExactDecimal]]'s
+  * bit-equality argument — the running money total,
+  * `sum(l_extendedprice) OVER (ORDER BY ...)`, is the most common real
+  * prefix shape and sits well inside it). Float/double addition is not
+  * associative and a rewrite would change low-order bits — refused.
+  * row_number/ntile rewrite as
   * running counts with Spark's ragged-N ntile sizing inlined as a closed
   * form (the q_curriculum_hist formula); rank/dense_rank rewrite as
   * earlier-shard row/distinct-key offsets plus a shard-local rank
@@ -79,6 +85,23 @@ object RewritePrefixWindow extends Rule[LogicalPlan] {
 
   private def isIntegral(t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Decimal running sums rewrite only for scale 0..6. Why: the
+    * decomposition's binary adds (offset + shard-local running sum ±
+    * value) promote precision, and once a promoted precision crosses 38
+    * Spark's adjustPrecisionScale picks
+    * `adjustedScale = max(38 - intDigits, min(s, 6))` — for s ≤ 6 that
+    * is always s (scale PRESERVED, the add can only overflow, which the
+    * checked decimal arithmetic surfaces: ANSI throws, non-ANSI nulls —
+    * the same failure Spark's own window Sum produces), while for s ≥ 7
+    * the last digit could ROUND and the rewrite would not be bit-equal.
+    * Every intermediate (the hist sums, the offset sums, the window sum,
+    * the final adds) therefore yields the exact mathematical value or
+    * fails loudly — never a silently rounded one. */
+  private def isExactDecimal(t: DataType): Boolean = t match {
+    case d: DecimalType => d.scale >= 0 && d.scale <= 6
     case _ => false
   }
 
@@ -208,7 +231,8 @@ object RewritePrefixWindow extends Rule[LogicalPlan] {
     case class RankCls(mode: String) extends Cls
     val classified: Seq[(Alias, Cls)] = parsed.map {
       case (al, AggregateExpression(s: Sum, Complete, false, None, _))
-          if isIntegral(s.child.dataType) && s.child.deterministic =>
+          if (isIntegral(s.child.dataType) ||
+            isExactDecimal(s.child.dataType)) && s.child.deterministic =>
         (al, SumCls(s.child))
       case (al, _: RowNumber) => (al, RowNumCls)
       case (al, NTile(Literal(k: Int, IntegerType))) => (al, NtileCls(k))
@@ -242,10 +266,15 @@ object RewritePrefixWindow extends Rule[LogicalPlan] {
       case (_, RowNumCls) | (_, NtileCls(_)) => true
       case _ => false
     }
+    // values accumulate in the window Sum's own RESULT type (LongType
+    // for integral inputs — unchanged behavior — and the widened
+    // DecimalType(min(38, p+10), s) for decimal inputs), so every
+    // partial the shards add is the type Spark's own evaluator buffers
     val sumVals: Seq[(String, Column)] = classified.zipWithIndex.flatMap {
-      case ((_, SumCls(child)), i) =>
+      case ((al, SumCls(child)), i) =>
         val vc = GraftSqlBridge.column(child)
-        Seq(s"__gpx_ps_$i" -> coalesce(vc.cast(LongType), lit(0L)),
+        Seq(s"__gpx_ps_$i" ->
+            coalesce(vc.cast(al.dataType), lit(0L).cast(al.dataType)),
           s"__gpx_pc_$i" -> when(vc.isNotNull, lit(1L)).otherwise(lit(0L)))
       case _ => Nil
     }
@@ -295,7 +324,7 @@ object RewritePrefixWindow extends Rule[LogicalPlan] {
     for (((al, cls), i) <- classified.zipWithIndex) cur = cls match {
       case SumCls(child) =>
         val vc = GraftSqlBridge.column(child)
-        val vz = coalesce(vc.cast(LongType), lit(0L))
+        val vz = coalesce(vc.cast(al.dataType), lit(0L).cast(al.dataType))
         val ind = when(vc.isNotNull, lit(1L)).otherwise(lit(0L))
         cur.withColumn(s"__gpx_res_$i",
           when(col(s"__gpx_pc_$i") + ind === 0L, lit(null))

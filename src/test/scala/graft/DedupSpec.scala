@@ -414,6 +414,50 @@ class DedupSpec extends AnyFunSuite {
       (30L, "kept", true), (35L, "exact_batch", false)))
   }
 
+  test("exact-first rep restriction leaves incremental verdicts invariant") {
+    // r17's ×10000 corpus stream measured the unrestricted form's
+    // intra-batch quadratic live (>69 GB spill at ~156 copies/text); r18
+    // applies the same representative restriction to the batch arm. This
+    // pins the documented invariance argument on a HIGH-duplication
+    // planted frame (40 exact copies per text, interleaved ids, near
+    // variants, NULL texts): the restricted arm's verdicts equal the
+    // unrestricted (pre-r18) arm's row for row, and every reason class
+    // binds at least once.
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      "one two three four five six seven eight nine ten eleven twelve",
+      "red orange yellow green blue indigo violet cyan magenta white black",
+      "north south east west up down left right forward backward inward")
+    val copies = for {
+      (t, ti) <- texts.zipWithIndex
+      k <- 0 until 40
+    } yield (100L + k * 10 + ti, t) // interleaved: reps not contiguous
+    val nears = texts.zipWithIndex.map { case (t, ti) =>
+      (5000L + ti, t.replaceFirst(" \\w+$", " CHANGED")) }
+    val nulls = Seq((7000L, null: String), (7001L, null: String))
+    val batch = (copies ++ nears ++ nulls).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, texts.head),
+      (2L, "corpus only matches nothing else in this test at all"))
+      .toDF("doc_id", "text")
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("keep"),
+        r.getAs[String]("reason"))).toList
+    val restricted = verdicts(Dedup.incrementalDedup(s, batch, corpus))
+    val unrestricted = verdicts(
+      Dedup.incrementalDedupUnrestrictedForTest(s, batch, corpus))
+    assert(restricted == unrestricted,
+      "rep restriction changed a verdict — the invariance argument broke")
+    assert(restricted.map(_._3).toSet == Set("exact_corpus", "exact_batch",
+      "near_corpus", "near_batch", "kept"))
+    // the NULL-text pair must ride the null-safe first_id join: one rep
+    // kept, the other exact_batch (a plain equi-join would drop both)
+    assert(restricted.filter(_._1 >= 7000L) ==
+      List((7000L, true, "kept"), (7001L, false, "exact_batch")))
+  }
+
   test("corpus pipeline's exact-dedup stage drops planted dups in composition") {
     // the driver corpus has NO exact duplicate texts, so the registry
     // row's exact stage never binds; this plants copies and checks the

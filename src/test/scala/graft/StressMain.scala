@@ -204,10 +204,11 @@ object StressMain {
     })
     if (mode == "text" || mode == "embed" || mode == "events" ||
         mode == "stream" || mode == "embeddim" || mode == "corpusstream" ||
-        mode == "prefix") {
+        mode == "prefix" || mode == "incr") {
       if (mode == "text") textStress(spark, src, copies, work,
         if (args.length > 4) args(4) else "all")
       else if (mode == "prefix") prefixStress(spark, src, copies, work)
+      else if (mode == "incr") incrDedupStress(spark, src, copies, work)
       else if (mode == "embed") embedStress(spark, src, copies, work)
       else if (mode == "embeddim") embedDimStress(spark, src, copies, work,
         if (args.length > 4) args(4).toInt else 16,
@@ -1587,6 +1588,63 @@ object StressMain {
       .withColumn("doc_id", col("doc_id") + col("cpy") * lit(dOff))
       .drop("cpy")
       .write.mode("overwrite").parquet(dest)
+
+  /** Batch incremental-dedup duplication stress (`mode=incr`, run as
+    * `runMain graft.StressMain <src> <copies> <work> incr`): the r18 fix
+    * applied the streaming twin's exact-first representative restriction
+    * to [[graft.operators.Dedup.incrementalDedup]] — the r17 ×10000
+    * corpus stream measured the unrestricted quadratic live (>69 GB
+    * spill, ENOSPC at ~156 copies/text). This mode is the batch arm's
+    * own scale point: a ×copies EXACT-duplication batch (every sf0.1
+    * batch text duplicated ×copies with disjoint id ranges) against the
+    * unchanged corpus.
+    *
+    * Laws:
+    *  1. verdict exactness at scale: the ×copies verdicts ARE the ×1
+    *     reference verdicts blown up — copy-0 rows identical (reps are
+    *     the min ids, so copy 0 is the rep set and its first_id/near
+    *     flags never see the copies), copy-k rows all dropped with
+    *     reason exact_corpus if the ×1 reason was exact_corpus (the
+    *     in_corpus flag outranks exact_batch) else exact_batch;
+    *  2. spill bounded: shingle/minhash/banding run on the ~nB
+    *     representatives regardless of copies, so the near-dup stage's
+    *     memory never scales with the duplication factor — the
+    *     unrestricted form's candidate fan-out (C(copies,2) per text per
+    *     band) is exactly what the restriction removes. */
+  private def incrDedupStress(spark: SparkSession, src: String, copies: Int,
+      work: String): Unit = {
+    val docs0 = spark.read.parquet(s"$src/documents.parquet")
+      .select("doc_id", "text")
+    val dOff = docs0.agg(max("doc_id")).head.getLong(0) + 1
+    val batch0 = docs0.filter(col("doc_id") % 5 === 0).localCheckpoint()
+    val corpus = docs0.filter(col("doc_id") % 5 =!= 0)
+    val nB = batch0.count()
+    blowUpDocs(spark, batch0, dOff, copies, s"$work/batch.parquet")
+    println(s"STRESS| incr batch: ${nB * copies} rows " +
+      s"(×$copies duplication of $nB texts), corpus ${corpus.count()} docs")
+    val batch = spark.read.parquet(s"$work/batch.parquet")
+    timed(s"incr_dedup_x$copies", s"$work/out",
+      operators.Dedup.incrementalDedup(spark, batch, corpus))
+    val sp = spill.get
+    // ×1 reference + its exact blow-up (law 1's derivation)
+    val ref = operators.Dedup.incrementalDedup(spark, batch0, corpus)
+      .localCheckpoint()
+    val copyIdx = spark.range(1, copies).select(col("id").as("k"))
+    val expect = ref.unionByName(
+      copyIdx.crossJoin(broadcast(ref)).select(
+        (col("doc_id") + col("k") * dOff).as("doc_id"),
+        lit(false).as("keep"),
+        when(col("reason") === "exact_corpus", "exact_corpus")
+          .otherwise("exact_batch").as("reason")))
+    sameSet(s"incremental verdicts = ×1 reference blow-up at ×$copies",
+      spark.read.parquet(s"$work/out/incr_dedup_x$copies"), expect)
+    // the restricted near-dup stage is O(reps); the bound is generous
+    // (the final global orderBy of nB·copies skinny verdict rows may
+    // legitimately sort-spill) but rejects the quadratic outright: the
+    // unrestricted form's streaming twin spilled >69 GB at ×156.
+    check(s"spill bounded at ×$copies duplication (exact-first reps)",
+      sp <= (4L << 30), s"spill ${mb(sp)} MB")
+  }
 
   private def prefixStress(spark: SparkSession, src: String, copies: Int,
       work: String): Unit = {

@@ -353,6 +353,46 @@ class WindowShardRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("global running SUM over DECIMAL(12,2) rewrites past the gate, " +
+      "bit-equal incl. nulls (the running money total, r17 verdict item 3)") {
+    // values carry live cents so any scale-losing promotion in the
+    // decomposition's adds would round visibly
+    def build() = frame().withColumn("run",
+      sum((col("v") + lit(0.25)).cast("decimal(12,2)"))
+        .over(Window.orderBy(col("o").asc_nulls_first, col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val want = rows(build())
+    assert(globalWindows(build()) == 1,
+      "positive control: naive decimal sum must carry the global window")
+    withRule("0") {
+      val rewritten = build()
+      assert(globalWindows(rewritten) == 0,
+        "rewrite did not fire on the DECIMAL running sum")
+      assert(rows(rewritten) == want, "rewritten decimal sum diverges")
+      // the result type must be the window Sum's own widened decimal
+      assert(rewritten.schema("run").dataType.simpleString == "decimal(22,2)")
+    }
+  }
+
+  test("decimal running-sum overflow still FAILS under the rewrite " +
+      "(ANSI semantics preserved, never a wrapped/rounded value)") {
+    // 64 near-cap decimal(38,0) values: the prefix overflows 38 digits
+    // at ~row 11, so BOTH forms must throw — a decomposition that
+    // silently lost precision or wrapped would return rows instead
+    val s = spark
+    def build() = s.range(64).select(col("id"),
+        lit("9" * 37).cast("decimal(38,0)").as("v"))
+      .withColumn("run", sum(col("v")).over(Window.orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    intercept[Exception] { build().collect() } // naive form throws
+    withRule("0") {
+      val rewritten = build()
+      assert(globalWindows(rewritten) == 0,
+        "rewrite did not fire on the near-cap decimal sum")
+      intercept[Exception] { rewritten.collect() }
+    }
+  }
+
   test("refusals: below the gate, float sums, non-default null ordering, " +
       "other frames") {
     val naiveSum = () => frame().withColumn("run",
@@ -375,6 +415,13 @@ class WindowShardRewriteSpec extends AnyFunSuite {
         sum(col("v")).over(Window.orderBy(col("o").asc_nulls_last, col("id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       assert(globalWindows(nl) == 1, "rule fired on asc_nulls_last")
+      // scale-8 decimal: precision promotion past 38 would ROUND the
+      // last digits (adjustedScale < s for s ≥ 7) — must not rewrite
+      val dec8 = frame().withColumn("run",
+        sum(col("v").cast("decimal(20,8)")).over(
+          Window.orderBy(col("o").asc_nulls_first, col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      assert(globalWindows(dec8) == 1, "rule fired on a scale-8 decimal sum")
       // a non-prefix frame (trailing 3 rows) must not rewrite
       val tail3 = frame().withColumn("run",
         sum(col("v")).over(Window.orderBy(col("o").asc_nulls_first,
