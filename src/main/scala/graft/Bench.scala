@@ -248,7 +248,18 @@ object Bench {
     // (r16 verdict item 3: the r16 driver sweep passed the start gate at
     // 0.241 while carrying a 0.507 stream sentinel and broad 1.2× risers
     // concentrated in the stream rows).
-    val noisy = sentinelStart > 0.25 || sentinelStreamStart > 0.35
+    // ... and the JOB-FLOOR axis the CPU pair is blind to (r17 verdict
+    // item 2): two consecutive rounds of many-tiny-jobs rows rode a
+    // reproducible ~1.7× scheduler-floor smear while the CPU sentinels
+    // passed (floor_start read 43–53 ms/job against the quiet-box
+    // 14–17 ms band — calibration table in BENCH_NOTES rounds 17–18).
+    // Threshold 0.035 s/job ≈ 2.2× the quiet median: above the band's
+    // own noise, far below every smeared reading observed. floor_stream
+    // stays observability-only until its quiet band has enough points
+    // (like the stream CPU sentinel, it runs after ~150 batch queries
+    // have churned the JVM and may sit structurally hotter).
+    val noisy = sentinelStart > 0.25 || sentinelStreamStart > 0.35 ||
+      floorStart > 0.035
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","noisy":$noisy,"queries":$qs,"vs_prev":$vs,"failed":$failedJson,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
     println(fullLine)

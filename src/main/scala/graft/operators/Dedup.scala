@@ -1589,9 +1589,19 @@ object Dedup {
     * deliberately java.io; the STATE layer below is Hadoop-FS throughout
     * because its root is a cluster URI in production. */
   private[graft] def stageCorpusFeed(s: SparkSession, d: String,
+      nChunks: Int, feedDir: String): Unit =
+    stageFeedOrdered(s,
+      docs(s, d).select("doc_id", "source", "n_chars", "text"),
+      "doc_id", nChunks, feedDir)
+
+  /** Generic id-range-ordered feed stager behind [[stageCorpusFeed]] —
+    * also used by the ANN index stream's embedding feed
+    * (Similarity.stageEmbedFeed): chunk any `df` on `idCol` ranges so
+    * the file stream replays it as id-ordered micro-batches. */
+  private[graft] def stageFeedOrdered(s: SparkSession,
+      df: DataFrame, idCol: String,
       nChunks: Int, feedDir: String): Unit = {
-    val all = docs(s, d).select("doc_id", "source", "n_chars", "text")
-    val mm = all.agg(min("doc_id"), max("doc_id")).head
+    val mm = df.agg(min(idCol), max(idCol)).head
     val lo = mm.getLong(0)
     val span = (mm.getLong(1) - lo) / nChunks + 1
     val stage = s"$feedDir.stage"
@@ -1600,8 +1610,8 @@ object Dedup {
     // spans approach 2^53 — and a doc in the wrong chunk silently breaks
     // the cross-batch doc_id ordering the first-occurrence semantics
     // rest on (r14 ADVICE)
-    all.withColumn("chunk",
-        expr(s"CAST((doc_id - ${lo}L) DIV ${span}L AS INT)"))
+    df.withColumn("chunk",
+        expr(s"CAST(($idCol - ${lo}L) DIV ${span}L AS INT)"))
       .repartition(nChunks, col("chunk"))
       .write.mode("overwrite").partitionBy("chunk").parquet(stage)
     val feed = new java.io.File(feedDir)
@@ -1735,7 +1745,17 @@ object Dedup {
 
   private def compactCorpusState(s: SparkSession, stateRoot: String,
       w: Long): Unit =
-    for (kind <- Seq("hash", "sh", "band", "s4", "counts")) {
+    compactStateKinds(s, stateRoot, w,
+      Seq("hash", "sh", "band", "s4", "counts"))
+
+  /** The generation-compaction body behind [[compactCorpusState]],
+    * parameterized on the state KINDS so any foreachBatch operator with
+    * the dir-per-batch layout reuses the same marker/sweep grammar (the
+    * ANN index stream's cents/stats/dims state is the second user —
+    * r17 verdict item 4). */
+  private[graft] def compactStateKinds(s: SparkSession, stateRoot: String,
+      w: Long, kinds: Seq[String]): Unit =
+    for (kind <- kinds) {
       val root = s"$stateRoot/$kind"
       val cPath = f"$root/c$w%06d"
       val (fs, _) = stateFs(root)

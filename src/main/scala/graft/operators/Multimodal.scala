@@ -158,6 +158,18 @@ object Multimodal {
     // ---- frame sampling (explode shape) ----------------------------------
     // Every asset yields ceil(n_bytes / 100) "frames" of ≤ 100 bytes; the
     // per-frame fingerprint is md5 of the slice. Rows out ∝ total frames.
+    // The slice runs on the RAW BYTES (Substring supports BinaryType) —
+    // the prior string-cast slice indexed by CHARACTER, and code-point
+    // counting over a blob that is not valid UTF-8 has ill-defined
+    // boundaries (Spark's UTF8String preserves the raw bytes but walks
+    // them as if UTF-8), so frame offsets/lengths on real binary media
+    // would be byte-position-unstable; byte indexing is the well-defined
+    // contract a blob store needs (pinned with planted 0-255/NUL/invalid
+    // UTF-8 payloads in MultimodalSpec, r18). The DuckDB oracle slices
+    // text by CHARACTER (DuckDB cannot slice BLOBs); byte-slice ==
+    // char-slice on this ASCII corpus (verified: zero docs with
+    // octet_length <> strlen at every sf), so the hashes agree — a
+    // future non-ASCII corpus needs a byte-level oracle.
     Q("q_multimodal_frames",
       (s, d) => media(s, d)
         // n_bytes = 0 would make sequence(0, -1) count DOWNWARD ([0, -1]);
@@ -167,7 +179,7 @@ object Multimodal {
           explode(transform(
             sequence(lit(0), ceil(col("n_bytes") / 100).cast("int") - 1),
             i => struct(i.as("frame_no"),
-              md5(substring(col("blob").cast("string"),
+              md5(substring(col("blob"),
                 (i * 100 + 1).cast("int"), lit(100))).as("fp")))))
         .groupBy("media_type")
         .agg(count(lit(1)).as("n_frames"),

@@ -56,6 +56,79 @@ object Relational {
       .select("p.*").orderBy("col_name")
   }
 
+  /** The 100 TB arm of [[profile]]: identical long-form shape but the
+    * distinct counts come from `approx_count_distinct` — ONE scan, ONE
+    * aggregate node, and crucially NO Expand. The exact profile's k
+    * countDistinct aggregates make Catalyst expand the scan k-ways
+    * (every input row replicated once per distinct column), which at
+    * 100 TB multiplies the dominant cost — the scan — by the column
+    * count; the HLL sketch keeps the scan single and the aggregation
+    * state bounded (one 2^p register array per column). `rsd` is
+    * written explicitly so the sketch precision and q_profile_approx's
+    * 4×rsd bound verdict can't drift apart. Emits `nd_approx` in place
+    * of `n_distinct` — implementation-defined, so the registered row
+    * reduces it to a cross-engine bound verdict (the q_approx_distinct
+    * pattern). */
+  def profileApprox(df: DataFrame, cols: Seq[(String, Column => Column)],
+      rsd: Double = 0.05): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (n, fmt) =>
+      Seq(count(col(n)).as(s"cnt_$n"),
+        approx_count_distinct(col(n), rsd).as(s"nd_$n"),
+        fmt(min(col(n))).as(s"min_$n"),
+        fmt(max(col(n))).as(s"max_$n"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { case (n, _) =>
+      struct(lit(n).as("col_name"), col("n_rows"),
+        (col("n_rows") - col(s"cnt_$n")).as("n_null"),
+        col(s"nd_$n").as("nd_approx"),
+        col(s"min_$n").as("min_val"), col(s"max_$n").as("max_val"))
+    }
+    one.select(explode(array(entries: _*)).as("p"))
+      .select("p.*").orderBy("col_name")
+  }
+
+  /** The one `orders` profile column list — shared by q_profile (exact)
+    * and q_profile_approx (HLL arm) so the two rows can't drift. Each
+    * column pairs with its engine-stable min/max FORMATTER (see
+    * [[profile]]'s scaladoc). */
+  private val ordersProfileCols: Seq[(String, Column => Column)] = Seq(
+    ("o_orderkey", _.cast("string")),
+    ("o_custkey", _.cast("string")),
+    ("o_orderstatus", c => c),
+    ("o_totalprice", _.cast("decimal(18,2)").cast("string")),
+    ("o_orderdate", _.cast("date").cast("string")),
+    ("o_orderpriority", c => c))
+
+  /** The shared DuckDB oracle for both profile rows: per-column exact
+    * metrics UNION ALL'd; the approx row adds the uniformly-true `nd_ok`
+    * bound verdict column (the HLL estimate itself is
+    * implementation-defined and never crosses engines). */
+  private def sqlOrdersProfile(approx: Boolean): String = {
+    val okCol = if (approx) ", true AS nd_ok" else ""
+    def row(n: String, minV: String, maxV: String) =
+      s"""SELECT '$n' AS col_name, COUNT(*) AS n_rows,
+          COUNT(*) - COUNT($n) AS n_null,
+          COUNT(DISTINCT $n) AS n_distinct$okCol,
+          $minV AS min_val, $maxV AS max_val FROM orders"""
+    def str(f: String, n: String) = s"CAST($f($n) AS VARCHAR)"
+    def dec(f: String, n: String) =
+      s"CAST(CAST($f($n) AS DECIMAL(18,2)) AS VARCHAR)"
+    def dt(f: String, n: String) =
+      s"CAST(CAST($f($n) AS DATE) AS VARCHAR)"
+    Seq(
+      row("o_orderkey", str("MIN", "o_orderkey"), str("MAX", "o_orderkey")),
+      row("o_custkey", str("MIN", "o_custkey"), str("MAX", "o_custkey")),
+      row("o_orderstatus", "MIN(o_orderstatus)", "MAX(o_orderstatus)"),
+      row("o_totalprice", dec("MIN", "o_totalprice"),
+        dec("MAX", "o_totalprice")),
+      row("o_orderdate", dt("MIN", "o_orderdate"),
+        dt("MAX", "o_orderdate")),
+      row("o_orderpriority", "MIN(o_orderpriority)",
+        "MAX(o_orderpriority)"))
+      .mkString(" UNION ALL ") + " ORDER BY col_name"
+  }
+
   /** Rows of `df` whose integer-valued expression `x` deviates more than
     * 3σ from its `key`-group mean — the per-group z-test with ZERO
     * floating point: |x−μ| > 3σ cleared of divisions and square roots is
@@ -927,36 +1000,37 @@ object Relational {
     // DATE. The one-row aggregate is then exploded to (column, metrics)
     // rows driver-free.
     Q("q_profile",
-      (s, d) => profile(t(s, d, "orders"), Seq(
-        ("o_orderkey", _.cast("string")),
-        ("o_custkey", _.cast("string")),
-        ("o_orderstatus", c => c),
-        ("o_totalprice", _.cast("decimal(18,2)").cast("string")),
-        ("o_orderdate", _.cast("date").cast("string")),
-        ("o_orderpriority", c => c))),
-      Some {
-        def row(n: String, minV: String, maxV: String) =
-          s"""SELECT '$n' AS col_name, COUNT(*) AS n_rows,
-              COUNT(*) - COUNT($n) AS n_null,
-              COUNT(DISTINCT $n) AS n_distinct,
-              $minV AS min_val, $maxV AS max_val FROM orders"""
-        def str(f: String, n: String) = s"CAST($f($n) AS VARCHAR)"
-        def dec(f: String, n: String) =
-          s"CAST(CAST($f($n) AS DECIMAL(18,2)) AS VARCHAR)"
-        def dt(f: String, n: String) =
-          s"CAST(CAST($f($n) AS DATE) AS VARCHAR)"
-        Seq(
-          row("o_orderkey", str("MIN", "o_orderkey"), str("MAX", "o_orderkey")),
-          row("o_custkey", str("MIN", "o_custkey"), str("MAX", "o_custkey")),
-          row("o_orderstatus", "MIN(o_orderstatus)", "MAX(o_orderstatus)"),
-          row("o_totalprice", dec("MIN", "o_totalprice"),
-            dec("MAX", "o_totalprice")),
-          row("o_orderdate", dt("MIN", "o_orderdate"),
-            dt("MAX", "o_orderdate")),
-          row("o_orderpriority", "MIN(o_orderpriority)",
-            "MAX(o_orderpriority)"))
-          .mkString(" UNION ALL ") + " ORDER BY col_name"
-      }),
+      (s, d) => profile(t(s, d, "orders"), ordersProfileCols),
+      Some(sqlOrdersProfile(approx = false))),
+
+    // The 100 TB arm of the profile (r17 verdict item 5): the exact
+    // row's k-way countDistinct Expand is the documented swap-at-scale —
+    // this row IS the swap, registered. profileApprox plans ONE scan /
+    // ONE aggregate / NO Expand (PlanSpec pins it, with q_profile as the
+    // Expand-carrying positive control); the HLL estimate is
+    // implementation-defined, so the registered row reduces it to the
+    // 4×rsd bound verdict against the exact per-column distincts — each
+    // computed by its own single-distinct aggregate (a lone countDistinct
+    // never expands; Expand appears only when one node carries SEVERAL
+    // distinct aggregates), unioned as the 1-row verification harness
+    // the production path drops.
+    Q("q_profile_approx",
+      (s, d) => {
+        val ap = profileApprox(t(s, d, "orders"), ordersProfileCols)
+        val exact = ordersProfileCols.map { case (n, _) =>
+          t(s, d, "orders")
+            .agg(countDistinct(col(n)).as("n_distinct"))
+            .select(lit(n).as("col_name"), col("n_distinct"))
+        }.reduce(_ unionByName _)
+        ap.join(exact, "col_name")
+          .select(col("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"),
+            (abs(col("nd_approx") - col("n_distinct")) <=
+              lit(4 * 0.05) * col("n_distinct")).as("nd_ok"),
+            col("min_val"), col("max_val"))
+          .orderBy("col_name")
+      },
+      Some(sqlOrdersProfile(approx = true))),
 
     // ---- histogram / numeric binning --------------------------------------
     // Fixed-width binning via width_bucket — the one-pass distributed

@@ -765,6 +765,215 @@ object Similarity {
   def assignWithCentroids(s: SparkSession, e: DataFrame,
       cents: DataFrame): DataFrame = assignByArray(s, e, cents)
 
+  // -------------------------------------------------------------------
+  // Streaming IVF index maintenance — the ANN analog of
+  // q_stream_corpus_pipeline (r17 verdict item 4; registered as
+  // q_stream_ann_index in streaming/Streams.scala).
+  //
+  // Shape: embeddings arrive as vec_id-ordered micro-batches. Batch 0
+  // FREEZES the IVF centroid frame (the ivfAssign convention — the
+  // nonzero-norm vectors with vec_id < AnnCentroids, all contained in
+  // batch 0 by the id-range feed order) and persists it as state; every
+  // batch assigns its vectors to the frozen buckets (one broadcast of
+  // the k-row centroid frame, zero vector shuffles) and accumulates the
+  // per-bucket index-health partials:
+  //   stats(bucket, n, cos_micro, min_cos) — member count, EXACT
+  //     micro-long sum of member→centroid cosines, batch min;
+  //   dims(bucket, i, sx) — EXACT micro-long per-dimension vector sums
+  //     (the VecCentroid fixed-point recipe), for the drift report.
+  // Integer partials make the final report independent of batch
+  // boundaries: summing per-batch micro-longs is associative, so the
+  // assembled occupancy / compaction (mean, min cosine) / centroid-DRIFT
+  // (cosine between the frozen centroid and the exact fixed-point mean
+  // of everything assigned to it — the "retrain me" signal an index
+  // operator watches) numbers equal the batch run bit for bit, which is
+  // what lets the row hold to a DuckDB batch-twin oracle.
+  //
+  // Exactly-once is the corpus stream's grammar reused verbatim: state
+  // writes land under per-batch-id dirs with mode=overwrite (replays
+  // rewrite their own dirs), readers enumerate committed ids through
+  // Dedup.corpusReadDirs, and every compactEvery batches
+  // Dedup.compactStateKinds merges committed dirs into a marked
+  // consolidated generation — ≤ compactEvery+1 dirs per kind at any
+  // stream age. Hard-kill/resume proof: StreamKillMain phases
+  // annkill/annresume.
+  //
+  // 100 TB shape: per batch the corpus-sized work is ONE scan of the
+  // batch (assignment is a broadcast crossJoin of one collapsed
+  // centroid row — the assignByArray scaladoc's argument); the shuffles
+  // carry only (bucket, partial) rows bounded by k and k×64. State is
+  // O(k) per batch, O(k·compactEvery) on disk.
+  // -------------------------------------------------------------------
+
+  private[graft] val AnnCentroids = 8
+  private val AnnStateKinds = Seq("cents", "stats", "dims")
+
+  /** Stage the embeddings table as vec_id-ordered chunk files (the
+    * stageCorpusFeed machinery on (vec_id, embedding)). */
+  private[graft] def stageEmbedFeed(s: SparkSession, d: String,
+      nChunks: Int, feedDir: String): Unit =
+    Dedup.stageFeedOrdered(s,
+      embs(s, d).select("vec_id", "embedding"), "vec_id", nChunks, feedDir)
+
+  /** One micro-batch of the incremental index maintenance (foreachBatch
+    * body). Batch 0 additionally freezes + persists the centroid frame;
+    * compaction runs first every `compactEvery` batches (watermark =
+    * bid-1, strictly committed ids — the corpus stream's rule). */
+  private[graft] def annIndexStreamBatch(s: SparkSession, stateRoot: String,
+      batch: DataFrame, bid: Long, compactEvery: Int): Unit = {
+    if (compactEvery > 0 && bid > 0 && bid % compactEvery == 0)
+      Dedup.compactStateKinds(s, stateRoot, bid - 1, AnnStateKinds)
+    def put(kind: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(f"$stateRoot/$kind/b$bid%06d")
+    val e = dropZeroNorm(s,
+      batch.select(col("vec_id"), col("embedding"))).localCheckpoint()
+    if (bid == 0)
+      put("cents", e.filter(col("vec_id") < AnnCentroids)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_v")))
+    val cents = s.read
+      .parquet(Dedup.corpusReadDirs(s"$stateRoot/cents"): _*)
+    // checkpointed: consumed by BOTH partial puts below
+    val assigned = assignByArray(s, e, cents).localCheckpoint()
+    put("stats", assigned
+      .join(broadcast(cents), col("bucket") === col("c_id"))
+      .withColumn("cos", cosine(s, col("embedding"), col("c_v")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        // cos is already floor-micro quantized: recover the exact
+        // integer micros and sum as long — associative across batches
+        sum(floor(col("cos") * 1e6 + 0.5).cast("long")).as("cos_micro"),
+        min(col("cos")).as("min_cos")))
+    put("dims", assigned
+      .select(col("bucket"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("bucket", "i")
+      .agg(sum(floor(col("x").cast("double") * 1e6 + 0.5).cast("long"))
+        .as("sx")))
+  }
+
+  /** Start the index-maintenance stream over a staged embedding feed
+    * (one chunk file per micro-batch, AvailableNow). Restartable from
+    * the same scratch: the file-source offset log replays at most the
+    * one uncommitted batch, whose state writes are idempotent. */
+  private[graft] def startAnnIndexStream(s: SparkSession, feedDir: String,
+      scratch: String, compactEvery: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = s.read.parquet(feedDir).schema // footer only
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$feedDir/b*.parquet")
+      .writeStream
+      .foreachBatch((b: DataFrame, bid: Long) =>
+        annIndexStreamBatch(b.sparkSession, s"$scratch/state", b, bid,
+          compactEvery))
+      .option("checkpointLocation", s"$scratch/checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Assemble the index-health report from the accumulated state:
+    * (bucket, n_vecs, mean_cos, min_cos, drift_cos) — occupancy,
+    * compaction, and the frozen-centroid drift (cosine between the
+    * frozen centroid and the exact fixed-point mean of its assigned
+    * members). All combines are integer-exact, so the report equals the
+    * batch twin ([[annIndexBatchReport]] / the DuckDB oracle) exactly. */
+  private[graft] def annIndexStreamResult(s: SparkSession,
+      scratch: String): DataFrame = {
+    val root = s"$scratch/state"
+    val cents = s.read.parquet(Dedup.corpusReadDirs(s"$root/cents"): _*)
+    val stats = s.read.parquet(Dedup.corpusReadDirs(s"$root/stats"): _*)
+      .groupBy("bucket")
+      .agg(sum(col("n")).as("n_vecs"),
+        sum(col("cos_micro")).as("cm"),
+        min(col("min_cos")).as("min_cos"))
+    val dims = s.read.parquet(Dedup.corpusReadDirs(s"$root/dims"): _*)
+      .groupBy("bucket", "i").agg(sum(col("sx")).as("sx"))
+    annReportAssemble(s, stats, dims, cents)
+  }
+
+  /** The batch twin of [[annIndexStreamResult]]: the same report over
+    * the whole table in one pass — frozen first-[[AnnCentroids]]
+    * centroids, one assignment, the identical integer-partial formulas.
+    * StreamKillMain's annresume phase holds the recovered stream to this
+    * frame exactly; the registered row's DuckDB oracle is its SQL twin. */
+  private[graft] def annIndexBatchReport(s: SparkSession,
+      d: String): DataFrame = {
+    val e = dropZeroNorm(s, embs(s, d).select(col("vec_id"), col("embedding")))
+    val cents = e.filter(col("vec_id") < AnnCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_v"))
+    val assigned = assignByArray(s, e, cents).localCheckpoint()
+    val stats = assigned
+      .join(broadcast(cents), col("bucket") === col("c_id"))
+      .withColumn("cos", cosine(s, col("embedding"), col("c_v")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("cos") * 1e6 + 0.5).cast("long")).as("cm"),
+        min(col("cos")).as("min_cos"))
+    val dims = assigned
+      .select(col("bucket"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("bucket", "i")
+      .agg(sum(floor(col("x").cast("double") * 1e6 + 0.5).cast("long"))
+        .as("sx"))
+    annReportAssemble(s, stats, dims, cents)
+  }
+
+  /** Shared final assembly of the index-health report from the exact
+    * integer partials — ONE implementation so the streaming and batch
+    * arms cannot drift. Mean formulas mirror the DuckDB oracle operand
+    * for operand (micro-long sum → one double division → floor-micro
+    * requantize — the VecCentroid / Arith discipline). */
+  private def annReportAssemble(s: SparkSession, stats: DataFrame,
+      dims: DataFrame, cents: DataFrame): DataFrame = {
+    val mv = dims
+      .join(stats.select(col("bucket"), col("n_vecs")), "bucket")
+      .withColumn("c", micro6(col("sx").cast("double") /
+        (col("n_vecs").cast("double") * lit(1e6))))
+      .groupBy("bucket")
+      .agg(sort_array(collect_list(struct(col("i"), col("c")))).as("cs"))
+      .select(col("bucket"),
+        transform(col("cs"), x => x.getField("c")).as("mv"))
+    stats.join(mv, "bucket")
+      .join(broadcast(cents), col("bucket") === col("c_id"))
+      .select(col("bucket"), col("n_vecs"),
+        micro6(col("cm").cast("double") /
+          (col("n_vecs").cast("double") * lit(1e6))).as("mean_cos"),
+        col("min_cos"),
+        cosine(s, col("mv"), col("c_v")).as("drift_cos"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB batch twin of the streaming index report (the
+    * q_stream_ann_index oracle): frozen first-8 centroids, one
+    * assignment, micro-long partials, the same two mean divisions. */
+  private[graft] lazy val AnnIndexStreamOracleSql: String =
+    s"""WITH ${sqlIvfAssign(AnnCentroids, sqlZeroNormWhere)},
+        m AS (
+          SELECT a.bucket, ${sqlCosineCols("a.v", "c.c_v")} AS cos
+          FROM assigned a JOIN cents c ON a.bucket = c.c_id),
+        st AS (
+          SELECT bucket, COUNT(*) AS n_vecs,
+            SUM(CAST(FLOOR(cos * 1000000 + 0.5) AS BIGINT)) AS cm,
+            MIN(cos) AS min_cos
+          FROM m GROUP BY bucket),
+        u AS (
+          SELECT bucket, i,
+            ${Arith.sqlMicro6(
+              """SUM(CAST(FLOOR(v[i] * 1000000 + 0.5) AS BIGINT))::DOUBLE
+              / (COUNT(*) * 1000000.0)""")} AS c
+          FROM assigned, (SELECT unnest(generate_series(1, 64)) AS i)
+          GROUP BY bucket, i),
+        mv AS (
+          SELECT bucket, array_agg(c ORDER BY i) AS m
+          FROM u GROUP BY bucket),
+        dr AS (
+          SELECT mv.bucket, ${sqlCosineCols("mv.m", "c.c_v")} AS drift_cos
+          FROM mv JOIN cents c ON mv.bucket = c.c_id)
+        SELECT st.bucket, st.n_vecs,
+          ${Arith.sqlMicro6("st.cm::DOUBLE / (st.n_vecs * 1000000.0)")}
+            AS mean_cos,
+          st.min_cos, dr.drift_cos
+        FROM st JOIN dr ON st.bucket = dr.bucket
+        ORDER BY st.bucket"""
+
   private def lloydRoundImpl(s: SparkSession, corpus: DataFrame,
       assigned: DataFrame, trackPrev: Boolean): DataFrame = {
     val cents1 = centroidsOf(assigned)

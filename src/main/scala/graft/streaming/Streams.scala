@@ -926,7 +926,36 @@ object Streams {
             "batches; the incremental contract needs >= 3")
         Dedup.corpusStreamResult(s, scratch)
       },
-      Some(graft.operators.Dedup.CorpusPipelineOracleSql)))
+      Some(graft.operators.Dedup.CorpusPipelineOracleSql)),
+
+    // Streaming IVF index maintenance: the ANN analog of
+    // q_stream_corpus_pipeline (r17 verdict item 4) — vec_id-ordered
+    // embedding micro-batches through foreachBatch, batch 0 freezes the
+    // IVF centroid frame, every batch assigns to the frozen buckets and
+    // accumulates exact integer per-bucket partials (occupancy, micro
+    // cosine sums, per-dim vector sums); the assembled report — per
+    // bucket n_vecs / mean_cos / min_cos / centroid-DRIFT — is held to
+    // the one-pass batch twin's DuckDB oracle exactly (machinery in
+    // operators/Similarity.scala; hard-kill/resume proof is
+    // StreamKillMain phase=annkill/annresume; compaction reuses the
+    // corpus stream's marker/sweep grammar via Dedup.compactStateKinds).
+    Q("q_stream_ann_index",
+      (s, d) => {
+        val Sim = graft.operators.Similarity
+        val scratch = java.nio.file.Files
+          .createTempDirectory(scratchRoot, "annidx").toString
+        Sim.stageEmbedFeed(s, d, 6, s"$scratch/feed")
+        val q = Sim.startAnnIndexStream(s, s"$scratch/feed", scratch)
+        q.awaitTermination()
+        // incrementality contract, enforced loudly (the corpus-stream
+        // rule): a single-batch drain is the batch twin in disguise
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        if (dataBatches < 3) throw new IllegalStateException(
+          s"q_stream_ann_index drained in $dataBatches data " +
+            "batches; the incremental contract needs >= 3")
+        Sim.annIndexStreamResult(s, scratch)
+      },
+      Some(graft.operators.Similarity.AnnIndexStreamOracleSql)))
 
   /** The shared drain recipe for both sessionizer rows: file-source
     * stream → the given sessionizer arm → memory sink via AvailableNow,

@@ -287,8 +287,14 @@ class PlanSpec extends AnyFunSuite {
   test("q_ngram_novelty shuffles window hashes, claim pass partial-aggs") {
     // per-(source, wh) distinct + the min(source) claim pass both key
     // their exchanges on wh (± source) — 32-char hashes, never text —
-    // and the claim min must combine map-side
-    val p = plan("q_ngram_novelty")
+    // and the claim min must combine map-side. Pinned on the
+    // CHECKPOINT-FREE variant (r17 ADVICE): the registered row's eager
+    // localCheckpoint truncates the distinct's hashpartitioning
+    // (source, wh) exchange — the largest stage — out of the explained
+    // plan, so the registered plan alone could not assert it.
+    val p = operators.TextOps
+      .ngramNovelty(spark, sfDir, checkpoint = false)
+      .queryExecution.executedPlan.toString
     assert(p.contains("partial_min"),
       s"claim pass not map-side partial-aggregated:\n$p")
     val hashEx = p.linesIterator
@@ -296,7 +302,24 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx.nonEmpty && hashEx.forall(l =>
       l.contains("wh#") || l.contains("source#")),
       s"a shuffle keys on something besides wh/source:\n$p")
+    // the distinct's own exchange must now be visible AND keyed on the
+    // (source, wh) pair — the stage the checkpoint used to hide
+    assert(hashEx.exists(l => l.contains("wh#") && l.contains("source#")),
+      s"the (source, wh) distinct exchange is missing from the plan:\n$p")
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_profile_approx plans no Expand; exact q_profile is the control") {
+    // the exact profile's k countDistinct aggregates expand the scan
+    // k-ways — the documented swap-at-scale is the HLL arm, which must
+    // keep the scan single: no Expand anywhere in the registered row
+    // (its exact harness runs one SINGLE-distinct aggregate per column,
+    // which never expands)
+    assert(plan("q_profile").contains("Expand"),
+      "positive control: exact q_profile should carry the Expand")
+    val p = plan("q_profile_approx")
+    assert(!p.contains("Expand"),
+      s"the approx profile arm still expands the scan:\n$p")
   }
 
   test("q_knn_classify stays bucket-bounded, never a cartesian") {

@@ -294,6 +294,70 @@ object StreamKillMain {
       System.err.println("KILL| corpus resume drained before the halt fired")
       sys.exit(3)
     }
+    // ---- ANN index-maintenance kill/resume pair --------------------------
+    // The corpuskill grammar applied to the streaming IVF index
+    // (Similarity.annIndexStreamBatch): halt after the 3rd data
+    // micro-batch — possibly mid-write of batch 4's cents/stats/dims
+    // state dirs — then resume from the checkpoint in a fresh JVM. The
+    // recovered report must equal the one-pass batch twin
+    // (annIndexBatchReport) EXACTLY: integer partials make the report
+    // independent of batch boundaries, so any lost or doubled batch
+    // shows up in n_vecs/cm/sx, never rounds away.
+    if (phase == "annkill") {
+      operators.Similarity.stageEmbedFeed(spark, src, 6, s"$work/afeed")
+      spark.streams.addListener(new StreamingQueryListener {
+        private var seen = 0
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          if (e.progress.numInputRows > 0) seen += 1
+          if (seen >= 3) Runtime.getRuntime.halt(42)
+        }
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+      operators.Similarity.startAnnIndexStream(spark, s"$work/afeed",
+        s"$work/ascratch").awaitTermination()
+      System.err.println("KILL| ann index stream drained before the halt fired")
+      sys.exit(3)
+    }
+    if (phase == "annresume") {
+      // same no-op guard as corpusresume: a resume with every batch
+      // already committed proves nothing — fail loudly (exit 4)
+      val nFeed = Option(new java.io.File(s"$work/afeed").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(f => f.getName.startsWith("b") &&
+          f.getName.endsWith(".parquet"))
+      val committed = Option(
+        new java.io.File(s"$work/ascratch/checkpoint/commits").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(_.getName.forall(_.isDigit))
+      if (committed >= nFeed) {
+        System.err.println(s"KILL| annresume is a NO-OP: all $nFeed " +
+          s"batches ($committed) committed before the halt — kill proof " +
+          "degraded")
+        spark.stop(); sys.exit(4)
+      }
+      val q = operators.Similarity.startAnnIndexStream(spark,
+        s"$work/afeed", s"$work/ascratch")
+      q.awaitTermination()
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSeq
+      val got = rows(operators.Similarity
+        .annIndexStreamResult(spark, s"$work/ascratch"))
+      val want = rows(operators.Similarity.annIndexBatchReport(spark, src))
+      if (got == want) {
+        println("KILL| ann index resume exactly-once: stream == batch twin")
+        spark.stop(); sys.exit(0)
+      } else {
+        System.err.println(
+          s"KILL| ann index MISMATCH after resume: got $got want $want")
+        spark.stop(); sys.exit(1)
+      }
+    }
+
     if (phase == "corpusresume") {
       // The proof is only a proof if the crash left UNCOMMITTED work: the
       // halt fires from the async listener bus (or the compaction hook),

@@ -642,6 +642,31 @@ class StreamingSpec extends AnyFunSuite {
       .deleteQuietly(new java.io.File(work))
   }
 
+  test("ANN index stream survives a hard kill mid-drain " +
+      "(recovered report == the one-pass batch twin)") {
+    // the corpuskill grammar applied to the streaming IVF index: halt
+    // after the 3rd data micro-batch (possibly mid-write of batch 4's
+    // cents/stats/dims dirs), resume from the checkpoint in a fresh JVM,
+    // and require the assembled occupancy/drift report to equal
+    // annIndexBatchReport exactly — integer partials make any lost or
+    // doubled batch visible, never rounded away. annresume guards the
+    // no-op degradation (all batches committed before the async halt)
+    // by failing loudly (exit 4).
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-annkill").toString
+    try {
+      val killed = ForkedJvm.run("graft.StreamKillMain", "2g",
+        Seq(sfDir, work, "annkill"))
+      assert(killed == 42, s"annkill phase exited $killed, not the halt's 42")
+      val resumed = ForkedJvm.run("graft.StreamKillMain", "2g",
+        Seq(sfDir, work, "annresume"))
+      assert(resumed == 0,
+        s"annresume exited $resumed — stream != batch twin " +
+          "(4 = kill proof degraded to a no-op resume)")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(work))
+  }
+
   test("corpus state compaction survives hard kills at BOTH mid-compaction " +
       "points of the SECOND generation (markerless rebuild under " +
       "supersession; marked skip + prior-generation sweep finish)") {

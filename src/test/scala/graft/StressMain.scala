@@ -186,7 +186,8 @@ object StressMain {
     // can finish without a single full GC, stranding every batch's shuffle
     // files until the ContextCleaner sees the dependency collected
     // (measured at ×10000: 42 GB of dead shuffle filled the disk mid-drain)
-    val drainMode = mode == "stream" || mode == "corpusstream"
+    val drainMode = mode == "stream" || mode == "corpusstream" ||
+      mode == "annstream"
     val spark = Bench.benchSession(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       if (drainMode) Map("spark.cleaner.periodicGC.interval" -> "60s")
@@ -204,11 +205,14 @@ object StressMain {
     })
     if (mode == "text" || mode == "embed" || mode == "events" ||
         mode == "stream" || mode == "embeddim" || mode == "corpusstream" ||
-        mode == "prefix" || mode == "incr") {
+        mode == "prefix" || mode == "incr" || mode == "annstream") {
       if (mode == "text") textStress(spark, src, copies, work,
         if (args.length > 4) args(4) else "all")
       else if (mode == "prefix") prefixStress(spark, src, copies, work)
       else if (mode == "incr") incrDedupStress(spark, src, copies, work)
+      else if (mode == "annstream")
+        annStreamStress(spark, src, copies, work,
+          if (args.length > 4) args(4).toInt else 16)
       else if (mode == "embed") embedStress(spark, src, copies, work)
       else if (mode == "embeddim") embedDimStress(spark, src, copies, work,
         if (args.length > 4) args(4).toInt else 16,
@@ -1408,6 +1412,97 @@ object StressMain {
       Dedup.corpusStreamResult(spark, s"$work/cscratch"),
       Dedup.corpusPipeline(spark,
         spark.read.parquet(s"$work/documents.parquet")))
+  }
+
+  /** Streaming-IVF-index duplication stress (`mode=annstream`, run as
+    * `runMain graft.StressMain <src> <copies> <work> annstream [chunks]`):
+    * the q_stream_ann_index machinery at scale. Blow the embeddings up
+    * ×copies (disjoint vec_id ranges, IDENTICAL vectors — copy 0 keeps
+    * the lowest range, so batch 0 still carries the frozen-centroid
+    * ids), stage a vec_id-ordered chunk feed, drain, and pin:
+    *   1. per-batch wall flat as state accumulates — each batch's work
+    *      is one scan of the batch against the broadcast frozen
+    *      centroids; prior state is never re-derived;
+    *   2. the state-dir bound (≤ compactEvery+1 dirs per kind at any
+    *      stream age — the corpus stream's compaction grammar reused);
+    *   3. the EXACT blow-up law: identical copies assign to identical
+    *      buckets (argmax of identical cosines), counts and micro-long
+    *      sums scale ×copies together, and every mean/min/drift double
+    *      division has the same true rational quotient (products stay
+    *      < 2^53, so the scaled operands are exact and IEEE rounds both
+    *      sides to the same double) — the stream report must equal the
+    *      BASE batch report with n_vecs ×copies, everything else
+    *      bit-identical;
+    *   4. zero spill — per-bucket partials are k- and k×64-row frames.
+    */
+  private def annStreamStress(spark: SparkSession, src: String, copies: Int,
+      work: String, nChunks: Int): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val Sim = graft.operators.Similarity
+    val compactEvery = 4 // startAnnIndexStream's default, named for law 2
+    val embs0 = spark.read.parquet(s"$src/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val vOff = embs0.agg(max("vec_id")).head.getLong(0) + 1
+    val nVecs = embs0.count()
+    spark.range(0, copies, 1, math.max(32, math.min(copies / 4, 2048)))
+      .select(col("id").as("cpy"))
+      .crossJoin(broadcast(embs0))
+      .withColumn("vec_id", col("vec_id") + col("cpy") * lit(vOff))
+      .drop("cpy")
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    println(s"STRESS| annstream corpus: ${nVecs * copies} vectors " +
+      s"($copies× $src) at $work, $nChunks micro-batches")
+    Sim.stageEmbedFeed(spark, work, nChunks, s"$work/afeed")
+    val walls =
+      scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0) walls.synchronized {
+          walls += ((e.progress.batchId, e.progress.numInputRows,
+            e.progress.durationMs.get("triggerExecution").toDouble / 1000))
+        }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+    resetMetrics()
+    val t0 = System.nanoTime()
+    Sim.startAnnIndexStream(spark, s"$work/afeed", s"$work/ascratch")
+      .awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    drainMetrics()
+    val sp = spill.get
+    println(f"STRESS| annstream drain ${wall}%7.2f s  peakTask " +
+      f"${mb(peak.get)}%5d MB  shufW ${mb(shuf.get)}%5d MB  " +
+      f"spill ${mb(sp)}%5d MB")
+    val batchWalls = walls.synchronized { walls.sortBy(_._1).toSeq }
+    batchWalls.foreach { case (bid, rows, s) =>
+      println(f"STRESS| annstream batch $bid: $rows%9d rows ${s}%7.2f s")
+    }
+    check(s"annstream drained the staged feed in $nChunks data batches",
+      batchWalls.size == nChunks, s"${batchWalls.size} data batches")
+    if (batchWalls.nonEmpty)
+      check("annstream per-batch wall flat as state accumulates",
+        batchWalls.last._3 <= batchWalls.head._3 * 4 + 10.0,
+        f"first ${batchWalls.head._3}%.1f s → " +
+          f"last ${batchWalls.last._3}%.1f s")
+    for (kind <- Seq("cents", "stats", "dims")) {
+      val dirs = Option(
+        new java.io.File(s"$work/ascratch/state/$kind").listFiles())
+        .getOrElse(Array.empty[java.io.File]).count(_.isDirectory)
+      check(s"annstream $kind state dirs bounded by compaction " +
+          s"(≤ ${compactEvery + 1} after $nChunks batches)",
+        dirs <= compactEvery + 1, s"$dirs dirs")
+    }
+    check(s"annstream zero spill at ×$copies", sp == 0,
+      s"spill ${mb(sp)} MB")
+    val got = Sim.annIndexStreamResult(spark, s"$work/ascratch")
+    val expect = Sim.annIndexBatchReport(spark, src)
+      .withColumn("n_vecs", col("n_vecs") * copies)
+    sameSet(s"annstream report == base batch report with n_vecs ×$copies",
+      got, expect)
   }
 
   private def streamStress(spark: SparkSession, src: String, copies: Int,
