@@ -92,7 +92,7 @@ object Relational {
     * and q_profile_approx (HLL arm) so the two rows can't drift. Each
     * column pairs with its engine-stable min/max FORMATTER (see
     * [[profile]]'s scaladoc). */
-  private val ordersProfileCols: Seq[(String, Column => Column)] = Seq(
+  private[graft] val ordersProfileCols: Seq[(String, Column => Column)] = Seq(
     ("o_orderkey", _.cast("string")),
     ("o_custkey", _.cast("string")),
     ("o_orderstatus", c => c),

@@ -372,6 +372,21 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** (doc_id, gram): per-doc DISTINCT n-token window grams as TEXT —
+    * the recovery twin of [[windowHashes]] (same tokenization, same
+    * distinct rule, gram instead of md5(gram)). Only ever scanned
+    * against a broadcast top-k hash set: corpus-wide dataflows carry
+    * hashes, text leaves the scan solely for the k winners. */
+  private def windowGrams(
+      df: org.apache.spark.sql.DataFrame,
+      n: Int): org.apache.spark.sql.DataFrame = df
+    .withColumn("toks", split(col("text"), " "))
+    .filter(size(col("toks")) >= n)
+    .select(col("doc_id"), explode(array_distinct(
+      transform(sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+      .as("gram"))
+
   private[operators] def windowHashes(
       df: org.apache.spark.sql.DataFrame, n: Int,
       carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = df
@@ -1271,6 +1286,65 @@ object TextOps {
                   * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
               FROM g JOIN f ON f.wh = g.wh
               GROUP BY g.source ORDER BY source""")),
+
+    // ---- corpus-level boilerplate n-gram mining -----------------------------
+    // The C4/Gopher-style boilerplate DISCOVERY table: the top-20 5-token
+    // windows by DOCUMENT frequency, with corpus share in ppm and an
+    // example doc — the artifact a curation run reads to decide which
+    // license headers / navigation chrome / template sentences to strip
+    // (q_substring_dup answers "how duplicated is each doc"; this answers
+    // "WHICH spans are the boilerplate"). Scale shape: the corpus-sized
+    // aggregation counts per-doc-distinct window HASHES (map-side partial
+    // count, 32-char keys, text never shuffles); the top-20 cut is a
+    // TakeOrderedAndProject over (df desc, wh) — deterministic, no
+    // global sort materialized; gram TEXT is then recovered for the 20
+    // winners only, by broadcasting the winner set against a second scan
+    // that re-derives (doc_id, gram) — the two-scan trade: carrying gram
+    // text through the first aggregation would shuffle the token stream,
+    // while scan #2 is a pruned re-read that emits 20 joined groups.
+    // Share is exact integer ppm over the eligible universe (docs with
+    // ≥ 5 tokens), the DECIMAL-div discipline of the overlap rows.
+    Q("q_boilerplate_ngrams",
+      (s, d) => {
+        val n = 5
+        val top = windowHashes(docs(s, d), n)
+          .groupBy("wh").agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("wh"))
+          .limit(20)
+        val eligible = windowHashes(docs(s, d), n)
+          .select("doc_id").distinct()
+          .agg(count(lit(1)).as("n_docs"))
+        windowGrams(docs(s, d), n)
+          .withColumn("wh", md5(col("gram")))
+          .join(broadcast(top), "wh")
+          .groupBy("wh", "df")
+          .agg(min(col("gram")).as("gram"),
+            min(col("doc_id")).as("example_doc"))
+          .crossJoin(broadcast(eligible))
+          .withColumn("df_ppm",
+            expr("CAST(df AS DECIMAL(38,0)) * 1000000 div n_docs"))
+          .select(col("gram"), col("df"), col("df_ppm"), col("example_doc"))
+          .orderBy(col("df").desc, col("gram"))
+      },
+      Some("""WITH g AS (
+                SELECT DISTINCT doc_id, gram FROM (
+                  SELECT doc_id,
+                    unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+                      FOR i IN generate_series(1, len(toks) - 4)])) AS gram
+                  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                        FROM documents)
+                  WHERE len(toks) >= 5)),
+              top AS (
+                SELECT md5(gram) AS wh, gram, COUNT(*) AS df,
+                  MIN(doc_id) AS example_doc
+                FROM g GROUP BY 1, 2
+                ORDER BY df DESC, wh LIMIT 20),
+              tot AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM g)
+              SELECT top.gram, top.df,
+                CAST(top.df::HUGEINT * 1000000 // tot.n_docs AS BIGINT)
+                  AS df_ppm,
+                top.example_doc
+              FROM top, tot ORDER BY df DESC, gram""")),
 
     // ---- intra-document repetition ----------------------------------------
     // The Gopher-style repetition filter: a document whose 3-grams repeat

@@ -309,6 +309,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_boilerplate_ngrams: hash-keyed heavy agg, TakeOrdered top-k, " +
+      "broadcast winner recovery, no cartesian") {
+    // the corpus-sized aggregation must key on the 32-char window hash
+    // (text never shuffles on the wide path), the top-20 cut must be a
+    // TakeOrderedAndProject (no materialized global sort), and gram
+    // TEXT must reach the plan only through the broadcast winner join
+    val p = plan("q_boilerplate_ngrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 cut is not a TakeOrderedAndProject:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"winner recovery is not a broadcast join:\n$p")
+    assert(p.contains("partial_count"),
+      s"df count not map-side partial-aggregated:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_profile_approx plans no Expand; exact q_profile is the control") {
     // the exact profile's k countDistinct aggregates expand the scan
     // k-ways — the documented swap-at-scale is the HLL arm, which must

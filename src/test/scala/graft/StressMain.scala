@@ -205,11 +205,13 @@ object StressMain {
     })
     if (mode == "text" || mode == "embed" || mode == "events" ||
         mode == "stream" || mode == "embeddim" || mode == "corpusstream" ||
-        mode == "prefix" || mode == "incr" || mode == "annstream") {
+        mode == "prefix" || mode == "incr" || mode == "annstream" ||
+        mode == "profile") {
       if (mode == "text") textStress(spark, src, copies, work,
         if (args.length > 4) args(4) else "all")
       else if (mode == "prefix") prefixStress(spark, src, copies, work)
       else if (mode == "incr") incrDedupStress(spark, src, copies, work)
+      else if (mode == "profile") profileStress(spark, src, copies, work)
       else if (mode == "annstream")
         annStreamStress(spark, src, copies, work,
           if (args.length > 4) args(4).toInt else 16)
@@ -1412,6 +1414,69 @@ object StressMain {
       Dedup.corpusStreamResult(spark, s"$work/cscratch"),
       Dedup.corpusPipeline(spark,
         spark.read.parquet(s"$work/documents.parquet")))
+  }
+
+  /** Profile-arm scale contrast (`mode=profile`, run as
+    * `runMain graft.StressMain <src> <copies> <work> profile`): the
+    * measured evidence behind q_profile_approx's registration — the
+    * exact profile's k-way countDistinct Expand shuffles the DISTINCT
+    * VALUES of every profiled column (o_orderkey is unique, so exact
+    * shuffle grows ∝ corpus), while the HLL arm shuffles k fixed-size
+    * sketches per task regardless of corpus size. Blows orders up
+    * ×copies with DISJOINT key ranges (o_orderkey/o_custkey shift per
+    * copy — distinct counts genuinely scale, the hardest case for both
+    * arms) and pins:
+    *   1. approx shuffle ≤ 1/10 of exact shuffle AND ≤ 64 MB absolute —
+    *      the sketch-bound claim, measured;
+    *   2. approx output: 6 rows, n_rows = base ×copies;
+    *   3. the HLL error contract at scale: per scaled column the
+    *      estimate lands within 4×rsd of the TRUE scaled distinct count
+    *      (orderkey/custkey ×copies by construction; status/priority
+    *      unchanged).
+    */
+  private def profileStress(spark: SparkSession, src: String, copies: Int,
+      work: String): Unit = {
+    val R = graft.operators.Relational
+    val o0 = spark.read.parquet(s"$src/orders.parquet")
+    val oOff = o0.agg(max("o_orderkey")).head.getLong(0) + 1
+    val cOff = o0.agg(max("o_custkey")).head.getLong(0) + 1
+    val nRows = o0.count()
+    spark.range(0, copies, 1, math.max(32, math.min(copies / 4, 2048)))
+      .select(col("id").as("cpy"))
+      .crossJoin(broadcast(o0))
+      .withColumn("o_orderkey", col("o_orderkey") + col("cpy") * lit(oOff))
+      .withColumn("o_custkey", col("o_custkey") + col("cpy") * lit(cOff))
+      .drop("cpy")
+      .write.mode("overwrite").parquet(s"$work/orders.parquet")
+    println(s"STRESS| profile corpus: ${nRows * copies} orders " +
+      s"($copies× $src)")
+    val blown = spark.read.parquet(s"$work/orders.parquet")
+    val (_, exactShuf, _) = timed(s"profile_exact_x$copies", s"$work/out",
+      R.profile(blown, R.ordersProfileCols))
+    val (_, apShuf, _) = timed(s"profile_approx_x$copies", s"$work/out",
+      R.profileApprox(blown, R.ordersProfileCols))
+    check(s"approx profile shuffle sketch-bound at ×$copies " +
+        "(≤ exact/10 AND ≤ 64 MB)",
+      apShuf <= exactShuf / 10 && apShuf <= (64L << 20),
+      s"approx ${mb(apShuf)} MB vs exact ${mb(exactShuf)} MB")
+    val ap = spark.read.parquet(s"$work/out/profile_approx_x$copies")
+      .collect().map(r => r.getAs[String]("col_name") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("nd_approx"))).toMap
+    check(s"approx profile 6 rows, n_rows = base ×$copies",
+      ap.size == 6 && ap.values.forall(_._1 == nRows * copies),
+      s"$ap")
+    // true distinct counts at ×copies, by construction of the blow-up
+    val baseNd = R.ordersProfileCols.map { case (n, _) =>
+      n -> o0.select(n).distinct().count() }.toMap
+    val scaled = Set("o_orderkey", "o_custkey")
+    for ((n, _) <- R.ordersProfileCols) {
+      val truth = baseNd(n) * (if (scaled(n)) copies.toLong else 1L)
+      val est = ap(n)._2
+      check(s"HLL 4×rsd error contract holds for $n at ×$copies " +
+          s"(truth $truth)",
+        math.abs(est - truth) <= 4 * 0.05 * truth,
+        s"estimate $est vs truth $truth")
+    }
   }
 
   /** Streaming-IVF-index duplication stress (`mode=annstream`, run as
