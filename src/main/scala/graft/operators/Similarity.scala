@@ -834,6 +834,9 @@ object Similarity {
       .parquet(Dedup.corpusReadDirs(s"$stateRoot/cents"): _*)
     // checkpointed: consumed by BOTH partial puts below
     val assigned = assignByArray(s, e, cents).localCheckpoint()
+    // partials carry their batch id as a COLUMN (not just the dir name):
+    // compaction merges dirs, and the drift-trajectory report
+    // ([[annIndexDriftResult]]) needs per-batch resolution to survive it
     put("stats", assigned
       .join(broadcast(cents), col("bucket") === col("c_id"))
       .withColumn("cos", cosine(s, col("embedding"), col("c_v")))
@@ -842,12 +845,14 @@ object Similarity {
         // cos is already floor-micro quantized: recover the exact
         // integer micros and sum as long — associative across batches
         sum(floor(col("cos") * 1e6 + 0.5).cast("long")).as("cos_micro"),
-        min(col("cos")).as("min_cos")))
+        min(col("cos")).as("min_cos"))
+      .withColumn("bid", lit(bid)))
     put("dims", assigned
       .select(col("bucket"), posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy("bucket", "i")
       .agg(sum(floor(col("x").cast("double") * 1e6 + 0.5).cast("long"))
-        .as("sx")))
+        .as("sx"))
+      .withColumn("bid", lit(bid)))
   }
 
   /** Start the index-maintenance stream over a staged embedding feed
@@ -889,6 +894,96 @@ object Similarity {
       .groupBy("bucket", "i").agg(sum(col("sx")).as("sx"))
     annReportAssemble(s, stats, dims, cents)
   }
+
+  /** The drift TRAJECTORY over stream age — the monitoring artifact the
+    * final report ([[annIndexStreamResult]]) collapses: per (batch,
+    * bucket), the batch's occupancy, the cumulative occupancy, and the
+    * cumulative centroid drift (cosine between the frozen centroid and
+    * the exact fixed-point mean of everything assigned through that
+    * batch) — the curve an index operator watches to decide WHEN to
+    * retrain, not just whether. Built entirely from the persisted
+    * integer partials (which carry their batch id as a column, so
+    * compaction-merged state keeps per-batch resolution): cumulative
+    * sums ride windows partitioned by bucket(, dim) — bounded frames
+    * (k and k×64 partitions, one row per batch each), never
+    * corpus-sized. A (batch, bucket) pair with zero members emits no
+    * row (both engines). */
+  private[graft] def annIndexDriftResult(s: SparkSession,
+      scratch: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = s"$scratch/state"
+    val cents = s.read.parquet(Dedup.corpusReadDirs(s"$root/cents"): _*)
+    val wB = Window.partitionBy("bucket").orderBy("bid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stc = s.read.parquet(Dedup.corpusReadDirs(s"$root/stats"): _*)
+      .select(col("bid"), col("bucket"), col("n").as("n_batch"))
+      .withColumn("n_cum", sum(col("n_batch")).over(wB))
+    val wD = Window.partitionBy("bucket", "i").orderBy("bid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dcum = s.read.parquet(Dedup.corpusReadDirs(s"$root/dims"): _*)
+      .withColumn("sx_cum", sum(col("sx")).over(wD))
+      .select("bid", "bucket", "i", "sx_cum")
+    val mv = dcum
+      .join(stc.select(col("bid"), col("bucket"), col("n_cum")),
+        Seq("bid", "bucket"))
+      .withColumn("c", micro6(col("sx_cum").cast("double") /
+        (col("n_cum").cast("double") * lit(1e6))))
+      .groupBy("bid", "bucket")
+      .agg(sort_array(collect_list(struct(col("i"), col("c")))).as("cs"))
+      .select(col("bid"), col("bucket"),
+        transform(col("cs"), x => x.getField("c")).as("mv"))
+    stc.join(mv, Seq("bid", "bucket"))
+      .join(broadcast(cents), col("bucket") === col("c_id"))
+      .select(col("bid"), col("bucket"), col("n_batch"), col("n_cum"),
+        cosine(s, col("mv"), col("c_v")).as("drift_cos"))
+      .orderBy("bid", "bucket")
+  }
+
+  /** DuckDB twin of [[annIndexDriftResult]] (the q_stream_ann_drift
+    * oracle): the feed's batch boundaries are pure id-range arithmetic
+    * (stageFeedOrdered: lo/span over the UNFILTERED table, one file per
+    * chunk, oldest-first admission ⇒ batch b = chunk b), so the oracle
+    * recomputes them and windows the same integer partials. */
+  private[graft] def sqlAnnDriftOracle(nChunks: Int): String =
+    s"""WITH ${sqlIvfAssign(AnnCentroids, sqlZeroNormWhere)},
+        bounds AS (
+          SELECT MIN(vec_id) AS lo,
+            (MAX(vec_id) - MIN(vec_id)) // $nChunks + 1 AS span
+          FROM embeddings),
+        ab AS (
+          SELECT a.*, CAST((a.vec_id - b.lo) // b.span AS BIGINT) AS bid
+          FROM assigned a, bounds b),
+        st AS (
+          SELECT bid, bucket, COUNT(*) AS n_batch
+          FROM ab GROUP BY bid, bucket),
+        stc AS (
+          SELECT bid, bucket, n_batch,
+            CAST(SUM(n_batch) OVER (PARTITION BY bucket ORDER BY bid)
+              AS BIGINT) AS n_cum
+          FROM st),
+        u AS (
+          SELECT bid, bucket, i,
+            SUM(CAST(FLOOR(v[i] * 1000000 + 0.5) AS BIGINT)) AS sx
+          FROM ab, (SELECT unnest(generate_series(1, 64)) AS i)
+          GROUP BY bid, bucket, i),
+        uc AS (
+          SELECT bid, bucket, i,
+            SUM(sx) OVER (PARTITION BY bucket, i ORDER BY bid) AS sx_cum
+          FROM u),
+        m AS (
+          SELECT uc.bid, uc.bucket, uc.i,
+            ${Arith.sqlMicro6(
+              "uc.sx_cum::DOUBLE / (stc.n_cum * 1000000.0)")} AS c
+          FROM uc JOIN stc ON uc.bid = stc.bid AND uc.bucket = stc.bucket),
+        mv AS (
+          SELECT bid, bucket, array_agg(c ORDER BY i) AS m
+          FROM m GROUP BY bid, bucket)
+        SELECT stc.bid, stc.bucket, stc.n_batch, stc.n_cum,
+          ${sqlCosineCols("mv.m", "c.c_v")} AS drift_cos
+        FROM stc
+        JOIN mv ON mv.bid = stc.bid AND mv.bucket = stc.bucket
+        JOIN cents c ON stc.bucket = c.c_id
+        ORDER BY stc.bid, stc.bucket"""
 
   /** The batch twin of [[annIndexStreamResult]]: the same report over
     * the whole table in one pass — frozen first-[[AnnCentroids]]

@@ -955,7 +955,30 @@ object Streams {
             "batches; the incremental contract needs >= 3")
         Sim.annIndexStreamResult(s, scratch)
       },
-      Some(graft.operators.Similarity.AnnIndexStreamOracleSql)))
+      Some(graft.operators.Similarity.AnnIndexStreamOracleSql)),
+
+    // The drift TRAJECTORY the final index report collapses: per
+    // (batch, bucket) occupancy + cumulative occupancy + cumulative
+    // centroid drift — the when-to-retrain curve over stream age. Same
+    // machinery and state as q_stream_ann_index (partials carry their
+    // batch id, so the report survives compaction); the oracle
+    // recomputes the feed's id-range batch boundaries arithmetically
+    // and windows the same integer partials.
+    Q("q_stream_ann_drift",
+      (s, d) => {
+        val Sim = graft.operators.Similarity
+        val scratch = java.nio.file.Files
+          .createTempDirectory(scratchRoot, "anndrift").toString
+        Sim.stageEmbedFeed(s, d, 6, s"$scratch/feed")
+        val q = Sim.startAnnIndexStream(s, s"$scratch/feed", scratch)
+        q.awaitTermination()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        if (dataBatches < 3) throw new IllegalStateException(
+          s"q_stream_ann_drift drained in $dataBatches data " +
+            "batches; the incremental contract needs >= 3")
+        Sim.annIndexDriftResult(s, scratch)
+      },
+      Some(graft.operators.Similarity.sqlAnnDriftOracle(6))))
 
   /** The shared drain recipe for both sessionizer rows: file-source
     * stream → the given sessionizer arm → memory sink via AvailableNow,

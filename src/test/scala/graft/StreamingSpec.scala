@@ -667,6 +667,36 @@ class StreamingSpec extends AnyFunSuite {
       .deleteQuietly(new java.io.File(work))
   }
 
+  test("ANN drift trajectory's last point per bucket equals the final " +
+      "index report (one state, two consistent artifacts)") {
+    // both reports assemble from the SAME persisted integer partials;
+    // each matches its own DuckDB oracle, and this pins their mutual
+    // consistency: a bucket's last cumulative trajectory point IS the
+    // final report's occupancy and drift for that bucket.
+    val s = spark
+    val Sim = operators.Similarity
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-anndrift").toString
+    try {
+      Sim.stageEmbedFeed(s, sfDir, 6, s"$scratch/feed")
+      Sim.startAnnIndexStream(s, s"$scratch/feed", scratch)
+        .awaitTermination()
+      val lastPerBucket = Sim.annIndexDriftResult(s, scratch).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+          r.getDouble(4)))
+        .groupBy(_._2).map { case (b, rs) =>
+          val last = rs.maxBy(_._1)
+          (b, last._3, last._4)
+        }.toList.sortBy(_._1)
+      val report = Sim.annIndexStreamResult(s, scratch).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+        .toList.sortBy(_._1)
+      assert(lastPerBucket == report,
+        s"trajectory tail $lastPerBucket != final report $report")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(scratch))
+  }
+
   test("corpus state compaction survives hard kills at BOTH mid-compaction " +
       "points of the SECOND generation (markerless rebuild under " +
       "supersession; marked skip + prior-generation sweep finish)") {
