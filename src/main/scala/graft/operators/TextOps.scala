@@ -84,21 +84,28 @@ object TextOps {
     * (doc_id, n_tokens, mean_word_len, stop_ratio, quality, keep),
     * unsorted. */
   private[operators] def qualityScores(s: SparkSession,
-      d: String): DataFrame = docs(s, d)
-    .withColumn("toks", split(lower(col("text")), " "))
-    .withColumn("n_tokens", size(col("toks")).cast("long"))
-    .withColumn("mean_word_len",
-      Arith.micro6((col("n_chars") - col("n_tokens") + 1).cast("double") /
-        col("n_tokens")))
-    .withColumn("stop_ratio",
-      Arith.micro6(nStop(col("toks")).cast("double") / col("n_tokens")))
-    .withColumn("quality",
-      Arith.micro6(least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.5 +
-        when(col("mean_word_len").between(3.0, 10.0), 0.3).otherwise(0.0) +
-        when(col("stop_ratio") > 0.02, 0.2).otherwise(0.0)))
-    .withColumn("keep", col("quality") >= 0.5)
+      d: String): DataFrame = qualityScored(s, d)
     .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
       col("stop_ratio"), col("quality"), col("keep"))
+
+  /** [[qualityScores]] before its projection — keeps every documents
+    * column (source in particular) so per-domain consumers
+    * (q_mixture_weights) score in the SAME single scan instead of
+    * re-joining the table against its own quality frame on doc_id. */
+  private def qualityScored(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("mean_word_len",
+        Arith.micro6((col("n_chars") - col("n_tokens") + 1).cast("double") /
+          col("n_tokens")))
+      .withColumn("stop_ratio",
+        Arith.micro6(nStop(col("toks")).cast("double") / col("n_tokens")))
+      .withColumn("quality",
+        Arith.micro6(least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.5 +
+          when(col("mean_word_len").between(3.0, 10.0), 0.3).otherwise(0.0) +
+          when(col("stop_ratio") > 0.02, 0.2).otherwise(0.0)))
+      .withColumn("keep", col("quality") >= 0.5)
 
   /** DuckDB CTE chain ending in `qual(doc_id, n_tokens, mean_word_len,
     * stop_ratio, quality, keep)` — the oracle twin of [[qualityScores]],
@@ -125,6 +132,122 @@ object TextOps {
             CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END +
             CASE WHEN stop_ratio > 0.02 THEN 0.2 ELSE 0.0 END""")} >= 0.5) AS keep
         FROM f)"""
+
+  /** Rounds of the q_mixture_weights multiplicative-weights loop —
+    * shared by the Spark loop and the generated oracle CTE chain so the
+    * two can't drift. 5 rounds: the linearized update converges
+    * geometrically on a fixed excess signal, and round 5 is already
+    * stable to the ppm on the test corpora. */
+  private val mwRounds = 5
+
+  /** η numerator for the MW step ⌊0.1·excess+½⌋, named so the Spark and
+    * SQL sides read the same constant. */
+  private val mwEta = 0.1
+
+  /** Exact integer ratio both engines agree on: FLOOR of the IEEE
+    * double division — every caller keeps operands < 2^53, so the cast
+    * is exact and the rounded quotient is identical cross-engine (the
+    * discipline of record for ratios; `DIV`-style true integer division
+    * would need DECIMAL promotion instead). */
+  private def idivF(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(a.cast("double") / b.cast("double")).cast("long")
+
+  /** Domain-mixture solver behind q_mixture_weights — see the
+    * registration comment for semantics. Returns (source, n_docs,
+    * mean_quality, excess_micro, weight_ppm) ordered by source. */
+  /** The scan-collapse stage of [[mixtureWeights]] — one corpus scan →
+    * per-source exact integer aggregates (quality is already
+    * floor-micro quantized; recover the exact integer micros and sum as
+    * long, associative and partial-aggregated). Factored WITHOUT the
+    * checkpoint so PlanSpec can pin the shape the checkpoint would
+    * truncate out of the explained plan (the q_ngram_novelty lesson):
+    * doc-level rows must collapse map-side, and the only exchange keys
+    * on `source`. */
+  private[graft] def mixturePerSource(s: SparkSession,
+      d: String): DataFrame = qualityScored(s, d)
+    .select(col("source"),
+      floor(col("quality") * 1e6 + 0.5).cast("long").as("qm"))
+    .groupBy("source")
+    .agg(count(lit(1)).as("n_docs"), sum(col("qm")).as("qsum"))
+
+  private[operators] def mixtureWeights(s: SparkSession,
+      d: String): DataFrame = {
+    val per = mixturePerSource(s, d).localCheckpoint()
+    val tot = per.agg(sum(col("n_docs")).as("nn"), sum(col("qsum")).as("qq"),
+      count(lit(1)).as("ns"))
+    var w = per.crossJoin(broadcast(tot))
+      .withColumn("mean_micro",
+        floor(col("qsum").cast("double") / col("n_docs").cast("double") +
+          0.5).cast("long"))
+      .withColumn("excess_micro", col("mean_micro") -
+        floor(col("qq").cast("double") / col("nn").cast("double") + 0.5)
+          .cast("long"))
+      .select(col("source"), col("n_docs"), col("mean_micro"),
+        col("excess_micro"), idivF(lit(1000000L), col("ns")).as("w"))
+      .localCheckpoint()
+    for (_ <- 1 to mwRounds) {
+      // w·factor ≤ 1.1e12 and raw·1e6 ≤ 1.1e12 — both exact as doubles
+      val raw = w.withColumn("raw", idivF(
+        col("w") * (lit(1000000L) +
+          floor(col("excess_micro").cast("double") * mwEta + 0.5)
+            .cast("long")),
+        lit(1000000L)))
+      w = raw.crossJoin(broadcast(raw.agg(sum(col("raw")).as("rtot"))))
+        .select(col("source"), col("n_docs"), col("mean_micro"),
+          col("excess_micro"),
+          idivF(col("raw") * lit(1000000L), col("rtot")).as("w"))
+        .localCheckpoint()
+    }
+    w.select(col("source"), col("n_docs"),
+        (col("mean_micro").cast("double") / 1e6).as("mean_quality"),
+        col("excess_micro"), col("w").as("weight_ppm"))
+      .orderBy("source")
+  }
+
+  /** One DuckDB MW round as CTE text — the oracle twin of the loop body
+    * in [[mixtureWeights]], kept adjacent so they can't drift. */
+  private def sqlMwRound(i: Int): String =
+    s"""mwr$i AS (
+          SELECT source, n_docs, mean_micro, excess_micro,
+            CAST(FLOOR(CAST(w * (1000000 + CAST(FLOOR(
+                CAST(excess_micro AS DOUBLE) * $mwEta + 0.5) AS BIGINT))
+              AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS BIGINT) AS raw
+          FROM mww${i - 1}),
+        mww$i AS (
+          SELECT source, n_docs, mean_micro, excess_micro,
+            CAST(FLOOR(CAST(raw * 1000000 AS DOUBLE) /
+              (SELECT CAST(SUM(raw) AS DOUBLE) FROM mwr$i)) AS BIGINT)
+              AS w
+          FROM mwr$i)"""
+
+  private lazy val sqlMixtureWeightsOracle: String =
+    s"""WITH $sqlQualityCtes,
+        mwper AS (
+          SELECT d.source, COUNT(*) AS n_docs,
+            SUM(CAST(FLOOR(q.quality * 1000000 + 0.5) AS BIGINT)) AS qsum
+          FROM qual q JOIN documents d USING (doc_id)
+          GROUP BY d.source),
+        mwtot AS (
+          SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+            CAST(SUM(qsum) AS BIGINT) AS qq, COUNT(*) AS ns
+          FROM mwper),
+        mww0 AS (
+          SELECT source, n_docs,
+            CAST(FLOOR(CAST(qsum AS DOUBLE) / CAST(n_docs AS DOUBLE)
+              + 0.5) AS BIGINT) AS mean_micro,
+            CAST(FLOOR(CAST(qsum AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                + 0.5) AS BIGINT) -
+              CAST(FLOOR(CAST(qq AS DOUBLE) / CAST(nn AS DOUBLE) + 0.5)
+                AS BIGINT) AS excess_micro,
+            CAST(FLOOR(CAST(1000000 AS DOUBLE) / CAST(ns AS DOUBLE))
+              AS BIGINT) AS w
+          FROM mwper, mwtot),
+        ${(1 to mwRounds).map(sqlMwRound).mkString(",\n")}
+        SELECT source, n_docs,
+          CAST(mean_micro AS DOUBLE) / 1000000.0 AS mean_quality,
+          excess_micro, w AS weight_ppm
+        FROM mww$mwRounds ORDER BY source"""
 
   /** Shared oracle of q_curriculum and its q_curriculum_hist scale arm —
     * ONE SQL string for both registrations, so the arms cannot drift. */
@@ -1740,6 +1863,27 @@ object TextOps {
                   // n_tokens AS BIGINT) AS epochs_micro
               FROM sm, z
               ORDER BY source, lang""")),
+
+    // ---- domain-mixture OPTIMIZATION (multiplicative weights) -------------
+    // q_domain_mix pins a STATIC α-temperature mixture; this row SOLVES
+    // for one — the DoReMi-family shape (domain reweighting driven by a
+    // per-domain excess-signal, Xie et al. 2023) with the linearized
+    // multiplicative-weights update w′ ∝ w·(1 + η·excess) instead of
+    // exp(η·excess): exp is transcendental and engines disagree at 1 ulp,
+    // while the linearized update stays in exact long/IEEE-deterministic
+    // arithmetic end to end (the pagerank fixed-point discipline). The
+    // excess signal is the oracle-verified q_quality composite per
+    // domain, centered on the corpus mean; mwRounds rounds of
+    // reweight-then-renormalize in ppm. All integer ratios are
+    // FLOOR(exact-double division) — operands stay < 2^53 so both
+    // engines divide the same exact values and round identically.
+    // Plan: ONE corpus scan collapses to a #sources-row integer
+    // aggregate (map-side partials — source is a bounded taxonomy);
+    // every round after is arithmetic on that tiny localCheckpointed
+    // frame against a 1-row broadcast normalizer. Scan-bound at any SF.
+    Q("q_mixture_weights",
+      (s, d) => mixtureWeights(s, d),
+      Some(sqlMixtureWeightsOracle)),
 
     Q("q_sample_temperature",
       (s, d) => {

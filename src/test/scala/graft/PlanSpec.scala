@@ -284,6 +284,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_mixture_weights collapses the corpus at the scan: partial " +
+      "integer aggs, source-keyed exchange only") {
+    // the scan-collapse stage (pinned on the checkpoint-free factored
+    // frame — the q_ngram_novelty lesson): doc-level rows must reduce
+    // map-side to per-source (count, qsum) partials, and the only
+    // exchange keys on `source` — document text never shuffles. The MW
+    // rounds after this frame are arithmetic on a #sources-row
+    // checkpointed frame vs 1-row broadcast normalizers.
+    val p = operators.TextOps.mixturePerSource(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"per-source aggregate not map-side partial:\n$p")
+    val hashEx = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("source#")),
+      s"a shuffle keys on something besides source:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_ngram_novelty shuffles window hashes, claim pass partial-aggs") {
     // per-(source, wh) distinct + the min(source) claim pass both key
     // their exchanges on wh (± source) — 32-char hashes, never text —

@@ -206,12 +206,13 @@ object StressMain {
     if (mode == "text" || mode == "embed" || mode == "events" ||
         mode == "stream" || mode == "embeddim" || mode == "corpusstream" ||
         mode == "prefix" || mode == "incr" || mode == "annstream" ||
-        mode == "profile") {
+        mode == "profile" || mode == "graph") {
       if (mode == "text") textStress(spark, src, copies, work,
         if (args.length > 4) args(4) else "all")
       else if (mode == "prefix") prefixStress(spark, src, copies, work)
       else if (mode == "incr") incrDedupStress(spark, src, copies, work)
       else if (mode == "profile") profileStress(spark, src, copies, work)
+      else if (mode == "graph") graphStress(spark, src, copies, work)
       else if (mode == "annstream")
         annStreamStress(spark, src, copies, work,
           if (args.length > 4) args(4).toInt else 16)
@@ -1477,6 +1478,127 @@ object StressMain {
         math.abs(est - truth) <= 4 * 0.05 * truth,
         s"estimate $est vs truth $truth")
     }
+  }
+
+  /** Iterative-graph duplication stress (`mode=graph`, run as
+    * `runMain graft.StressMain <src> <copies> <work> graph`): the
+    * q_pagerank / q_graph_lpa loops at scale, with three EXACT laws the
+    * ×copies construction guarantees (PageRank and LPA are round-local —
+    * a node's next state depends only on its in-neighborhood — so
+    * disjoint components never interact):
+    *   1. blow-up law: the stress graph is `copies` disjoint isomorphic
+    *      copies of the registered sf trading graph (node `v` ↦ `k#v`),
+    *      so the full ×copies rank frame must equal the base frame
+    *      cross-joined with the copy ids, bit for bit (the fixed-point
+    *      micro-rank arithmetic is IEEE-deterministic per component);
+    *   2. hub closed form: ONE planted star component — a hub of degree
+    *      1000·copies — rides inside the SAME measured job; by symmetry
+    *      every spoke holds one rank and both ranks follow a 2-variable
+    *      driver recurrence built from the identical IEEE ops
+    *      (⌊r/outdeg+½⌋ contributions, exact long sums, ⌊150000+0.85·Σ+½⌋
+    *      updates). The skew point: in-degree 1000·copies concentrates
+    *      on one reduce key, and the law still holding bit-exactly while
+    *      task metrics stay flat is the measured evidence that the
+    *      per-round `groupBy(dst)` partial-aggregates the hub's fan-in
+    *      map-side instead of shipping 1000·copies rows to one task;
+    *   3. LPA shift equivariance: on the numeric twin graph blown up by
+    *      id shift (v ↦ v+k·off), labels shift with the nodes —
+    *      lbl(v+k·off) = lbl(v)+k·off — because self-inclusive
+    *      mode-voting with smallest-label ties is order-isomorphic under
+    *      the shift and copies are disjoint.
+    */
+  private def graphStress(spark: SparkSession, src: String, copies: Int,
+      work: String): Unit = {
+    val G = graft.operators.Graph
+    val spokes = 1000L * copies
+    val parts = math.max(32, math.min(copies / 4, 2048))
+
+    // ---- blown-up trading graph + planted hub star, materialized ------
+    val pairs0 = G.tradingPairs(spark, src).localCheckpoint()
+    val nPairs = pairs0.count()
+    val blown = spark.range(0, copies, 1, parts)
+      .select(col("id").cast("string").as("cpy"))
+      .crossJoin(broadcast(pairs0))
+      .select(concat(col("cpy"), lit("#"), col("src")).as("src"),
+        concat(col("cpy"), lit("#"), col("dst")).as("dst"))
+    val starUp = spark.range(0, spokes, 1, 32)
+      .select(concat(lit("p:"), col("id").cast("string")).as("src"),
+        lit("h:0").as("dst"))
+    val pairsAll = blown.unionByName(starUp)
+    pairsAll
+      .unionByName(pairsAll.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .write.mode("overwrite").parquet(s"$work/graph_edges.parquet")
+    println(s"STRESS| graph corpus: ${2 * (nPairs * copies + spokes)} " +
+      s"edges ($copies× the $src trading graph [$nPairs pairs] + a " +
+      s"degree-$spokes hub star) at $work")
+
+    // ---- timed: the registered 10-round PageRank loop on the blow-up --
+    val edgesBig = spark.read.parquet(s"$work/graph_edges.parquet")
+    timed(s"pagerank_x$copies", s"$work/out",
+      G.pagerank(spark, edgesBig, G.prRounds))
+    def out(name: String): DataFrame =
+      spark.read.parquet(s"$work/out/$name")
+
+    // law 1+2: base-component ranks ∪ the driver-recurrence star, exact
+    val baseEdges = pairs0.union(
+      pairs0.select(col("dst").as("src"), col("src").as("dst")))
+    val baseRanks = G.pagerank(spark, baseEdges, G.prRounds)
+      .localCheckpoint()
+    val expTrading = spark.range(0, copies, 1, 32)
+      .select(col("id").cast("string").as("cpy"))
+      .crossJoin(broadcast(baseRanks))
+      .select(concat(col("cpy"), lit("#"), col("node")).as("node"),
+        col("r"))
+    // the star's 2-variable recurrence, op for op the pagerank() column
+    // expressions (⌊·+½⌋ floors, long sums, left-assoc double adds)
+    var rh = 1000000L
+    var rs = 1000000L
+    for (_ <- 1 to G.prRounds) {
+      val accH = spokes * rs // Σ over spokes of ⌊r_s/1 + ½⌋ = r_s, exact
+      val wS = math.floor(rh.toDouble / spokes.toDouble + 0.5).toLong
+      val nh = math.floor(150000.0 + 0.85 * accH.toDouble + 0.5).toLong
+      val ns = math.floor(150000.0 + 0.85 * wS.toDouble + 0.5).toLong
+      rh = nh
+      rs = ns
+    }
+    val expStar = spark.range(0, spokes, 1, 32)
+      .select(concat(lit("p:"), col("id").cast("string")).as("node"),
+        lit(rs).as("r"))
+      .unionByName(spark.range(1)
+        .select(lit("h:0").as("node"), lit(rh).as("r")))
+    sameSet(s"pagerank ×$copies = disjoint blow-up of sf ranks ∪ " +
+        s"closed-form degree-$spokes hub star",
+      out(s"pagerank_x$copies"),
+      expTrading.unionByName(expStar))
+
+    // ---- timed: 3-round LPA on the shifted numeric twin ---------------
+    val np0 = G.tradingPairsNumeric(spark, src).localCheckpoint()
+    val off = np0.agg(max(greatest(col("a_id"), col("b_id"))))
+      .head.getLong(0) + 1
+    spark.range(0, copies, 1, parts).select(col("id").as("cpy"))
+      .crossJoin(broadcast(np0))
+      .select((col("a_id") + col("cpy") * lit(off)).as("a_id"),
+        (col("b_id") + col("cpy") * lit(off)).as("b_id"))
+      .write.mode("overwrite").parquet(s"$work/graph_pairs_num.parquet")
+    val pairsNum = spark.read.parquet(s"$work/graph_pairs_num.parquet")
+    val nodesBig = pairsNum.select(col("a_id").as("v"))
+      .union(pairsNum.select(col("b_id").as("v"))).distinct()
+    timed(s"graph_lpa_x$copies", s"$work/out",
+      graft.operators.Dedup.lpaRounds(nodesBig, pairsNum, 3))
+
+    // law 3: labels shift with the nodes
+    val nodes0 = np0.select(col("a_id").as("v"))
+      .union(np0.select(col("b_id").as("v"))).distinct()
+    val baseLab = graft.operators.Dedup.lpaRounds(nodes0, np0, 3)
+      .localCheckpoint()
+    sameSet(s"graph_lpa ×$copies labels shift-equivariant " +
+        s"(lbl(v+k·off) = lbl(v)+k·off)",
+      out(s"graph_lpa_x$copies"),
+      spark.range(0, copies, 1, 32).select(col("id").as("cpy"))
+        .crossJoin(broadcast(baseLab))
+        .select((col("v") + col("cpy") * lit(off)).as("v"),
+          (col("lbl") + col("cpy") * lit(off)).as("lbl")))
   }
 
   /** Streaming-IVF-index duplication stress (`mode=annstream`, run as
