@@ -290,9 +290,14 @@ object Dedup {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
+      // SHUFFLE_HASH on the O(V) labels side (the mode=graph lesson,
+      // measured in the pagerank loop at ×100: sort-merge re-sorts the
+      // O(E) side every round — 63 GB of spill); hash-build the
+      // per-partition V/P label slice, stream the edge frame sort-free
       val next = roundCheckpoint(edges
         .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("label", "dst_label"), "dst")
+          .withColumnRenamed("label", "dst_label").hint("shuffle_hash"),
+          "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_label")).as("nbr_min"))
         .join(labels, "id")
@@ -364,7 +369,9 @@ object Dedup {
         .union(edges.select(col("lo").as("u"), col("hi").as("v")))
       val mn = nbrs.groupBy("u")
         .agg(least(min(col("v")), first(col("u"))).as("m"))
-      val large = canon(nbrs.join(mn, "u")
+      // SHUFFLE_HASH on the O(V) min-neighbor side, both star halves —
+      // same reasoning as the min-label loop above
+      val large = canon(nbrs.join(mn.hint("shuffle_hash"), "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("a"), col("m").as("b")))
       // small-star over the large-star output: emit (v, m(u)) for v ≤ u
@@ -374,7 +381,8 @@ object Dedup {
       val mn2 = nbrs2.groupBy("u")
         .agg(least(min(col("v")), first(col("u"))).as("m"))
       val small = roundCheckpoint(canon(
-        nbrs2.join(mn2, "u").filter(col("v") <= col("u"))
+        nbrs2.join(mn2.hint("shuffle_hash"), "u")
+          .filter(col("v") <= col("u"))
           .select(col("v").as("a"), col("m").as("b"))
           .union(mn2.select(col("u").as("a"), col("m").as("b")))),
         rounds + 1, checkpointEvery)

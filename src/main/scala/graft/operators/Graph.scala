@@ -51,7 +51,14 @@ object Graph {
     *
     * Returns (node STRING, r LONG) with r in micro-rank units.
     */
-  def pagerank(s: SparkSession, edges0: DataFrame, iters: Int): DataFrame = {
+  /** `onRound` is an instrumentation hook — called with (round, wall
+    * seconds) after each round's eager checkpoint lands, so harnesses
+    * (mode=graph) can pin per-round wall FLATNESS: the checkpoint/free
+    * discipline means round k never re-evaluates rounds < k, and a
+    * growing per-round wall would be the lineage-accretion bug this
+    * loop is designed not to have. Noop by default. */
+  def pagerank(s: SparkSession, edges0: DataFrame, iters: Int,
+      onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
     // The (edge, outdeg) frame is loop-invariant — materialize it ONCE
     // with the degree already attached, so each round is a single join
     // against the current ranks instead of two (outdeg is a per-src
@@ -65,6 +72,7 @@ object Graph {
     Materialize.free(edges) // loop reads only contrib + ranks from here on
     var i = 0
     while (i < iters) {
+      val t0 = System.nanoTime()
       // SHUFFLE_HASH on the O(V) ranks side: the default sort-merge join
       // re-SORTS the O(E) contrib frame every round — measured at ×100
       // (118M edges, mode=graph) that sort spilled 63 GB across the 10
@@ -87,6 +95,7 @@ object Graph {
       Materialize.free(ranks)
       ranks = next
       i += 1
+      onRound(i, (System.nanoTime() - t0) / 1e9)
     }
     ranks
   }

@@ -191,6 +191,16 @@ object StressMain {
     val spark = Bench.benchSession(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       if (drainMode) Map("spark.cleaner.periodicGC.interval" -> "60s")
+      // graph tiers ≥×300: P must scale with the corpus (the design
+      // contract every operator documents — a real cluster's partition
+      // count grows with its input). local[32]'s fixed 32 partitions
+      // concentrate per-task aggregate/join state over V≈16.5k·copies
+      // graph keys until a 353M-edge tier OOMs the task quota
+      // (measured: ×300 AGGREGATE_OUT_OF_MEMORY at 32g AND 64g heaps);
+      // 4× the partitions → 1/4 the per-task state, run in waves.
+      else if (mode == "graph" && copies >= 300) Map(
+        "spark.sql.shuffle.partitions" -> "128",
+        "spark.sql.files.maxPartitionBytes" -> "33554432")
       else Map.empty)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
@@ -1535,8 +1545,19 @@ object StressMain {
 
     // ---- timed: the registered 10-round PageRank loop on the blow-up --
     val edgesBig = spark.read.parquet(s"$work/graph_edges.parquet")
+    val roundWalls = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     timed(s"pagerank_x$copies", s"$work/out",
-      G.pagerank(spark, edgesBig, G.prRounds))
+      G.pagerank(spark, edgesBig, G.prRounds,
+        onRound = (r, w) => roundWalls += ((r, w))))
+    roundWalls.foreach { case (r, w) =>
+      println(f"STRESS| pagerank round $r%2d: ${w}%7.2f s")
+    }
+    // the checkpoint/free discipline means round k never re-evaluates
+    // rounds < k — per-round wall must stay flat across the loop
+    check(s"pagerank per-round wall flat across ${G.prRounds} rounds",
+      roundWalls.nonEmpty &&
+        roundWalls.last._2 <= roundWalls.head._2 * 4 + 10.0,
+      f"first ${roundWalls.head._2}%.1f s → last ${roundWalls.last._2}%.1f s")
     def out(name: String): DataFrame =
       spark.read.parquet(s"$work/out/$name")
 
