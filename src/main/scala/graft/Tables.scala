@@ -14,11 +14,45 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    name match {
+  /** The generated fact tables — the scans that carry the engine's
+    * per-row compute (decimal money arithmetic over lineitem, tokenize +
+    * window-md5 kernels over documents, cosine kernels over embeddings,
+    * sessionization over events). [[scanFloor]] applies to these only:
+    * the TPC-H dimension tables are broadcast sides by design, where an
+    * extra exchange under the BroadcastExchange costs a stage and buys
+    * nothing. */
+  private val factTables =
+    Set("lineitem", "orders", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = name match {
       case "events" => events(spark, dir)
       case n        => spark.read.parquet(s"$dir/$n.parquet")
     }
+    if (factTables(name)) scanFloor(spark, df) else df
+  }
+
+  /** Scan-parallelism floor — optimization guide §2.5 ("input skew: one
+    * huge unsplittable file ... repartition immediately after the read")
+    * and §6 (input split sizing). Parquet splits are row-group-granular
+    * and the driver's testdata ships every table as ONE row group, so
+    * every fact scan plans as a single task and all per-row work upstream
+    * of the first exchange (round/cast/decimal-sum over lineitem, the
+    * transform/md5 window kernels over documents) runs on ONE core of the
+    * local[N] box. When the planned scan has fewer splits than the
+    * session's parallelism, repartition to `defaultParallelism` right
+    * after the read; the condition is computed from the ACTUAL planned
+    * splits, so at any production layout (128 MB row groups, thousands of
+    * files — splits >= cores) this is a provable no-op rather than a
+    * local[32] tuning. Filters and column pruning push through the
+    * round-robin exchange (PushDownPredicates/ColumnPruning both handle
+    * RepartitionOperation), so PushedFilters/ReadSchema at the scan are
+    * unchanged — pinned by PlanSpec. */
+  private def scanFloor(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
 
   /** events.ts arrives in whichever parquet timestamp encoding the data
     * generator chose — it has shipped BOTH `TIMESTAMP(NANOS)` and

@@ -1307,7 +1307,14 @@ object Dedup {
             posexplode(transform(sequence(lit(0), size(col("toks")) - 10),
               i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(10))))))
               .as(Seq("i", "wh")))
-        val dup = w.select(col("doc_id"), col("wh")).distinct()
+        // r18: the dup table's per-doc distinct comes from windowHashes'
+        // IN-ROW array_distinct (a doc_id can only repeat a window within
+        // itself), not a corpus-wide distinct() — that distinct was a full
+        // Exchange of every (doc_id, wh) pair before the count could
+        // partial-aggregate (guide §2.4 "a distinct on data that is
+        // already unique"). Same dup set, one exchange fewer, and the
+        // groupBy(wh) count now partial-aggregates map-side directly.
+        val dup = TextOps.windowHashes(docs(s, d), 10)
           .groupBy("wh").agg(count(lit(1)).as("n_docs"))
           .filter(col("n_docs") >= 2)
         // shuffle window STARTS only (the ×10 position expansion runs

@@ -63,7 +63,13 @@ class PlanSpec extends AnyFunSuite {
   test("cosine_sim participates in whole-stage codegen over a scan") {
     val s = spark
     import org.apache.spark.sql.functions.col
-    val p = Tables(s, sfDir, "embeddings")
+    // raw parquet read, NOT Tables(): the scan-parallelism floor
+    // (Tables.scanFloor) would put an exchange under the projection, AQE
+    // would wrap the plan, and codegen collapse would be deferred to
+    // runtime — this test is about the EXPRESSION being codegen-capable
+    // (a CodegenFallback would be ejected from any span), so the
+    // exchange-free plan where spans print statically is the right probe
+    val p = s.read.parquet(s"$sfDir/embeddings.parquet")
       .select(graft.functions.CosineSim(s, col("embedding"), col("embedding"))
         .as("c"))
       .queryExecution.executedPlan.toString
@@ -385,9 +391,13 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_quality_classifier")
     assert(!p.contains("Join"), s"classifier plans a join:\n$p")
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    // the round-robin exchange is Tables.scanFloor's scan-parallelism
+    // floor (r18: the one-row-group testdata plans single-task scans), not
+    // a data shuffle: it carries the scan's pruned columns, never keys
     val exch = p.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exch.forall(_.contains("rangepartitioning")),
-      s"non-sort exchange in classifier plan:\n$p")
+    assert(exch.forall(e => e.contains("rangepartitioning") ||
+        e.contains("RoundRobinPartitioning")),
+      s"non-sort, non-scan-floor exchange in classifier plan:\n$p")
   }
 
   test("q_outliers broadcasts the stats frame back over the scan") {
