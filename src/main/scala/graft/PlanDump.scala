@@ -13,6 +13,21 @@ import java.nio.file.{Files, Paths}
   * sweep actually executes (same shuffle partitions / AQE defaults).
   */
 object PlanDump {
+  /** Per-round frames of the iterative loops (pagerank / CC min-label /
+    * CC star / LPA): their registered queries localCheckpoint every
+    * round, so the final `.explain` shows only a Scan ExistingRDD above
+    * the last checkpoint and the per-round JOIN STRATEGY — the thing the
+    * r18 shuffle-hash work changed — would be invisible to a plan audit.
+    * These pseudo-queries build round 1 with the loops' own checkpointed
+    * inputs via the factored round-body functions the loops execute. */
+  private val roundFrames
+      : Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+    "pagerank_round" -> (operators.Graph.prRoundPlanFrame _),
+    "cc_round" -> (operators.Dedup.ccRoundPlanFrame _),
+    "cc_star_round" -> (operators.Dedup.starRoundPlanFrame _),
+    "lpa_round" -> (operators.Dedup.lpaRoundPlanFrame _))
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: PlanDump <outDir> [name1,name2,...]")
     val outDir = args(0)
@@ -22,7 +37,7 @@ object PlanDump {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Bench.benchSession(cpus)
     Files.createDirectories(Paths.get(outDir))
-    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    val qs = (SparkEntry.queries ++ roundFrames).toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     only.foreach { want =>
       val missing = want -- qs.map(_._1).toSet

@@ -290,18 +290,7 @@ object Dedup {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
-      // SHUFFLE_HASH on the O(V) labels side (the mode=graph lesson,
-      // measured in the pagerank loop at ×100: sort-merge re-sorts the
-      // O(E) side every round — 63 GB of spill); hash-build the
-      // per-partition V/P label slice, stream the edge frame sort-free
-      val next = roundCheckpoint(edges
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("label", "dst_label").hint("shuffle_hash"),
-          "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("dst_label")).as("nbr_min"))
-        .join(labels, "id")
-        .withColumn("new_label", least(col("label"), col("nbr_min"))),
+      val next = roundCheckpoint(ccRound(edges, labels),
         rounds + 1, checkpointEvery)
       changed = next.filter(col("new_label") < col("label")).count()
       labels = next.select(col("id"), col("new_label").as("label"))
@@ -324,6 +313,26 @@ object Dedup {
     labels
   }
 
+  /** One min-label-propagation round's pre-checkpoint frame — the loop
+    * body of [[connectedComponents]], factored so the committed plans/r18
+    * evidence (PlanDump `cc_round`) explains the exact per-round join the
+    * loop executes (round inputs are checkpointed, so the registered
+    * queries' final plans can't show it).
+    *
+    * SHUFFLE_HASH on the O(V) labels side (the mode=graph lesson,
+    * measured in the pagerank loop at ×100: sort-merge re-sorts the
+    * O(E) side every round — 63 GB of spill); hash-build the
+    * per-partition V/P label slice, stream the edge frame sort-free. */
+  private[graft] def ccRound(edges: DataFrame,
+      labels: DataFrame): DataFrame = edges
+    .join(labels.withColumnRenamed("id", "dst")
+      .withColumnRenamed("label", "dst_label").hint("shuffle_hash"),
+      "dst")
+    .groupBy(col("src").as("id"))
+    .agg(min(col("dst_label")).as("nbr_min"))
+    .join(labels, "id")
+    .withColumn("new_label", least(col("label"), col("nbr_min")))
+
   /** Connected components by alternating large-star/small-star rounds —
     * O(log n) rounds regardless of component DIAMETER (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14), where
@@ -343,15 +352,45 @@ object Dedup {
     * @param checkpointEvery  durability of the per-round materialization —
     *                         see [[roundCheckpoint]]
     */
+  /** Canonical (hi, lo) edge form shared by [[connectedComponentsStar]]
+    * and [[starRound]]. */
+  private def canon(df: DataFrame): DataFrame = df
+    .select(greatest(col("a"), col("b")).as("hi"),
+      least(col("a"), col("b")).as("lo"))
+    .filter(col("hi") =!= col("lo"))
+    .distinct()
+
+  /** One large-star + small-star round's pre-checkpoint frame — the loop
+    * body of [[connectedComponentsStar]], factored so the committed
+    * plans/r18 evidence (PlanDump `cc_star_round`) explains the exact
+    * per-round joins the loop executes.
+    *
+    * large-star: Γ as both directions; m(u) = min(Γ(u) ∪ u); emit
+    * (v, m(u)) for v > u. small-star over the large-star output: emit
+    * (v, m(u)) for v ≤ u plus (u, m(u)) — reuse of the large-star mn
+    * would be stale, recompute on `large`. SHUFFLE_HASH on the O(V)
+    * min-neighbor side, both star halves — same reasoning as the
+    * min-label loop above. */
+  private[graft] def starRound(edges: DataFrame): DataFrame = {
+    val nbrs = edges.select(col("hi").as("u"), col("lo").as("v"))
+      .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+    val mn = nbrs.groupBy("u")
+      .agg(least(min(col("v")), first(col("u"))).as("m"))
+    val large = canon(nbrs.join(mn.hint("shuffle_hash"), "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("a"), col("m").as("b")))
+    val nbrs2 = large.select(col("hi").as("u"), col("lo").as("v"))
+      .union(large.select(col("lo").as("u"), col("hi").as("v")))
+    val mn2 = nbrs2.groupBy("u")
+      .agg(least(min(col("v")), first(col("u"))).as("m"))
+    canon(nbrs2.join(mn2.hint("shuffle_hash"), "u")
+      .filter(col("v") <= col("u"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .union(mn2.select(col("u").as("a"), col("m").as("b"))))
+  }
+
   def connectedComponentsStar(pairs: DataFrame,
       checkpointEvery: Option[Int] = None): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    def canon(df: DataFrame): DataFrame = df
-      .select(greatest(col("a"), col("b")).as("hi"),
-        least(col("a"), col("b")).as("lo"))
-      .filter(col("hi") =!= col("lo"))
-      .distinct()
     // undirected edge list as canonical (hi, lo) pairs
     var edges = roundCheckpoint(
       canon(pairs.select(col("a_id").as("a"), col("b_id").as("b"))),
@@ -362,29 +401,13 @@ object Dedup {
     val maxRounds = 50
     var rounds = 0
     var stable = false
+    // r18: carry the edge count across rounds — this round's edges ARE
+    // last round's small, so re-counting them was one full O(E) scan job
+    // per round for a number already in hand (guide §1.2: don't compute
+    // things you throw away)
+    var edgeCount = edges.count()
     while (!stable && rounds < maxRounds) {
-      // large-star: Γ as both directions; m(u) = min(Γ(u) ∪ u); emit
-      // (v, m(u)) for v > u
-      val nbrs = edges.select(col("hi").as("u"), col("lo").as("v"))
-        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
-      val mn = nbrs.groupBy("u")
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
-      // SHUFFLE_HASH on the O(V) min-neighbor side, both star halves —
-      // same reasoning as the min-label loop above
-      val large = canon(nbrs.join(mn.hint("shuffle_hash"), "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("a"), col("m").as("b")))
-      // small-star over the large-star output: emit (v, m(u)) for v ≤ u
-      // plus (u, m(u)) — reuse of mn would be stale, recompute on `large`
-      val nbrs2 = large.select(col("hi").as("u"), col("lo").as("v"))
-        .union(large.select(col("lo").as("u"), col("hi").as("v")))
-      val mn2 = nbrs2.groupBy("u")
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
-      val small = roundCheckpoint(canon(
-        nbrs2.join(mn2.hint("shuffle_hash"), "u")
-          .filter(col("v") <= col("u"))
-          .select(col("v").as("a"), col("m").as("b"))
-          .union(mn2.select(col("u").as("a"), col("m").as("b")))),
+      val small = roundCheckpoint(starRound(edges),
         rounds + 1, checkpointEvery)
       // fixpoint test: same canonical edge set. The count equality guard
       // is load-bearing at scale: counts are shuffle-free scans over the
@@ -392,10 +415,12 @@ object Dedup {
       // set-comparison join (which exchanges both full edge lists) runs
       // only in the one round that actually converged. Given equal counts
       // and distinct sets, small∖edges = ∅ ⟺ equality.
-      stable = small.count() == edges.count() &&
+      val smallCount = small.count()
+      stable = smallCount == edgeCount &&
         small.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
       Materialize.free(edges)
       edges = small
+      edgeCount = smallCount
       rounds += 1
     }
     if (!stable)
@@ -441,30 +466,70 @@ object Dedup {
       .unionByName(nodes.select(col("v"), col("v").as("u")))
     var lab = nodes.select(col("v"), col("v").as("lbl"))
     for (_ <- 1 to rounds) {
-      // SHUFFLE_HASH on the O(V) label side, same reasoning as the
-      // pagerank loop: sort-merge would re-sort the O(E) adjacency
-      // every round (measured 20.6 GB of sort spill at ×100 in
-      // mode=graph); hash-building the per-partition label slice
-      // streams adj sort-free, and the build side is the frame that
-      // does not grow with |E|.
-      val mode = adj
-        .join(lab.select(col("v").as("u"), col("lbl").as("u_lbl"))
-          .hint("shuffle_hash"), "u")
-        .groupBy("v", "u_lbl").agg(count(lit(1)).as("c"))
-        .groupBy("v")
-        .agg(max_by(col("u_lbl"),
-          struct(col("c"), (-col("u_lbl")).as("neg"))).as("new_lbl"))
-      lab = lab.join(mode, Seq("v"), "left")
-        .select(col("v"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+      lab = lpaRound(adj, lab).localCheckpoint()
     }
     lab
+  }
+
+  /** One LPA round's pre-checkpoint frame — the loop body of
+    * [[lpaRounds]], factored so the committed plans/r18 evidence
+    * (PlanDump `lpa_round`) explains the exact per-round join the loop
+    * executes.
+    *
+    * SHUFFLE_HASH on the O(V) label side, same reasoning as the
+    * pagerank loop: sort-merge would re-sort the O(E) adjacency
+    * every round (measured 20.6 GB of sort spill at ×100 in
+    * mode=graph); hash-building the per-partition label slice
+    * streams adj sort-free, and the build side is the frame that
+    * does not grow with |E|. */
+  private[graft] def lpaRound(adj: DataFrame, lab: DataFrame): DataFrame = {
+    val mode = adj
+      .join(lab.select(col("v").as("u"), col("lbl").as("u_lbl"))
+        .hint("shuffle_hash"), "u")
+      .groupBy("v", "u_lbl").agg(count(lit(1)).as("c"))
+      .groupBy("v")
+      .agg(max_by(col("u_lbl"),
+        struct(col("c"), (-col("u_lbl")).as("neg"))).as("new_lbl"))
+    lab.join(mode, Seq("v"), "left")
+      .select(col("v"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
   }
 
   /** Test-only view of [[nearDupPairs]] (GraphSpec's LPA fixed-point pin
     * needs the row's exact edge set). */
   private[graft] def nearDupPairsForTest(s: SparkSession,
       d: String): DataFrame = nearDupPairs(s, d)
+
+  // Round-1 frames with each loop's own checkpointed inputs — the
+  // PlanDump evidence seams (see Graph.prRound's scaladoc for why the
+  // registered queries' final plans cannot show the per-round joins).
+  private[graft] def ccRoundPlanFrame(s: SparkSession,
+      d: String): DataFrame = {
+    val pairs = nearDupPairs(s, d)
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    val labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    ccRound(edges, labels)
+  }
+
+  private[graft] def starRoundPlanFrame(s: SparkSession,
+      d: String): DataFrame = {
+    val pairs = nearDupPairs(s, d)
+    val edges = canon(pairs.select(col("a_id").as("a"), col("b_id").as("b")))
+      .localCheckpoint()
+    starRound(edges)
+  }
+
+  private[graft] def lpaRoundPlanFrame(s: SparkSession,
+      d: String): DataFrame = {
+    val pairs = nearDupPairs(s, d).localCheckpoint()
+    val nodes = docs(s, d).select(col("doc_id").as("v"))
+    val adj = pairs.select(col("a_id").as("v"), col("b_id").as("u"))
+      .unionByName(pairs.select(col("b_id").as("v"), col("a_id").as("u")))
+      .unionByName(nodes.select(col("v"), col("v").as("u")))
+    lpaRound(adj, nodes.select(col("v"), col("v").as("lbl")))
+  }
 
   private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(docs(s, d)).localCheckpoint()

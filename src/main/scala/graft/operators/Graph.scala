@@ -73,31 +73,56 @@ object Graph {
     var i = 0
     while (i < iters) {
       val t0 = System.nanoTime()
-      // SHUFFLE_HASH on the O(V) ranks side: the default sort-merge join
-      // re-SORTS the O(E) contrib frame every round — measured at ×100
-      // (118M edges, mode=graph) that sort spilled 63 GB across the 10
-      // rounds. Hash-building the per-partition V/P rank slice streams
-      // contrib with no sort at all; the build side is the frame that
-      // does NOT grow with |E|, and P scales with the corpus, so the
-      // per-task build stays bounded at any SF.
-      val next = contrib
-        .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
-          "src")
-        .select(col("dst"),
-          floor(col("r").cast("double") / col("outdeg") + lit(0.5))
-            .cast("long").as("w"))
-        .groupBy("dst")
-        .agg(sum(col("w")).as("acc"))
-        .select(col("dst").as("node"),
-          floor(lit(150000.0) + lit(0.85) * col("acc").cast("double") +
-            lit(0.5)).cast("long").as("r"))
-        .localCheckpoint()
+      val next = prRound(contrib, ranks).localCheckpoint()
       Materialize.free(ranks)
       ranks = next
       i += 1
       onRound(i, (System.nanoTime() - t0) / 1e9)
     }
     ranks
+  }
+
+  /** One PageRank round's pre-checkpoint frame — the loop body of
+    * [[pagerank]], factored so the committed plans/r18 evidence
+    * (PlanDump's `pagerank_round` pseudo-query) explains the EXACT frame
+    * the loop executes: the round joins read checkpointed inputs, so the
+    * registered q_pagerank's final plan shows only a Scan ExistingRDD and
+    * the per-round join strategy would otherwise be invisible to a plan
+    * audit.
+    *
+    * SHUFFLE_HASH on the O(V) ranks side: the default sort-merge join
+    * re-SORTS the O(E) contrib frame every round — measured at ×100
+    * (118M edges, mode=graph) that sort spilled 63 GB across the 10
+    * rounds. Hash-building the per-partition V/P rank slice streams
+    * contrib with no sort at all; the build side is the frame that
+    * does NOT grow with |E|, and P scales with the corpus, so the
+    * per-task build stays bounded at any SF. */
+  private[graft] def prRound(contrib: DataFrame,
+      ranks: DataFrame): DataFrame = contrib
+    .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+      "src")
+    .select(col("dst"),
+      floor(col("r").cast("double") / col("outdeg") + lit(0.5))
+        .cast("long").as("w"))
+    .groupBy("dst")
+    .agg(sum(col("w")).as("acc"))
+    .select(col("dst").as("node"),
+      floor(lit(150000.0) + lit(0.85) * col("acc").cast("double") +
+        lit(0.5)).cast("long").as("r"))
+
+  /** q_pagerank's round-1 frame with the loop's own checkpointed inputs —
+    * the PlanDump evidence seam ([[prRound]] scaladoc). */
+  private[graft] def prRoundPlanFrame(s: SparkSession,
+      d: String): DataFrame = {
+    val pairs = tradingPairs(s, d)
+    val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .select("src", "dst").localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val contrib = edges.join(deg, "src").localCheckpoint()
+    val ranks = deg.select(col("src").as("node"),
+      lit(1000000L).as("r")).localCheckpoint()
+    prRound(contrib, ranks)
   }
 
   /** One DuckDB PageRank round as CTE text — the oracle twin of the loop
