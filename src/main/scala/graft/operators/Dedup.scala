@@ -274,6 +274,12 @@ object Dedup {
     // undirected edge list, both directions; materialized once so each
     // round re-reads a tiny table instead of replaying the whole LSH
     // pipeline
+    // NOT pre-partitioned by the round-join key (the pagerank contrib
+    // treatment): measured A/B at sf0.1, the partitioned persist cost
+    // 2.52 → 3.11 s — CC converges in 2-3 rounds here, too few to
+    // amortize the columnar cache build that buying the partitioning
+    // requires, where pagerank's 10 rounds do (Graph.scala). Revisit if
+    // a CC workload with O(10) rounds appears.
     val edges = roundCheckpoint(
       pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))),
@@ -461,6 +467,12 @@ object Dedup {
     * (v, lbl). */
   private[graft] def lpaRounds(nodes: DataFrame, edges: DataFrame,
       rounds: Int): DataFrame = {
+    // NOT materialized/pre-partitioned (the pagerank contrib treatment):
+    // measured A/B at sf0.1, caching the adjacency partitioned on u cost
+    // 3.69 → 5.57 s — the registered row runs 3 rounds, too few to
+    // amortize the columnar cache build, where pagerank's 10 do
+    // (Graph.scala). The per-round rebuild is three narrow projections
+    // over the caller's checkpointed pairs.
     val adj = edges.select(col("a_id").as("v"), col("b_id").as("u"))
       .unionByName(edges.select(col("b_id").as("v"), col("a_id").as("u")))
       .unionByName(nodes.select(col("v"), col("v").as("u")))

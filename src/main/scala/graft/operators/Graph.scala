@@ -66,7 +66,27 @@ object Graph {
     // are re-checkpointed per round and the superseded round freed.
     val edges = edges0.select("src", "dst").localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val contrib = edges.join(deg, "src").localCheckpoint()
+    // repartitioned by the round-join key, then PERSISTED (not
+    // localCheckpoint'd): InMemoryRelation preserves the cached plan's
+    // outputPartitioning, so every round's join sees contrib already
+    // hashpartitioned on src and only the O(V) ranks side exchanges —
+    // without this the O(E) frame re-shuffled EVERY round (guide §2.4
+    // "two operations keyed the same way can share one exchange"; at
+    // ×100 the 10 rounds shuffled 16.7 GB, all but one round of it this
+    // frame). A localCheckpoint would NOT do: Spark 4 materializes it as
+    // a LogicalRDD with UnknownPartitioning, dropping exactly the
+    // property this buys (measured on the pagerank_round plan dump).
+    // Same durability class — both survive only as long as their
+    // executors. The count() materializes contrib NOW so edges can be
+    // freed; the unpersist after the loop is load-bearing: the bench
+    // runs every query twice in one session, and a live CacheManager
+    // entry would hand pass 2 pass 1's blocks (cross-run result caching).
+    // Partition count is spark.sql.shuffle.partitions — the session's
+    // scale knob, not a local constant.
+    val contrib = edges.join(deg, "src")
+      .repartition(Materialize.shufflePartitions(s), col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    contrib.count()
     var ranks = deg.select(col("src").as("node"),
       lit(1000000L).as("r")).localCheckpoint()
     Materialize.free(edges) // loop reads only contrib + ranks from here on
@@ -79,6 +99,7 @@ object Graph {
       i += 1
       onRound(i, (System.nanoTime() - t0) / 1e9)
     }
+    Materialize.free(contrib)
     ranks
   }
 
@@ -119,7 +140,10 @@ object Graph {
         pairs.select(col("dst").as("src"), col("src").as("dst")))
       .select("src", "dst").localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val contrib = edges.join(deg, "src").localCheckpoint()
+    val contrib = edges.join(deg, "src")
+      .repartition(Materialize.shufflePartitions(s), col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    contrib.count()
     val ranks = deg.select(col("src").as("node"),
       lit(1000000L).as("r")).localCheckpoint()
     prRound(contrib, ranks)

@@ -31,6 +31,18 @@ import org.apache.spark.sql.execution.LogicalRDD
   * fully materialized and the round is never read again.
   */
 object Materialize {
+  /** The session's shuffle-partition count — the scale knob every
+    * pre-checkpoint repartition in the iterative loops keys on. An
+    * EXPLICIT count (repartition(n, key), REPARTITION_BY_NUM) where the
+    * loops use it: a keyed repartition without a count is
+    * AQE-coalescible, and a coalesced exchange materializes through
+    * localCheckpoint as UnknownPartitioning — the preserved
+    * hashpartitioning the loops rely on to skip the per-round O(E)
+    * exchange only survives when the count is pinned. */
+  private[operators] def shufflePartitions(
+      s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions").toInt
+
   def free(df: DataFrame): Unit = {
     if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
       df.unpersist(blocking = false)
