@@ -14,22 +14,29 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** The generated fact tables — the scans that carry the engine's
-    * per-row compute (decimal money arithmetic over lineitem, tokenize +
-    * window-md5 kernels over documents, cosine kernels over embeddings,
-    * sessionization over events). [[scanFloor]] applies to these only:
-    * the TPC-H dimension tables are broadcast sides by design, where an
-    * extra exchange under the BroadcastExchange costs a stage and buys
+  /** The tables whose scans carry CPU-DENSE per-row kernels — tokenize +
+    * window-md5 over documents, cosine/quantize over embeddings,
+    * sessionization over events — each with the stable id column
+    * [[scanFloor]] spreads on. lineitem/orders are deliberately NOT here:
+    * measured at sf0.1, their ~75 consumers are mostly sub-second
+    * relational rows where the floor exchange is a net tax (the whole
+    * +0.1–0.3 s/row class, and q_approx_percentile's accuracy-10⁶ sketch
+    * partials went 0.85 → 4.7 s when merged 32-ways) while only a
+    * handful of heavy rows win (q_agg 2.2 → 0.97 s was the best case) —
+    * the tax outweighed the wins in the full-sweep A/B. The TPC-H
+    * dimension tables are broadcast sides by design, where an extra
+    * exchange under the BroadcastExchange costs a stage and buys
     * nothing. */
-  private val factTables =
-    Set("lineitem", "orders", "events", "documents", "embeddings")
+  private val factTables = Map(
+    "events" -> "event_id", "documents" -> "doc_id",
+    "embeddings" -> "vec_id")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = name match {
       case "events" => events(spark, dir)
       case n        => spark.read.parquet(s"$dir/$n.parquet")
     }
-    if (factTables(name)) scanFloor(spark, df) else df
+    factTables.get(name).map(scanFloor(spark, df, _)).getOrElse(df)
   }
 
   /** Scan-parallelism floor — optimization guide §2.5 ("input skew: one
@@ -44,14 +51,28 @@ object Tables {
     * after the read; the condition is computed from the ACTUAL planned
     * splits, so at any production layout (128 MB row groups, thousands of
     * files — splits >= cores) this is a provable no-op rather than a
-    * local[32] tuning. Filters and column pruning push through the
-    * round-robin exchange (PushDownPredicates/ColumnPruning both handle
+    * local[32] tuning.
+    *
+    * The spread is HASH on the table's stable id column, NOT round-robin
+    * `repartition(n)`: a keyless repartition first locally sorts every
+    * input partition (spark.sql.execution.sortBeforeRepartition, on by
+    * default since SPARK-23207 so retried tasks reproduce the same
+    * row-to-partition map — guide §2.5) — and here the input is ONE task
+    * holding the whole table, so that sort is a single-core full-table
+    * sort added to EVERY reading query (measured: a sweep with the
+    * round-robin form inflated ~150 sub-second rows by a 1.56× median,
+    * q_scan 3.6×). Hashing a stable unique id needs no sort, is
+    * deterministic under retries by value (the SPARK-38388 hazard only
+    * applies to rand-derived keys), and spreads evenly (150k+ distinct
+    * ids over N partitions). Filters and column pruning push through the
+    * exchange (PushDownPredicates/ColumnPruning both handle
     * RepartitionOperation), so PushedFilters/ReadSchema at the scan are
     * unchanged — pinned by PlanSpec. */
-  private def scanFloor(spark: SparkSession, df: DataFrame): DataFrame = {
+  private def scanFloor(spark: SparkSession, df: DataFrame,
+      idCol: String): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target)
+    else df.repartition(target, df(idCol))
   }
 
   /** events.ts arrives in whichever parquet timestamp encoding the data

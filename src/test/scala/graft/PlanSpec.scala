@@ -224,7 +224,11 @@ class PlanSpec extends AnyFunSuite {
   test("q_vocab_bigrams prunes to the text column and partial-aggregates") {
     val p = plan("q_vocab_bigrams")
     assert(p.contains("partial_"), "bigram count has no partial aggregate")
-    assert(!p.contains("doc_id"), "bigram scan reads pruned columns")
+    // doc_id is allowed: it is Tables.scanFloor's spread key (r18) and
+    // rides the scan for that exchange only — one long column. Every
+    // OTHER documents column must still prune out of the scan.
+    for (c <- Seq("source", "n_chars", "lang", "url"))
+      assert(!p.contains(c), s"bigram scan reads pruned column $c")
   }
 
   test("q_tfidf does not FORCE a broadcast of the document-frequency table") {
@@ -283,8 +287,11 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_soft_dedup")
     assert(p.contains("partial_count"),
       s"cluster count not map-side partial-aggregated:\n$p")
+    // REPARTITION_BY_NUM exchanges are Tables.scanFloor's keyed
+    // scan-parallelism spread (r18), not data shuffles — exempt here
     val hashEx = p.linesIterator
-      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+      .filter(l => l.contains("Exchange hashpartitioning"))
+      .filterNot(_.contains("REPARTITION_BY_NUM")).toSeq
     assert(hashEx.nonEmpty && hashEx.forall(_.contains("h#")),
       s"a shuffle keys on something besides the digest:\n$p")
     assert(!p.contains("CartesianProduct"), p)
@@ -303,7 +310,8 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") && p.contains("partial_sum"),
       s"per-source aggregate not map-side partial:\n$p")
     val hashEx = p.linesIterator
-      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+      .filter(l => l.contains("Exchange hashpartitioning"))
+      .filterNot(_.contains("REPARTITION_BY_NUM")).toSeq // scanFloor spread
     assert(hashEx.nonEmpty && hashEx.forall(_.contains("source#")),
       s"a shuffle keys on something besides source:\n$p")
     assert(!p.contains("CartesianProduct"), p)
@@ -323,7 +331,8 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min"),
       s"claim pass not map-side partial-aggregated:\n$p")
     val hashEx = p.linesIterator
-      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+      .filter(l => l.contains("Exchange hashpartitioning"))
+      .filterNot(_.contains("REPARTITION_BY_NUM")).toSeq // scanFloor spread
     assert(hashEx.nonEmpty && hashEx.forall(l =>
       l.contains("wh#") || l.contains("source#")),
       s"a shuffle keys on something besides wh/source:\n$p")
@@ -396,7 +405,7 @@ class PlanSpec extends AnyFunSuite {
     // a data shuffle: it carries the scan's pruned columns, never keys
     val exch = p.linesIterator.filter(_.contains("Exchange")).toSeq
     assert(exch.forall(e => e.contains("rangepartitioning") ||
-        e.contains("RoundRobinPartitioning")),
+        e.contains("REPARTITION_BY_NUM")),
       s"non-sort, non-scan-floor exchange in classifier plan:\n$p")
   }
 
